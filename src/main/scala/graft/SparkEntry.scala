@@ -1,13 +1,146 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.operators._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Each entry in `queries` is an operator from SURVEY.md §2 expressed
+  * Spark-first; `oracleSql` carries the DuckDB-equivalent ANSI SQL the
+  * driver hash-compares against at sf0.01. Column names are aligned
+  * on both sides (the compare sorts columns by name).
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    Relational.q1PricingSummary(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_pricing_summary" -> (Relational.q1PricingSummary _),
+    "q2_filter_project"  -> (Relational.q2FilterProject _),
+    "q3_revenue_by_nation" -> (Relational.q3RevenueByNation _),
+    "q4_top_orders"      -> (Relational.q4TopOrders _),
+    "q5_revenue_by_region" -> (Relational.q5RevenueByRegion _),
+    "q6_semi_join"       -> (Relational.q6SemiJoin _),
+    "q7_anti_join"       -> (Relational.q7AntiJoin _),
+    "q8_cube"            -> (Relational.q8Cube _),
+    "q9_top_per_customer" -> (Relational.q9TopPerCustomer _),
+    "q10_set_ops"        -> (Relational.q10SetOps _),
+    "eco_stats"          -> (Ecosystem.stats _),
+    "eco_window_counts"  -> (Ecosystem.windowCounts _),
+    "eco_trends"         -> (Ecosystem.trends _),
+    "eco_recent"         -> (Ecosystem.recent _),
+    "eco_distinct_users" -> (Ecosystem.distinctUsers _),
+    "eco_hll_users"      -> (Ecosystem.approxDistinctUsers _),
+    "eco_transitions"    -> (Ecosystem.transitions _),
+    "eco_importance"     -> (Ecosystem.importance _),
+    "eco_mapreduce"      -> (Ecosystem.mapReduceCounts _),
+    "eco_dgim_exact"     -> (Ecosystem.dgimExact _),
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+         round(sum(l_quantity), 4) AS sum_qty,
+         round(sum(l_extendedprice), 4) AS sum_base_price,
+         round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS sum_disc_price,
+         round(avg(l_quantity), 4) AS avg_qty,
+         round(avg(l_discount), 4) AS avg_disc,
+         count(*) AS count_order
+         FROM lineitem GROUP BY l_returnflag, l_linestatus""",
+    "q2_filter_project" ->
+      """SELECT l_orderkey, l_partkey, l_linenumber, l_quantity, l_discount
+         FROM lineitem WHERE l_quantity > 45.0 AND l_discount >= 0.05""",
+    "q3_revenue_by_nation" ->
+      """SELECT n_name, round(sum(o_totalprice), 4) AS revenue, count(*) AS n_orders
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         JOIN nation ON c_nationkey = n_nationkey
+         GROUP BY n_name""",
+    "q4_top_orders" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+         ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""",
+    "q5_revenue_by_region" ->
+      """SELECT r_name,
+         round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS revenue,
+         count(*) AS n_items
+         FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+         JOIN nation ON s_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         GROUP BY r_name""",
+    "q6_semi_join" ->
+      """SELECT c_custkey, c_name, c_acctbal FROM customer
+         WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 100000.0)""",
+    "q7_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer
+         WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_totalprice > 450000.0)""",
+    "q8_cube" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+         round(sum(l_quantity), 4) AS sum_qty
+         FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""",
+    "q9_top_per_customer" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+           SELECT o_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_custkey
+               ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+           FROM orders) t WHERE rn <= 3""",
+    "q10_set_ops" ->
+      """SELECT 'except' AS op, status FROM
+           (SELECT o_orderstatus AS status FROM orders
+            EXCEPT SELECT l_linestatus AS status FROM lineitem) a
+         UNION ALL
+         SELECT 'intersect' AS op, status FROM
+           (SELECT o_orderstatus AS status FROM orders
+            INTERSECT SELECT l_linestatus AS status FROM lineitem) b""",
+    "eco_stats" ->
+      """WITH g AS (SELECT event_type, count(*) AS n,
+           round(sum(value), 4) AS sum_value, round(avg(value), 4) AS avg_value
+           FROM events GROUP BY event_type)
+         SELECT event_type, n, sum_value, avg_value,
+           round(n / CAST(sum(n) OVER () AS DOUBLE), 6) AS share FROM g""",
+    "eco_window_counts" ->
+      """SELECT CAST(epoch(date_trunc('minute', ts)) AS BIGINT) AS wstart,
+           event_type, count(*) AS n
+         FROM events GROUP BY 1, 2""",
+    "eco_trends" ->
+      """WITH g AS (SELECT date_trunc('hour', ts) AS w, event_type, count(*) AS n
+           FROM events GROUP BY 1, 2)
+         SELECT CAST(epoch(w) AS BIGINT) AS wstart, event_type, n,
+           round(n / CAST(sum(n) OVER (PARTITION BY w) AS DOUBLE), 6) AS share_of_hour
+         FROM g""",
+    "eco_recent" ->
+      """SELECT event_id, user_id, event_type, round(value, 4) AS value
+         FROM events
+         WHERE ts >= (SELECT max(ts) FROM events) - INTERVAL 1 HOUR""",
+    "eco_distinct_users" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_users
+         FROM events GROUP BY event_type""",
+    "eco_transitions" ->
+      """WITH pairs AS (
+           SELECT event_type AS cur_event,
+             lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_event
+           FROM events),
+         g AS (SELECT cur_event, next_event, count(*) AS n FROM pairs
+               WHERE next_event IS NOT NULL GROUP BY 1, 2)
+         SELECT cur_event, next_event, n,
+           round(n / CAST(sum(n) OVER (PARTITION BY cur_event) AS DOUBLE), 6) AS p
+         FROM g""",
+    "eco_importance" ->
+      """WITH g AS (SELECT event_type,
+           avg(abs(value)) / 50.0 * (1000.0 / avg(CAST(json_extract_string(props, '$.k') AS INTEGER) + 1)) AS raw
+           FROM events GROUP BY event_type)
+         SELECT event_type, round(raw, 6) AS raw_score,
+           round(raw / sum(raw) OVER (), 6) AS rank_score FROM g""",
+    "eco_mapreduce" ->
+      """SELECT key, count(*) AS n FROM (
+           SELECT 'type:' || event_type AS key FROM events
+           UNION ALL
+           SELECT 'user:' || CAST(user_id AS VARCHAR) AS key FROM events) t
+         GROUP BY key""",
+    "eco_dgim_exact" ->
+      """SELECT CAST(floor(epoch(ts) / 300) AS BIGINT) * 300 AS wstart,
+           CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_errors,
+           count(*) AS n_total
+         FROM events GROUP BY 1""",
+  )
 }

@@ -1,0 +1,141 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.sources.Tables
+
+/** The reference's ecosystem analytics re-expressed over the `events`
+  * stream table (event_id, ts, user_id, event_type, value, props).
+  * Mapping from the reference's insect-event schema: event_type ↔
+  * `event`, user_id ↔ entity key (`_id`/species), value ↔
+  * `ecologicalImpact`, props.k ↔ `populationDensity`.
+  *
+  * Where the reference maintains hand-rolled in-memory counters at
+  * ingest (/root/reference/model/consumer.py:32-48,77-110) and ships
+  * raw rows to a client that computes analytics in Python
+  * (consultas.py:115-362), every operator here is a single Catalyst
+  * plan: partial aggregation replaces the ingest-time counters, and
+  * computation runs where the data is.
+  *
+  * Scale notes: all aggregations are partial-agg friendly (no
+  * distinct-heavy wide keys); the Markov transition extraction is
+  * partitioned per user (no global sort — the reference's global
+  * event ordering, transition_matrix.py:36-46, would be a
+  * single-partition sort at 100 TB; keying by entity preserves the
+  * semantics per timeline and scales horizontally).
+  */
+object Ecosystem {
+
+  /** A1 stats: counts by event_type plus global share — the
+    * reference's `get_stats` panel (consumer.py:151-168). */
+  def stats(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    e.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+           round(sum(col("value")), 4).as("sum_value"),
+           round(avg(col("value")), 4).as("avg_value"))
+      .withColumn("share", round(col("n") / sum(col("n")).over(Window.partitionBy()), 6))
+  }
+
+  /** A2/ST2 tumbling 1-minute windowed counts by event_type
+    * (consumer.py:86-110). Emitted as epoch seconds of the window
+    * start so the result is engine-portable. */
+  def windowCounts(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(window(col("ts"), "1 minute").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").cast("long").as("wstart"), col("event_type"), col("n"))
+
+  /** A3/A4 trends: hourly window × event_type counts with share of
+    * hour (event_trends / species_trends, consumer.py:47-48). */
+  def trends(spark: SparkSession, dir: String): DataFrame = {
+    val hourly = Tables.events(spark, dir)
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    hourly.select(
+      col("w.start").cast("long").as("wstart"), col("event_type"), col("n"),
+      round(col("n") / sum(col("n")).over(Window.partitionBy(col("w"))), 6).as("share_of_hour"))
+  }
+
+  /** P3 trailing-window recency filter (eventos_recientes,
+    * consumer.py:207-216) — anchored at max(ts) instead of
+    * processing-time now() so the result is deterministic. The anchor
+    * is a scalar subquery → broadcast, no shuffle of the fact table. */
+  def recent(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    val anchor = e.agg(max(col("ts")).as("mx"))
+    e.crossJoin(broadcast(anchor))
+      .filter(col("ts") >= col("mx") - expr("INTERVAL 1 HOUR"))
+      .select(col("event_id"), col("user_id"), col("event_type"),
+              round(col("value"), 4).as("value"))
+  }
+
+  /** A6 exact distinct: distinct active users per event_type — the
+    * deterministic twin of the HLL estimate (consumer.py:190-198). */
+  def distinctUsers(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+
+  /** A7 HyperLogLog distinct-count (hyperloglog.py:4-38;
+    * reference rsd b=12 ⇒ 1.625%). Spark's HLL++ sketch aggregate —
+    * mergeable, partial-agg friendly, no raw-value shuffle. Checked
+    * rows-only by the driver (estimates are impl-specific); the exact
+    * twin above is the hash-matched oracle. */
+  def approxDistinctUsers(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(approx_count_distinct(col("user_id"), 0.01625).as("n_users_approx"))
+
+  /** W1+A15 Markov transitions: per-user ordered event pairs via lead
+    * over a partitioned window, then pair counts and row-stochastic
+    * probabilities (transition_matrix.py:36-62). */
+  def transitions(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val pairs = Tables.events(spark, dir)
+      .withColumn("next_event", lead(col("event_type"), 1).over(w))
+      .filter(col("next_event").isNotNull)
+    pairs.groupBy(col("event_type").as("cur_event"), col("next_event"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("p", round(col("n") / sum(col("n")).over(Window.partitionBy(col("cur_event"))), 6))
+  }
+
+  /** A11 weighted importance score — the reference's "PageRank"
+    * (pageRank.py:4-30): per type, avg|value|/50 × 1000/avg(density),
+    * normalized to sum 1. Density = props.k parsed from the JSON
+    * payload (F15 from_json-style access). */
+  def importance(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
+    val scored = e.groupBy(col("event_type"))
+      .agg((avg(abs(col("value"))) / 50.0 * (lit(1000.0) / avg(col("k") + lit(1)))).as("raw"))
+    scored.select(col("event_type"),
+        round(col("raw"), 6).as("raw_score"),
+        round(col("raw") / sum(col("raw")).over(Window.partitionBy()), 6).as("rank_score"))
+  }
+
+  /** A12 MapReduce word-count equivalent (mapreduce.py:5-96): emit
+    * tagged keys per row, count by key. Spark's partial aggregation
+    * IS the reference's hand-rolled combiner (mapreduce.py:17-21). */
+  def mapReduceCounts(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(explode(array(
+        concat(lit("type:"), col("event_type")),
+        concat(lit("user:"), col("user_id").cast("string")))).as("key"))
+      .groupBy(col("key"))
+      .agg(count(lit(1)).as("n"))
+
+  /** A9 DGIM windowed bit-count, exact formulation: 1-bits are
+    * `event_type = 'error'` (the reference counts "predator attack"
+    * bits, dgim.py:4-47; its bucket scheme degenerates to an exact
+    * count minus half the oldest bucket — SURVEY.md §2.4). Tumbling
+    * 5-minute windows, conditional count. */
+  def dgimExact(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(window(col("ts"), "5 minutes").as("w"))
+      .agg(sum(when(col("event_type") === "error", 1).otherwise(0)).as("n_errors"),
+           count(lit(1)).as("n_total"))
+      .select(col("w.start").cast("long").as("wstart"), col("n_errors"), col("n_total"))
+}

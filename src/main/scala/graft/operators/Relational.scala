@@ -1,0 +1,133 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.sources.Tables
+
+/** Relational breadth: filters, projections, joins (broadcast /
+  * semi / anti), aggregation, grouping sets, window functions, top-k,
+  * set ops. The reference exposes these capabilities as index probes
+  * and hand-written loops over an in-memory store
+  * (/root/reference/model/consumer.py:170-237); here each is a single
+  * declarative plan so Catalyst gets pushdown, pruning, join
+  * selection and whole-stage codegen.
+  *
+  * Scale notes (100 TB posture):
+  *  - dimension tables (region/nation/supplier/customer at TPC-H
+  *    ratios) are broadcast explicitly — no shuffle of the fact side;
+  *  - all double-valued aggregates are rounded at the output edge
+  *    (round(x, 4)) so results are stable under re-ordered partial
+  *    aggregation — required for the hash-comparing oracle and good
+  *    hygiene for any distributed reduction over floats;
+  *  - top-k uses orderBy+limit which Spark plans as
+  *    TakeOrderedAndProject: per-partition heaps, no global sort.
+  */
+object Relational {
+
+  /** TPC-H Q1-style pricing summary: partial-agg friendly, one shuffle
+    * on the (tiny) group key. Cf. reference stats panel semantics
+    * (consumer.py:151-168) — multi-measure grouped aggregate. */
+  def q1PricingSummary(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum(col("l_quantity")), 4).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 4).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4).as("sum_disc_price"),
+        round(avg(col("l_quantity")), 4).as("avg_qty"),
+        round(avg(col("l_discount")), 4).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+
+  /** Selective filter + projection; predicate and column pruning reach
+    * the parquet scan (PushedFilters in explain). Mirrors the
+    * reference's conjunctive index probe (consumer.py:178-188). */
+  def q2FilterProject(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(col("l_quantity") > 45.0 && col("l_discount") >= 0.05)
+      .select(col("l_orderkey"), col("l_partkey"), col("l_linenumber"), col("l_quantity"), col("l_discount"))
+
+  /** Fact-to-dims join with explicit broadcast of customer and nation:
+    * orders is the only large input, never shuffled. */
+  def q3RevenueByNation(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val c = Tables.customer(spark, dir)
+    val n = Tables.nation(spark, dir)
+    o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(round(sum(col("o_totalprice")), 4).as("revenue"),
+           count(lit(1)).as("n_orders"))
+  }
+
+  /** Top-k with deterministic tie-break; planned as
+    * TakeOrderedAndProject (no global sort, no full shuffle). */
+  def q4TopOrders(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .limit(10)
+
+  /** Multi-hop dim chain lineitem→supplier→nation→region, all dims
+    * broadcast; single aggregation shuffle on r_name. */
+  def q5RevenueByRegion(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(spark, dir)
+    val s = Tables.supplier(spark, dir)
+    val n = Tables.nation(spark, dir)
+    val r = Tables.region(spark, dir)
+    l.join(broadcast(s), l("l_suppkey") === s("s_suppkey"))
+      .join(broadcast(n), s("s_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy(col("r_name"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4).as("revenue"),
+           count(lit(1)).as("n_items"))
+  }
+
+  /** EXISTS as left-semi join (reference has no joins; Spark built-in).
+    * Broadcast the distinct key side. */
+  def q6SemiJoin(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val o = Tables.orders(spark, dir).filter(col("o_totalprice") > 100000.0)
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+  }
+
+  /** NOT EXISTS as left-anti join: customers with no very large order.
+    * The filter shrinks the build side before the join. */
+  def q7AntiJoin(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val o = Tables.orders(spark, dir).filter(col("o_totalprice") > 450000.0)
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"))
+  }
+
+  /** The reference's four independent group-bys (stats by species /
+    * role / habitat / event, consumer.py:151-168) consolidated into a
+    * single multi-dimensional pass — one scan instead of four
+    * (SURVEY.md §4's grouping-sets optimization), here as a cube. */
+  def q8Cube(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"), round(sum(col("l_quantity")), 4).as("sum_qty"))
+
+  /** Ranking window function: top-3 orders per customer, partitioned
+    * window (scales horizontally — no global sort). */
+  def q9TopPerCustomer(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    Tables.orders(spark, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"), col("rn"))
+  }
+
+  /** Set operations (SURVEY.md §2.6): EXCEPT + INTERSECT over the
+    * categorical status domains, tagged and unioned into one result. */
+  def q10SetOps(spark: SparkSession, dir: String): DataFrame = {
+    val os = Tables.orders(spark, dir).select(col("o_orderstatus").as("status"))
+    val ls = Tables.lineitem(spark, dir).select(col("l_linestatus").as("status"))
+    os.except(ls).select(lit("except").as("op"), col("status"))
+      .union(os.intersect(ls).select(lit("intersect").as("op"), col("status")))
+  }
+}

@@ -1,0 +1,42 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Loaders for the driver-generated deterministic testdata tables
+  * (TESTDATA.md): a TPC-H-ish star schema plus `events` (the stream
+  * table standing in for the reference's Kafka `insect-events` topic,
+  * cf. /root/reference/model/producer.py:52), `documents` and
+  * `embeddings` (LLM-pipeline tables).
+  *
+  * At scale these reads are plain columnar parquet scans: Catalyst
+  * pushes filters and prunes columns into the scan, so callers should
+  * express predicates/projections on the returned DataFrame rather
+  * than materializing intermediate state (the reference instead keeps
+  * seven in-memory hash indexes, consumer.py:23-29 — unnecessary on
+  * Spark where the scan itself is the index at 100 TB).
+  */
+object Tables {
+  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def region(s: SparkSession, d: String): DataFrame    = table(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame    = table(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame  = table(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame  = table(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame      = table(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame    = table(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame  = table(s, d, "lineitem")
+  /** `events.ts` is written as parquet TIMESTAMP(NANOS), which Spark's
+    * reader rejects by default (PARQUET_TYPE_ILLEGAL). Read nanos as
+    * long (legacy conf) and convert to a proper TimestampType at
+    * microsecond precision — integer `div`, no double roundtrip (ns
+    * epoch values exceed 2^53). */
+  def events(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    table(s, d, "events")
+      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+        org.apache.spark.sql.functions.expr("ts div 1000")))
+  }
+  def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
+}
