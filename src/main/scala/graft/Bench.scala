@@ -1,24 +1,66 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+import java.nio.file.{Files, Paths}
+
+/** Per-round benchmark harness. Runs every declared query against
+  * `SPARK_GRAFT_SF_DIR` and emits one JSON metrics line, both to
+  * stdout and to `bench_out.json` (env `SPARK_GRAFT_BENCH_OUT`), so
+  * the driver never has to scrape sbt-prefixed logs.
+  *
+  * Honesty rules (round-1 verdict fixes):
+  *  - queries are materialized with the `noop` datasource, which
+  *    computes every output column (a bare `.count()` would let
+  *    Catalyst prune the projection and under-measure scans);
+  *  - a warmup query runs first, untimed, so the first measured
+  *    query doesn't absorb JVM/codegen/parquet-footer warmup;
+  *  - failures are recorded per-query (`failed` list) and flip the
+  *    exit code — a broken query can no longer masquerade as a fast
+  *    successful one.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+
+    def materialize(name: String): Unit =
+      SparkEntry.queries(name)(spark, sfDir)
+        .write.mode("overwrite").format("noop").save()
+
+    // Warmup (untimed): touches lineitem + events so parquet footers,
+    // codegen and executor threads are warm before the first timing.
+    try materialize("q1_pricing_summary") catch { case _: Throwable => () }
+    try materialize("eco_stats") catch { case _: Throwable => () }
+
+    var failed = List.empty[String]
+    val results = SparkEntry.queries.keys.toSeq.sorted.map { name =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try materialize(name)
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] $name FAILED: ${e.getClass.getSimpleName}: ${e.getMessage}")
+        failed ::= name
+      }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.4f" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.map(_._2).sum
+    val sf = "sf([0-9.]+)".r.findFirstMatchIn(sfDir).map(_.group(1)).getOrElse("0")
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":$sf,"n_queries":${results.size},"failed":$failedJson}"""
+    Files.writeString(Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")), json + "\n")
+    println(json)
     spark.stop()
+    if (failed.nonEmpty) sys.exit(1)
   }
 }

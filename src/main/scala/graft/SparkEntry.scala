@@ -37,6 +37,10 @@ object SparkEntry {
     "eco_importance"     -> (Ecosystem.importance _),
     "eco_mapreduce"      -> (Ecosystem.mapReduceCounts _),
     "eco_dgim_exact"     -> (Ecosystem.dgimExact _),
+    "eco_bloom_members"  -> (Sketches.bloomMembers _),
+    "eco_bloom_params"   -> (Sketches.bloomParams _),
+    "eco_minhash_jaccard" -> (Sketches.minhashJaccard _),
+    "eco_jaccard_exact"  -> (Sketches.jaccardExact _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -72,8 +76,9 @@ object SparkEntry {
       """SELECT c_custkey, c_name, c_acctbal FROM customer
          WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 100000.0)""",
     "q7_anti_join" ->
-      """SELECT c_custkey, c_name FROM customer
-         WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_totalprice > 450000.0)""",
+      """SELECT c_custkey, c_name FROM customer c
+         WHERE NOT EXISTS (SELECT 1 FROM orders o
+           WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 450000.0)""",
     "q8_cube" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n,
          round(sum(l_quantity), 4) AS sum_qty
@@ -111,14 +116,16 @@ object SparkEntry {
     "eco_recent" ->
       """SELECT event_id, user_id, event_type, round(value, 4) AS value
          FROM events
-         WHERE ts >= (SELECT max(ts) FROM events) - INTERVAL 1 HOUR""",
+         WHERE date_trunc('microseconds', ts) >=
+           (SELECT max(date_trunc('microseconds', ts)) FROM events) - INTERVAL 1 HOUR""",
     "eco_distinct_users" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_users
          FROM events GROUP BY event_type""",
     "eco_transitions" ->
       """WITH pairs AS (
            SELECT event_type AS cur_event,
-             lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_event
+             lead(event_type) OVER (PARTITION BY user_id
+               ORDER BY date_trunc('microseconds', ts), event_id) AS next_event
            FROM events),
          g AS (SELECT cur_event, next_event, count(*) AS n FROM pairs
                WHERE next_event IS NOT NULL GROUP BY 1, 2)
@@ -142,5 +149,28 @@ object SparkEntry {
            CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_errors,
            count(*) AS n_total
          FROM events GROUP BY 1""",
+    // Bloom has no false negatives, so probing only present keys is
+    // deterministic: every in_bloom must be TRUE (= exact IN semantics).
+    "eco_bloom_members" ->
+      """SELECT DISTINCT event_type, user_id AS probe_user, TRUE AS in_bloom
+         FROM events WHERE user_id < 50""",
+    "eco_bloom_params" ->
+      """WITH g AS (SELECT event_type, count(DISTINCT user_id) AS n_keys
+                    FROM events GROUP BY 1),
+         m AS (SELECT event_type, n_keys,
+                 CAST(floor(-n_keys * ln(0.03) / (ln(2) * ln(2))) AS BIGINT) AS m_bits
+               FROM g)
+         SELECT event_type, n_keys, m_bits,
+           CAST(floor(m_bits / n_keys * ln(2)) AS BIGINT) AS k_hashes FROM m""",
+    "eco_jaccard_exact" ->
+      """WITH p AS (SELECT DISTINCT event_type, user_id FROM events),
+         s AS (SELECT event_type, count(*) AS n FROM p GROUP BY 1),
+         i AS (SELECT a.event_type AS type_a, b.event_type AS type_b, count(*) AS n_common
+               FROM p a JOIN p b ON a.user_id = b.user_id AND a.event_type < b.event_type
+               GROUP BY 1, 2)
+         SELECT type_a, type_b, sa.n AS n_a, sb.n AS n_b, n_common,
+           round(n_common / (sa.n + sb.n - n_common), 6) AS jaccard
+         FROM i JOIN s sa ON sa.event_type = type_a
+                JOIN s sb ON sb.event_type = type_b""",
   )
 }

@@ -1,0 +1,71 @@
+package graft.functions
+
+import org.apache.spark.sql.{Encoder, Encoders}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.util.sketch.BloomFilter
+
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+
+/** Mergeable sketch aggregators (SURVEY.md §2.10). Both are
+  * associative + commutative, so Spark runs them as partial+final
+  * hash aggregations: each task folds its rows into a local sketch
+  * and only the fixed-size sketch buffers cross the shuffle — at
+  * 100 TB the network cost is O(groups × sketch size), independent
+  * of row count, exactly the property the reference's client-side
+  * sketch builds (consultas.py:115-220) lack (they ship raw rows).
+  */
+object SketchAggs {
+
+  /** A8: distributed Bloom-filter build, replacing the reference's
+    * single-process fill loop (bloomfilter.py:22-25). Wraps Spark's
+    * `org.apache.spark.util.sketch.BloomFilter`, which uses the same
+    * optimal sizing formulas as bloomfilter.py:13-17
+    * (m = -n·ln p/ln²2, k = (m/n)·ln 2). The buffer is the live
+    * filter (kryo-encoded between partial and final agg); the output
+    * is its portable serialized form, small enough to broadcast to
+    * probe-side tasks.
+    *
+    * `expectedItems` is the per-group design capacity: at scale,
+    * derive it from an `approx_count_distinct` pre-pass or a fixed
+    * envelope — an undersized filter degrades FPR but never breaks
+    * the no-false-negative guarantee.
+    */
+  class BloomAgg(expectedItems: Long, fpp: Double)
+      extends Aggregator[String, BloomFilter, Array[Byte]] {
+    def zero: BloomFilter = BloomFilter.create(expectedItems, fpp)
+    def reduce(b: BloomFilter, key: String): BloomFilter = { b.putString(key); b }
+    def merge(a: BloomFilter, b: BloomFilter): BloomFilter = { a.mergeInPlace(b); a }
+    def finish(b: BloomFilter): Array[Byte] = {
+      val out = new ByteArrayOutputStream()
+      b.writeTo(out)
+      out.toByteArray
+    }
+    def bufferEncoder: Encoder[BloomFilter] = Encoders.kryo[BloomFilter]
+    def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+  }
+
+  def deserializeBloom(bytes: Array[Byte]): BloomFilter =
+    BloomFilter.readFrom(new ByteArrayInputStream(bytes))
+
+  /** A10: MinHash signature aggregation (minwisehashing.py:4-24,
+    * 128 seeded hash functions, per-function minimum). The input is a
+    * per-row array of the `numHashes` seeded hash values (computed
+    * with codegen'd built-ins — `xxhash64(seed, key)` — so the only
+    * custom code is this elementwise-min fold). Signatures merge by
+    * elementwise min, making the aggregation partial-agg friendly;
+    * signature Jaccard (minwisehashing.py:31-36) is then a plain
+    * column expression over two signature arrays. */
+  class MinHashAgg(numHashes: Int) extends Aggregator[Array[Long], Array[Long], Array[Long]] {
+    def zero: Array[Long] = Array.fill(numHashes)(Long.MaxValue)
+    def reduce(buf: Array[Long], hashes: Array[Long]): Array[Long] = {
+      var i = 0
+      while (i < numHashes) { if (hashes(i) < buf(i)) buf(i) = hashes(i); i += 1 }
+      buf
+    }
+    def merge(a: Array[Long], b: Array[Long]): Array[Long] = reduce(a, b)
+    def finish(buf: Array[Long]): Array[Long] = buf
+    def bufferEncoder: Encoder[Array[Long]] = ExpressionEncoder[Array[Long]]()
+    def outputEncoder: Encoder[Array[Long]] = ExpressionEncoder[Array[Long]]()
+  }
+}

@@ -105,7 +105,13 @@ object Ecosystem {
   /** A11 weighted importance score — the reference's "PageRank"
     * (pageRank.py:4-30): per type, avg|value|/50 × 1000/avg(density),
     * normalized to sum 1. Density = props.k parsed from the JSON
-    * payload (F15 from_json-style access). */
+    * payload (F15 from_json-style access).
+    *
+    * Deliberate delta vs pageRank.py:26: the denominator is
+    * avg(k + 1), a +1 Laplace smoothing, because props.k may be 0 in
+    * this dataset (the reference's populationDensity domain is 1..1000
+    * so it never divides by zero; ours can). The oracle SQL applies
+    * the same +1 so both sides compute the identical smoothed score. */
   def importance(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.events(spark, dir)
       .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))

@@ -1,0 +1,116 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.SketchAggs
+import graft.sources.Tables
+
+/** The reference's headline "big data algorithms" — Bloom filter
+  * membership (bloomfilter.py:6-35, client flow consultas.py:115-140)
+  * and MinHash Jaccard similarity (minwisehashing.py:4-36, client
+  * flow consultas.py:168-220) — re-expressed as distributed sketch
+  * aggregations. The reference ships raw window rows over a socket
+  * and builds the sketches in a single-process client; here the
+  * sketch build IS the aggregation (partial sketches per task, merged
+  * at the shuffle), and only sketch-sized state moves.
+  */
+object Sketches {
+
+  /** Per-event_type key domain used by both sketches: the reference's
+    * composite bloom key `f"{species}_{role}_{event}"`
+    * (bloomfilter.py:34-35, F1) maps to `event_type_user` here. */
+  private def keyed(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("event_type"),
+              col("user_id"),
+              concat_ws("_", col("event_type"), col("user_id")).as("key"))
+
+  /** A8 Bloom membership: build one Bloom filter per event_type over
+    * its user keys (fpr 0.03 as in consultas.py:127), collect the
+    * few-KB filters to the driver, broadcast them, and probe
+    * stream-side. Every probe key is drawn from the present set, so
+    * the no-false-negative guarantee makes the output deterministic:
+    * `in_bloom` must be true for every row, which the exact-IN oracle
+    * checks. (False-positive behavior on absent keys is asserted
+    * separately in SketchesSpec — it is probabilistic by design.)
+    *
+    * Scale posture: sketch build is a partial+final aggregation (no
+    * raw-key shuffle); the probe side never shuffles — the filters
+    * ride a broadcast, the classic "semi-join by sketch" pattern for
+    * 100 TB probe tables. */
+  def bloomMembers(spark: SparkSession, dir: String): DataFrame = {
+    val e = keyed(spark, dir)
+    val bloomUdaf = udaf(new SketchAggs.BloomAgg(expectedItems = 1000L, fpp = 0.03), Encoders.STRING)
+    val blooms = e.groupBy(col("event_type")).agg(bloomUdaf(col("key")).as("bf"))
+    val bfMap = blooms.collect()
+      .map(r => r.getString(0) -> SketchAggs.deserializeBloom(r.getAs[Array[Byte]](1)))
+      .toMap
+    val bc = spark.sparkContext.broadcast(bfMap)
+    val probe = udf((t: String, key: String) => bc.value(t).mightContainString(key))
+    e.filter(col("user_id") < 50)
+      .select(col("event_type"), col("user_id").as("probe_user"), col("key"))
+      .distinct()
+      .select(col("event_type"), col("probe_user"),
+              probe(col("event_type"), col("key")).as("in_bloom"))
+  }
+
+  /** F9 Bloom sizing math: the optimal-m/k formulas of
+    * bloomfilter.py:13-17 as column expressions (ln/ln² on the exact
+    * per-group cardinality). `floor` matches Python's truncating
+    * `int()` for these positive values (and pins DuckDB's
+    * round-to-nearest BIGINT cast to the same semantics). */
+  def bloomParams(spark: SparkSession, dir: String): DataFrame = {
+    val fpp = 0.03
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n_keys"))
+      .withColumn("m_bits",
+        floor(-col("n_keys") * log(lit(fpp)) / (log(lit(2.0)) * log(lit(2.0)))).cast("long"))
+      .withColumn("k_hashes",
+        floor(col("m_bits") / col("n_keys") * log(lit(2.0))).cast("long"))
+  }
+
+  /** A10 MinHash signatures + pairwise signature Jaccard between
+    * event_type cohorts (minwisehashing.py:26-36). 128 seeded hash
+    * functions as `xxhash64(seed, key)` (F10; masked positive to
+    * mirror mmh3 & 0x7FFFFFFF, minwisehashing.py:19); the signature
+    * is an elementwise-min Aggregator, the estimate the fraction of
+    * equal signature slots. Approximate by nature → rows-only in the
+    * driver gate; SketchesSpec bounds it against `jaccardExact`. */
+  def minhashJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val e = keyed(spark, dir).withColumn("hashes",
+      expr("transform(sequence(0, 127), i -> xxhash64(i, key) & 9223372036854775807)"))
+    val sigUdaf = udaf(new SketchAggs.MinHashAgg(128),
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]())
+    val sigs = e.groupBy(col("event_type")).agg(sigUdaf(col("hashes")).as("sig"))
+    val a = sigs.select(col("event_type").as("type_a"), col("sig").as("sig_a"))
+    val b = sigs.select(col("event_type").as("type_b"), col("sig").as("sig_b"))
+    a.join(b, col("type_a") < col("type_b"))
+      .select(col("type_a"), col("type_b"),
+        round(expr("aggregate(zip_with(sig_a, sig_b, (x, y) -> IF(x = y, 1, 0)), 0, (acc, v) -> acc + v)")
+          / 128.0, 6).as("jaccard_est"))
+  }
+
+  /** The exact twin of `minhashJaccard` (SURVEY §7.3 determinism
+    * rule): true Jaccard between event_type user sets via distinct
+    * pairs + self equi-join on user. Hash-matched against the DuckDB
+    * oracle; at scale the distinct + join shuffle on user_id replaces
+    * any all-pairs comparison. */
+  def jaccardExact(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = Tables.events(spark, dir)
+      .select(col("event_type"), col("user_id")).distinct()
+    val sizes = pairs.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+    val a = pairs.select(col("event_type").as("type_a"), col("user_id"))
+    val b = pairs.select(col("event_type").as("type_b"), col("user_id"))
+    val inter = a.join(b, Seq("user_id"))
+      .filter(col("type_a") < col("type_b"))
+      .groupBy(col("type_a"), col("type_b"))
+      .agg(count(lit(1)).as("n_common"))
+    inter
+      .join(broadcast(sizes.withColumnRenamed("event_type", "type_a").withColumnRenamed("n", "n_a")), Seq("type_a"))
+      .join(broadcast(sizes.withColumnRenamed("event_type", "type_b").withColumnRenamed("n", "n_b")), Seq("type_b"))
+      .select(col("type_a"), col("type_b"), col("n_a"), col("n_b"), col("n_common"),
+        round(col("n_common") / (col("n_a") + col("n_b") - col("n_common")), 6).as("jaccard"))
+  }
+}

@@ -30,9 +30,16 @@ object Tables {
     * reader rejects by default (PARQUET_TYPE_ILLEGAL). Read nanos as
     * long (legacy conf) and convert to a proper TimestampType at
     * microsecond precision — integer `div`, no double roundtrip (ns
-    * epoch values exceed 2^53). */
+    * epoch values exceed 2^53).
+    *
+    * The conf is normally set once at session construction
+    * (Verify/Bench builders, test harness); the set here is a
+    * defensive idempotent fallback for driver-owned sessions that
+    * haven't, and only affects parquet nanos columns (no other
+    * testdata table has any). */
   def events(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    if (s.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true")
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     table(s, d, "events")
       .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
         org.apache.spark.sql.functions.expr("ts div 1000")))
