@@ -41,6 +41,17 @@ object SparkEntry {
     "eco_bloom_params"   -> (Sketches.bloomParams _),
     "eco_minhash_jaccard" -> (Sketches.minhashJaccard _),
     "eco_jaccard_exact"  -> (Sketches.jaccardExact _),
+    "llm_dedup_exact"    -> (Llm.dedupExact _),
+    "llm_dedup_near"     -> (Llm.dedupNear _),
+    "llm_simhash"        -> (Llm.simhash _),
+    "llm_simhash_pairs"  -> (Llm.simhashPairs _),
+    "llm_text_stats"     -> (Llm.textStats _),
+    "llm_lang_id"        -> (Llm.langId _),
+    "llm_quality"        -> (Llm.quality _),
+    "llm_token_count"    -> (Llm.tokenCount _),
+    "llm_knn_exact"      -> (Llm.knnExact _),
+    "llm_ann_lsh"        -> (Llm.annLsh _),
+    "llm_media_meta"     -> (Llm.mediaMeta _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -172,5 +183,103 @@ object SparkEntry {
            round(n_common / (sa.n + sb.n - n_common), 6) AS jaccard
          FROM i JOIN s sa ON sa.event_type = type_a
                 JOIN s sb ON sb.event_type = type_b""",
+    "llm_dedup_exact" ->
+      """SELECT md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS text_hash,
+           count(*) AS n_docs, min(doc_id) AS keep_doc_id
+         FROM documents GROUP BY 1""",
+    // All-pairs exact Jaccard over word-3-gram shingles (feasible at
+    // sf0.01; the Spark side must find the same >=0.8 pairs via its
+    // banded LSH + candidate-only verification).
+    "llm_dedup_near" ->
+      """WITH toks AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+                       FROM documents),
+         sh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+                FROM toks, LATERAL (SELECT unnest(range(1, len(t)-1)) AS i)
+                WHERE len(t) >= 3),
+         sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+         i AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+               FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+         j AS (SELECT doc_a, doc_b, n_common / (sa.n + sb.n - n_common) AS jac
+               FROM i JOIN sizes sa ON sa.doc_id = doc_a
+                      JOIN sizes sb ON sb.doc_id = doc_b)
+         SELECT doc_a, doc_b, round(jac, 6) AS jaccard FROM j WHERE jac >= 0.8""",
+    "llm_simhash" ->
+      """WITH toks AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+                       FROM documents),
+         big AS (SELECT doc_id, t[i] || ' ' || t[i+1] AS g
+                 FROM toks, LATERAL (SELECT unnest(range(1, len(t))) AS i)
+                 WHERE len(t) >= 2),
+         h AS (SELECT doc_id, ('0x' || substr(md5(g), 1, 15))::BIGINT AS hv FROM big),
+         bits AS (SELECT doc_id, b,
+                    CASE WHEN sum(((hv >> b) & 1) * 2 - 1) > 0
+                         THEN 1::BIGINT ELSE 0::BIGINT END AS bit
+                  FROM h, (SELECT unnest(range(60)) AS b) GROUP BY doc_id, b)
+         SELECT doc_id, sum(bit * (1::BIGINT << b)) AS simhash FROM bits GROUP BY doc_id""",
+    "llm_simhash_pairs" ->
+      """WITH toks AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+                       FROM documents),
+         big AS (SELECT doc_id, t[i] || ' ' || t[i+1] AS g
+                 FROM toks, LATERAL (SELECT unnest(range(1, len(t))) AS i)
+                 WHERE len(t) >= 2),
+         h AS (SELECT doc_id, ('0x' || substr(md5(g), 1, 15))::BIGINT AS hv FROM big),
+         bits AS (SELECT doc_id, b,
+                    CASE WHEN sum(((hv >> b) & 1) * 2 - 1) > 0
+                         THEN 1::BIGINT ELSE 0::BIGINT END AS bit
+                  FROM h, (SELECT unnest(range(60)) AS b) GROUP BY doc_id, b),
+         sig AS (SELECT doc_id, sum(bit * (1::BIGINT << b)) AS simhash FROM bits GROUP BY doc_id)
+         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+         FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+         WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""",
+    "llm_text_stats" ->
+      """SELECT lang, count(*) AS n_docs,
+           CAST(sum(len(string_split_regex(lower(trim(text)), '\s+'))) AS BIGINT) AS sum_tokens,
+           round(avg(len(string_split_regex(lower(trim(text)), '\s+'))), 4) AS avg_tokens,
+           round(avg(length(text)), 4) AS avg_chars
+         FROM documents GROUP BY lang""",
+    "llm_lang_id" ->
+      """SELECT lang,
+           CASE WHEN regexp_matches(text, '[\x{4e00}-\x{9fff}]') THEN 'zh'
+                WHEN regexp_matches(text, '[ñ¡¿áéíóúü]') THEN 'es'
+                WHEN regexp_matches(text, '[àâçèêëîïôùûœ]') THEN 'fr'
+                WHEN regexp_matches(text, '[äöüß]') THEN 'de'
+                ELSE 'en' END AS pred_lang,
+           count(*) AS n_docs
+         FROM documents GROUP BY 1, 2""",
+    "llm_quality" ->
+      """WITH f AS (SELECT doc_id,
+             CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS BIGINT) AS n_tokens,
+             CAST(len(list_distinct(string_split_regex(lower(trim(text)), '\s+'))) AS BIGINT) AS n_uniq,
+             length(regexp_replace(text, '\s', '', 'g')) AS n_nonspace
+           FROM documents)
+         SELECT doc_id, n_tokens, n_uniq,
+           round(n_nonspace / n_tokens, 4) AS avg_token_len,
+           round(n_uniq / n_tokens * least(1.0, n_tokens / 100.0), 6) AS quality
+         FROM f""",
+    "llm_token_count" ->
+      """SELECT source, count(*) AS n_docs,
+           CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS sum_ws_tokens,
+           CAST(sum(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\s]'))) AS BIGINT) AS sum_bpe_tokens
+         FROM documents GROUP BY source""",
+    // Probes are vec_id < 10; cosine computed in double on both
+    // sides, rounded to 6 before ranking so ordering ties break on
+    // vec_id identically in both engines.
+    "llm_knn_exact" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),
+         p AS (SELECT vec_id AS pid, ve AS pv FROM v WHERE vec_id < 10),
+         s AS (SELECT pid AS probe_id, v.vec_id,
+                 round(list_cosine_similarity(pv, ve), 6) AS sim
+               FROM v, p WHERE v.vec_id <> pid),
+         r AS (SELECT probe_id, vec_id, sim,
+                 row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, vec_id) AS rn
+               FROM s)
+         SELECT probe_id, vec_id, sim, CAST(rn AS INTEGER) AS rn FROM r WHERE rn <= 10""",
+    "llm_media_meta" ->
+      """SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           CAST(ascii(text) AS BIGINT) AS first_byte,
+           sha256(text) AS sha_hex,
+           lang AS meta_lang
+         FROM documents""",
   )
 }

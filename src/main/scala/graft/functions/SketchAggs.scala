@@ -68,4 +68,34 @@ object SketchAggs {
     def bufferEncoder: Encoder[Array[Long]] = ExpressionEncoder[Array[Long]]()
     def outputEncoder: Encoder[Array[Long]] = ExpressionEncoder[Array[Long]]()
   }
+
+  /** SimHash signature aggregation: input is one `nBits`-bit feature
+    * hash per row (e.g. an md5-derived word-bigram hash), buffer is
+    * the per-bit ±1 vote counter, output the majority-vote signature.
+    * Single-pass and mergeable — the naive formulation (explode rows
+    * × nBits bit positions, two shuffles) multiplies the shuffle by
+    * nBits; this aggregator keeps the blowup inside the partial
+    * aggregate buffer, so at 100 TB only `groups × nBits` counters
+    * cross the network. */
+  class SimHashAgg(nBits: Int) extends Aggregator[Long, Array[Long], Long] {
+    def zero: Array[Long] = Array.fill(nBits)(0L)
+    def reduce(buf: Array[Long], hv: Long): Array[Long] = {
+      var b = 0
+      while (b < nBits) { buf(b) += ((hv >> b) & 1L) * 2 - 1; b += 1 }
+      buf
+    }
+    def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+      var i = 0
+      while (i < nBits) { a(i) += b(i); i += 1 }
+      a
+    }
+    def finish(buf: Array[Long]): Long = {
+      var sig = 0L
+      var b = 0
+      while (b < nBits) { if (buf(b) > 0) sig |= (1L << b); b += 1 }
+      sig
+    }
+    def bufferEncoder: Encoder[Array[Long]] = ExpressionEncoder[Array[Long]]()
+    def outputEncoder: Encoder[Long] = Encoders.scalaLong
+  }
 }
