@@ -52,6 +52,11 @@ object SparkEntry {
     "llm_knn_exact"      -> (Llm.knnExact _),
     "llm_ann_lsh"        -> (Llm.annLsh _),
     "llm_media_meta"     -> (Llm.mediaMeta _),
+    "eco_graph_nodes"    -> (Graph.graphNodes _),
+    "eco_graph_edges"    -> (Graph.graphEdges _),
+    "eco_walk_freq"      -> (Graph.walkFreq _),
+    "eco_markov_classes" -> (Graph.markovClasses _),
+    "eco_transition_matrix" -> (Graph.transitionMatrix _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -281,5 +286,83 @@ object SparkEntry {
            sha256(text) AS sha_hex,
            lang AS meta_lang
          FROM documents""",
+    "eco_graph_nodes" ->
+      """WITH r AS (SELECT event_type, value, user_id,
+             row_number() OVER (PARTITION BY event_type
+               ORDER BY date_trunc('microseconds', ts), event_id) AS rn
+           FROM events)
+         SELECT event_type AS habitat,
+           round(value % 180.0 - 90.0, 6) AS lat,
+           CAST(user_id % 360 - 180 AS DOUBLE) AS lon
+         FROM r WHERE rn = 1""",
+    // Haversine expression tree mirrored verbatim from Geo.haversineKm
+    // so both engines evaluate the identical double formula.
+    "eco_graph_edges" ->
+      """WITH r AS (SELECT event_type, value, user_id,
+             row_number() OVER (PARTITION BY event_type
+               ORDER BY date_trunc('microseconds', ts), event_id) AS rn
+           FROM events),
+         n AS (SELECT event_type AS habitat,
+                 round(value % 180.0 - 90.0, 6) AS lat,
+                 CAST(user_id % 360 - 180 AS DOUBLE) AS lon
+               FROM r WHERE rn = 1),
+         d AS (SELECT a.habitat AS h1, b.habitat AS h2,
+                 2 * 6371.0 * asin(sqrt(pow(sin(radians(b.lat - a.lat) / 2), 2) +
+                   cos(radians(a.lat)) * cos(radians(b.lat)) *
+                   pow(sin(radians(b.lon - a.lon) / 2), 2))) AS dist
+               FROM n a JOIN n b ON a.habitat < b.habitat)
+         SELECT h1, h2, round(dist, 4) AS dist_km FROM d WHERE dist <= 15000.0""",
+    // Recurrence via recursive-CTE mutual reachability; period via the
+    // same BFS-level cycle-GCD the Scala side uses
+    // (MarkovChainAnalysis.py:119-146 semantics).
+    "eco_markov_classes" ->
+      """WITH RECURSIVE pairs AS (
+           SELECT event_type AS cur,
+             lead(event_type) OVER (PARTITION BY user_id
+               ORDER BY date_trunc('microseconds', ts), event_id) AS nxt
+           FROM events),
+         e AS (SELECT DISTINCT cur, nxt FROM pairs WHERE nxt IS NOT NULL),
+         states AS (SELECT DISTINCT s FROM
+                      (SELECT cur AS s FROM e UNION ALL SELECT nxt AS s FROM e) u),
+         walk(src, node, d) AS (
+           SELECT s, s, 0 FROM states
+           UNION
+           SELECT w.src, e.nxt, w.d + 1 FROM walk w JOIN e ON e.cur = w.node
+           WHERE w.d < 32),
+         dist AS (SELECT src, node, min(d) AS d FROM walk GROUP BY 1, 2),
+         mutual AS (SELECT d1.src AS s, count(*) AS sz
+                    FROM dist d1 JOIN dist d2 ON d1.node = d2.src AND d2.node = d1.src
+                    GROUP BY 1),
+         per AS (SELECT d.src AS s,
+                   list_reduce(list(d.d + 1), (a, b) -> gcd(a, b)) AS period
+                 FROM dist d JOIN e ON e.cur = d.node AND e.nxt = d.src GROUP BY 1),
+         cls AS (SELECT st.s AS state,
+                   (coalesce(m.sz, 1) > 1 OR
+                    st.s IN (SELECT cur FROM e WHERE cur = nxt)) AS is_recurrent,
+                   CAST(coalesce(p.period, 1) AS BIGINT) AS period
+                 FROM states st LEFT JOIN mutual m ON m.s = st.s
+                                LEFT JOIN per p ON p.s = st.s)
+         SELECT state, is_recurrent, period,
+           CASE WHEN NOT is_recurrent THEN 'transient'
+                WHEN period = 1 THEN 'recurrent-aperiodic'
+                ELSE 'recurrent-periodic' END AS dtmc_class
+         FROM cls""",
+    "eco_transition_matrix" ->
+      """WITH pairs AS (
+           SELECT event_type AS cur,
+             lead(event_type) OVER (PARTITION BY user_id
+               ORDER BY date_trunc('microseconds', ts), event_id) AS nxt
+           FROM events),
+         g AS (SELECT cur, nxt, count(*) AS n FROM pairs WHERE nxt IS NOT NULL GROUP BY 1, 2),
+         t AS (SELECT cur, nxt,
+                 round(n / CAST(sum(n) OVER (PARTITION BY cur) AS DOUBLE), 6) AS p
+               FROM g)
+         SELECT cur AS cur_event,
+           round(coalesce(sum(CASE WHEN nxt = 'click' THEN p END), 0), 6) AS p_click,
+           round(coalesce(sum(CASE WHEN nxt = 'error' THEN p END), 0), 6) AS p_error,
+           round(coalesce(sum(CASE WHEN nxt = 'purchase' THEN p END), 0), 6) AS p_purchase,
+           round(coalesce(sum(CASE WHEN nxt = 'signup' THEN p END), 0), 6) AS p_signup,
+           round(coalesce(sum(CASE WHEN nxt = 'view' THEN p END), 0), 6) AS p_view
+         FROM t GROUP BY cur""",
   )
 }

@@ -1,0 +1,146 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.Geo
+import graft.plans.Markov
+import graft.sources.Tables
+
+/** The reference's graph + Markov suite (random_walk_utils.py,
+  * MarkovChainAnalysis.py) over the events table. The habitat domain
+  * maps to event_type; node coordinates derive deterministically from
+  * the first-seen event per type (the reference likewise takes the
+  * first-seen coordinates per habitat, random_walk_utils.py:15-19).
+  *
+  * Scale split, per SURVEY §2.8: graph CONSTRUCTION (node dedup +
+  * spatial theta-join) is distributed and would scale to millions of
+  * nodes via a banded/grid join; walk/Tarjan/DTMC ANALYSIS runs
+  * driver-side on the collected graph because the state space is the
+  * bounded categorical domain (|event_type| ≤ a handful) — only the
+  * |S|² matrix crosses the driver, never row data.
+  */
+object Graph {
+
+  val ThresholdKm = 15000.0
+
+  /** A14 grouped first-value: first-seen synthetic coordinates per
+    * event_type ("habitat"). First-seen is pinned to (ts, event_id)
+    * order — the reference's arrival-order `first` is nondeterministic
+    * (random_walk_utils.py:16-19); we make it reproducible. The
+    * coordinates are a deterministic arithmetic fold of the first
+    * event's value/user_id into valid lat/lon ranges (the events
+    * table carries no geo columns; what matters is that both engines
+    * derive identical doubles). */
+  def graphNodes(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("event_type")).orderBy(col("ts"), col("event_id"))
+    Tables.events(spark, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("event_type").as("habitat"),
+        round(col("value") % 180.0 - 90.0, 6).as("lat"),
+        (col("user_id") % 360 - 180).cast("double").as("lon"))
+  }
+
+  /** J1/G1: habitat-graph edges via self theta-join on haversine
+    * distance (random_walk_utils.py:22-30). At this node count the
+    * cross-join is trivial; at millions of nodes the same operator
+    * becomes a grid-cell band join (bucket by geohash prefix, join
+    * neighboring cells) — the theta predicate stays identical. */
+  def graphEdges(spark: SparkSession, dir: String): DataFrame = {
+    val n = graphNodes(spark, dir)
+    val a = n.select(col("habitat").as("h1"), col("lat").as("lat1"), col("lon").as("lon1"))
+    val b = n.select(col("habitat").as("h2"), col("lat").as("lat2"), col("lon").as("lon2"))
+    a.join(b, col("h1") < col("h2"))
+      .withColumn("dist_km", Geo.haversineKm(col("lat1"), col("lon1"), col("lat2"), col("lon2")))
+      .filter(col("dist_km") <= ThresholdKm)
+      .select(col("h1"), col("h2"), round(col("dist_km"), 4).as("dist_km"))
+  }
+
+  /** G2/G3/A13: repeated seeded random walks over the habitat graph +
+    * visit-frequency ranking (random_walk_utils.py:33-47,
+    * consultas.py:258-287). The graph is collected (bounded domain);
+    * walks run driver-side with a deterministic LCG so results are
+    * reproducible run-to-run (the reference uses unseeded
+    * random.choice). Rows-only in the driver gate; GraphSpec pins
+    * the exact frequencies. */
+  def walkFreq(spark: SparkSession, dir: String): DataFrame = {
+    val edges = graphEdges(spark, dir)
+      .select(col("h1"), col("h2")).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val nodes = graphNodes(spark, dir).select(col("habitat")).collect()
+      .map(_.getString(0)).sorted
+    val adj: Map[String, IndexedSeq[String]] = {
+      val m = undirectedAdj(edges)
+      nodes.map(h => h -> m.getOrElse(h, IndexedSeq.empty)).toMap
+    }
+
+    // Deterministic 64-bit LCG (MMIX constants), seed fixed.
+    var x = 42L
+    def nextInt(bound: Int): Int = {
+      x = x * 6364136223846793005L + 1442695040888963407L
+      (((x >>> 33) % bound).toInt + bound) % bound
+    }
+
+    val visits = scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+    val walksPerStart = 200
+    val steps = 8
+    for (start <- nodes; _ <- 1 to walksPerStart) {
+      var cur = start
+      visits(cur) += 1
+      var s = 0
+      var deadEnd = false
+      while (s < steps && !deadEnd) {
+        val nbrs = adj(cur)
+        if (nbrs.isEmpty) deadEnd = true
+        else { cur = nbrs(nextInt(nbrs.length)); visits(cur) += 1 }
+        s += 1
+      }
+    }
+    val total = visits.values.sum.toDouble
+    import spark.implicits._
+    visits.toSeq.sortBy(_._1)
+      .map { case (h, v) => (h, v, math.rint(v / total * 1e6) / 1e6) }
+      .toDF("habitat", "visits", "pct")
+  }
+
+  private def undirectedAdj(edges: Array[(String, String)]): Map[String, IndexedSeq[String]] =
+    (edges ++ edges.map(_.swap))
+      .groupBy(_._1)
+      .map { case (h, es) => h -> es.map(_._2).distinct.sorted.toIndexedSeq }
+
+  /** G4/G5: Tarjan SCC + DTMC state classification over the Markov
+    * transition structure of event types (MarkovChainAnalysis.py:
+    * 24-161). The per-user transition extraction and pair-count
+    * aggregation are fully distributed (Ecosystem.transitions); only
+    * the |S|² matrix is collected for the structural analysis. The
+    * DuckDB oracle reproduces recurrence via recursive-CTE
+    * reachability and the period via the same BFS-level cycle-GCD. */
+  def markovClasses(spark: SparkSession, dir: String): DataFrame = {
+    val rows = Ecosystem.transitions(spark, dir)
+      .select(col("cur_event"), col("next_event"), col("p")).collect()
+    val states = rows.flatMap(r => Seq(r.getString(0), r.getString(1))).distinct.sorted.toIndexedSeq
+    val idx = states.zipWithIndex.toMap
+    val p = Array.ofDim[Double](states.length, states.length)
+    rows.foreach(r => p(idx(r.getString(0)))(idx(r.getString(1))) = r.getDouble(2))
+    import spark.implicits._
+    Markov.classify(states, p)
+      .toDF("state", "is_recurrent", "period", "dtmc_class")
+  }
+
+  /** A15 matrix form: the row-stochastic transition matrix pivoted to
+    * one column per successor state (transition_matrix.py:64-84),
+    * with explicit zeros for unseen transitions. Pivot values are
+    * discovered from the data (sorted for deterministic column
+    * order). */
+  def transitionMatrix(spark: SparkSession, dir: String): DataFrame = {
+    val t = Ecosystem.transitions(spark, dir)
+    val types = t.select(col("next_event")).distinct().collect().map(_.getString(0)).sorted
+    val pivoted = t.groupBy(col("cur_event"))
+      .pivot("next_event", types)
+      .sum("p")
+    pivoted.select(col("cur_event") +:
+      types.map(ty => round(coalesce(col(s"`$ty`"), lit(0.0)), 6).as(s"p_$ty")): _*)
+  }
+}
