@@ -57,6 +57,12 @@ object SparkEntry {
     "eco_walk_freq"      -> (Graph.walkFreq _),
     "eco_markov_classes" -> (Graph.markovClasses _),
     "eco_transition_matrix" -> (Graph.transitionMatrix _),
+    "eco_window_events"  -> (Ecosystem.windowEvents _),
+    "eco_ts_roundtrip"   -> (Ecosystem.tsRoundtrip _),
+    "eco_json_guard"     -> (Ecosystem.jsonGuard _),
+    "eco_nested_struct"  -> (Ecosystem.nestedStruct _),
+    "gen_events"         -> (Ecosystem.genEvents _),
+    "q11_parts_by_brand" -> (Relational.q11PartsByBrand _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -364,5 +370,44 @@ object SparkEntry {
            round(coalesce(sum(CASE WHEN nxt = 'signup' THEN p END), 0), 6) AS p_signup,
            round(coalesce(sum(CASE WHEN nxt = 'view' THEN p END), 0), 6) AS p_view
          FROM t GROUP BY cur""",
+    "eco_window_events" ->
+      """SELECT CAST(epoch(date_trunc('day', ts)) AS BIGINT) AS wstart, event_type,
+           array_to_string(list_sort(list(user_id)), ',') AS users_csv,
+           count(*) AS n
+         FROM events GROUP BY 1, 2""",
+    "eco_ts_roundtrip" ->
+      """WITH x AS (SELECT strftime(ts, '%Y-%m-%dT%H:%M:%S') || ' Z' AS s FROM events),
+         p AS (SELECT s, strptime(regexp_replace(s, ' Z$', ''), '%Y-%m-%dT%H:%M:%S') AS parsed
+               FROM x)
+         SELECT CAST(epoch(date_trunc('hour', parsed)) AS BIGINT) AS hstart,
+           count(*) AS n, min(s) AS sample_ts
+         FROM p GROUP BY 1""",
+    "eco_json_guard" ->
+      """WITH x AS (SELECT event_type,
+             CASE WHEN event_id % 97 = 0 THEN substr(props, 1, 3) ELSE props END AS raw
+           FROM events)
+         SELECT event_type, count(*) AS n_total,
+           CAST(sum(CASE WHEN json_valid(raw) THEN 0 ELSE 1 END) AS BIGINT) AS n_bad,
+           CAST(sum(CASE WHEN json_valid(raw)
+                    THEN CAST(json_extract_string(raw, '$.k') AS INT) END) AS BIGINT) AS sum_k
+         FROM x GROUP BY 1""",
+    "eco_nested_struct" ->
+      """SELECT event_type,
+           round(avg(CAST(json_extract_string(props, '$.k') AS INT)), 4) AS avg_k,
+           max(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k
+         FROM events GROUP BY event_type""",
+    "gen_events" ->
+      """SELECT range AS id, md5(CAST(range AS VARCHAR)) AS synth_id,
+           (['click','error','purchase','signup','view'])
+             [CAST((range * 1103515245 + 12345) % 2147483648 % 5 AS INT) + 1] AS event_type,
+           round(((range * 1103515245 + 12345) % 2147483648 % 10000) / 100.0, 4) AS value,
+           1700000000 + range * 60 AS ts_epoch
+         FROM range(0, 1000)""",
+    "q11_parts_by_brand" ->
+      """SELECT p_brand, count(*) AS n_items,
+           round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS revenue,
+           round(avg(p_retailprice), 4) AS avg_retail
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         GROUP BY p_brand""",
   )
 }

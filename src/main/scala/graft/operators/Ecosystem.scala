@@ -144,4 +144,83 @@ object Ecosystem {
       .agg(sum(when(col("event_type") === "error", 1).otherwise(0)).as("n_errors"),
            count(lit(1)).as("n_total"))
       .select(col("w.start").cast("long").as("wstart"), col("n_errors"), col("n_total"))
+
+  /** A5/P6 windowed collect-list: the reference's raw-event window
+    * lists keyed by group (time_windows_data, consumer.py:40-44,
+    * 90-100). Daily tumbling window × event_type, members sorted for
+    * determinism and emitted as CSV so the oracle compare is
+    * type-stable. Scale note: collect_list materializes the group —
+    * fine for bounded windows; unbounded-key paths should stay on
+    * counting aggregates. */
+  def windowEvents(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
+      .agg(sort_array(collect_list(col("user_id"))).as("users"))
+      .select(col("w.start").cast("long").as("wstart"), col("event_type"),
+        expr("array_join(transform(users, u -> cast(u AS string)), ',')").as("users_csv"),
+        size(col("users")).cast("long").as("n"))
+
+  /** F4/F5/F6 string-timestamp round trip: format to the reference's
+    * nonstandard `"...THH:mm:ss Z"` wire form (producer.py:22), then
+    * parse back with the canonical strip-the-" Z" parse
+    * (consumer.py:61; SURVEY §1.2 — the fromisoformat variant in
+    * transition_matrix.py:26 is broken on this format and is NOT
+    * replicated). Aggregated by parsed hour to prove the round trip
+    * preserves event time to the second. */
+  def tsRoundtrip(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .withColumn("s", concat(date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss"), lit(" Z")))
+      .withColumn("parsed",
+        to_timestamp(regexp_replace(col("s"), " Z$", ""), "yyyy-MM-dd'T'HH:mm:ss"))
+      .groupBy(date_trunc("hour", col("parsed")).as("h"))
+      .agg(count(lit(1)).as("n"), min(col("s")).as("sample_ts"))
+      .select(col("h").cast("long").as("hstart"), col("n"), col("sample_ts"))
+
+  /** S4/P7 bad-record guard: a deterministic slice of rows is
+    * corrupted (truncated JSON), then parsed with PERMISSIVE
+    * `from_json` + `_corrupt_record` — the reference's
+    * json.loads-try/except skip (consumer.py:405-423) as a plan, not
+    * a loop. Good rows aggregate; bad rows are counted, not dropped
+    * silently. */
+  def jsonGuard(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .withColumn("raw",
+        when(col("event_id") % 97 === 0, expr("substring(props, 1, 3)")).otherwise(col("props")))
+      .withColumn("j", from_json(col("raw"), "k INT, _corrupt_record STRING",
+        Map("mode" -> "PERMISSIVE", "columnNameOfCorruptRecord" -> "_corrupt_record")))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_total"),
+        sum(when(col("j._corrupt_record").isNotNull, 1L).otherwise(0L)).as("n_bad"),
+        sum(col("j.k")).as("sum_k"))
+
+  /** F16 nested-struct construction + navigation: events re-shaped
+    * into a two-level struct (who.{id,type} / props.k) and consumed
+    * through nested column references — the reference's
+    * d["insect"]["species"] access pattern (consumer.py:56-63). */
+  def nestedStruct(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(struct(
+        struct(col("user_id").as("id"), col("event_type").as("type")).as("who"),
+        from_json(col("props"), org.apache.spark.sql.types.StructType.fromDDL("k INT")).as("props")).as("evt"))
+      .groupBy(col("evt.who.type").as("event_type"))
+      .agg(round(avg(col("evt.props.k")), 4).as("avg_k"),
+           max(col("evt.props.k")).as("max_k"))
+
+  /** S1 deterministic synthetic event generator: the reference's
+    * random producer (producer.py:13-32) re-expressed as a seedless
+    * arithmetic fold over `spark.range` — every field is a pure
+    * function of the row id (LCG mix, md5 synthetic id standing in
+    * for uuid4/F13), so the stream is reproducible and
+    * oracle-checkable, and generation is embarrassingly parallel
+    * (range splits across executors; no driver loop, unlike
+    * producer.py:41-55's one-event-per-sleep loop). */
+  def genEvents(spark: SparkSession, dir: String): DataFrame =
+    spark.range(0, 1000)
+      .withColumn("h", (col("id") * 1103515245L + 12345L) % 2147483648L)
+      .select(col("id"),
+        md5(col("id").cast("string")).as("synth_id"),
+        expr("element_at(array('click','error','purchase','signup','view'), cast(h % 5 AS int) + 1)")
+          .as("event_type"),
+        round((col("h") % 10000) / 100.0, 4).as("value"),
+        (lit(1700000000L) + col("id") * 60).as("ts_epoch"))
 }

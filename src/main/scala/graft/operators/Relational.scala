@@ -143,4 +143,19 @@ object Relational {
         col("status"))
       .filter(col("op").isNotNull)
   }
+
+  /** Fact-to-part join: revenue rollup by part brand. Part is
+    * broadcast at test scale; note that unlike region/nation, `part`
+    * grows with the scale factor — at 100 TB this becomes a shuffle
+    * join, best served by bucketing both sides on the part key at
+    * write time (co-located join, no exchange at read time). */
+  def q11PartsByBrand(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(spark, dir)
+    val p = Tables.part(spark, dir)
+    l.join(broadcast(p), l("l_partkey") === p("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n_items"),
+           round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4).as("revenue"),
+           round(avg(col("p_retailprice")), 4).as("avg_retail"))
+  }
 }
