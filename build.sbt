@@ -15,6 +15,9 @@ run / fork := true
 // driver can parse the single-line JSON metrics that Bench prints.
 run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 Test / outputStrategy := Some(OutputStrategy.StdoutOutput)
+// Suites share one SparkSession in the forked test JVM — run them
+// sequentially so streaming queries don't race the shared context.
+Test / parallelExecution := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

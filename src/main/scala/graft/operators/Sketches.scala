@@ -79,8 +79,14 @@ object Sketches {
     * equal signature slots. Approximate by nature → rows-only in the
     * driver gate; SketchesSpec bounds it against `jaccardExact`. */
   def minhashJaccard(spark: SparkSession, dir: String): DataFrame = {
-    val e = keyed(spark, dir).withColumn("hashes",
-      expr("transform(sequence(0, 127), i -> xxhash64(i, key) & 9223372036854775807)"))
+    // Element key is the user alone (the set member), NOT the
+    // composite event_type_user bloom key — the cohorts being
+    // compared are the sets of users per event_type, so the hash
+    // must be cohort-independent or every pairwise Jaccard is 0.
+    val e = Tables.events(spark, dir)
+      .select(col("event_type"), col("user_id").cast("string").as("key"))
+      .withColumn("hashes",
+        expr("transform(sequence(0, 127), i -> xxhash64(i, key) & 9223372036854775807)"))
     val sigUdaf = udaf(new SketchAggs.MinHashAgg(128),
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]())
     val sigs = e.groupBy(col("event_type")).agg(sigUdaf(col("hashes")).as("sig"))

@@ -1,0 +1,95 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery}
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.Row
+
+/** Structured Streaming surface (SURVEY §2.9): the reference IS a
+  * stream processor — Kafka consumer feeding an in-memory windowed
+  * store with TTL + timer-cleared window lists (consumer.py:358-399,
+  * 79-148) and a query thread reading it under a lock. Here every
+  * piece maps to a declarative streaming query over the SAME
+  * transformations the batch operators use (the DataFrame half is
+  * identical — that is the point of Structured Streaming):
+  *
+  *  - late-data drop >1 h behind (consumer.py:82-83)  → withWatermark
+  *  - tumbling window lists/counters (consumer.py:112-117) → window()
+  *  - 2 h TTL eviction (consumer.py:119-148)  → watermark-driven state GC
+  *  - last-write-wins by _id (consumer.py:66) → dropDuplicates within watermark
+  *  - RLock-guarded concurrent reads (ST7)    → memory-sink tables are
+  *    transactionally versioned; `spark.sql` reads never block ingest
+  *  - no delivery guarantees (ST8)            → checkpointLocation upgrades
+  *    the pipeline to exactly-once sink semantics for free
+  */
+object Streaming {
+
+  /** Typed event for streaming tests/feeds (mirrors the events table). */
+  case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+                   event_type: String, value: Double)
+
+  val eventSchema: StructType = StructType.fromDDL(
+    "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING, value DOUBLE")
+
+  /** ST1/ST2/ST3: tumbling event-time window counts with a watermark
+    * that drops data later than `lateness` (the reference's 1-hour
+    * arrival-lateness cut, consumer.py:82-83 — but as honest
+    * event-time semantics; see SURVEY §1.4 on the reference's
+    * never-decremented counters). Works identically on a batch frame
+    * (watermark is a no-op there). */
+  def tumblingCounts(events: DataFrame, windowLen: String = "1 minute",
+                     lateness: String = "1 hour"): DataFrame =
+    events.withWatermark("ts", lateness)
+      .groupBy(window(col("ts"), windowLen).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("wstart"), col("event_type"), col("n"))
+
+  /** ST4/ST5: last-write-wins upsert keyed by event_id with
+    * watermark-bounded state (the id-index + 2 h TTL sweep,
+    * consumer.py:66,119-148). State for ids older than the watermark
+    * is evicted automatically — the sweep thread becomes a property
+    * of the engine. */
+  def upsertLatest(events: DataFrame, lateness: String = "2 hours"): DataFrame =
+    events.withWatermark("ts", lateness).dropDuplicates("event_id")
+
+  /** S3 Kafka source → typed event stream (consumer.py:13-17,
+    * 358-399: subscribe insect-events, earliest offsets, poll loop —
+    * the poll loop disappears; offsets/group management is the
+    * engine's). JSON decode uses the same PERMISSIVE parse as the
+    * batch path (S4); corrupt rows become nulls and are filtered,
+    * mirroring the reference's try/except skip (consumer.py:405-423). */
+  def kafkaSource(spark: SparkSession, servers: String, topic: String): DataFrame =
+    spark.readStream.format("kafka")
+      .option("kafka.bootstrap.servers", servers)
+      .option("subscribe", topic)
+      .option("startingOffsets", "earliest")
+      .load()
+      .select(from_json(col("value").cast("string"), eventSchema).as("e"))
+      .select(col("e.*"))
+      .filter(col("event_id").isNotNull)
+
+  /** S2 Kafka producer sink (producer.py:34-61): JSON-serialize every
+    * column into `value`, write to the topic. Checkpointing makes the
+    * produce at-least-once with exactly-once state (vs the
+    * reference's fire-and-forget poll/flush). */
+  def kafkaSink(events: DataFrame, servers: String, topic: String,
+                checkpoint: String): DataStreamWriter[Row] =
+    events.select(to_json(struct(events.columns.map(col): _*)).as("value"))
+      .writeStream.format("kafka")
+      .option("kafka.bootstrap.servers", servers)
+      .option("topic", topic)
+      .option("checkpointLocation", checkpoint)
+
+  /** S5 query serving: stream aggregates into an in-memory table
+    * queryable with `spark.sql(...)` — replaces the reference's
+    * pickle-over-Unix-socket RPC server (consumer.py:243-354). Reads
+    * are transactionally versioned (ST7): no lock, no torn reads. */
+  def serveMemory(aggregated: DataFrame, name: String,
+                  mode: String = "update"): StreamingQuery =
+    aggregated.writeStream.format("memory").queryName(name).outputMode(mode).start()
+
+  /** S7 console sink (consultas.py's tabulate pretty-printers). */
+  def consoleSink(df: DataFrame): DataStreamWriter[Row] =
+    df.writeStream.format("console").option("truncate", "false")
+}
