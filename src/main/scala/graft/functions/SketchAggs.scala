@@ -69,6 +69,34 @@ object SketchAggs {
     def outputEncoder: Encoder[Array[Long]] = ExpressionEncoder[Array[Long]]()
   }
 
+  /** MinHash from two base hashes (Kirsch-Mitzenmacher): the input
+    * row carries only (h1, h2); the 128 derived values h1 + i*h2 are
+    * expanded inside `reduce` as a primitive JVM loop. Versus feeding
+    * a precomputed 128-element array column, this avoids allocating
+    * an ArrayData per input row — at 100 TB that allocation is pure
+    * GC pressure on the hot aggregation path. */
+  class MinHash2Agg(numHashes: Int) extends Aggregator[(Long, Long), Array[Long], Array[Long]] {
+    def zero: Array[Long] = Array.fill(numHashes)(Long.MaxValue)
+    def reduce(buf: Array[Long], h: (Long, Long)): Array[Long] = {
+      val (h1, h2) = h
+      var i = 0
+      while (i < numHashes) {
+        val v = h1 + i * h2
+        if (v < buf(i)) buf(i) = v
+        i += 1
+      }
+      buf
+    }
+    def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+      var i = 0
+      while (i < numHashes) { if (b(i) < a(i)) a(i) = b(i); i += 1 }
+      a
+    }
+    def finish(buf: Array[Long]): Array[Long] = buf
+    def bufferEncoder: Encoder[Array[Long]] = ExpressionEncoder[Array[Long]]()
+    def outputEncoder: Encoder[Array[Long]] = ExpressionEncoder[Array[Long]]()
+  }
+
   /** SimHash signature aggregation: input is one `nBits`-bit feature
     * hash per row (e.g. an md5-derived word-bigram hash), buffer is
     * the per-bit ±1 vote counter, output the majority-vote signature.

@@ -69,10 +69,17 @@ object Llm {
     * quadratic, and it is tiny. */
   def dedupNear(spark: SparkSession, dir: String): DataFrame = {
     val sh = shingled(spark, dir)
-    val hashed = sh.withColumn("hashes",
-      expr("transform(sequence(0, 127), i -> xxhash64(i, shingle) & 9223372036854775807)"))
-    val sigUdaf = udaf(new SketchAggs.MinHashAgg(128), ExpressionEncoder[Array[Long]]())
-    val sigs = hashed.groupBy(col("doc_id")).agg(sigUdaf(col("hashes")).as("sig"))
+    // Kirsch-Mitzenmacher double hashing: two string hashes expand to
+    // 128 independent-enough functions h1 + i*h2 — 64x fewer string
+    // hash evaluations than 128 seeded xxhash64 calls per shingle.
+    // masks keep h1 + i*h2 < 2^63; expansion to 128 slots happens
+    // inside the aggregator (no per-row array materialization)
+    val hashed = sh
+      .withColumn("h1", xxhash64(lit(1), col("shingle")).bitwiseAND(lit(4611686018427387903L)))
+      .withColumn("h2", xxhash64(lit(2), col("shingle")).bitwiseAND(lit(4294967295L)))
+    val sigUdaf = udaf(new SketchAggs.MinHash2Agg(128), ExpressionEncoder[(Long, Long)]())
+    val sigs = hashed.groupBy(col("doc_id"))
+      .agg(sigUdaf(col("h1"), col("h2")).as("sig"))
     val bands = sigs.select(col("doc_id"), posexplode(expr(
       "transform(sequence(0, 31), b -> xxhash64(b, slice(sig, b*4 + 1, 4)))")))
       .toDF("doc_id", "band", "band_hash")
@@ -234,12 +241,41 @@ object Llm {
     * machinery gives high recall with far fewer tables; table/plane
     * counts are the tuning knobs. */
   def annLsh(spark: SparkSession, dir: String): DataFrame = {
-    val bucketExpr = expr(
-      """transform(sequence(0, 15), t -> aggregate(sequence(0, 5), 0, (acc, p) -> acc +
-         IF(aggregate(transform(sequence(0, 63), d -> v[d] *
-              IF((xxhash64(t * 8 + p, d) & 1) = 1, cast(1.0 AS double), cast(-1.0 AS double))),
-            cast(0.0 AS double), (a, x) -> a + x) > 0, shiftleft(1, p), 0)))""")
-    val all = vecs(spark, dir).withColumn("buckets", bucketExpr)
+    // Hyperplane weights are row-independent: precompute the 16×6
+    // ±1 plane vectors once (deterministic LCG) and broadcast them.
+    // (A first cut derived weights per-row inside nested SQL lambdas
+    // — 6k interpreted hash evals per row, 30s at sf0.1; the
+    // broadcast table is the plan that scales.)
+    val planes: Array[Array[Array[Double]]] = {
+      var x = 20240801L
+      def next(): Double = {
+        x = x * 6364136223846793005L + 1442695040888963407L
+        if (((x >>> 33) & 1L) == 1L) 1.0 else -1.0
+      }
+      Array.fill(16, 6, 64)(next())
+    }
+    val bc = spark.sparkContext.broadcast(planes)
+    val bucketsUdf = udf((v: Seq[Double]) => {
+      val ps = bc.value
+      val out = new Array[Int](16)
+      var t = 0
+      while (t < 16) {
+        var bits = 0
+        var p = 0
+        while (p < 6) {
+          val w = ps(t)(p)
+          var dot = 0.0
+          var d = 0
+          while (d < 64) { dot += v(d) * w(d); d += 1 }
+          if (dot > 0) bits |= (1 << p)
+          p += 1
+        }
+        out(t) = bits
+        t += 1
+      }
+      out
+    })
+    val all = vecs(spark, dir).withColumn("buckets", bucketsUdf(col("v")))
     val tabled = all.select(col("vec_id"), col("v"), col("nrm"),
       posexplode(col("buckets"))).toDF("vec_id", "v", "nrm", "t", "bucket")
     val probes = tabled.filter(col("vec_id") < 10)

@@ -85,11 +85,16 @@ object Sketches {
     // must be cohort-independent or every pairwise Jaccard is 0.
     val e = Tables.events(spark, dir)
       .select(col("event_type"), col("user_id").cast("string").as("key"))
-      .withColumn("hashes",
-        expr("transform(sequence(0, 127), i -> xxhash64(i, key) & 9223372036854775807)"))
-    val sigUdaf = udaf(new SketchAggs.MinHashAgg(128),
-      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]())
-    val sigs = e.groupBy(col("event_type")).agg(sigUdaf(col("hashes")).as("sig"))
+      // Kirsch-Mitzenmacher: h1 + i*h2 replaces 128 seeded string
+      // hashes (same estimator quality, 64x less hashing); masks keep
+      // the sum < 2^63, and the 128-slot expansion happens inside the
+      // aggregator so no per-row array is materialized.
+      .withColumn("h1", xxhash64(lit(1), col("key")).bitwiseAND(lit(4611686018427387903L)))
+      .withColumn("h2", xxhash64(lit(2), col("key")).bitwiseAND(lit(4294967295L)))
+    val sigUdaf = udaf(new SketchAggs.MinHash2Agg(128),
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(Long, Long)]())
+    val sigs = e.groupBy(col("event_type"))
+      .agg(sigUdaf(col("h1"), col("h2")).as("sig"))
     val a = sigs.select(col("event_type").as("type_a"), col("sig").as("sig_a"))
     val b = sigs.select(col("event_type").as("type_b"), col("sig").as("sig_b"))
     a.join(b, col("type_a") < col("type_b"))
