@@ -68,6 +68,13 @@ object Llm {
     * one that ships: at 100 TB only step 3's candidate set is
     * quadratic, and it is tiny. */
   def dedupNear(spark: SparkSession, dir: String): DataFrame = {
+    // Scale note: `sh` feeds both the signature build and the two
+    // sides of the verify join (4 pruned scans of documents in this
+    // plan). A production 100 TB run persists or checkpoints the
+    // shingle table between stages (it is the pipeline's working
+    // set); left unpersisted here because the gate executes each
+    // query exactly once and a library function must not leak cached
+    // partitions into the caller's session.
     val sh = shingled(spark, dir)
     // Kirsch-Mitzenmacher double hashing: two string hashes expand to
     // 128 independent-enough functions h1 + i*h2 — 64x fewer string
@@ -78,27 +85,28 @@ object Llm {
       .withColumn("h1", xxhash64(lit(1), col("shingle")).bitwiseAND(lit(4611686018427387903L)))
       .withColumn("h2", xxhash64(lit(2), col("shingle")).bitwiseAND(lit(4294967295L)))
     val sigUdaf = udaf(new SketchAggs.MinHash2Agg(128), ExpressionEncoder[(Long, Long)]())
+    // shingle-set size rides along with the signature, and then
+    // through the band join — the candidate pairs carry (n_a, n_b)
+    // so no separate size subquery rescans the corpus.
     val sigs = hashed.groupBy(col("doc_id"))
-      .agg(sigUdaf(col("h1"), col("h2")).as("sig"))
-    val bands = sigs.select(col("doc_id"), posexplode(expr(
+      .agg(sigUdaf(col("h1"), col("h2")).as("sig"), count(lit(1)).as("n"))
+    val bands = sigs.select(col("doc_id"), col("n"), posexplode(expr(
       "transform(sequence(0, 31), b -> xxhash64(b, slice(sig, b*4 + 1, 4)))")))
-      .toDF("doc_id", "band", "band_hash")
+      .toDF("doc_id", "n", "band", "band_hash")
     val cand = bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.band_hash") === col("y.band_hash") &&
           col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .select(col("x.doc_id").as("doc_a"), col("x.n").as("n_a"),
+              col("y.doc_id").as("doc_b"), col("y.n").as("n_b"))
       .distinct()
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     // exact verify restricted to candidate pairs: expand each pair by
     // doc_a's shingles, then hash-join against doc_b's shingle set.
     val inter = cand
       .join(sh.withColumnRenamed("doc_id", "doc_a"), Seq("doc_a"))
       .join(sh.select(col("doc_id").as("doc_b"), col("shingle")), Seq("doc_b", "shingle"))
-      .groupBy(col("doc_a"), col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"), col("n_a"), col("n_b"))
       .agg(count(lit(1)).as("n_common"))
     inter
-      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "n_a"), Seq("doc_a"))
-      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "n_b"), Seq("doc_b"))
       .withColumn("jac", col("n_common") / (col("n_a") + col("n_b") - col("n_common")))
       .filter(col("jac") >= 0.8)
       .select(col("doc_a"), col("doc_b"), round(col("jac"), 6).as("jaccard"))

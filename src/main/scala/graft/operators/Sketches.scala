@@ -104,24 +104,33 @@ object Sketches {
   }
 
   /** The exact twin of `minhashJaccard` (SURVEY §7.3 determinism
-    * rule): true Jaccard between event_type user sets via distinct
-    * pairs + self equi-join on user. Hash-matched against the DuckDB
-    * oracle; at scale the distinct + join shuffle on user_id replaces
-    * any all-pairs comparison. */
+    * rule): true Jaccard between event_type user sets, computed in
+    * ONE scan of events. Per-user type sets are collected, every
+    * ordered pair (including (a,a) for set sizes) is emitted and
+    * counted distributed; only the |types|² counter table — bounded
+    * by the categorical domain, not the data — is collected to
+    * assemble the final rows. (The naive self-join formulation scans
+    * events four times: a-side, b-side, and two size subqueries —
+    * the round-1 q10 critique at 100 TB.) */
   def jaccardExact(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = Tables.events(spark, dir)
-      .select(col("event_type"), col("user_id")).distinct()
-    val sizes = pairs.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
-    val a = pairs.select(col("event_type").as("type_a"), col("user_id"))
-    val b = pairs.select(col("event_type").as("type_b"), col("user_id"))
-    val inter = a.join(b, Seq("user_id"))
-      .filter(col("type_a") < col("type_b"))
-      .groupBy(col("type_a"), col("type_b"))
-      .agg(count(lit(1)).as("n_common"))
-    inter
-      .join(broadcast(sizes.withColumnRenamed("event_type", "type_a").withColumnRenamed("n", "n_a")), Seq("type_a"))
-      .join(broadcast(sizes.withColumnRenamed("event_type", "type_b").withColumnRenamed("n", "n_b")), Seq("type_b"))
-      .select(col("type_a"), col("type_b"), col("n_a"), col("n_b"), col("n_common"),
-        round(col("n_common") / (col("n_a") + col("n_b") - col("n_common")), 6).as("jaccard"))
+    val pairCounts = Tables.events(spark, dir)
+      .groupBy(col("user_id")).agg(collect_set(col("event_type")).as("ts"))
+      .select(explode(expr(
+        "flatten(transform(ts, a -> transform(filter(ts, b -> b >= a), b -> struct(a AS ta, b AS tb))))"))
+        .as("p"))
+      .groupBy(col("p.ta").as("ta"), col("p.tb").as("tb"))
+      .agg(count(lit(1)).as("n"))
+      .collect()
+    val size = pairCounts.filter(r => r.getString(0) == r.getString(1))
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    val rows = pairCounts.filter(r => r.getString(0) < r.getString(1)).map { r =>
+      val (a, b, common) = (r.getString(0), r.getString(1), r.getLong(2))
+      val (na, nb) = (size(a), size(b))
+      val jac = new java.math.BigDecimal(common.toDouble / (na + nb - common))
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+      (a, b, na, nb, common, jac)
+    }.toSeq
+    import spark.implicits._
+    rows.toDF("type_a", "type_b", "n_a", "n_b", "n_common", "jaccard")
   }
 }
