@@ -63,6 +63,8 @@ object SparkEntry {
     "eco_nested_struct"  -> (Ecosystem.nestedStruct _),
     "gen_events"         -> (Ecosystem.genEvents _),
     "q11_parts_by_brand" -> (Relational.q11PartsByBrand _),
+    "eco_hll_faithful"   -> (Sketches.hllFaithful _),
+    "eco_dgim_true"      -> (Sketches.dgimTrue _),
   )
 
   def oracleSql: Map[String, String] = Map(

@@ -69,6 +69,68 @@ object SketchAggs {
     def outputEncoder: Encoder[Array[Long]] = ExpressionEncoder[Array[Long]]()
   }
 
+  /** Faithful HyperLogLog replicating hyperloglog.py:4-38 bit-for-bit
+    * as a mergeable Aggregator: sha256 of the key, register index =
+    * top `b` bits of the 256-bit digest, rank = leading zeros of the
+    * remaining 256-b bits + 1, registers merged by elementwise max,
+    * estimate with the 0.7213/(1+1.079/m) alpha and the
+    * small/large-range corrections (rounded half-even like Python's
+    * round). b=12 → m=4096 registers → rsd ≈ 1.625 %, the reference's
+    * configuration. Unlike the reference (client-side over shipped
+    * raw rows, consultas.py:155-166) the registers merge across
+    * partial aggregates, so only 4 KB per group crosses the shuffle. */
+  class FaithfulHllAgg(b: Int = 12) extends Aggregator[String, Array[Int], Long] {
+    private val m = 1 << b
+
+    def zero: Array[Int] = new Array[Int](m)
+
+    def reduce(reg: Array[Int], key: String): Array[Int] = {
+      val d = java.security.MessageDigest.getInstance("SHA-256")
+        .digest(key.getBytes("UTF-8"))
+      // index = top b bits (b <= 16 supported here)
+      val idx = (((d(0) & 0xff) << 8) | (d(1) & 0xff)) >>> (16 - b)
+      // rank = leading zeros of bits [b, 256) + 1
+      var rank = 1
+      var bitPos = b
+      var seen = false
+      while (!seen && bitPos < 256) {
+        val byte = d(bitPos >> 3) & 0xff
+        val bit = (byte >> (7 - (bitPos & 7))) & 1
+        if (bit == 1) seen = true else { rank += 1; bitPos += 1 }
+      }
+      if (reg(idx) < rank) reg(idx) = rank
+      reg
+    }
+
+    def merge(a: Array[Int], b2: Array[Int]): Array[Int] = {
+      var i = 0
+      while (i < m) { if (b2(i) > a(i)) a(i) = b2(i); i += 1 }
+      a
+    }
+
+    def finish(reg: Array[Int]): Long = {
+      val alpha = 0.7213 / (1 + 1.079 / m)
+      var z = 0.0
+      var zeros = 0
+      var i = 0
+      while (i < m) {
+        z += math.pow(2.0, -reg(i))
+        if (reg(i) == 0) zeros += 1
+        i += 1
+      }
+      var e = alpha * m.toDouble * m.toDouble / z
+      if (e <= 2.5 * m) {
+        if (zeros > 0) e = m * math.log(m.toDouble / zeros)
+      } else if (e > (1.0 / 30.0) * math.pow(2, 32)) {
+        e = -math.pow(2, 32) * math.log(1 - e / math.pow(2, 32))
+      }
+      math.rint(e).toLong // half-even, matching Python round()
+    }
+
+    def bufferEncoder: Encoder[Array[Int]] = ExpressionEncoder[Array[Int]]()
+    def outputEncoder: Encoder[Long] = Encoders.scalaLong
+  }
+
   /** MinHash from two base hashes (Kirsch-Mitzenmacher): the input
     * row carries only (h1, h2); the 128 derived values h1 + i*h2 are
     * expanded inside `reduce` as a primitive JVM loop. Versus feeding

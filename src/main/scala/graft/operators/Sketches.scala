@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.SketchAggs
+import graft.plans.Dgim
 import graft.sources.Tables
 
 /** The reference's headline "big data algorithms" — Bloom filter
@@ -132,5 +133,49 @@ object Sketches {
     }.toSeq
     import spark.implicits._
     rows.toDF("type_a", "type_b", "n_a", "n_b", "n_common", "jaccard")
+  }
+
+  /** A7 faithful-mode HyperLogLog (hyperloglog.py replicated
+    * bit-for-bit, see SketchAggs.FaithfulHllAgg): per-event_type
+    * distinct-user estimate via the sha256/b=12 register pipeline.
+    * Deterministic but not SQL-expressible → rows-only in the driver
+    * gate; SketchesSpec pins golden values computed independently
+    * from the reference algorithm. */
+  def hllFaithful(spark: SparkSession, dir: String): DataFrame = {
+    val hllUdaf = udaf(new SketchAggs.FaithfulHllAgg(12), Encoders.STRING)
+    Tables.events(spark, dir)
+      .select(col("event_type"), col("user_id").cast("string").as("key"))
+      .groupBy(col("event_type"))
+      .agg(hllUdaf(col("key")).as("n_users_hll"))
+  }
+
+  /** A9 true DGIM (plans/Dgim.scala): trailing-1-hour estimate of
+    * error-bits per event_type. Bits are replayed in event-time order
+    * within each key partition (repartition + sortWithinPartitions —
+    * the only ordering DGIM needs; no global sort), the sketch holds
+    * O(log² W) buckets however long the stream. Rows-only (order-
+    * dependent sketch state isn't SQL-expressible); SketchesSpec
+    * asserts the 50 % error bound against the exact count. */
+  def dgimTrue(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val bits = Tables.events(spark, dir)
+      .select(col("event_type"),
+        col("ts").cast("long").as("tsec"),
+        col("event_id"),
+        when(col("event_type") === "error", 1).otherwise(0).as("bit"))
+      .as[(String, Long, Long, Int)]
+    bits
+      .repartition(col("event_type"))
+      .sortWithinPartitions(col("event_type"), col("tsec"), col("event_id"))
+      .mapPartitions { rows =>
+        val sketches = scala.collection.mutable.LinkedHashMap.empty[String, (Dgim, Long)]
+        rows.foreach { case (t, tsec, _, bit) =>
+          val (d, _) = sketches.getOrElseUpdate(t, (new Dgim(3600L), 0L))
+          d.addBit(tsec, bit)
+          sketches(t) = (d, tsec)
+        }
+        sketches.iterator.map { case (t, (d, last)) => (t, d.estimate(last)) }
+      }
+      .toDF("event_type", "est_errors_1h")
   }
 }

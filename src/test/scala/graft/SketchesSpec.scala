@@ -68,4 +68,62 @@ class SketchesSpec extends AnyFunSuite {
     assert(rows.nonEmpty)
     assert(rows.forall(_.getBoolean(2)), "present-key probes must all be in_bloom")
   }
+
+  test("faithful HLL matches the reference algorithm bit-for-bit (golden values)") {
+    // goldens computed with an independent replica of
+    // hyperloglog.py:4-38 (sha256, b=12, linear/large-range
+    // corrections, Python round)
+    val hllUdaf = udaf(new SketchAggs.FaithfulHllAgg(12), Encoders.STRING)
+    val synthetic = (0 until 10000).map(_.toString).toDF("k")
+      .agg(hllUdaf(col("k"))).head().getLong(0)
+    assert(synthetic == 9706L,
+      s"synthetic 10k-key estimate $synthetic != golden 9706 (bit-level drift)")
+    val perType = Sketches.hllFaithful(spark, TestSpark.sf)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(perType.values.forall(_ == 15L),
+      s"sf0.001 cohorts have 15 distinct users (linear-counting regime): $perType")
+  }
+
+  test("true DGIM stays within the 50% error bound with logarithmic memory") {
+    // adversarial-ish stream: bursty 1s, 10k bits over a 1000-tick window
+    val d = new graft.plans.Dgim(1000L)
+    val ones = scala.collection.mutable.Queue.empty[Long]
+    var err = 0.0
+    var checks = 0
+    var t = 0L
+    val rnd = new scala.util.Random(7)
+    while (t < 10000) {
+      val bit = if (rnd.nextInt(10) < 3 || (t / 500) % 2 == 0) 1 else 0
+      if (bit == 1) ones.enqueue(t)
+      d.addBit(t, bit)
+      if (t % 97 == 0 && t > 1000) {
+        while (ones.nonEmpty && t - ones.head > 1000) ones.dequeue()
+        val exact = ones.size
+        val est = d.estimate(t)
+        if (exact > 0) { err = math.max(err, math.abs(est - exact).toDouble / exact); checks += 1 }
+      }
+      t += 1
+    }
+    assert(checks > 50)
+    assert(err <= 0.5, s"max relative error $err exceeds the DGIM bound")
+    assert(d.bucketCount <= 30, s"bucket count ${d.bucketCount} not logarithmic")
+  }
+
+  test("declared DGIM query tracks the exact trailing-hour error count") {
+    val est = Sketches.dgimTrue(spark, TestSpark.sf)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // exact trailing-hour count per type, anchored at each type's max ts
+    val e = graft.sources.Tables.events(spark, TestSpark.sf)
+    val exact = e.groupBy(col("event_type"))
+      .agg(org.apache.spark.sql.functions.max(col("ts").cast("long")).as("mx"))
+      .join(e.select(col("event_type"), col("ts").cast("long").as("tsec")), Seq("event_type"))
+      .filter(col("tsec") >= col("mx") - 3600 && col("event_type") === "error")
+      .count()
+    val errEst = est("error")
+    assert(est.keys.toSet.contains("error"))
+    assert(est.filter(_._1 != "error").values.forall(_ == 0L),
+      "non-error cohorts carry zero 1-bits")
+    assert(math.abs(errEst - exact).toDouble <= math.max(1.0, 0.5 * exact),
+      s"DGIM estimate $errEst vs exact $exact breaches the 50% bound")
+  }
 }
