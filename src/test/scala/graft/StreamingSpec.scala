@@ -63,6 +63,37 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("checkpointed query resumes with its aggregation state intact") {
+    implicit val sqlCtx = spark.sqlContext
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    val ms = MemoryStream[Event]
+    val agg = Streaming.tumblingCounts(ms.toDF(), "1 minute", "10 minutes")
+    val seen = java.util.Collections.synchronizedList(
+      new java.util.ArrayList[(String, Long)]())
+    def start() = agg.writeStream.outputMode("update")
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        batch.collect().foreach(r =>
+          seen.add(r.getTimestamp(0).toString -> r.getLong(2)))
+      }.start()
+    val q1 = start()
+    try {
+      ms.addData(ev(1, "2024-01-01 10:00:10"))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    // restart from the same checkpoint: offsets and window state must
+    // be recovered (ST8 — the reference loses everything on crash)
+    val q2 = start()
+    try {
+      ms.addData(ev(2, "2024-01-01 10:00:20"))
+      q2.processAllAvailable()
+      val latest = seen.toArray(Array.empty[(String, Long)])
+        .filter(_._1 == "2024-01-01 10:00:00.0").map(_._2)
+      assert(latest.nonEmpty && latest.last == 2,
+        s"restored state + new event should count 2, got ${latest.mkString(",")}")
+    } finally q2.stop()
+  }
+
   test("streaming and batch share the same transformation (consistency)") {
     // the batch frame through the same tumblingCounts code path
     val batch = graft.sources.Tables.events(spark, TestSpark.sf)

@@ -35,7 +35,17 @@ def main(sf_dir, out_dir):
         if not os.path.isdir(d):
             continue
         files = glob.glob(os.path.join(d, "*.parquet"))
-        got = pd.concat([pd.read_parquet(f) for f in files]) if files else pd.DataFrame()
+        if files:
+            got = pd.concat([pd.read_parquet(f) for f in files])
+        elif name in oracle:
+            # empty Spark result wrote no part files: build an empty
+            # frame with the oracle's columns so the diff is honest
+            try:
+                got = con.execute(oracle[name]).fetchdf().iloc[0:0]
+            except Exception:
+                got = pd.DataFrame()
+        else:
+            got = pd.DataFrame()
         if name not in oracle:
             print(f"  [rows-only] {name}: {len(got)} rows")
             continue
@@ -49,7 +59,11 @@ def main(sf_dir, out_dir):
         if len(g) != len(e):
             print(f"✗ {name}: rowcount spark={len(g)} duck={len(e)}"); n_bad += 1; continue
         try:
-            pd.testing.assert_frame_equal(g, e, check_dtype=False, check_exact=True)
+            # rounded doubles can differ in the last ulp across
+            # engines' round() on boundary representations: compare
+            # with a tolerance far below the rounding quantum
+            pd.testing.assert_frame_equal(g, e, check_dtype=False,
+                                          check_exact=False, rtol=0, atol=1e-9)
             print(f"✓ {name}: {len(g)} rows"); n_ok += 1
         except AssertionError as ex:
             print(f"✗ {name}: VALUES differ\n{str(ex)[:600]}"); n_bad += 1
