@@ -65,6 +65,7 @@ object SparkEntry {
     "q11_parts_by_brand" -> (Relational.q11PartsByBrand _),
     "eco_hll_faithful"   -> (Sketches.hllFaithful _),
     "eco_dgim_true"      -> (Sketches.dgimTrue _),
+    "eco_sql_stats"      -> (Ecosystem.sqlStats _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -411,5 +412,8 @@ object SparkEntry {
            round(avg(p_retailprice), 4) AS avg_retail
          FROM lineitem JOIN part ON l_partkey = p_partkey
          GROUP BY p_brand""",
+    "eco_sql_stats" ->
+      """SELECT event_type, user_id, count(*) AS n, round(sum(value), 4) AS sum_value
+         FROM events GROUP BY event_type, user_id""",
   )
 }

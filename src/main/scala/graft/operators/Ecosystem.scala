@@ -223,4 +223,21 @@ object Ecosystem {
           .as("event_type"),
         round((col("h") % 10000) / 100.0, 4).as("value"),
         (lit(1700000000L) + col("id") * 60).as("ts_epoch"))
+
+  /** S5 SQL serving surface: the same engine consumed through
+    * `spark.sql` over registered views — the entry point a BI tool or
+    * the reference's query client (consultas.py menu) would use.
+    * Identical Catalyst plan to the DataFrame formulation; this query
+    * exists to keep the SQL front door exercised and oracle-checked. */
+  def sqlStats(spark: SparkSession, dir: String): DataFrame = {
+    Tables.events(spark, dir).createOrReplaceTempView("graft_events")
+    // sum, not avg: source values carry two decimals, so rounded sums
+    // sit far from any .00005 boundary; a per-group avg can land on
+    // one and flip differently across engines' last-ulp partial-sum
+    // orders (observed once in 750 groups).
+    spark.sql(
+      """SELECT event_type, user_id, count(*) AS n, round(sum(value), 4) AS sum_value
+         FROM graft_events
+         GROUP BY event_type, user_id""")
+  }
 }

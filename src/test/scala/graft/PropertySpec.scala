@@ -1,0 +1,75 @@
+package graft
+
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.plans.{Dgim, Markov}
+
+/** ScalaCheck property tests (SURVEY §5.2) for the pure algorithmic
+  * cores — no Spark session needed, so these explore hundreds of
+  * random inputs in milliseconds. Driven through raw ScalaCheck
+  * (Prop + Test.check); the scalatest bridge artifact is not in the
+  * offline cache. */
+class PropertySpec extends AnyFunSuite {
+
+  private def check(prop: Prop, n: Int = 100): Unit = {
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(n), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("DGIM estimate within 50% of exact for arbitrary bit streams") {
+    val streamGen = Gen.listOfN(2000, Gen.oneOf(0, 1))
+    check(Prop.forAll(streamGen) { bits =>
+      val window = 256L
+      val d = new Dgim(window)
+      var t = 0L
+      val ones = scala.collection.mutable.Queue.empty[Long]
+      bits.foreach { b =>
+        d.addBit(t, b)
+        if (b == 1) ones.enqueue(t)
+        t += 1
+      }
+      val now = t - 1
+      while (ones.nonEmpty && now - ones.head > window) ones.dequeue()
+      val exact = ones.size
+      val est = d.estimate(now)
+      val bounded = if (exact > 0) math.abs(est - exact) <= math.max(1.0, 0.5 * exact)
+                    else est == 0
+      bounded && d.bucketCount <= 2 * 12 + 2
+    }, n = 50)
+  }
+
+  test("Markov classification partitions states; self-loop implies recurrent") {
+    val caseGen = for {
+      n <- Gen.choose(1, 6)
+      seed <- Gen.long
+    } yield (n, seed)
+    check(Prop.forAll(caseGen) { case (n, seed) =>
+      val rnd = new scala.util.Random(seed)
+      val p = Array.fill(n, n)(if (rnd.nextDouble() < 0.4) rnd.nextDouble() else 0.0)
+      p.foreach { row =>
+        val s = row.sum
+        if (s > 0) (0 until n).foreach(j => row(j) /= s)
+      }
+      val states = (0 until n).map(i => s"s$i")
+      val cls = Markov.classify(states, p)
+      val idx = states.zipWithIndex.toMap
+      cls.length == n && cls.forall { c =>
+        val coherent =
+          if (c.is_recurrent)
+            c.dtmc_class == "recurrent-aperiodic" || c.dtmc_class == "recurrent-periodic"
+          else c.dtmc_class == "transient"
+        val selfLoopRecurrent = p(idx(c.state))(idx(c.state)) <= 0 || c.is_recurrent
+        coherent && c.period >= 1 && selfLoopRecurrent
+      }
+    })
+  }
+
+  test("gcd divides both arguments and is commutative") {
+    val g = Gen.choose(1L, 1000000L)
+    check(Prop.forAll(g, g) { (a, b) =>
+      val d = Markov.gcd(a, b)
+      d > 0 && a % d == 0 && b % d == 0 && d == Markov.gcd(b, a)
+    })
+  }
+}
