@@ -214,6 +214,18 @@ object Llm {
       .select(col("vec_id"), expr("transform(embedding, x -> cast(x AS double))").as("v"))
       .withColumn("nrm", expr("sqrt(aggregate(v, cast(0.0 AS double), (a, x) -> a + x * x))"))
 
+  /** Cosine of the (v, pv) pair: the codegen'd native expression
+    * (plans/CosineSimilarity via GraftExtensions) when the session
+    * has it — one fused primitive loop inside WholeStageCodegen — and
+    * the interpreted higher-order-function formulation as a fallback
+    * for sessions built without `spark.sql.extensions`. Both compose
+    * the identical double arithmetic, so results hash-match either
+    * way. */
+  private def cosineSim(spark: SparkSession) =
+    if (spark.catalog.functionExists("graft_cosine")) expr("graft_cosine(v, pv)")
+    else expr("aggregate(zip_with(v, pv, (x, y) -> x * y), cast(0.0 AS double), (a, x) -> a + x)") /
+      (col("nrm") * col("pn"))
+
   /** Exact cosine top-k (k=10) for each probe vector (vec_id < 10):
     * the brute-force baseline and the oracle-checked twin of the ANN
     * path. Probes are broadcast, the corpus is scanned once, ranking
@@ -226,9 +238,7 @@ object Llm {
     val w = Window.partitionBy(col("probe_id")).orderBy(col("sim").desc, col("vec_id").asc)
     all.crossJoin(broadcast(probes))
       .filter(col("vec_id") =!= col("probe_id"))
-      .withColumn("sim", round(
-        expr("aggregate(zip_with(v, pv, (x, y) -> x * y), cast(0.0 AS double), (a, x) -> a + x)")
-          / (col("nrm") * col("pn")), 6))
+      .withColumn("sim", round(cosineSim(spark), 6))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= 10)
       .select(col("probe_id"), col("vec_id"), col("sim"), col("rn"))
@@ -295,9 +305,7 @@ object Llm {
       .dropDuplicates("probe_id", "vec_id")
     val w = Window.partitionBy(col("probe_id")).orderBy(col("sim").desc, col("vec_id").asc)
     cand
-      .withColumn("sim", round(
-        expr("aggregate(zip_with(v, pv, (x, y) -> x * y), cast(0.0 AS double), (a, x) -> a + x)")
-          / (col("nrm") * col("pn")), 6))
+      .withColumn("sim", round(cosineSim(spark), 6))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= 10)
       .select(col("probe_id"), col("vec_id"), col("sim"), col("rn"))
