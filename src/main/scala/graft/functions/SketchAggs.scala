@@ -136,14 +136,22 @@ object SketchAggs {
     * expanded inside `reduce` as a primitive JVM loop. Versus feeding
     * a precomputed 128-element array column, this avoids allocating
     * an ArrayData per input row — at 100 TB that allocation is pure
-    * GC pressure on the hot aggregation path. */
+    * GC pressure on the hot aggregation path.
+    *
+    * The mixing MUST wrap mod 2^64 (which JVM arithmetic does
+    * natively — one reason the expansion lives here and not in a SQL
+    * expression, where ANSI mode forbids overflow): an early variant
+    * masked h2 to 32 bits to dodge ANSI, which made i*h2 negligible
+    * against h1's spread, collapsed every slot's argmin onto the same
+    * min-h1 element, and silently destroyed signature independence —
+    * caught as LSH misses on subset-pairs at sf0.1. */
   class MinHash2Agg(numHashes: Int) extends Aggregator[(Long, Long), Array[Long], Array[Long]] {
     def zero: Array[Long] = Array.fill(numHashes)(Long.MaxValue)
     def reduce(buf: Array[Long], h: (Long, Long)): Array[Long] = {
       val (h1, h2) = h
       var i = 0
       while (i < numHashes) {
-        val v = h1 + i * h2
+        val v = (h1 + i * h2) & Long.MaxValue // wraps, then masked positive
         if (v < buf(i)) buf(i) = v
         i += 1
       }

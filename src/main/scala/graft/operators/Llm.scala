@@ -79,11 +79,13 @@ object Llm {
     // Kirsch-Mitzenmacher double hashing: two string hashes expand to
     // 128 independent-enough functions h1 + i*h2 — 64x fewer string
     // hash evaluations than 128 seeded xxhash64 calls per shingle.
-    // masks keep h1 + i*h2 < 2^63; expansion to 128 slots happens
-    // inside the aggregator (no per-row array materialization)
+    // raw full-range base hashes: the h1 + i*h2 expansion happens
+    // inside the aggregator where mod-2^64 wraparound is natural
+    // (masking h2 here would collapse the hash family — see
+    // SketchAggs.MinHash2Agg)
     val hashed = sh
-      .withColumn("h1", xxhash64(lit(1), col("shingle")).bitwiseAND(lit(4611686018427387903L)))
-      .withColumn("h2", xxhash64(lit(2), col("shingle")).bitwiseAND(lit(4294967295L)))
+      .withColumn("h1", xxhash64(lit(1), col("shingle")))
+      .withColumn("h2", xxhash64(lit(2), col("shingle")))
     val sigUdaf = udaf(new SketchAggs.MinHash2Agg(128), ExpressionEncoder[(Long, Long)]())
     // shingle-set size rides along with the signature, and then
     // through the band join — the candidate pairs carry (n_a, n_b)

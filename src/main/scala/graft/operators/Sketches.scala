@@ -87,11 +87,12 @@ object Sketches {
     val e = Tables.events(spark, dir)
       .select(col("event_type"), col("user_id").cast("string").as("key"))
       // Kirsch-Mitzenmacher: h1 + i*h2 replaces 128 seeded string
-      // hashes (same estimator quality, 64x less hashing); masks keep
-      // the sum < 2^63, and the 128-slot expansion happens inside the
-      // aggregator so no per-row array is materialized.
-      .withColumn("h1", xxhash64(lit(1), col("key")).bitwiseAND(lit(4611686018427387903L)))
-      .withColumn("h2", xxhash64(lit(2), col("key")).bitwiseAND(lit(4294967295L)))
+      // hashes (same estimator quality, 64x less hashing); the
+      // 128-slot expansion wraps mod 2^64 inside the aggregator —
+      // masking the base hashes would collapse the family (see
+      // SketchAggs.MinHash2Agg).
+      .withColumn("h1", xxhash64(lit(1), col("key")))
+      .withColumn("h2", xxhash64(lit(2), col("key")))
     val sigUdaf = udaf(new SketchAggs.MinHash2Agg(128),
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(Long, Long)]())
     val sigs = e.groupBy(col("event_type"))
