@@ -66,6 +66,7 @@ object SparkEntry {
     "eco_hll_faithful"   -> (Sketches.hllFaithful _),
     "eco_dgim_true"      -> (Sketches.dgimTrue _),
     "eco_sql_stats"      -> (Ecosystem.sqlStats _),
+    "q12_priority"       -> (Relational.q12Priority _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -415,5 +416,13 @@ object SparkEntry {
     "eco_sql_stats" ->
       """SELECT event_type, user_id, count(*) AS n, round(sum(value), 4) AS sum_value
          FROM events GROUP BY event_type, user_id""",
+    "q12_priority" ->
+      """SELECT l_linestatus,
+           CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_finished,
+           CAST(sum(CASE WHEN o_orderstatus <> 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_other,
+           round(sum(o_totalprice), 4) AS sum_price
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         WHERE l_quantity > 25.0
+         GROUP BY l_linestatus""",
   )
 }

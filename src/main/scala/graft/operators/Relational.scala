@@ -158,4 +158,21 @@ object Relational {
            round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4).as("revenue"),
            round(avg(col("p_retailprice")), 4).as("avg_retail"))
   }
+
+  /** TPC-H Q12-style conditional aggregation over a fact-fact join:
+    * order-priority counts split by a predicate, grouped by a
+    * lineitem attribute. The join keys both sides on orderkey —
+    * Catalyst picks the strategy; at warehouse scale this is the
+    * bucketed-join candidate (both fact tables bucketed by orderkey
+    * at write time removes the exchange entirely). */
+  def q12Priority(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(spark, dir).filter(col("l_quantity") > 25.0)
+    val o = Tables.orders(spark, dir)
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .groupBy(col("l_linestatus"))
+      .agg(
+        sum(when(col("o_orderstatus") === "F", 1L).otherwise(0L)).as("n_finished"),
+        sum(when(col("o_orderstatus") =!= "F", 1L).otherwise(0L)).as("n_other"),
+        round(sum(col("o_totalprice")), 4).as("sum_price"))
+  }
 }
