@@ -420,7 +420,7 @@ object SparkEntry {
       """SELECT l_linestatus,
            CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_finished,
            CAST(sum(CASE WHEN o_orderstatus <> 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_other,
-           round(sum(o_totalprice), 4) AS sum_price
+           round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 4) AS sum_price
          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
          WHERE l_quantity > 25.0
          GROUP BY l_linestatus""",

@@ -173,6 +173,11 @@ object Relational {
       .agg(
         sum(when(col("o_orderstatus") === "F", 1L).otherwise(0L)).as("n_finished"),
         sum(when(col("o_orderstatus") =!= "F", 1L).otherwise(0L)).as("n_other"),
-        round(sum(col("o_totalprice")), 4).as("sum_price"))
+        // sum in exact decimal, not double: at ~1e10 magnitude the
+        // double partial-sum order noise (~1e-4) exceeds the round-4
+        // quantum and flips digits between engines (seen at sf0.1);
+        // the decimal sum is order-independent, so the single cast to
+        // double is identical everywhere.
+        round(sum(col("o_totalprice").cast("decimal(18,2)")).cast("double"), 4).as("sum_price"))
   }
 }
