@@ -229,7 +229,8 @@ object SparkEntry {
                     CASE WHEN sum(((hv >> b) & 1) * 2 - 1) > 0
                          THEN 1::BIGINT ELSE 0::BIGINT END AS bit
                   FROM h, (SELECT unnest(range(60)) AS b) GROUP BY doc_id, b)
-         SELECT doc_id, sum(bit * (1::BIGINT << b)) AS simhash FROM bits GROUP BY doc_id""",
+         SELECT doc_id, CAST(sum(bit * (1::BIGINT << b)) AS BIGINT) AS simhash
+         FROM bits GROUP BY doc_id""",
     "llm_simhash_pairs" ->
       """WITH toks AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
                        FROM documents),
