@@ -53,21 +53,35 @@ object Streaming {
   def upsertLatest(events: DataFrame, lateness: String = "2 hours"): DataFrame =
     events.withWatermark("ts", lateness).dropDuplicates("event_id")
 
-  /** S3 Kafka source → typed event stream (consumer.py:13-17,
-    * 358-399: subscribe insect-events, earliest offsets, poll loop —
-    * the poll loop disappears; offsets/group management is the
-    * engine's). JSON decode uses the same PERMISSIVE parse as the
-    * batch path (S4); corrupt rows become nulls and are filtered,
-    * mirroring the reference's try/except skip (consumer.py:405-423). */
-  def kafkaSource(spark: SparkSession, servers: String, topic: String): DataFrame =
-    spark.readStream.format("kafka")
-      .option("kafka.bootstrap.servers", servers)
-      .option("subscribe", topic)
-      .option("startingOffsets", "earliest")
-      .load()
+  /** The wire format, encode side: every column JSON-serialized into
+    * a single `value` string — the reference's `json.dumps(event)`
+    * (producer.py:46). Shared by `kafkaSink` and the broker-free wire
+    * round-trip test (the format is a contract independent of the
+    * transport). */
+  def wireEncode(events: DataFrame): DataFrame =
+    events.select(to_json(struct(events.columns.map(col): _*)).as("value"))
+
+  /** The wire format, decode side: PERMISSIVE `from_json` against the
+    * event schema — the reference's `json.loads` + try/except skip
+    * (consumer.py:405-423). Corrupt rows decode to all-null structs
+    * and are dropped by the `event_id` filter, mirroring the skip. */
+  def wireDecode(wire: DataFrame): DataFrame =
+    wire
       .select(from_json(col("value").cast("string"), eventSchema).as("e"))
       .select(col("e.*"))
       .filter(col("event_id").isNotNull)
+
+  /** S3 Kafka source → typed event stream (consumer.py:13-17,
+    * 358-399: subscribe insect-events, earliest offsets, poll loop —
+    * the poll loop disappears; offsets/group management is the
+    * engine's). */
+  def kafkaSource(spark: SparkSession, servers: String, topic: String): DataFrame =
+    wireDecode(
+      spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", servers)
+        .option("subscribe", topic)
+        .option("startingOffsets", "earliest")
+        .load())
 
   /** S2 Kafka producer sink (producer.py:34-61): JSON-serialize every
     * column into `value`, write to the topic. Checkpointing makes the
@@ -75,7 +89,7 @@ object Streaming {
     * reference's fire-and-forget poll/flush). */
   def kafkaSink(events: DataFrame, servers: String, topic: String,
                 checkpoint: String): DataStreamWriter[Row] =
-    events.select(to_json(struct(events.columns.map(col): _*)).as("value"))
+    wireEncode(events)
       .writeStream.format("kafka")
       .option("kafka.bootstrap.servers", servers)
       .option("topic", topic)

@@ -94,6 +94,30 @@ class StreamingSpec extends AnyFunSuite {
     } finally q2.stop()
   }
 
+  test("Kafka wire format round-trips the event schema exactly (S2/S3, broker-free)") {
+    // The producer.py:46 / consumer.py:407 wire contract: JSON value
+    // out, PERMISSIVE JSON in. kafkaSink and kafkaSource share these
+    // two exprs, so this exercises the format without a broker.
+    val events = Seq(
+      Event(1L, ts("2024-01-01 10:00:10"), 3L, "click", 1.25),
+      Event(2L, ts("2024-01-01 10:00:20"), 4L, "error", -0.5),
+      Event(3L, ts("2024-01-02 23:59:59"), 5L, "purchase", 99.99)).toDF()
+    val back = Streaming.wireDecode(Streaming.wireEncode(events))
+    // names + types must round-trip; nullability legitimately widens
+    // (JSON carries no non-null guarantee, so from_json is nullable)
+    assert(back.schema.map(f => (f.name, f.dataType)) ==
+             events.schema.map(f => (f.name, f.dataType)),
+      "decode must restore the schema's names and types")
+    val orig = events.collect().map(_.toSeq).toSet
+    val got = back.collect().map(_.toSeq).toSet
+    assert(got == orig, s"wire round trip must be lossless: $got vs $orig")
+    // corrupt wire bytes are skipped, not fatal (consumer.py:405-423)
+    val withJunk = Streaming.wireEncode(events)
+      .union(Seq("{not json", """{"event_id": null}""").toDF("value"))
+    assert(Streaming.wireDecode(withJunk).count() == 3,
+      "corrupt/null-id records must be skipped like the reference's try/except")
+  }
+
   test("streaming and batch share the same transformation (consistency)") {
     // the batch frame through the same tumblingCounts code path
     val batch = graft.sources.Tables.events(spark, TestSpark.sf)
