@@ -4,13 +4,14 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.plans.CosineSimilarity
+import graft.plans.{CosineSimilarity, SrpBuckets}
 
 /** Engine extensions, installed with
   * `spark.sql.extensions=graft.GraftExtensions` (SparkSessionExtensions
   * is the public plug-in point — no Catalyst internals are patched).
-  * Currently registers the codegen'd `graft_cosine(a, b)` scalar
-  * function used by the similarity-search operators. */
+  * Registers the codegen'd scalar kernels used by the
+  * similarity-search operators: `graft_cosine(a, b)` and
+  * `graft_srp_buckets(v)`. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
@@ -19,6 +20,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
         require(children.length == 2, "graft_cosine takes exactly 2 arguments")
         CosineSimilarity(children.head, children(1))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_srp_buckets"),
+      new ExpressionInfo(classOf[SrpBuckets].getName, "graft_srp_buckets"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.length == 1, "graft_srp_buckets takes exactly 1 argument")
+        SrpBuckets(children.head)
       }))
   }
 }

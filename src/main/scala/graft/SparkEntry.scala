@@ -40,6 +40,7 @@ object SparkEntry {
     "eco_bloom_members"  -> (Sketches.bloomMembers _),
     "eco_bloom_params"   -> (Sketches.bloomParams _),
     "eco_minhash_jaccard" -> (Sketches.minhashJaccard _),
+    "eco_minhash_sample"  -> (Sketches.minhashSample _),
     "eco_jaccard_exact"  -> (Sketches.jaccardExact _),
     "llm_dedup_exact"    -> (Llm.dedupExact _),
     "llm_dedup_near"     -> (Llm.dedupNear _),
@@ -49,6 +50,7 @@ object SparkEntry {
     "llm_lang_id"        -> (Llm.langId _),
     "llm_quality"        -> (Llm.quality _),
     "llm_token_count"    -> (Llm.tokenCount _),
+    "llm_fingerprint"    -> (Llm.fingerprint _),
     "llm_knn_exact"      -> (Llm.knnExact _),
     "llm_ann_lsh"        -> (Llm.annLsh _),
     "llm_media_meta"     -> (Llm.mediaMeta _),
@@ -198,6 +200,27 @@ object SparkEntry {
            round(n_common / (sa.n + sb.n - n_common), 6) AS jaccard
          FROM i JOIN s sa ON sa.event_type = type_a
                 JOIN s sb ON sb.event_type = type_b""",
+    // Min-achiever semantics: for each (cohort, hash fn), the user
+    // whose Kirsch-Mitzenmacher md5 hash achieved the signature
+    // minimum; `sampled` is the seeded deterministic stand-in for the
+    // reference's random.sample (hash parity). md5 prefixes are 14
+    // hex digits so h1 + 7*h2 < 2^59 fits BIGINT on both engines.
+    "eco_minhash_sample" ->
+      """WITH u AS (SELECT DISTINCT event_type, user_id FROM events),
+         h AS (SELECT event_type, user_id,
+                 ('0x' || substr(md5('a' || CAST(user_id AS VARCHAR)), 1, 14))::BIGINT AS h1,
+                 ('0x' || substr(md5('b' || CAST(user_id AS VARCHAR)), 1, 14))::BIGINT AS h2
+               FROM u),
+         e AS (SELECT event_type, user_id, i AS hash_idx, h1 + i * h2 AS hv
+               FROM h, (SELECT unnest(range(8)) AS i)),
+         m AS (SELECT event_type, hash_idx, min(hv) AS min_hash
+               FROM e GROUP BY 1, 2)
+         SELECT m.event_type, m.hash_idx, m.min_hash,
+           min(e.user_id) AS min_user,
+           (m.min_hash % 2 = 0) AS sampled
+         FROM m JOIN e ON e.event_type = m.event_type
+                      AND e.hash_idx = m.hash_idx AND e.hv = m.min_hash
+         GROUP BY 1, 2, 3""",
     "llm_dedup_exact" ->
       """SELECT md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS text_hash,
            count(*) AS n_docs, min(doc_id) AS keep_doc_id
@@ -277,6 +300,22 @@ object SparkEntry {
            CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS sum_ws_tokens,
            CAST(sum(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\s]'))) AS BIGINT) AS sum_bpe_tokens
          FROM documents GROUP BY source""",
+    // Rolling char-8-gram fingerprints, "0 mod 16" selection; gram
+    // hash = first 14 hex digits of md5 (same cross-engine trick as
+    // llm_simhash). bit_xor folds the selected set order-free.
+    "llm_fingerprint" ->
+      """WITH d AS (SELECT doc_id,
+             regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t
+           FROM documents),
+         g AS (SELECT doc_id, substr(t, CAST(i AS INTEGER), 8) AS g
+               FROM d, LATERAL (SELECT unnest(range(1, len(t) - 6)) AS i)
+               WHERE len(t) >= 8),
+         h AS (SELECT doc_id, ('0x' || substr(md5(g), 1, 14))::BIGINT AS h FROM g)
+         SELECT doc_id, count(*) AS n_grams,
+           CAST(sum(CASE WHEN h % 16 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_selected,
+           coalesce(min(h) FILTER (WHERE h % 16 = 0), -1) AS min_fp,
+           coalesce(bit_xor(h) FILTER (WHERE h % 16 = 0), -1) AS fp_xor
+         FROM h GROUP BY doc_id""",
     // Probes are vec_id < 10; cosine computed in double on both
     // sides, rounded to 6 before ranking so ordering ties break on
     // vec_id identically in both engines.

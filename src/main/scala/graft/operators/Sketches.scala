@@ -105,6 +105,44 @@ object Sketches {
           / 128.0, 6).as("jaccard_est"))
   }
 
+  /** A10's third leg — the MinHash representative sample
+    * (minwisehashing.py:26-30 `get_representative_elements` +
+    * consultas.py:190-220's "minwise" menu flow): for each cohort and
+    * each hash function, the element that ACHIEVED the signature
+    * minimum, plus a deterministic sub-sample of those achievers
+    * standing in for the reference's `random.sample` (seeded here by
+    * hash parity, so the oracle can replay it exactly — SURVEY §7.3's
+    * determinism rule).
+    *
+    * The hash family is md5-derived (Kirsch-Mitzenmacher h1 + i·h2
+    * over the first 14 hex digits — < 2^56, so all 8 derived values
+    * stay overflow-free in BIGINT on BOTH engines) instead of the
+    * xxhash64 family the LSH paths use: DuckDB has no xxhash64, and
+    * this query's whole point is an exact cross-engine oracle match.
+    * Min-achiever extraction is a `min(struct(hv, user))` partial
+    * aggregation — no window sort, no raw-value shuffle beyond the
+    * distinct. */
+  def minhashSample(spark: SparkSession, dir: String): DataFrame = {
+    val users = Tables.events(spark, dir)
+      .select(col("event_type"), col("user_id")).distinct()
+    val hashed = users
+      .withColumn("h1",
+        conv(substring(md5(concat(lit("a"), col("user_id").cast("string"))), 1, 14), 16, 10)
+          .cast("long"))
+      .withColumn("h2",
+        conv(substring(md5(concat(lit("b"), col("user_id").cast("string"))), 1, 14), 16, 10)
+          .cast("long"))
+    hashed
+      .select(col("event_type"), col("user_id"),
+        posexplode(expr("transform(sequence(0, 7), i -> h1 + i * h2)")))
+      .toDF("event_type", "user_id", "hash_idx", "hv")
+      .groupBy(col("event_type"), col("hash_idx").cast("long").as("hash_idx"))
+      .agg(min(struct(col("hv"), col("user_id"))).as("m"))
+      .select(col("event_type"), col("hash_idx"),
+        col("m.hv").as("min_hash"), col("m.user_id").as("min_user"),
+        (col("m.hv") % 2 === 0).as("sampled"))
+  }
+
   /** The exact twin of `minhashJaccard` (SURVEY §7.3 determinism
     * rule): true Jaccard between event_type user sets, computed in
     * ONE scan of events. Per-user type sets are collected, every

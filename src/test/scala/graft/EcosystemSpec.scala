@@ -54,4 +54,16 @@ class EcosystemSpec extends AnyFunSuite {
     val n = Ecosystem.tsRoundtrip(spark, TestSpark.sf).collect().map(_.getLong(1)).sum
     assert(n == graft.sources.Tables.events(spark, TestSpark.sf).count())
   }
+
+  test("uuid() expression (F13): v4 ids, unique per row, distributed") {
+    // producer.py:15 uses uuid.uuid4 per event; the declared generator
+    // deliberately substitutes md5-of-id for determinism (gen_events),
+    // but the capability itself is Spark's codegen'd uuid() expression.
+    import org.apache.spark.sql.functions.expr
+    val ids = spark.range(1000).select(expr("uuid()").as("u"))
+      .collect().map(_.getString(0))
+    val v4 = "^[0-9a-f]{8}-[0-9a-f]{4}-4[0-9a-f]{3}-[89ab][0-9a-f]{3}-[0-9a-f]{12}$".r
+    assert(ids.forall(u => v4.findFirstIn(u).isDefined), "must be RFC 4122 v4")
+    assert(ids.distinct.length == ids.length, "uuids must be unique")
+  }
 }

@@ -28,6 +28,30 @@ class LlmSpec extends AnyFunSuite {
     }
   }
 
+  test("duplicate-heavy corpus: LSH candidates stay O(groups), output still O(cluster²) pairs") {
+    import spark.implicits._
+    // 200 exact duplicates of one text + 10 mutually-distinct docs:
+    // the web-corpus shape that makes uncollapsed band buckets
+    // quadratic (C(200,2) = 19900 candidate pairs from every band).
+    val base = "the quick brown fox jumps over the lazy dog again and again"
+    val cluster = (0L until 200L).map(i => (i, base))
+    val uniques = (200L until 210L).map(i =>
+      (i, s"unrelated document ${i} speaks only of topic${i} and thing${i * 7} entirely"))
+    val docs = (cluster ++ uniques).toDF("doc_id", "text")
+    // candidate generation runs on exact-dup GROUP representatives:
+    // 11 groups -> at most C(11,2) = 55 candidates, never 19900+.
+    val cand = Llm.nearDupCandidates(docs).collect()
+    assert(cand.length <= 55, s"candidate pairs ${cand.length} — duplicate cluster not collapsed")
+    // the declared output still carries every intra-cluster pair at
+    // jaccard 1.0 (the oracle's all-pairs contract), and nothing else
+    val pairs = Llm.dedupNearOn(docs).collect()
+    assert(pairs.length == 199 * 100, s"expected C(200,2) pairs, got ${pairs.length}")
+    pairs.foreach { r =>
+      assert(r.getLong(0) < r.getLong(1) && r.getLong(1) < 200L)
+      assert(r.getDouble(2) == 1.0)
+    }
+  }
+
   test("simhash pairs are within hamming 3 and consistent with signatures") {
     val sig = Llm.simhash(spark, TestSpark.sf).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
@@ -63,6 +87,63 @@ class LlmSpec extends AnyFunSuite {
     // near-orthogonal noise corpus: 16x6 LSH lands ~0.5; random top-10
     // from ~20% candidates would land ~0.2
     assert(recall >= 0.35, s"recall@10 $recall below floor")
+  }
+
+  test("fingerprints: ~1/16 selection rate, identical docs share identical digests") {
+    val rows = Llm.fingerprint(spark, TestSpark.sf).collect()
+    assert(rows.nonEmpty)
+    val nGrams = rows.map(_.getLong(1)).sum
+    val nSel = rows.map(_.getLong(2)).sum
+    val rate = nSel.toDouble / nGrams
+    assert(rate > 1.0 / 32 && rate < 1.0 / 8, s"selection rate $rate far from 1/16")
+    // bit-level pin: replicate doc 0's full digest independently in
+    // plain Scala (MessageDigest md5, same 14-hex-digit prefix)
+    val text0 = graft.sources.Tables.documents(spark, TestSpark.sf)
+      .filter(org.apache.spark.sql.functions.col("doc_id") === 0L)
+      .select("text").head().getString(0)
+    val t = text0.toLowerCase.trim.replaceAll("\\s+", " ")
+    val mdInst = java.security.MessageDigest.getInstance("MD5")
+    val hs = (0 to t.length - 8).map { i =>
+      val hex = mdInst.digest(t.substring(i, i + 8).getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(14)
+      java.lang.Long.parseLong(hex, 16)
+    }
+    val sel = hs.filter(_ % 16 == 0)
+    val row0 = rows.find(_.getLong(0) == 0L).get
+    assert(row0.getLong(1) == hs.length && row0.getLong(2) == sel.length)
+    assert(row0.getLong(3) == (if (sel.isEmpty) -1L else sel.min))
+    assert(row0.getLong(4) == (if (sel.isEmpty) -1L else sel.reduce(_ ^ _)))
+  }
+
+  test("embedding near-dup finds planted clusters via LSH, exact precision") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    def unit(v: Array[Double]) = {
+      val n = math.sqrt(v.map(x => x * x).sum); v.map(_ / n)
+    }
+    // 5 clusters of 6 vectors each (base + 1% noise -> cosine ~0.999),
+    // plus 70 isolated random vectors
+    val vecs = scala.collection.mutable.ArrayBuffer.empty[(Long, Seq[Double])]
+    var id = 0L
+    for (_ <- 0 until 5) {
+      val base = unit(Array.fill(64)(rnd.nextGaussian()))
+      for (_ <- 0 until 6) {
+        vecs += ((id, unit(base.map(_ + 0.01 * rnd.nextGaussian())).toSeq)); id += 1
+      }
+    }
+    for (_ <- 0 until 70) {
+      vecs += ((id, unit(Array.fill(64)(rnd.nextGaussian())).toSeq)); id += 1
+    }
+    val df = vecs.toSeq.toDF("vec_id", "v")
+    val pairs = Llm.embedNearDupOn(spark, df, 0.95).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // every intra-cluster pair found (5 clusters x C(6,2) = 75)...
+    val expected = (for (c <- 0 until 5; a <- 0 until 6; b <- a + 1 until 6)
+      yield ((c * 6 + a).toLong, (c * 6 + b).toLong)).toSet
+    assert(expected.subsetOf(pairs.map { case (a, b) => (math.min(a, b), math.max(a, b)) }),
+      s"missing planted pairs: ${(expected -- pairs).take(5)}")
+    // ...and nothing else (random 64-dim vectors never reach 0.95)
+    assert(pairs.size == 75, s"false positives: ${pairs.size - 75}")
   }
 
   test("quality scores are in (0, 1] and token stats cover all docs") {

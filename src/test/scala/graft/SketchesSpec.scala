@@ -84,6 +84,28 @@ class SketchesSpec extends AnyFunSuite {
       s"sf0.001 cohorts have 15 distinct users (linear-counting regime): $perType")
   }
 
+  test("faithful HLL goldens hold in BOTH estimator regimes on declared testdata") {
+    // goldens from the same independent Python replica of
+    // hyperloglog.py:4-38. Two regimes of the estimator:
+    //  - linear counting (E <= 2.5m, zero registers remain):
+    //    sf0.01 user cohorts, 150 distinct -> 151
+    //  - raw harmonic-mean estimate (E > 2.5m = 10240):
+    //    sf0.1 event_id cohorts, ~20k distinct each
+    val perType01 = Sketches.hllFaithful(spark, "/root/testdata/sf0.01")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(perType01.values.forall(_ == 151L),
+      s"sf0.01 cohorts (150 users, linear-counting regime): $perType01")
+
+    val hllUdaf = udaf(new SketchAggs.FaithfulHllAgg(12), Encoders.STRING)
+    val raw = graft.sources.Tables.events(spark, "/root/testdata/sf0.1")
+      .select(col("event_type"), col("event_id").cast("string").as("k"))
+      .groupBy(col("event_type")).agg(hllUdaf(col("k")).as("est"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val golden = Map("click" -> 19689L, "error" -> 20332L, "purchase" -> 19839L,
+                     "signup" -> 20330L, "view" -> 20046L)
+    assert(raw == golden, s"raw-regime goldens drifted: $raw vs $golden")
+  }
+
   test("true DGIM stays within the 50% error bound with logarithmic memory") {
     // adversarial-ish stream: bursty 1s, 10k bits over a 1000-tick window
     val d = new graft.plans.Dgim(1000L)
