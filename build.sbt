@@ -34,4 +34,10 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-)
+  // Whole-stage codegen emits one Janino class per stage; a long
+  // bench run (50+ queries in one JVM) overflows the default 240 MB
+  // JIT code cache, and the resulting silent flush/recompile thrash
+  // makes later queries run 10-50x slower (measured in round 3).
+  "-XX:ReservedCodeCacheSize=1g",
+) ++ sys.env.get("GRAFT_JVM_LOG").map(f =>
+  s"-Xlog:gc*,safepoint*:file=$f:time,uptime").toSeq

@@ -1,11 +1,9 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.functions.SketchAggs
 import graft.sources.Tables
 
 /** Large-scale training-data pipeline operators over the `documents`
@@ -83,21 +81,46 @@ object Llm {
 
   private def candidatesOf(sh: DataFrame): DataFrame = {
     // Kirsch-Mitzenmacher double hashing: two string hashes expand to
-    // 128 independent-enough functions h1 + i*h2 — 64x fewer string
-    // hash evaluations than 128 seeded xxhash64 calls per shingle.
-    // Raw full-range base hashes: the h1 + i*h2 expansion happens
-    // inside the aggregator where mod-2^64 wraparound is natural
-    // (masking h2 here would collapse the hash family — see
-    // SketchAggs.MinHash2Agg).
-    val hashed = sh
-      .withColumn("h1", xxhash64(lit(1), col("shingle")))
-      .withColumn("h2", xxhash64(lit(2), col("shingle")))
-    val sigUdaf = udaf(new SketchAggs.MinHash2Agg(128), ExpressionEncoder[(Long, Long)]())
+    // 128 independent-enough functions (h1 + i*h2) mod 2^31 — 64x
+    // fewer string hash evaluations than 128 seeded xxhash64 calls
+    // per shingle (the 31-bit range keeps the mixing arithmetic,
+    // max h1 + 127*h2 < 2^38, overflow-free; slot collisions are
+    // ~n_shingles/2^31 ≈ 1e-7 — no recall impact).
+    //
+    // The per-group elementwise-min fold is a typed
+    // groupByKey.mapGroups — one primitive JVM loop per group. Both
+    // "idiomatic" alternatives lose badly at this width, measured by
+    // round-3 stack sampling: a udaf Aggregator pays interpreted
+    // SafeProjection buffer serde per merge row, and 128 separate
+    // min() aggregates make every task rebuild a megabyte of
+    // generated-source string just to look up the codegen cache.
+    // The raw (key, h1, h2) shuffle this costs is also SMALLER than
+    // the partial-agg alternative's buffers whenever groups are
+    // shingle-sized (128-slot partials ≈ 1 KB/group/partition vs
+    // ~50 B/shingle row).
+    val M = 1L << 31
+    import sh.sparkSession.implicits._
+    val hashed = sh.select(col("key"),
+        pmod(xxhash64(lit(1), col("shingle")), lit(M)).as("h1"),
+        pmod(xxhash64(lit(2), col("shingle")), lit(M)).as("h2"))
+      .as[(String, Long, Long)]
     // shingle-set size rides along with the signature, and then
     // through the band join — the candidate pairs carry (n_a, n_b)
     // so no separate size subquery rescans the corpus.
-    val sigs = hashed.groupBy(col("key"))
-      .agg(sigUdaf(col("h1"), col("h2")).as("sig"), count(lit(1)).as("n"))
+    val sigs = hashed.groupByKey(_._1).mapGroups { (k, rows) =>
+      val buf = Array.fill(128)(Long.MaxValue)
+      var n = 0L
+      rows.foreach { case (_, h1, h2) =>
+        var i = 0
+        while (i < 128) {
+          val v = (h1 + i * h2) % M
+          if (v < buf(i)) buf(i) = v
+          i += 1
+        }
+        n += 1
+      }
+      (k, n, buf)
+    }.toDF("key", "n", "sig")
     val bands = sigs.select(col("key"), col("n"), posexplode(expr(
       "transform(sequence(0, 31), b -> xxhash64(b, slice(sig, b*4 + 1, 4)))")))
       .toDF("key", "n", "band", "band_hash")
@@ -137,15 +160,21 @@ object Llm {
     dedupNearOn(Tables.documents(spark, dir).select(col("doc_id"), col("text")))
 
   private[graft] def dedupNearOn(docs: DataFrame): DataFrame = {
-    // Scale note: `sh` (rep-level shingles) feeds the signature build
-    // and both sides of the verify join. A production 100 TB run
-    // persists or checkpoints it between stages (it is the pipeline's
-    // working set); left unpersisted here because the gate executes
-    // each query exactly once and a library function must not leak
-    // cached partitions into the caller's session.
-    val m = normalized(docs)
+    // `m` and `sh` are the pipeline's working set: `m` feeds the
+    // member table and the rep build, `sh` feeds the signature build
+    // and both sides of the verify join. They are materialized once
+    // with an eager localCheckpoint — without it, every broadcast
+    // exchange re-executes the scan→md5→group→shingle subtree as its
+    // own (often single-task) job, which round-3 profiling measured
+    // at 10-60 s of pure recomputation at sf0.1. Checkpointed blocks
+    // are dropped by the ContextCleaner when the frames are GC'd (no
+    // session-level cache leak); a cluster run at 100 TB would use a
+    // reliable checkpoint for the same stage cut.
+    val m = normalized(docs).localCheckpoint()
     val members = m.select(col("doc_id"), col("text_hash"))
     val sh = shingles(repsOf(m))
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
+      .localCheckpoint()
     val cand = candidatesOf(sh)
     // exact verify restricted to candidate group pairs: expand each
     // pair by side a's shingles, hash-join against side b's set.
@@ -181,8 +210,12 @@ object Llm {
     * Identical normalized text ⇒ identical bigram multiset ⇒
     * identical signature, so the sketch is built once per distinct
     * text. The feature hash is md5-derived so the DuckDB oracle
-    * reproduces it bit-for-bit; the signature is a single-pass
-    * mergeable Aggregator. Returns (key = text_hash, simhash). */
+    * reproduces it bit-for-bit; the signature is built as 60 plain
+    * per-bit vote `sum()`s — a codegen'd HashAggregate with a
+    * primitive buffer, bit-identical to SketchAggs.SimHashAgg (which
+    * remains the mergeable-Aggregator form of the same sketch; the
+    * SQL formulation won the hot path for the same serde reason as
+    * candidatesOf). Returns (key = text_hash, simhash). */
   private def simhashSigs(m: DataFrame): DataFrame = {
     val bigrams = repsOf(m)
       .select(col("key"), split(lower(trim(col("text"))), "\\s+").as("toks"))
@@ -190,15 +223,22 @@ object Llm {
       .select(col("key"), explode(expr(
         "transform(sequence(0, size(toks)-2), i -> concat_ws(' ', toks[i], toks[i+1]))")).as("g"))
       .withColumn("hv", conv(substring(md5(col("g")), 1, 15), 16, 10).cast("long"))
-    val simUdaf = udaf(new SketchAggs.SimHashAgg(60), org.apache.spark.sql.Encoders.scalaLong)
-    bigrams.groupBy(col("key")).agg(simUdaf(col("hv")).as("simhash"))
+    val votes = (0 until 60).map(b =>
+      sum(shiftright(col("hv"), b).bitwiseAND(lit(1L)) * 2 - 1).as(s"v_$b"))
+    bigrams.groupBy(col("key")).agg(votes.head, votes.tail: _*)
+      .select(col("key"),
+        (0 until 60).map(b => when(col(s"v_$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+          .reduce(_ + _).as("simhash"))
   }
 
   /** Per-document SimHash: the group signature joined back to group
     * members — at 100 TB the sketch build runs over distinct texts,
     * not documents (web corpora are duplicate-heavy). */
   def simhash(spark: SparkSession, dir: String): DataFrame = {
+    // m is read by both the member projection and the sig build —
+    // one eager materialization (see dedupNearOn's scale note)
     val m = normalized(Tables.documents(spark, dir).select(col("doc_id"), col("text")))
+      .localCheckpoint()
     m.select(col("doc_id"), col("text_hash"))
       .join(simhashSigs(m), col("text_hash") === col("key"))
       .select(col("doc_id"), col("simhash"))
@@ -215,9 +255,13 @@ object Llm {
     * group pairs expand back to doc pairs at the end (intra-group =
     * Hamming 0 by construction). */
   def simhashPairs(spark: SparkSession, dir: String): DataFrame = {
+    // m (scan+md5) and sig (bigram explode + md5 + SimHashAgg) feed
+    // four consumers each (band join sides, member expansion, group
+    // filter) — materialize both once (see dedupNearOn's scale note)
     val m = normalized(Tables.documents(spark, dir).select(col("doc_id"), col("text")))
+      .localCheckpoint()
     val members = m.select(col("doc_id"), col("text_hash"))
-    val sig = simhashSigs(m)
+    val sig = simhashSigs(m).localCheckpoint()
     val bands = sig.select(col("key"), col("simhash"), posexplode(expr(
       "transform(sequence(0, 3), b -> (simhash >> (b*15)) & 32767)")))
       .toDF("key", "simhash", "band", "band_key")
@@ -318,6 +362,11 @@ object Llm {
       .select(col("doc_id"),
         regexp_replace(lower(trim(col("text"))), "\\s+", " ").as("t"))
       .filter(length(col("t")) >= 8)
+      // partition by doc_id BEFORE the gram explode: the per-gram md5
+      // work spreads across cores regardless of scan granularity, and
+      // the final groupBy(doc_id) reuses this partitioning instead of
+      // shuffling the ~300x larger gram table
+      .repartition(col("doc_id"))
       .select(col("doc_id"), explode(expr(
         "transform(sequence(1, length(t) - 7), i -> substring(t, i, 8))")).as("g"))
       .withColumn("h", conv(substring(md5(col("g")), 1, 14), 16, 10).cast("long"))
