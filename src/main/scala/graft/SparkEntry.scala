@@ -53,6 +53,7 @@ object SparkEntry {
     "llm_fingerprint"    -> (Llm.fingerprint _),
     "llm_knn_exact"      -> (Llm.knnExact _),
     "llm_ann_lsh"        -> (Llm.annLsh _),
+    "llm_ann_ivf"        -> ((s, d) => Llm.annIvf(s, d)),
     "llm_media_meta"     -> (Llm.mediaMeta _),
     "eco_graph_nodes"    -> (Graph.graphNodes _),
     "eco_graph_edges"    -> (Graph.graphEdges _),

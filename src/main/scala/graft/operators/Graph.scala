@@ -133,9 +133,11 @@ object Graph {
     * one column per successor state (transition_matrix.py:64-84),
     * with explicit zeros for unseen transitions. Pivot values are
     * discovered from the data (sorted for deterministic column
-    * order). */
+    * order); the transitions table (bounded by |event_types|², ~25
+    * rows) is materialized once so the value-discovery pass does not
+    * re-run the whole lead-window pipeline. */
   def transitionMatrix(spark: SparkSession, dir: String): DataFrame = {
-    val t = Ecosystem.transitions(spark, dir)
+    val t = Ecosystem.transitions(spark, dir).localCheckpoint()
     val types = t.select(col("next_event")).distinct().collect().map(_.getString(0)).sorted
     val pivoted = t.groupBy(col("cur_event"))
       .pivot("next_event", types)

@@ -490,6 +490,86 @@ object Llm {
       .select(col("probe_id"), col("vec_id"), col("sim"), col("rn"))
   }
 
+  /** ANN via IVF (inverted-file) coarse quantization — the cluster-
+    * pruned alternative to `annLsh`'s hash-bucketed path, the other
+    * standard scale route for vector search:
+    *  1. K coarse centroids from deterministic seeds (top-K vec_ids
+    *     by xxhash64 — reproducible, no stored model) refined with
+    *     `iters` Lloyd rounds; only K×dim sums cross to the driver
+    *     per round, the assignment scan stays distributed;
+    *  2. every vector lands in the inverted list of its nearest
+    *     centroid (at 100 TB: write the corpus bucketed by this
+    *     cluster id — the partition-pruned read IS the index);
+    *  3. each probe searches only its `nprobe` closest lists;
+    *     candidates rerank with the exact codegen'd cosine.
+    * Approx by construction → rows-only in the driver gate; LlmSpec
+    * pins recall vs `knnExact` and the pruning ratio. */
+  def annIvf(spark: SparkSession, dir: String, k: Int = 32, nprobe: Int = 6,
+             iters: Int = 2): DataFrame = {
+    import spark.implicits._
+    val all = vecs(spark, dir)
+    val typed = all.select(col("vec_id"), col("v")).as[(Long, Seq[Double])]
+    // deterministic centroid seeds
+    var centroids: Array[Array[Double]] = all
+      .select(col("vec_id"), col("v"), xxhash64(col("vec_id")).as("hk"))
+      .orderBy(col("hk")).limit(k)
+      .select(col("v")).as[Seq[Double]].collect().map(_.toArray)
+
+    def nearest(v: Seq[Double], cs: Array[Array[Double]], n: Int): Array[Int] = {
+      val sims = cs.map { c =>
+        var dot = 0.0; var nv = 0.0; var nc = 0.0; var i = 0
+        while (i < v.length) { dot += v(i) * c(i); nv += v(i) * v(i); nc += c(i) * c(i); i += 1 }
+        dot / (math.sqrt(nv) * math.sqrt(nc))
+      }
+      sims.zipWithIndex.sortBy(-_._1).take(n).map(_._2)
+    }
+
+    // Lloyd refinement: distributed assign + partial sums, K×dim to driver
+    for (_ <- 0 until iters) {
+      val bc = spark.sparkContext.broadcast(centroids)
+      val sums = typed.mapPartitions { rows =>
+        val cs = bc.value
+        val acc = Array.fill(cs.length)(new Array[Double](cs(0).length))
+        val cnt = new Array[Long](cs.length)
+        rows.foreach { case (_, v) =>
+          val c = nearest(v, cs, 1)(0)
+          var i = 0
+          while (i < v.length) { acc(c)(i) += v(i); i += 1 }
+          cnt(c) += 1
+        }
+        acc.indices.iterator.filter(cnt(_) > 0).map(c => (c, acc(c), cnt(c)))
+      }.collect()
+      val merged = sums.groupBy(_._1).map { case (c, parts) =>
+        val s = new Array[Double](centroids(0).length)
+        var n = 0L
+        parts.foreach { case (_, a, m) => var i = 0; while (i < s.length) { s(i) += a(i); i += 1 }; n += m }
+        c -> s.map(_ / n)
+      }
+      centroids = centroids.indices.map(c => merged.getOrElse(c, centroids(c))).toArray
+    }
+
+    val bc = spark.sparkContext.broadcast(centroids)
+    val assigned = typed.map { case (id, v) => (id, nearest(v, bc.value, 1)(0)) }
+      .toDF("vec_id", "cluster")
+    val listed = all.join(assigned, Seq("vec_id"))
+    // probe-side: nprobe closest lists per probe (10 probes — driver-tiny)
+    val probes = all.filter(col("vec_id") < 10)
+      .select(col("vec_id"), col("v"), col("nrm")).as[(Long, Seq[Double], Double)]
+      .collect()
+    val probeClusters = probes.flatMap { case (pid, pv, _) =>
+      nearest(pv, centroids, nprobe).map(c => (pid, c)) }.toSeq
+      .toDF("probe_id", "cluster")
+    val probeVecs = probes.toSeq.toDF("probe_id", "pv", "pn")
+    val w = Window.partitionBy(col("probe_id")).orderBy(col("sim").desc, col("vec_id").asc)
+    listed.join(probeClusters, Seq("cluster"))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .join(broadcast(probeVecs), Seq("probe_id"))
+      .withColumn("sim", round(cosineSim(spark), 6))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 10)
+      .select(col("probe_id"), col("vec_id"), col("sim"), col("rn"))
+  }
+
   /** Embedding-cosine near-duplicate pairs — the vector-space member
     * of the dedup family (exact hash / MinHash-LSH / SimHash /
     * embedding cosine): SRP-LSH bucket self-join for candidates

@@ -89,6 +89,19 @@ class LlmSpec extends AnyFunSuite {
     assert(recall >= 0.35, s"recall@10 $recall below floor")
   }
 
+  test("IVF ANN: clusters prune the search space, recall beats random selection") {
+    val exact = Llm.knnExact(spark, TestSpark.sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Llm.annIvf(spark, TestSpark.sf, k = 16, nprobe = 4).collect()
+    val ivfPairs = ivf.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact intersect ivfPairs).size.toDouble / exact.size
+    // near-orthogonal noise corpus (see annLsh note): nprobe/k = 1/4 of
+    // the lists searched -> random-selection recall would be ~0.25
+    assert(recall >= 0.3, s"IVF recall@10 $recall below floor")
+    // every probe still returns a full ranked top-10 from its lists
+    assert(ivf.groupBy(_.getLong(0)).forall(_._2.length == 10))
+  }
+
   test("fingerprints: ~1/16 selection rate, identical docs share identical digests") {
     val rows = Llm.fingerprint(spark, TestSpark.sf).collect()
     assert(rows.nonEmpty)
