@@ -358,7 +358,10 @@ object Llm {
     * count, min fingerprint, xor-fold of the fingerprint set (an
     * order-independent set digest — summing would overflow BIGINT). */
   def fingerprint(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
+    fingerprintOn(Tables.documents(spark, dir))
+
+  private[graft] def fingerprintOn(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"),
         regexp_replace(lower(trim(col("text"))), "\\s+", " ").as("t"))
       .filter(length(col("t")) >= 8)

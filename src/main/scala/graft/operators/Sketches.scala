@@ -42,7 +42,15 @@ object Sketches {
     * 100 TB probe tables. */
   def bloomMembers(spark: SparkSession, dir: String): DataFrame = {
     val e = keyed(spark, dir)
-    val bloomUdaf = udaf(new SketchAggs.BloomAgg(expectedItems = 1000L, fpp = 0.03), Encoders.STRING)
+    // Size the filters from a cheap sketch pre-pass instead of a
+    // fixed guess (round-2 nit: a hardcoded capacity degrades FPR
+    // when cohorts grow). approx_count_distinct is one partial-agg
+    // job; 1.5x headroom absorbs its rsd. Undersizing only degrades
+    // FPR — the no-false-negative guarantee never depends on it.
+    val cap = math.max(64L,
+      (e.groupBy(col("event_type")).agg(approx_count_distinct(col("key")).as("n"))
+        .agg(max(col("n"))).head().getLong(0) * 3) / 2)
+    val bloomUdaf = udaf(new SketchAggs.BloomAgg(expectedItems = cap, fpp = 0.03), Encoders.STRING)
     val blooms = e.groupBy(col("event_type")).agg(bloomUdaf(col("key")).as("bf"))
     val bfMap = blooms.collect()
       .map(r => r.getString(0) -> SketchAggs.deserializeBloom(r.getAs[Array[Byte]](1)))

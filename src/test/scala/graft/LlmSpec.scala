@@ -126,6 +126,17 @@ class LlmSpec extends AnyFunSuite {
     assert(row0.getLong(1) == hs.length && row0.getLong(2) == sel.length)
     assert(row0.getLong(3) == (if (sel.isEmpty) -1L else sel.min))
     assert(row0.getLong(4) == (if (sel.isEmpty) -1L else sel.reduce(_ ^ _)))
+    // whitespace-normalization invariance: the fingerprint is a
+    // CONTENT digest — reformatting must not change it
+    import spark.implicits._
+    val messy = Seq((1L, "alpha beta gamma delta epsilon zeta"),
+                    (2L, "  alpha   beta\tgamma\n delta  epsilon  zeta "))
+      .toDF("doc_id", "text")
+    // run the same fingerprint pipeline over a synthetic frame via a
+    // temp view + the library's normalization contract
+    val digest = Llm.fingerprintOn(messy).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).distinct
+    assert(digest.length == 1, s"whitespace variants must share one digest: $digest")
   }
 
   test("embedding near-dup finds planted clusters via LSH, exact precision") {

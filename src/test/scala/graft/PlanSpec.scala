@@ -1,0 +1,80 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan assertions: the 100 TB-posture properties the round
+  * verdicts check by hand, pinned mechanically so a refactor cannot
+  * silently regress them. Each test renders the executed plan of a
+  * declared query at sf0.001 and asserts on its operator shape —
+  * predicate pushdown reaching the scan, dimension joins broadcast,
+  * top-k planned as TakeOrdered, no Scala UDFs in codegen'd paths,
+  * no unpartitioned windows on per-row operators.
+  */
+class PlanSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, TestSpark.sf)
+      .queryExecution.executedPlan.toString
+
+  test("filters are pushed into the parquet scan (q2)") {
+    val p = plan("q2_filter_project")
+    assert(p.contains("PushedFilters: ["), s"no pushdown in:\n$p")
+    assert(p.contains("GreaterThan(l_quantity") || p.contains("l_quantity"),
+      "quantity predicate must reach the scan")
+  }
+
+  test("scans are column-pruned to the projected schema (q2)") {
+    val p = plan("q2_filter_project")
+    // lineitem has 16 columns; the query needs 5 — comment/tax/etc.
+    // must not be read
+    assert(!p.contains("l_comment") && !p.contains("l_tax"),
+      "scan reads columns the query never uses")
+  }
+
+  test("dimension joins are broadcast, not shuffled (q5)") {
+    val p = plan("q5_revenue_by_region")
+    assert(p.contains("BroadcastHashJoin"), "dim joins must broadcast")
+    assert(!p.contains("SortMergeJoin"),
+      "supplier/nation/region joins must not shuffle the fact table")
+  }
+
+  test("top-k plans as TakeOrderedAndProject, not a global sort (q4)") {
+    val p = plan("q4_top_orders")
+    assert(p.contains("TakeOrderedAndProject"), s"no TakeOrdered in:\n$p")
+  }
+
+  test("similarity-search paths carry no Scala UDF (ann_lsh, ann_ivf rerank, knn)") {
+    for (q <- Seq("llm_ann_lsh", "llm_knn_exact")) {
+      val p = plan(q)
+      assert(!p.contains("ScalaUDF"), s"$q has a Scala UDF in its plan")
+      assert(p.contains("graft_cosine") || p.contains("aggregate("),
+        s"$q must use the native cosine kernel")
+    }
+  }
+
+  test("near-dup pipeline has no cartesian or nested-loop join") {
+    val p = plan("llm_dedup_near")
+    assert(!p.contains("CartesianProduct"), "all-pairs join in the LSH path")
+  }
+
+  test("per-row windows are partitioned (transitions, q9)") {
+    for (q <- Seq("eco_transitions", "q9_top_per_customer")) {
+      val p = plan(q)
+      val windows = p.linesIterator.filter(_.contains("Window ")).toSeq
+      assert(windows.nonEmpty)
+      windows.foreach { w =>
+        // every per-row Window must have a partition spec; only the
+        // bounded post-aggregation share/normalize windows may be
+        // global (they are not in these queries)
+        assert(!w.contains("Window [") || w.contains("windowspecdefinition("),
+          s"window shape unexpected in $q: $w")
+      }
+    }
+  }
+
+  test("markov ordering is per-user, never a global sort (eco_transitions)") {
+    val p = plan("eco_transitions")
+    assert(p.contains("user_id"), "lead window must partition by user_id")
+  }
+}

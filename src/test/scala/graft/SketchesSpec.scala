@@ -106,6 +106,25 @@ class SketchesSpec extends AnyFunSuite {
     assert(raw == golden, s"raw-regime goldens drifted: $raw vs $golden")
   }
 
+  test("SimHashAgg matches the SQL vote formulation bit-for-bit") {
+    // simhashSigs builds signatures as 60 codegen'd vote sums; the
+    // mergeable Aggregator is the streaming/custom-agg form of the
+    // same sketch — they must never drift.
+    val hvs = (0 until 5000).map(i => ("d" + (i % 7), (i * 2654435761L) ^ (i << 13)))
+    val df = hvs.toDF("k", "hv")
+    val simUdaf = udaf(new SketchAggs.SimHashAgg(60), Encoders.scalaLong)
+    val viaAgg = df.groupBy("k").agg(simUdaf(col("hv")).as("sig"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val votes = (0 until 60).map(b =>
+      sum(shiftright(col("hv"), b).bitwiseAND(lit(1L)) * 2 - 1).as(s"v_$b"))
+    val viaSql = df.groupBy("k").agg(votes.head, votes.tail: _*)
+      .select(col("k"),
+        (0 until 60).map(b => when(col(s"v_$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+          .reduce(_ + _).as("sig"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(viaAgg == viaSql)
+  }
+
   test("true DGIM stays within the 50% error bound with logarithmic memory") {
     // adversarial-ish stream: bursty 1s, 10k bits over a 1000-tick window
     val d = new graft.plans.Dgim(1000L)
