@@ -51,6 +51,8 @@ object SparkEntry {
     "llm_quality"        -> (Llm.quality _),
     "llm_token_count"    -> (Llm.tokenCount _),
     "llm_fingerprint"    -> (Llm.fingerprint _),
+    "llm_ngram_jaccard"  -> (Llm.ngramJaccard _),
+    "llm_dedup_embed"    -> ((s, d) => Llm.dedupEmbed(s, d)),
     "llm_knn_exact"      -> (Llm.knnExact _),
     "llm_ann_lsh"        -> (Llm.annLsh _),
     "llm_ann_ivf"        -> ((s, d) => Llm.annIvf(s, d)),
@@ -301,6 +303,32 @@ object SparkEntry {
            CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS sum_ws_tokens,
            CAST(sum(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\s]'))) AS BIGINT) AS sum_bpe_tokens
          FROM documents GROUP BY source""",
+    // Exact word-3-gram Jaccard over the doc_id < 50 diagnostic
+    // slice (the oracle-checked twin of the n-gram near-dup family;
+    // full-corpus scale path = llm_dedup_near's banded LSH).
+    "llm_ngram_jaccard" ->
+      """WITH toks AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+                       FROM documents WHERE doc_id < 50),
+         sh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+                FROM toks, LATERAL (SELECT unnest(range(1, len(t)-1)) AS i)
+                WHERE len(t) >= 3),
+         sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+         i AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+               FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
+         SELECT doc_a, doc_b, sa.n AS n_a, sb.n AS n_b, n_common,
+           round(n_common / (sa.n + sb.n - n_common), 6) AS jaccard
+         FROM i JOIN sizes sa ON sa.doc_id = doc_a
+                JOIN sizes sb ON sb.doc_id = doc_b""",
+    // Exact embedding-cosine pairs >= 0.35 among vec_id < 200 (the
+    // oracle-checked twin of embedNearDup; cosine rounded to 6 on
+    // both sides like llm_knn_exact).
+    "llm_dedup_embed" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve
+                    FROM embeddings WHERE vec_id < 200),
+         p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                 round(list_cosine_similarity(a.ve, b.ve), 6) AS cos_sim
+               FROM v a JOIN v b ON a.vec_id < b.vec_id)
+         SELECT id_a, id_b, cos_sim FROM p WHERE cos_sim >= 0.35""",
     // Rolling char-8-gram fingerprints, "0 mod 16" selection; gram
     // hash = first 14 hex digits of md5 (same cross-engine trick as
     // llm_simhash). bit_xor folds the selected set order-free.

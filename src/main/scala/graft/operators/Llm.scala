@@ -345,6 +345,48 @@ object Llm {
            sum(col("n_ws")).as("sum_ws_tokens"),
            sum(col("n_bpe")).as("sum_bpe_tokens"))
 
+  /** Exact word-3-gram Jaccard between documents — the deterministic
+    * oracle-checked twin of the n-gram near-dup family, over the
+    * bounded doc_id < 50 diagnostic slice (C(50,2) pairs; the scale
+    * path for full corpora is `dedupNear`'s banded LSH, which runs
+    * the same shingle Jaccard on candidates only). One shingle
+    * self-join; sizes ride separate tiny aggregates. */
+  def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val sh = shingles(Tables.documents(spark, dir)
+      .filter(col("doc_id") < 50)
+      .select(col("doc_id").as("key"), col("text")))
+    val sizes = sh.groupBy(col("key")).agg(count(lit(1)).as("n"))
+    sh.as("a").join(sh.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.key") < col("b.key"))
+      .groupBy(col("a.key").as("doc_a"), col("b.key").as("doc_b"))
+      .agg(count(lit(1)).as("n_common"))
+      .join(sizes.select(col("key").as("doc_a"), col("n").as("n_a")), Seq("doc_a"))
+      .join(sizes.select(col("key").as("doc_b"), col("n").as("n_b")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("n_a"), col("n_b"), col("n_common"),
+        round(col("n_common") / (col("n_a") + col("n_b") - col("n_common")), 6).as("jaccard"))
+  }
+
+  /** Exact embedding-cosine near-dup pairs — the oracle-checked twin
+    * of `embedNearDup`, over the bounded vec_id < 200 diagnostic
+    * slice (the synthetic corpus is near-orthogonal noise, so the
+    * threshold sits at the distribution's tail; real corpora use the
+    * LSH-bucketed `embedNearDupOn` whose planted-cluster recall is
+    * pinned in LlmSpec). */
+  def dedupEmbed(spark: SparkSession, dir: String, threshold: Double = 0.35): DataFrame = {
+    val v = vecs(spark, dir).filter(col("vec_id") < 200)
+    val cos =
+      if (spark.catalog.functionExists("graft_cosine")) expr("graft_cosine(va, vb)")
+      else expr("aggregate(zip_with(va, vb, (x, y) -> x * y), cast(0.0 AS double), (a, x) -> a + x)" +
+        " / (sqrt(aggregate(va, cast(0.0 AS double), (a, x) -> a + x * x))" +
+        " * sqrt(aggregate(vb, cast(0.0 AS double), (a, x) -> a + x * x)))")
+    v.select(col("vec_id").as("id_a"), col("v").as("va")).as("a")
+      .join(v.select(col("vec_id").as("id_b"), col("v").as("vb")).as("b"),
+        col("id_a") < col("id_b"))
+      .withColumn("cos_sim", round(cos, 6))
+      .filter(col("cos_sim") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cos_sim"))
+  }
+
   /** Document fingerprinting via rolling character 8-grams with
     * "0 mod p" selection (p = 16) — the classic content-fingerprint
     * scheme (the ancestor of winnowing): every 8-char window of the
