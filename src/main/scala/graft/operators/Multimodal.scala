@@ -60,6 +60,31 @@ object Multimodal {
     out
   }
 
+  /** Resize: nearest-neighbor downsample of a (w × h) single-channel
+    * byte raster to (outW × outH) — the codec-free stand-in for image
+    * resize (a real implementation swaps the per-pixel lookup for a
+    * codec/SIMD call; the executor-side batched shape is identical).
+    * Pure and allocation-bounded: output is exactly outW×outH bytes
+    * regardless of input size, which is what keeps a 100 TB image
+    * table's resize pass memory-constant per row. */
+  def resizeRaster(pixels: Array[Byte], w: Int, h: Int,
+                   outW: Int, outH: Int): Array[Byte] = {
+    require(w > 0 && h > 0 && outW > 0 && outH > 0, "dimensions must be positive")
+    require(pixels.length >= w * h, s"raster smaller than $w x $h")
+    val out = new Array[Byte](outW * outH)
+    var y = 0
+    while (y < outH) {
+      val sy = y * h / outH
+      var x = 0
+      while (x < outW) {
+        out(y * outW + x) = pixels(sy * w + (x * w / outW))
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
   /** Batched executor-side decode: one pass per partition, constant
     * memory per row, no decoded state in the shuffle. This is the
     * `mapPartitions` shape (SURVEY §2 "[C] last resort" is justified

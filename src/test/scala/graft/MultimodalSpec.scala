@@ -24,6 +24,20 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.sampleFrames(Array.emptyByteArray, 3).isEmpty)
   }
 
+  test("resize downsamples rasters with exact output geometry") {
+    // 4x4 gradient raster -> 2x2 nearest-neighbor
+    val px = (0 until 16).map(_.toByte).toArray
+    val out = Multimodal.resizeRaster(px, 4, 4, 2, 2)
+    assert(out.sameElements(Array[Byte](0, 2, 8, 10)))
+    // identity resize
+    assert(Multimodal.resizeRaster(px, 4, 4, 4, 4).sameElements(px))
+    // output size is outW*outH regardless of input
+    assert(Multimodal.resizeRaster(px, 4, 4, 3, 1).length == 3)
+    intercept[IllegalArgumentException] {
+      Multimodal.resizeRaster(px, 5, 5, 2, 2)
+    }
+  }
+
   test("decode pipeline streams a media table partition-wise") {
     val media = Multimodal.mediaFromDocuments(spark, TestSpark.sf)
     val feats = Multimodal.decodeFeatures(media, frameStride = 4).collect()
