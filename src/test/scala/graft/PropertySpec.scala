@@ -3,7 +3,8 @@ package graft
 import org.scalacheck.{Gen, Prop, Test => SCTest}
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.plans.{Dgim, Markov}
+import graft.operators.Multimodal
+import graft.plans.{Dgim, Markov, SrpBuckets}
 
 /** ScalaCheck property tests (SURVEY §5.2) for the pure algorithmic
   * cores — no Spark session needed, so these explore hundreds of
@@ -71,5 +72,43 @@ class PropertySpec extends AnyFunSuite {
       val d = Markov.gcd(a, b)
       d > 0 && a % d == 0 && b % d == 0 && d == Markov.gcd(b, a)
     })
+  }
+
+  test("resizeRaster: exact geometry, identity at same size, value closure") {
+    val caseGen = for {
+      w <- Gen.choose(1, 24); h <- Gen.choose(1, 24)
+      ow <- Gen.choose(1, 24); oh <- Gen.choose(1, 24)
+      px <- Gen.listOfN(w * h, Gen.choose(-128, 127).map(_.toByte))
+    } yield (w, h, ow, oh, px.toArray)
+    check(Prop.forAll(caseGen) { case (w, h, ow, oh, px) =>
+      val out = Multimodal.resizeRaster(px, w, h, ow, oh)
+      val identity = Multimodal.resizeRaster(px, w, h, w, h).sameElements(px)
+      // every output pixel is an input pixel (nearest-neighbor = no
+      // invented values), and the geometry is exact
+      out.length == ow * oh && identity && out.forall(px.contains)
+    }, n = 50)
+  }
+
+  test("SRP bucket ids are stable, bounded, and scale-invariant") {
+    val vecGen = Gen.listOfN(64, Gen.choose(-1000, 1000).map(_ / 100.0))
+    check(Prop.forAll(vecGen, Gen.choose(1, 100)) { (v, k) =>
+      // evaluate through the expression's eval path
+      def buckets(x: Seq[Double]): Seq[Int] = {
+        val w = SrpBuckets.planeWeights
+        (0 until SrpBuckets.Tables).map { t =>
+          (0 until SrpBuckets.Planes).foldLeft(0) { (bits, p) =>
+            val base = (t * SrpBuckets.Planes + p) * SrpBuckets.Dims
+            val dot = x.indices.map(d => x(d) * w(base + d)).sum
+            if (dot > 0) bits | (1 << p) else bits
+          }
+        }
+      }
+      val b = buckets(v)
+      // deterministic; 6-bit bucket range; positive scaling never
+      // moves a vector between buckets (cosine-LSH invariant)
+      b == buckets(v) &&
+        b.forall(x => x >= 0 && x < 64) &&
+        b == buckets(v.map(_ * k))
+    }, n = 50)
   }
 }
