@@ -91,7 +91,10 @@ class PropertySpec extends AnyFunSuite {
 
   test("SRP bucket ids are stable, bounded, and scale-invariant") {
     val vecGen = Gen.listOfN(64, Gen.choose(-1000, 1000).map(_ / 100.0))
-    check(Prop.forAll(vecGen, Gen.choose(1, 100)) { (v, k) =>
+    // scale by powers of two only: that multiplication is exact in
+    // floating point, so sign(dot) is preserved even for near-zero
+    // dots (arbitrary factors can flip a 1e-16 dot via rounding)
+    check(Prop.forAll(vecGen, Gen.oneOf(2, 4, 8, 16, 32)) { (v, k) =>
       // evaluate through the expression's eval path
       def buckets(x: Seq[Double]): Seq[Int] = {
         val w = SrpBuckets.planeWeights
