@@ -1,7 +1,10 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
 import java.nio.file.{Files, Paths}
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
+import org.apache.spark.sql.SparkSession
 
 /** Per-round benchmark harness. Runs every declared query against
   * `SPARK_GRAFT_SF_DIR` and emits one JSON metrics line, both to
@@ -15,8 +18,26 @@ import java.nio.file.{Files, Paths}
   *  - a warmup query runs first, untimed, so the first measured
   *    query doesn't absorb JVM/codegen/parquet-footer warmup;
   *  - failures are recorded per-query (`failed` list) and flip the
-  *    exit code — a broken query can no longer masquerade as a fast
-  *    successful one.
+  *    exit code; a query that failed in one sweep but succeeded in
+  *    another keeps its successful timing AND stays in `failed`
+  *    (recording 0.0 would deflate the total and read as a speedup).
+  *
+  * Throttle robustness (round-3 verdict top item): the round VM
+  * throttles unpredictably under sustained load — identical queries
+  * measured 10-50x apart with idle guest CPU — and round 3's official
+  * artifact recorded 267s for a workload that re-measured at 33s on
+  * the same code. Two defenses:
+  *  - the min-of-2 samples come from two INTERLEAVED full sweeps
+  *    (run all queries, then repeat the whole sweep) instead of two
+  *    back-to-back runs, so a throttle window lasting a few minutes
+  *    cannot doom both samples of one query — it would have to span
+  *    the entire bench;
+  *  - a SparkListener accumulates executor CPU time per query
+  *    (`queries_cpu_sec` / `cpu_sec_total` in the JSON). CPU time
+  *    excludes involuntary wait, so when the host steals cycles the
+  *    wall number inflates but the CPU number doesn't: a wall/CPU
+  *    ratio far above the clean-run ratio proves the delta is
+  *    host-side, not the engine.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -32,6 +53,34 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // Stage-level executor metrics, accumulated across the whole run;
+    // per-query attribution snapshots the counters around each
+    // materialization (queries run one at a time, so deltas are
+    // unambiguous up to listener-bus lag — see settle()).
+    val cpuNs = new AtomicLong(0L)
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
+        val m = sc.stageInfo.taskMetrics
+        if (m != null) cpuNs.addAndGet(m.executorCpuTime)
+      }
+    })
+    // The listener bus is asynchronous: stage-completed events can
+    // trail the job by a beat. Poll until the counter is stable so a
+    // query's stages don't get attributed to its successor. (Settle
+    // time is outside the wall-clock timing window.)
+    def settle(): Long = {
+      var prev = -1L
+      var cur = cpuNs.get()
+      var spins = 0
+      while (cur != prev && spins < 40) { // <= 2 s
+        Thread.sleep(50)
+        prev = cur
+        cur = cpuNs.get()
+        spins += 1
+      }
+      cur
+    }
+
     def materialize(name: String): Unit =
       SparkEntry.queries(name)(spark, sfDir)
         .write.mode("overwrite").format("noop").save()
@@ -40,41 +89,40 @@ object Bench {
     // documents, embeddings) so parquet footers, codegen and executor
     // threads are warm before the first timing — round-3 profiling
     // showed multi-second first-touch costs per table family.
-    try materialize("q1_pricing_summary") catch { case _: Throwable => () }
-    try materialize("eco_stats") catch { case _: Throwable => () }
-    try materialize("llm_text_stats") catch { case _: Throwable => () }
-    try materialize("llm_knn_exact") catch { case _: Throwable => () }
+    for (w <- Seq("q1_pricing_summary", "eco_stats", "llm_text_stats", "llm_knn_exact"))
+      try materialize(w) catch { case _: Throwable => () }
 
-    // Each query is materialized twice back-to-back and the MIN is
-    // recorded: the round VM throttles unpredictably under sustained
-    // load (identical queries measured 10-50x apart with idle guest
-    // CPU), and min-of-2 reports the engine's cost rather than the
-    // host's worst spike. Both runs execute fully — a failure in
-    // either marks the query failed.
-    var failed = List.empty[String]
-    val results = SparkEntry.queries.keys.toSeq.sorted.map { name =>
-      def once(): Double = {
-        val t0 = System.nanoTime()
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    val sweeps = 2
+    val wall = scala.collection.mutable.Map.empty[String, List[Double]].withDefaultValue(Nil)
+    val cpu = scala.collection.mutable.Map.empty[String, List[Double]].withDefaultValue(Nil)
+    var failed = Set.empty[String]
+    for (_ <- 1 to sweeps; name <- names) {
+      val cpu0 = settle()
+      val t0 = System.nanoTime()
+      try {
         materialize(name)
-        (System.nanoTime() - t0) / 1e9
+        wall(name) ::= (System.nanoTime() - t0) / 1e9
+        cpu(name) ::= (settle() - cpu0) / 1e9
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] $name FAILED: ${e.getClass.getSimpleName}: ${e.getMessage}")
+        failed += name
       }
-      val best =
-        try math.min(once(), once())
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name FAILED: ${e.getClass.getSimpleName}: ${e.getMessage}")
-          failed ::= name
-          Double.NaN
-        }
-      name -> (if (best.isNaN) 0.0 else best)
     }
 
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.4f" }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    def fmt(v: Option[Double]): String = v.map(x => f"$x%.4f").getOrElse("null")
+    val wallMin = names.map(n => n -> wall(n).minOption).toMap
+    val cpuMin = names.map(n => n -> cpu(n).minOption).toMap
+    val qs = names.map(n => "\"" + n + "\":" + fmt(wallMin(n))).mkString("{", ",", "}")
+    val qsCpu = names.map(n => "\"" + n + "\":" + fmt(cpuMin(n))).mkString("{", ",", "}")
+    val total = wallMin.values.flatten.sum
+    val cpuTotal = cpuMin.values.flatten.sum
     val sf = "sf([0-9.]+)".r.findFirstMatchIn(sfDir).map(_.group(1)).getOrElse("0")
-    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val failedJson = failed.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":$sf,"n_queries":${results.size},"runs_per_query":2,"agg":"min","failed":$failedJson}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":$sf""" +
+        s""","n_queries":${names.size},"runs_per_query":$sweeps,"agg":"min","sweep_interleaved":true""" +
+        f""","cpu_sec_total":$cpuTotal%.4f,"queries_cpu_sec":$qsCpu,"failed":$failedJson}"""
     Files.writeString(Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")), json + "\n")
     println(json)
     spark.stop()

@@ -4,14 +4,14 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.plans.{CosineSimilarity, SrpBuckets}
+import graft.plans.{CosineSimilarity, NearestCentroid, SrpBuckets}
 
 /** Engine extensions, installed with
   * `spark.sql.extensions=graft.GraftExtensions` (SparkSessionExtensions
   * is the public plug-in point — no Catalyst internals are patched).
   * Registers the codegen'd scalar kernels used by the
-  * similarity-search operators: `graft_cosine(a, b)` and
-  * `graft_srp_buckets(v)`. */
+  * similarity-search operators: `graft_cosine(a, b)`,
+  * `graft_srp_buckets(v)` and `graft_nearest_centroid(v, codebook)`. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
@@ -27,6 +27,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
         require(children.length == 1, "graft_srp_buckets takes exactly 1 argument")
         SrpBuckets(children.head)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_nearest_centroid"),
+      new ExpressionInfo(classOf[NearestCentroid].getName, "graft_nearest_centroid"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.length == 2, "graft_nearest_centroid takes exactly 2 arguments")
+        NearestCentroid(children.head, children(1))
       }))
   }
 }

@@ -70,6 +70,9 @@ object SparkEntry {
     "q11_parts_by_brand" -> (Relational.q11PartsByBrand _),
     "eco_hll_faithful"   -> (Sketches.hllFaithful _),
     "eco_dgim_true"      -> (Sketches.dgimTrue _),
+    // stitched sub-window DGIM — the hot-key scale path; rows-only
+    // (order-dependent sketch), 50% bound pinned in SketchesSpec
+    "eco_dgim_stitched"  -> ((s, d) => Sketches.dgimStitched(s, d)),
     "eco_sql_stats"      -> (Ecosystem.sqlStats _),
     "q12_priority"       -> (Relational.q12Priority _),
   )

@@ -224,6 +224,15 @@ object Ecosystem {
         round((col("h") % 10000) / 100.0, 4).as("value"),
         (lit(1700000000L) + col("id") * 60).as("ts_epoch"))
 
+  /** F13 `uuid()` itself, demonstrated: the generator with the
+    * built-in in place of the md5 stand-in (producer.py:15's uuid4).
+    * Not a declared query — uuid4 is nondeterministic by definition,
+    * which is exactly why the oracle-checked generator substitutes
+    * md5-of-id; EcosystemSpec pins RFC-4122 v4 format + per-row
+    * uniqueness instead. */
+  def genEventsUuid(spark: SparkSession): DataFrame =
+    genEvents(spark, "").withColumn("synth_id", expr("uuid()"))
+
   /** S5 SQL serving surface: the same engine consumed through
     * `spark.sql` over registered views — the entry point a BI tool or
     * the reference's query client (consultas.py menu) would use.

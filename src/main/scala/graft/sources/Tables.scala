@@ -36,7 +36,11 @@ object Tables {
     * (Verify/Bench builders, test harness); the set here is a
     * defensive idempotent fallback for driver-owned sessions that
     * haven't, and only affects parquet nanos columns (no other
-    * testdata table has any). */
+    * testdata table has any). A save/restore around this call would
+    * be unsound, not just ugly: the returned scan is LAZY, so the
+    * conf must still hold whenever a downstream action finally
+    * executes it — which is why the fallback is a sticky idempotent
+    * set rather than a scoped one. */
   def events(s: SparkSession, d: String): DataFrame = {
     if (s.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true")
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -36,6 +36,19 @@ class EcosystemSpec extends AnyFunSuite {
     assert(types.sameElements(Array("click", "error", "purchase", "signup", "view")))
   }
 
+  test("uuid() synthetic ids: RFC-4122 v4 format, unique per row (F13)") {
+    // producer.py:15 uses uuid.uuid4 per event; the declared
+    // generator substitutes md5-of-id for oracle determinism, and
+    // genEventsUuid is the same generator with the real codegen'd
+    // uuid() swapped back in
+    val ids = Ecosystem.genEventsUuid(spark).select("synth_id")
+      .collect().map(_.getString(0))
+    assert(ids.length == 1000)
+    assert(ids.distinct.length == 1000, "uuid() must be unique per row")
+    val v4 = "[0-9a-f]{8}-[0-9a-f]{4}-4[0-9a-f]{3}-[89ab][0-9a-f]{3}-[0-9a-f]{12}".r
+    assert(ids.forall(v4.matches), s"non-v4 uuid: ${ids.find(!v4.matches(_))}")
+  }
+
   test("json guard counts corrupt rows without dropping good ones") {
     val rows = Ecosystem.jsonGuard(spark, TestSpark.sf).collect()
     val nBad = rows.map(_.getLong(2)).sum
@@ -55,15 +68,4 @@ class EcosystemSpec extends AnyFunSuite {
     assert(n == graft.sources.Tables.events(spark, TestSpark.sf).count())
   }
 
-  test("uuid() expression (F13): v4 ids, unique per row, distributed") {
-    // producer.py:15 uses uuid.uuid4 per event; the declared generator
-    // deliberately substitutes md5-of-id for determinism (gen_events),
-    // but the capability itself is Spark's codegen'd uuid() expression.
-    import org.apache.spark.sql.functions.expr
-    val ids = spark.range(1000).select(expr("uuid()").as("u"))
-      .collect().map(_.getString(0))
-    val v4 = "^[0-9a-f]{8}-[0-9a-f]{4}-4[0-9a-f]{3}-[89ab][0-9a-f]{3}-[0-9a-f]{12}$".r
-    assert(ids.forall(u => v4.findFirstIn(u).isDefined), "must be RFC 4122 v4")
-    assert(ids.distinct.length == ids.length, "uuids must be unique")
-  }
 }

@@ -3,7 +3,7 @@ package graft
 import org.scalacheck.{Gen, Prop, Test => SCTest}
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.operators.Multimodal
+import graft.operators.{Llm, Multimodal}
 import graft.plans.{Dgim, Markov, SrpBuckets}
 
 /** ScalaCheck property tests (SURVEY §5.2) for the pure algorithmic
@@ -89,29 +89,44 @@ class PropertySpec extends AnyFunSuite {
     }, n = 50)
   }
 
-  test("SRP bucket ids are stable, bounded, and scale-invariant") {
+  test("SRP buckets: native eval, UDF fallback and spec formula agree; stable, bounded, scale-invariant") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    import org.apache.spark.sql.types.{ArrayType, DoubleType}
     val vecGen = Gen.listOfN(64, Gen.choose(-1000, 1000).map(_ / 100.0))
+    // the spec formula, written independently of both shipped kernels
+    def spec(x: Seq[Double]): Seq[Int] = {
+      val w = SrpBuckets.planeWeights
+      (0 until SrpBuckets.Tables).map { t =>
+        (0 until SrpBuckets.Planes).foldLeft(0) { (bits, p) =>
+          val base = (t * SrpBuckets.Planes + p) * SrpBuckets.Dims
+          val dot = x.indices.map(d => x(d) * w(base + d)).sum
+          if (dot > 0) bits | (1 << p) else bits
+        }
+      }
+    }
+    // the native expression's interpreted eval path (the codegen path
+    // composes the same arithmetic; PlanSpec pins that it is the one
+    // in the ANN plans)
+    def native(x: Seq[Double]): Seq[Int] =
+      SrpBuckets(Literal.create(x, ArrayType(DoubleType, containsNull = false)))
+        .eval(null).asInstanceOf[ArrayData].toIntArray().toSeq
+    // the Scala-UDF fallback's kernel (the formulation a session
+    // without the extension runs) — only one of the two kernels runs
+    // per session, so drift would be invisible without this pin
+    def fallback(x: Seq[Double]): Seq[Int] = Llm.srpBucketsScala(x).toSeq
     // scale by powers of two only: that multiplication is exact in
     // floating point, so sign(dot) is preserved even for near-zero
     // dots (arbitrary factors can flip a 1e-16 dot via rounding)
     check(Prop.forAll(vecGen, Gen.oneOf(2, 4, 8, 16, 32)) { (v, k) =>
-      // evaluate through the expression's eval path
-      def buckets(x: Seq[Double]): Seq[Int] = {
-        val w = SrpBuckets.planeWeights
-        (0 until SrpBuckets.Tables).map { t =>
-          (0 until SrpBuckets.Planes).foldLeft(0) { (bits, p) =>
-            val base = (t * SrpBuckets.Planes + p) * SrpBuckets.Dims
-            val dot = x.indices.map(d => x(d) * w(base + d)).sum
-            if (dot > 0) bits | (1 << p) else bits
-          }
-        }
-      }
-      val b = buckets(v)
-      // deterministic; 6-bit bucket range; positive scaling never
-      // moves a vector between buckets (cosine-LSH invariant)
-      b == buckets(v) &&
+      val b = spec(v)
+      // all three formulations agree; deterministic; 6-bit bucket
+      // range; positive scaling never moves a vector between buckets
+      // (cosine-LSH invariant) in any formulation
+      native(v) == b && fallback(v) == b &&
+        b == spec(v) &&
         b.forall(x => x >= 0 && x < 64) &&
-        b == buckets(v.map(_ * k))
+        b == spec(v.map(_ * k)) && native(v.map(_ * k)) == b
     }, n = 50)
   }
 }

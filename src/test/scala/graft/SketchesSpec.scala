@@ -167,4 +167,49 @@ class SketchesSpec extends AnyFunSuite {
     assert(math.abs(errEst - exact).toDouble <= math.max(1.0, 0.5 * exact),
       s"DGIM estimate $errEst vs exact $exact breaches the 50% bound")
   }
+
+  test("stitched sub-window DGIM: hot-key scale path stays within the 50% bound") {
+    // same trailing-window contract as dgimTrue, but replayed as
+    // |keys| x chunks independent tasks; only the boundary chunk is
+    // sketch-estimated, so the error bound is at worst the classic
+    // 50% (and usually far tighter — interior chunks are exact)
+    val est = Sketches.dgimStitched(spark, TestSpark.sf)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val e = graft.sources.Tables.events(spark, TestSpark.sf)
+    val exact = e.groupBy(col("event_type"))
+      .agg(org.apache.spark.sql.functions.max(col("ts").cast("long")).as("mx"))
+      .join(e.select(col("event_type"), col("ts").cast("long").as("tsec")), Seq("event_type"))
+      .filter(col("tsec") >= col("mx") - 3600 && col("event_type") === "error")
+      .count()
+    assert(est.filter(_._1 != "error").values.forall(_ == 0L),
+      "non-error cohorts carry zero 1-bits")
+    assert(math.abs(est("error") - exact).toDouble <= math.max(1.0, 0.5 * exact),
+      s"stitched estimate ${est("error")} vs exact $exact breaches the 50% bound")
+  }
+
+  test("stitched DGIM on a synthetic hot key: bound holds, interior chunks exact") {
+    import spark.implicits._
+    // one hot key, 20k ticks of bursty bits — the shape where
+    // dgimTrue degrades to a single serial task and the stitch is
+    // the scale answer. Exact trailing count is known, so the bound
+    // check is sharp; with the window edge mid-chunk only ~1/8 of
+    // the window is sketch-estimated, so expect far better than 50%.
+    val rnd = new scala.util.Random(11)
+    val bits = (0L until 20000L).map { t =>
+      ("hot", t, t, if (rnd.nextInt(10) < 3 || (t / 500) % 2 == 0) 1 else 0)
+    }
+    val base = bits.toDF("event_type", "tsec", "event_id", "bit")
+    val windowSec = 4000L
+    val est = Sketches.dgimStitchedOn(spark, base, windowSec, chunks = 8)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val now = 19999L
+    val exact = bits.count { case (_, t, _, b) => b == 1 && t >= now - windowSec }
+    assert(math.abs(est("hot") - exact).toDouble <= 0.5 * exact,
+      s"stitched ${est("hot")} vs exact $exact breaches the 50% bound")
+    // interior chunks are exact: only the boundary chunk is
+    // sketched, so the total error is bounded by 50% of ONE chunk's
+    // ones (<= chunkLen of them) — assert the much tighter bound
+    assert(math.abs(est("hot") - exact).toDouble <= 0.5 * (windowSec / 8.0),
+      s"stitched ${est("hot")} vs exact $exact worse than the boundary-chunk bound")
+  }
 }

@@ -118,6 +118,64 @@ class StreamingSpec extends AnyFunSuite {
       "corrupt/null-id records must be skipped like the reference's try/except")
   }
 
+  test("Bloom sketch builds incrementally inside a windowed streaming aggregation (A8 streaming leg)") {
+    // The mergeable-buffer claim under incremental execution: the
+    // same BloomAgg the batch path uses (Sketches.bloomMembers) runs
+    // as a stateful streaming aggregation — each micro-batch's
+    // partial sketch must MERGE into the stored window state, not
+    // replace it. Complete mode keeps the memory table equal to the
+    // current state, so the probe below sees the merged filters.
+    import org.apache.spark.sql.{functions => F}
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[Event]
+    val bloomUdaf = F.udaf(
+      new graft.functions.SketchAggs.BloomAgg(expectedItems = 256, fpp = 0.03),
+      org.apache.spark.sql.Encoders.STRING)
+    val agg = ms.toDF()
+      .groupBy(F.window($"ts", "1 minute").as("w"))
+      .agg(bloomUdaf(F.concat_ws("_", $"event_type", $"user_id")).as("bf"))
+      .select($"w.start".as("wstart"), $"bf")
+    val q = Streaming.serveMemory(agg, "win_blooms", mode = "complete")
+    try {
+      ms.addData(ev(1, "2024-01-01 10:00:10"), ev(2, "2024-01-01 10:00:20"))
+      q.processAllAvailable()
+      // a later batch adds a key to the SAME window (merge, not
+      // reset) and opens a second window
+      ms.addData(ev(3, "2024-01-01 10:00:30"), ev(4, "2024-01-01 10:01:00"))
+      q.processAllAvailable()
+      val blooms = spark.sql("SELECT wstart, bf FROM win_blooms").collect()
+        .map(r => r.getTimestamp(0).toString ->
+          graft.functions.SketchAggs.deserializeBloom(r.getAs[Array[Byte]](1)))
+        .toMap
+      assert(blooms.keySet ==
+        Set("2024-01-01 10:00:00.0", "2024-01-01 10:01:00.0"))
+      val w0 = blooms("2024-01-01 10:00:00.0")
+      // users are id % 7; keys from BOTH batches must be present in
+      // the first window's filter — no false negatives across the
+      // incremental merge
+      for (u <- Seq(1, 2, 3))
+        assert(w0.mightContainString(s"click_$u"),
+          s"click_$u lost across micro-batch merge")
+      assert(blooms("2024-01-01 10:01:00.0").mightContainString("click_4"))
+      // and the filters are real sketches, not degenerate all-true
+      // bitsets: absent keys hit at ~fpp, far below half
+      val absentHits = (100 to 299).count(i => w0.mightContainString(s"click_$i"))
+      assert(absentHits < 40, s"$absentHits/200 absent keys hit — filter degenerate")
+    } finally q.stop()
+  }
+
+  test("console sink starts, processes a batch, and stops cleanly (S7)") {
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[Event]
+    val q = Streaming.consoleSink(ms.toDF()).start()
+    try {
+      ms.addData(ev(1, "2024-01-01 10:00:10"), ev(2, "2024-01-01 10:00:20"))
+      q.processAllAvailable()
+      assert(q.recentProgress.nonEmpty, "console sink processed no batch")
+      assert(q.exception.isEmpty, s"console sink failed: ${q.exception}")
+    } finally q.stop()
+  }
+
   test("streaming and batch share the same transformation (consistency)") {
     // the batch frame through the same tumblingCounts code path
     val batch = graft.sources.Tables.events(spark, TestSpark.sf)
