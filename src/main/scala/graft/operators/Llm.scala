@@ -55,6 +55,18 @@ object Llm {
     docs.select(col("doc_id"), col("text"),
       md5(lower(trim(regexp_replace(col("text"), "\\s+", " ")))).as("text_hash"))
 
+  /** Spread a narrow scan across the cluster before per-row hash
+    * work: a small corpus arrives as one parquet split, and without
+    * this the md5+normalize pass that feeds an eager checkpoint runs
+    * as ONE task (measured 2.2 s of the sf0.1 dedup wall). At real
+    * scale the scan is already wider than the session's parallelism
+    * and this is the identity — the shuffle only ever moves a corpus
+    * small enough to have arrived in fewer splits than cores. */
+  private def widened(docs: DataFrame): DataFrame = {
+    val target = docs.sparkSession.sparkContext.defaultParallelism
+    if (docs.rdd.getNumPartitions < target) docs.repartition(target) else docs
+  }
+
   /** One representative (smallest doc_id) per exact-duplicate group:
     * (key = text_hash, text). Tokenization normalizes exactly the way
     * the grouping hash does (lower + trim + whitespace collapse), so
@@ -172,7 +184,7 @@ object Llm {
     // are dropped by the ContextCleaner when the frames are GC'd (no
     // session-level cache leak); a cluster run at 100 TB would use a
     // reliable checkpoint for the same stage cut.
-    val m = normalized(docs).localCheckpoint()
+    val m = normalized(widened(docs)).localCheckpoint()
     val members = m.select(col("doc_id"), col("text_hash"))
     val sh = shingles(repsOf(m))
       .repartition(docs.sparkSession.sparkContext.defaultParallelism)
@@ -240,7 +252,7 @@ object Llm {
   def simhash(spark: SparkSession, dir: String): DataFrame = {
     // m is read by both the member projection and the sig build —
     // one eager materialization (see dedupNearOn's scale note)
-    val m = normalized(Tables.documents(spark, dir).select(col("doc_id"), col("text")))
+    val m = normalized(widened(Tables.documents(spark, dir).select(col("doc_id"), col("text"))))
       .localCheckpoint()
     m.select(col("doc_id"), col("text_hash"))
       .join(simhashSigs(m), col("text_hash") === col("key"))
@@ -262,7 +274,7 @@ object Llm {
     // m (scan+md5) and sig (bigram explode + md5 + SimHashAgg) feed
     // four consumers each (band join sides, member expansion, group
     // filter) — materialize both once (see dedupNearOn's scale note)
-    val m = normalized(Tables.documents(spark, dir).select(col("doc_id"), col("text")))
+    val m = normalized(widened(Tables.documents(spark, dir).select(col("doc_id"), col("text"))))
       .localCheckpoint()
     val members = m.select(col("doc_id"), col("text_hash"))
     val sig = simhashSigs(m).localCheckpoint()

@@ -62,4 +62,15 @@ class Dgim(windowSize: Long, maxPerSize: Int = 2) {
 
   /** Memory guarantee hook for tests: bucket count is O(log² W). */
   def bucketCount: Int = buckets.length
+
+  /** Sketch state as plain data — (newestTimestamp, size) newest
+    * first — so a streaming job can park it in a state store between
+    * micro-batches (Streaming.dgimCounts) and restore with
+    * `loadBuckets`. O(log² W) values however long the stream. */
+  def exportBuckets: Seq[(Long, Long)] = buckets.toSeq
+
+  def loadBuckets(bs: Seq[(Long, Long)]): Unit = {
+    buckets.clear()
+    buckets.appendAll(bs)
+  }
 }

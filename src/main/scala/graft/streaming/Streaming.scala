@@ -1,10 +1,12 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery}
+import org.apache.spark.sql.streaming.{DataStreamWriter, GroupStateTimeout, StreamingQuery}
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.Row
+
+import graft.plans.Dgim
 
 /** Structured Streaming surface (SURVEY §2.9): the reference IS a
   * stream processor — Kafka consumer feeding an in-memory windowed
@@ -106,4 +108,48 @@ object Streaming {
   /** S7 console sink (consultas.py's tabulate pretty-printers). */
   def consoleSink(df: DataFrame): DataStreamWriter[Row] =
     df.writeStream.format("console").option("truncate", "false")
+
+  /** Per-batch DGIM update for `dgimCounts`: the trailing-window
+    * estimate after folding the batch into the key's sketch, plus the
+    * sketch size (the O(log² W) memory claim, observable per key). */
+  case class DgimUpdate(event_type: String, last_ts: Long,
+                        est_errors_1h: Long, n_buckets: Int)
+
+  /** A9's streaming leg (the DGIM scale design's other half — see
+    * `Sketches.dgimStitched` for the batch stitch): a stateful per-key
+    * DGIM maintained across micro-batches with
+    * `KeyValueGroupedDataset.mapGroupsWithState`. The state store
+    * holds only the sketch's O(log² W) buckets per key — never the
+    * window's bits (the reference keeps every event of the window in
+    * a deque, consumer.py:112-117; a 1-hour window at web-scale rates
+    * would be gigabytes per key, the sketch is ~30 tuples).
+    *
+    * Within a micro-batch the key's rows are sorted by event time
+    * before replay (DGIM is order-dependent; a micro-batch is
+    * bounded, so the sort is a small in-memory one per key per
+    * trigger). Across batches the engine delivers batch N+1 after N —
+    * late stragglers beyond that are the stream's lateness domain,
+    * same as the reference's arrival-order deque. Run with
+    * outputMode("update"). */
+  def dgimCounts(events: DataFrame, windowSec: Long = 3600L): Dataset[DgimUpdate] = {
+    import events.sparkSession.implicits._
+    events
+      .select(col("event_type"), col("ts").cast("long").as("tsec"),
+        when(col("event_type") === "error", 1).otherwise(0).as("bit"))
+      .as[(String, Long, Int)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[Seq[(Long, Long)], DgimUpdate](GroupStateTimeout.NoTimeout()) {
+        (key, rows, state) =>
+          val d = new Dgim(windowSec)
+          state.getOption.foreach(d.loadBuckets)
+          var last = Long.MinValue
+          rows.toSeq.sortBy(_._2).foreach { case (_, tsec, bit) =>
+            d.addBit(tsec, bit)
+            if (tsec > last) last = tsec
+          }
+          val est = if (last == Long.MinValue) 0L else d.estimate(last)
+          state.update(d.exportBuckets)
+          DgimUpdate(key, last, est, d.bucketCount)
+      }
+  }
 }

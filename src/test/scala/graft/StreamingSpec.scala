@@ -164,6 +164,39 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stateful DGIM via mapGroupsWithState: sketch survives micro-batches (A9 streaming leg)") {
+    // the state store holds only the O(log² W) sketch buckets per
+    // key; the cross-batch check below fails if the sketch is ever
+    // rebuilt from scratch instead of restored
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[Event]
+    val q = Streaming.dgimCounts(ms.toDF(), windowSec = 3600L)
+      .writeStream.format("memory").queryName("dgim_stream")
+      .outputMode("update").start()
+    def errAt(id: Long, minute: Long) =
+      Event(id, new Timestamp(ts("2024-01-01 10:00:00").getTime + minute * 60000L),
+        id % 7, "error", 1.0)
+    try {
+      // batch 1: one error per minute for the first hour
+      ms.addData((0L until 60L).map(m => errAt(m, m)): _*)
+      q.processAllAvailable()
+      // batch 2: minutes 60..89 — the trailing hour now spans BOTH
+      // batches (minutes 29..89 inclusive = 61 exact ones)
+      ms.addData((60L until 90L).map(m => errAt(m, m)): _*)
+      q.processAllAvailable()
+      val rows = spark.sql(
+        "SELECT last_ts, est_errors_1h, n_buckets FROM dgim_stream").collect()
+      val latest = rows.maxBy(_.getLong(0))
+      val exact = 61L
+      assert(math.abs(latest.getLong(1) - exact) <= 0.5 * exact,
+        s"streaming DGIM ${latest.getLong(1)} vs exact $exact breaches the 50% bound")
+      // > 30 is impossible unless batch-1 bits survived in state
+      assert(latest.getLong(1) > 30, "sketch state lost between micro-batches")
+      assert(latest.getInt(2) <= 26,
+        s"bucket count ${latest.getInt(2)} not O(log² W)")
+    } finally q.stop()
+  }
+
   test("console sink starts, processes a batch, and stops cleanly (S7)") {
     implicit val sqlCtx = spark.sqlContext
     val ms = MemoryStream[Event]
