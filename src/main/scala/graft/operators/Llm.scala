@@ -116,11 +116,15 @@ object Llm {
     // so no separate size subquery rescans the corpus.
     val sigs = hashed.groupByKey(_._1).mapGroups { (k, rows) =>
       val buf = Array.fill(128)(Long.MaxValue)
+      val mask = M - 1 // 2^31 is a power of two and h1,h2,i are non-
+      // negative, so `& mask` IS `% M` — without the integer divide,
+      // which round-4 stack sampling measured as THE hot instruction
+      // of the whole dedup pipeline (128 divides per shingle row)
       var n = 0L
       rows.foreach { case (_, h1, h2) =>
         var i = 0
         while (i < 128) {
-          val v = (h1 + i * h2) % M
+          val v = (h1 + i * h2) & mask
           if (v < buf(i)) buf(i) = v
           i += 1
         }
