@@ -30,16 +30,28 @@ class Dgim(windowSize: Long, maxPerSize: Int = 2) {
       var size = 1L
       var merging = true
       while (merging) {
-        val sameSize = buckets.iterator.zipWithIndex.filter(_._1._2 == size).map(_._2).toSeq
-        if (sameSize.length > maxPerSize) {
+        // one allocation-free index scan for this size's run: track
+        // the two OLDEST (largest-index) buckets of the size and the
+        // run length. (This is the sketch's per-1-bit hot loop — the
+        // previous iterator+Seq formulation allocated per bit, which
+        // the stitched batch replay and the streaming state path both
+        // pay per event.)
+        var count = 0
+        var oldest = -1
+        var second = -1
+        var i = 0
+        val len = buckets.length
+        while (i < len) {
+          if (buckets(i)._2 == size) { count += 1; second = oldest; oldest = i }
+          i += 1
+        }
+        if (count > maxPerSize) {
           // merge the two OLDEST buckets of this size; the merged
           // bucket keeps the newer of the two timestamps
-          val newer = sameSize(sameSize.length - 2)
-          val older = sameSize(sameSize.length - 1)
-          val merged = (buckets(newer)._1, size * 2)
-          buckets.remove(older)
-          buckets.remove(newer)
-          buckets.insert(newer, merged)
+          val merged = (buckets(second)._1, size * 2)
+          buckets.remove(oldest)
+          buckets.remove(second)
+          buckets.insert(second, merged)
           size *= 2
         } else merging = false
       }

@@ -44,15 +44,26 @@ case class NearestCentroid(left: Expression, right: Expression)
 
   /** The codebook, evaluated once from the foldable argument (on the
     * driver at codegen time; lazily on an executor in interpreted
-    * eval — a Literal either way after constant folding). */
-  private lazy val centroids: Array[Array[Double]] = {
-    val ad = right.eval().asInstanceOf[ArrayData]
-    Array.tabulate(ad.numElements())(i => ad.getArray(i).toDoubleArray())
+    * eval — a Literal either way after constant folding). A NULL
+    * codebook propagates as a null result like any SQL function; an
+    * empty codebook or a null centroid row is a caller bug and fails
+    * fast with a clear message (index 0 into nothing would otherwise
+    * silently mean "cluster 0"). */
+  private lazy val centroids: Array[Array[Double]] = right.eval() match {
+    case null => null
+    case ad: ArrayData =>
+      require(ad.numElements() > 0,
+        s"$prettyName requires a non-empty codebook")
+      Array.tabulate(ad.numElements()) { i =>
+        val row = ad.getArray(i)
+        require(row != null, s"$prettyName codebook must not contain null centroids")
+        row.toDoubleArray()
+      }
   }
 
   override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
     val v = left.eval(input)
-    if (v == null) null else evalVector(v.asInstanceOf[ArrayData])
+    if (v == null || centroids == null) null else evalVector(v.asInstanceOf[ArrayData])
   }
 
   private def evalVector(v: ArrayData): Int = {
@@ -79,7 +90,9 @@ case class NearestCentroid(left: Expression, right: Expression)
     best
   }
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    // constant-folded null codebook: the whole expression is null
+    if (centroids == null) return ExprCode.forNullValue(dataType)
     nullSafeCodeGen(ctx, ev, (v, _) => {
       val cs = ctx.addReferenceObj("centroids", centroids, "double[][]")
       val n = ctx.freshName("n")
@@ -116,6 +129,7 @@ case class NearestCentroid(left: Expression, right: Expression)
          |${ev.value} = $best;
        """.stripMargin
     })
+  }
 
   override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)

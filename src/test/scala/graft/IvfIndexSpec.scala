@@ -32,6 +32,18 @@ class IvfIndexSpec extends AnyFunSuite {
       call_function("graft_nearest_centroid", col("v"), codebook).as("cluster"))
 
     val dir = java.nio.file.Files.createTempDirectory("graft_ivf_index").toString
+    try {
+      runPrunedReadChecks(assigned, dir)
+    } finally {
+      // repeated gate runs must not accumulate parquet trees in /tmp
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(dir)).deleteRecursively()
+    }
+  }
+
+  private def runPrunedReadChecks(assigned: org.apache.spark.sql.DataFrame,
+                                  dir: String): Unit = {
+    import spark.implicits._
     assigned.write.mode("overwrite").partitionBy("cluster").parquet(dir)
 
     // probe two lists: the read must prune on the partition column
@@ -54,5 +66,29 @@ class IvfIndexSpec extends AnyFunSuite {
     val listDirs = new java.io.File(dir).listFiles()
       .filter(f => f.isDirectory && f.getName.startsWith("cluster="))
     assert(listDirs.length >= 2, "bucketed write must produce per-cluster partitions")
+  }
+
+  test("nearest-centroid kernel: null inputs propagate, empty codebook fails fast") {
+    // NULL codebook / NULL vector behave like any SQL function (null
+    // in, null out) instead of an executor NPE
+    val nullCodebook = spark.sql(
+      """SELECT graft_nearest_centroid(array(CAST(1.0 AS DOUBLE)),
+                 CAST(NULL AS ARRAY<ARRAY<DOUBLE>>)) AS c""").collect()(0)
+    assert(nullCodebook.isNullAt(0))
+    val nullVec = spark.sql(
+      """SELECT graft_nearest_centroid(CAST(NULL AS ARRAY<DOUBLE>),
+                 array(array(CAST(1.0 AS DOUBLE)))) AS c""").collect()(0)
+    assert(nullVec.isNullAt(0))
+    // an empty codebook is a caller bug: "cluster 0 of zero clusters"
+    // must never come back as an answer
+    val e = intercept[Throwable] {
+      spark.sql(
+        """SELECT graft_nearest_centroid(array(CAST(1.0 AS DOUBLE)),
+                   CAST(array() AS ARRAY<ARRAY<DOUBLE>>)) AS c""").collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("non-empty codebook")),
+      s"expected the fail-fast message, got: $e")
   }
 }
