@@ -85,11 +85,14 @@ object Bench {
       SparkEntry.queries(name)(spark, sfDir)
         .write.mode("overwrite").format("noop").save()
 
-    // Warmup (untimed): touch every table family (lineitem, events,
-    // documents, embeddings) so parquet footers, codegen and executor
-    // threads are warm before the first timing — round-3 profiling
-    // showed multi-second first-touch costs per table family.
-    for (w <- Seq("q1_pricing_summary", "eco_stats", "llm_text_stats", "llm_knn_exact"))
+    // Warmup (untimed): one FULL sweep. Round-4's four-query warmup
+    // only touched the table families, so the heavy dedup/sketch
+    // queries paid their codegen + first-materialization cost inside
+    // timed sweep 1 (llm_dedup_near: ~13 s cold vs ~3.3 s warm on a
+    // healthy host) — under host throttle sweep 2 can't rescue the
+    // min and the artifact reads as a phantom regression. A full warm
+    // sweep makes every timed sample a warm sample.
+    for (w <- SparkEntry.queries.keys.toSeq.sorted)
       try materialize(w) catch { case _: Throwable => () }
 
     // Idle after warmup, before the first timed sweep: the host VM
@@ -119,21 +122,29 @@ object Bench {
       }
     }
 
-    def fmt(v: Option[Double]): String = v.map(x => f"$x%.4f").getOrElse("null")
+    def fmt(v: Option[Double], d: Int): String = v.map(x => s"%.${d}f".format(x)).getOrElse("null")
     val wallMin = names.map(n => n -> wall(n).minOption).toMap
     val cpuMin = names.map(n => n -> cpu(n).minOption).toMap
-    val qs = names.map(n => "\"" + n + "\":" + fmt(wallMin(n))).mkString("{", ",", "}")
-    val qsCpu = names.map(n => "\"" + n + "\":" + fmt(cpuMin(n))).mkString("{", ",", "}")
+    def qsJson(m: Map[String, Option[Double]], d: Int): String =
+      names.map(n => "\"" + n + "\":" + fmt(m(n), d)).mkString("{", ",", "}")
     val total = wallMin.values.flatten.sum
     val cpuTotal = cpuMin.values.flatten.sum
     val sf = "sf([0-9.]+)".r.findFirstMatchIn(sfDir).map(_.group(1)).getOrElse("0")
     val failedJson = failed.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":$sf""" +
+    // Full record (with the per-query CPU attribution) goes to the
+    // file; stdout gets a COMPACT line. The round-4 official artifact
+    // recorded parsed:null because the driver keeps only a ~2 KB tail
+    // of stdout and the 3.1 KB line's "{"metric":..." prefix fell off
+    // the window — the stdout line must stay well under that budget.
+    val full =
+      f"""{"metric":"total","value":$total%.4f,"unit":"sec","queries":${qsJson(wallMin, 4)},"sf":$sf""" +
         s""","n_queries":${names.size},"runs_per_query":$sweeps,"agg":"min","sweep_interleaved":true""" +
-        f""","cpu_sec_total":$cpuTotal%.4f,"queries_cpu_sec":$qsCpu,"failed":$failedJson}"""
-    Files.writeString(Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")), json + "\n")
-    println(json)
+        f""","cpu_sec_total":$cpuTotal%.4f,"queries_cpu_sec":${qsJson(cpuMin, 4)},"failed":$failedJson}"""
+    val compact =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${qsJson(wallMin, 3)},"sf":$sf""" +
+        f""","n_queries":${names.size},"cpu_sec_total":$cpuTotal%.1f,"failed":$failedJson}"""
+    Files.writeString(Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")), full + "\n")
+    println(compact)
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
   }

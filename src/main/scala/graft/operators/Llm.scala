@@ -58,10 +58,13 @@ object Llm {
   /** Spread a narrow scan across the cluster before per-row hash
     * work: a small corpus arrives as one parquet split, and without
     * this the md5+normalize pass that feeds an eager checkpoint runs
-    * as ONE task (measured 2.2 s of the sf0.1 dedup wall). At real
-    * scale the scan is already wider than the session's parallelism
-    * and this is the identity — the shuffle only ever moves a corpus
-    * small enough to have arrived in fewer splits than cores. */
+    * as ONE task. (Round-5 A/B on a healthy host measured the toggle
+    * neutral at sf0.1 — the round-4 "2.2 s single task" reading was
+    * throttle-inflated — so this is kept purely as narrow-scan
+    * insurance.) At real scale the scan is already wider than the
+    * session's parallelism and this is the identity — the shuffle
+    * only ever moves a corpus small enough to have arrived in fewer
+    * splits than cores. */
   private def widened(docs: DataFrame): DataFrame = {
     val target = docs.sparkSession.sparkContext.defaultParallelism
     if (docs.rdd.getNumPartitions < target) docs.repartition(target) else docs
