@@ -141,11 +141,14 @@ object Bench {
         s""","n_queries":${names.size},"runs_per_query":$sweeps,"agg":"min","sweep_interleaved":true""" +
         f""","cpu_sec_total":$cpuTotal%.4f,"queries_cpu_sec":${qsJson(cpuMin, 4)},"failed":$failedJson}"""
     val compact =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${qsJson(wallMin, 3)},"sf":$sf""" +
+      f"""{"metric":"total","value":$total%.2f,"unit":"sec","queries":${qsJson(wallMin, 2)},"sf":$sf""" +
         f""","n_queries":${names.size},"cpu_sec_total":$cpuTotal%.1f,"failed":$failedJson}"""
     Files.writeString(Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")), full + "\n")
-    println(compact)
     spark.stop()
+    // last stdout line before sbt's [success] trailer: nothing (not
+    // even executor shutdown logging) may land between this line and
+    // the end of the driver's ~2 KB stdout tail window
+    println(compact)
     if (failed.nonEmpty) sys.exit(1)
   }
 }

@@ -75,6 +75,12 @@ object SparkEntry {
     "eco_dgim_stitched"  -> ((s, d) => Sketches.dgimStitched(s, d)),
     "eco_sql_stats"      -> (Ecosystem.sqlStats _),
     "q12_priority"       -> (Relational.q12Priority _),
+    "llm_dedup_clusters" -> (Llm.dedupClusters _),
+    "llm_split"          -> (Llm.splitFolds _),
+    "llm_repetition"     -> (Llm.repetition _),
+    "eco_graph_components" -> (Graph.graphComponents _),
+    "llm_contamination"  -> (Llm.contamination _),
+    "llm_sample_stratified" -> ((s, d) => Llm.sampleStratified(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -496,5 +502,113 @@ object SparkEntry {
          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
          WHERE l_quantity > 25.0
          GROUP BY l_linestatus""",
+    // Transitive closure of the exact-or-near duplicate relation:
+    // near edges = the same all-pairs >= 0.8 Jaccard as
+    // llm_dedup_near, exact edges = doc -> min doc of its normalized-
+    // text group; component label = min reachable doc_id.
+    "llm_dedup_clusters" ->
+      """WITH RECURSIVE
+         toks AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+                  FROM documents),
+         sh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+                FROM toks, LATERAL (SELECT unnest(range(1, len(t)-1)) AS i)
+                WHERE len(t) >= 3),
+         sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+         i AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+               FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+         near AS (SELECT doc_a AS a, doc_b AS b
+                  FROM i JOIN sizes sa ON sa.doc_id = doc_a
+                         JOIN sizes sb ON sb.doc_id = doc_b
+                  WHERE n_common / (sa.n + sb.n - n_common) >= 0.8),
+         g AS (SELECT doc_id,
+                 min(doc_id) OVER (PARTITION BY
+                   md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))))) AS gmin
+               FROM documents),
+         ex AS (SELECT gmin AS a, doc_id AS b FROM g WHERE doc_id <> gmin),
+         e0 AS (SELECT a, b FROM near UNION SELECT a, b FROM ex),
+         edges AS (SELECT a, b FROM e0 UNION SELECT b AS a, a AS b FROM e0),
+         reach(d, r) AS (
+           SELECT doc_id, doc_id FROM documents
+           UNION
+           SELECT reach.d, e.b FROM reach JOIN edges e ON e.a = reach.r),
+         lab AS (SELECT d AS doc_id, min(r) AS cluster_id FROM reach GROUP BY d)
+         SELECT doc_id, CAST(cluster_id AS BIGINT) AS cluster_id,
+           CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_n
+         FROM lab""",
+    "llm_split" ->
+      """SELECT doc_id,
+           CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split
+         FROM (SELECT doc_id,
+                 ('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 14))::BIGINT % 100 AS b
+               FROM documents)""",
+    "llm_repetition" ->
+      """WITH toks AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+                       FROM documents),
+         ok AS (SELECT doc_id, t FROM toks WHERE len(t) >= 3),
+         bg AS (SELECT doc_id, t[i] || ' ' || t[i+1] AS g
+                FROM ok, LATERAL (SELECT unnest(range(1, len(t))) AS i)),
+         tg AS (SELECT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g
+                FROM ok, LATERAL (SELECT unnest(range(1, len(t)-1)) AS i)),
+         bc AS (SELECT doc_id, g, count(*) AS c FROM bg GROUP BY 1, 2),
+         bstat AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams, max(c) AS max_c
+                   FROM bc GROUP BY 1),
+         tstat AS (SELECT doc_id, count(*) AS n_tri, count(DISTINCT g) AS n_tri_d
+                   FROM tg GROUP BY 1)
+         SELECT b.doc_id, n_bigrams,
+           round(max_c / n_bigrams, 6) AS top_bigram_frac,
+           round((n_tri - n_tri_d) / n_tri, 6) AS dup_trigram_frac
+         FROM bstat b JOIN tstat t ON b.doc_id = t.doc_id""",
+    "eco_graph_components" ->
+      """WITH RECURSIVE r AS (SELECT event_type, value, user_id,
+             row_number() OVER (PARTITION BY event_type
+               ORDER BY date_trunc('microseconds', ts), event_id) AS rn
+           FROM events),
+         n AS (SELECT event_type AS habitat,
+                 round(value % 180.0 - 90.0, 6) AS lat,
+                 CAST(user_id % 360 - 180 AS DOUBLE) AS lon
+               FROM r WHERE rn = 1),
+         d AS (SELECT a.habitat AS h1, b.habitat AS h2,
+                 2 * 6371.0 * asin(sqrt(pow(sin(radians(b.lat - a.lat) / 2), 2) +
+                   cos(radians(a.lat)) * cos(radians(b.lat)) *
+                   pow(sin(radians(b.lon - a.lon) / 2), 2))) AS dist
+               FROM n a JOIN n b ON a.habitat < b.habitat),
+         ed AS (SELECT h1 AS a, h2 AS b FROM d WHERE dist <= 15000.0),
+         edges AS (SELECT a, b FROM ed UNION SELECT b AS a, a AS b FROM ed),
+         reach(h, x) AS (
+           SELECT habitat, habitat FROM n
+           UNION
+           SELECT reach.h, e.b FROM reach JOIN edges e ON e.a = reach.x)
+         SELECT h AS habitat, min(x) AS component FROM reach GROUP BY h""",
+    // Distinct word-8-gram overlap of each val/test doc against the
+    // train split (same salted-hash split as llm_split). The oracle
+    // joins exact gram strings where Spark joins 64-bit gram hashes.
+    "llm_contamination" ->
+      """WITH b AS (SELECT doc_id, text,
+             CASE WHEN h < 80 THEN 'train' WHEN h < 90 THEN 'val' ELSE 'test' END AS split
+           FROM (SELECT doc_id, text,
+                   ('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 14))::BIGINT % 100 AS h
+                 FROM documents)),
+         t AS (SELECT doc_id, split, string_split_regex(lower(trim(text)), '\s+') AS t FROM b),
+         g AS (SELECT DISTINCT doc_id, split,
+                 t[i]||' '||t[i+1]||' '||t[i+2]||' '||t[i+3]||' '||
+                 t[i+4]||' '||t[i+5]||' '||t[i+6]||' '||t[i+7] AS g
+               FROM t, LATERAL (SELECT unnest(range(1, len(t)-6)) AS i)
+               WHERE len(t) >= 8),
+         tr AS (SELECT DISTINCT g FROM g WHERE split = 'train'),
+         ev AS (SELECT doc_id, split, g FROM g WHERE split <> 'train')
+         SELECT ev.doc_id, ev.split,
+           CAST(count(*) AS BIGINT) AS n_grams,
+           CAST(count(tr.g) AS BIGINT) AS n_hit,
+           round(count(tr.g) / count(*), 6) AS contam_frac
+         FROM ev LEFT JOIN tr ON ev.g = tr.g
+         GROUP BY 1, 2""",
+    "llm_sample_stratified" ->
+      """SELECT doc_id, source, CAST(rn AS BIGINT) AS rank_in_source
+         FROM (SELECT doc_id, source,
+                 row_number() OVER (PARTITION BY source ORDER BY rk, doc_id) AS rn
+               FROM (SELECT doc_id, source,
+                       ('0x' || substr(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 14))::BIGINT AS rk
+                     FROM documents))
+         WHERE rn <= 20""",
   )
 }

@@ -180,7 +180,14 @@ object Llm {
   def dedupNear(spark: SparkSession, dir: String): DataFrame =
     dedupNearOn(Tables.documents(spark, dir).select(col("doc_id"), col("text")))
 
-  private[graft] def dedupNearOn(docs: DataFrame): DataFrame = {
+  /** The shared trunk of the near-dup pipeline: (members, sh,
+    * repPairs) where members = (doc_id, text_hash), sh = the
+    * representatives' shingle table (key = text_hash, shingle), and
+    * repPairs = verified >= 0.8 Jaccard pairs BETWEEN exact-duplicate
+    * groups (hash_a, hash_b, jac). `dedupNearOn` expands these to the
+    * doc-pair contract; `dedupClustersOn` runs connected components
+    * over them without ever materializing the quadratic expansion. */
+  private def nearDupCore(docs: DataFrame): (DataFrame, DataFrame, DataFrame) = {
     // `m` and `sh` are the pipeline's working set: `m` feeds the
     // member table and the rep build, `sh` feeds the signature build
     // and both sides of the verify join. They are materialized once
@@ -208,6 +215,11 @@ object Llm {
       .withColumn("jac", col("n_common") / (col("n_a") + col("n_b") - col("n_common")))
       .filter(col("jac") >= 0.8)
       .select(col("hash_a"), col("hash_b"), col("jac"))
+    (members, sh, repPairs)
+  }
+
+  private[graft] def dedupNearOn(docs: DataFrame): DataFrame = {
+    val (members, sh, repPairs) = nearDupCore(docs)
     // groups that produced shingles (>= 3 tokens) — shorter docs are
     // outside the near-dup domain, both here and in the oracle
     val shingledGroups = sh.select(col("key").as("text_hash")).distinct()
@@ -223,6 +235,42 @@ object Llm {
               greatest(col("ida"), col("idb")).as("doc_b"),
               round(col("jac"), 6).as("jaccard"))
     intra.unionByName(cross)
+  }
+
+  /** Dedup CLUSTERS — the production output of a dedup run: every
+    * document labeled with its canonical cluster (cluster_id = min
+    * doc_id among all exact-or-near duplicates, transitively) plus
+    * the cluster size. Keeping `WHERE doc_id = cluster_id` is the
+    * one-filter "keep one representative per cluster" policy.
+    *
+    * Scale shape: components run over the GROUP graph (one node per
+    * distinct normalized text, edges = verified >= 0.8 group pairs) —
+    * a web-scale duplicate cluster contributes ONE node, never its
+    * quadratic pair expansion (`dedupNear`'s expansion is the
+    * pair-list contract's cost, deliberately skipped here). Exact
+    * duplicates are connected by construction (same group node), so
+    * even sub-shingle-length texts cluster with their exact copies.
+    * The closure itself is `Graph.connectedComponents` — ids-only
+    * label frames, O(log diameter) rounds. Construction runs eager
+    * localCheckpoint jobs (see `dedupNear`'s note). */
+  def dedupClusters(spark: SparkSession, dir: String): DataFrame =
+    dedupClustersOn(Tables.documents(spark, dir).select(col("doc_id"), col("text")))
+
+  private[graft] def dedupClustersOn(docs: DataFrame): DataFrame = {
+    val (members, _, repPairs) = nearDupCore(docs)
+    // group node id = min doc_id of the group, so the component min
+    // IS the min doc_id over every doc in the cluster
+    val gid = members.groupBy(col("text_hash")).agg(min(col("doc_id")).as("gid"))
+    val ge = repPairs
+      .join(gid.select(col("text_hash").as("hash_a"), col("gid").as("src")), Seq("hash_a"))
+      .join(gid.select(col("text_hash").as("hash_b"), col("gid").as("dst")), Seq("hash_b"))
+      .select(col("src"), col("dst"))
+    val comp = Graph.connectedComponents(gid.select(col("gid").as("id")), ge)
+    members.join(gid, Seq("text_hash"))
+      .join(comp, col("gid") === col("id"))
+      .select(col("doc_id"), col("comp").as("cluster_id"))
+      .withColumn("cluster_n",
+        count(lit(1)).over(Window.partitionBy(col("cluster_id"))).cast("long"))
   }
 
   /** 60-bit SimHash signatures per exact-duplicate GROUP over word
@@ -371,6 +419,124 @@ object Llm {
       .agg(count(lit(1)).as("n_docs"),
            sum(col("n_ws")).as("sum_ws_tokens"),
            sum(col("n_bpe")).as("sum_bpe_tokens"))
+
+  /** Deterministic train/val/test assignment (80/10/10) by salted
+    * content-free hash of the stable document id — the standard
+    * reproducible split for training corpora: membership is a pure
+    * function of doc_id (stable under reshards, appends, and
+    * re-partitioning; no RNG, no state), and the salt string
+    * namespaces this split from any other hash use of the id. Map-only
+    * plan, embarrassingly parallel. The md5-prefix hash is the
+    * engine-portable family (14 hex digits < 2^56, so the modulo is
+    * overflow-free and sign-free in both engines). */
+  def splitFolds(spark: SparkSession, dir: String): DataFrame =
+    withSplit(Tables.documents(spark, dir)).select(col("doc_id"), col("split"))
+
+  /** Appends the deterministic `split` column ('train'/'val'/'test',
+    * 80/10/10 by salted doc_id hash) to any frame carrying `doc_id` —
+    * shared by `splitFolds` and `contamination` so both see the SAME
+    * assignment. */
+  private def withSplit(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("b",
+        pmod(conv(substring(md5(concat(lit("split:"), col("doc_id").cast("string"))), 1, 14), 16, 10)
+          .cast("long"), lit(100L)))
+      .withColumn("split",
+        when(col("b") < 80, "train").when(col("b") < 90, "val").otherwise("test"))
+      .drop("b")
+
+  /** Within-document repetition metrics (Gopher/RefinedWeb-style
+    * quality rules, adapted to this corpus's newline-free word
+    * streams): the mass of the most frequent word bigram and the
+    * fraction of duplicated word trigrams. High values flag the
+    * boilerplate/looping documents a training pipeline drops. Domain:
+    * docs with >= 3 tokens (both metrics defined).
+    *
+    * One parquet scan: the gram arrays are built once and
+    * localCheckpoint'd because two aggregation branches consume them
+    * (bigram mode needs a (doc, gram) pre-group, trigram dup-rate a
+    * distinct count) — without the cut each branch would re-scan and
+    * re-split the corpus. Both branches are partial-agg friendly
+    * (per-doc keys, map-side combine). */
+  def repetition(spark: SparkSession, dir: String): DataFrame =
+    repetitionOn(Tables.documents(spark, dir))
+
+  private[graft] def repetitionOn(docs: DataFrame): DataFrame = {
+    val grams = docs
+      .select(col("doc_id"), split(lower(trim(col("text"))), "\\s+").as("toks"))
+      .filter(size(col("toks")) >= 3)
+      .select(col("doc_id"),
+        expr("transform(sequence(1, size(toks)-1), i -> concat(element_at(toks, i), ' ', element_at(toks, i+1)))").as("bigrams"),
+        expr("transform(sequence(1, size(toks)-2), i -> concat(element_at(toks, i), ' ', element_at(toks, i+1), ' ', element_at(toks, i+2)))").as("trigrams"))
+      .localCheckpoint()
+    val bi = grams.select(col("doc_id"), explode(col("bigrams")).as("g"))
+      .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_bigrams"), max(col("c")).as("max_c"))
+    val tri = grams.select(col("doc_id"), explode(col("trigrams")).as("g"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tri"), count_distinct(col("g")).as("n_tri_d"))
+    bi.join(tri, Seq("doc_id"))
+      .select(col("doc_id"), col("n_bigrams").cast("long").as("n_bigrams"),
+        round(col("max_c") / col("n_bigrams"), 6).as("top_bigram_frac"),
+        round((col("n_tri") - col("n_tri_d")) / col("n_tri"), 6).as("dup_trigram_frac"))
+  }
+
+  /** Train/eval decontamination (GPT-3 appendix-C style): for every
+    * val/test document, the fraction of its distinct word-8-grams
+    * that also occur anywhere in the train split. A contaminated
+    * benchmark doc (high `contam_frac`) must be dropped from eval —
+    * or its near-copies dropped from train — before training.
+    *
+    * Scale shape: grams are hashed to 64 bits (xxhash64) on the
+    * executor BEFORE the overlap join, so the shuffle carries 8-byte
+    * keys instead of ~50-char strings; the train side is a distinct
+    * gram-hash set (partial-agg distinct, map-side combined) and the
+    * eval side is the 20% split — the join never touches text. The
+    * oracle compares exact gram strings; a 64-bit collision inside
+    * one doc's gram set is the usual negligible (~2^-57 per pair)
+    * fingerprinting tradeoff. Domain: docs with >= 8 tokens. */
+  def contamination(spark: SparkSession, dir: String): DataFrame =
+    contaminationOn(Tables.documents(spark, dir).select(col("doc_id"), col("text")))
+
+  private[graft] def contaminationOn(docs: DataFrame): DataFrame = {
+    val grams = withSplit(docs)
+      .select(col("doc_id"), col("split"), split(lower(trim(col("text"))), "\\s+").as("toks"))
+      .filter(size(col("toks")) >= 8)
+      .select(col("doc_id"), col("split"), explode(expr(
+        "transform(sequence(1, size(toks)-7), i -> xxhash64(concat_ws(' ', slice(toks, i, 8))))")).as("g"))
+      .distinct()
+    val train = grams.filter(col("split") === "train").select(col("g")).distinct()
+    grams.filter(col("split") =!= "train")
+      .join(train.withColumn("hit", lit(1L)), Seq("g"), "left")
+      .groupBy(col("doc_id"), col("split"))
+      .agg(count(lit(1)).cast("long").as("n_grams"),
+           coalesce(sum(col("hit")), lit(0L)).cast("long").as("n_hit"))
+      .withColumn("contam_frac", round(col("n_hit") / col("n_grams"), 6))
+  }
+
+  /** Deterministic stratified downsampling: keep at most `cap`
+    * documents per source, chosen by hash-rank over a salted doc_id
+    * hash — the standard data-mix rebalancing step (cap the
+    * over-represented crawl sources) made reproducible: membership is
+    * a pure function of (doc_id, source, cap), stable under reshards
+    * and appends-of-unrelated-sources, no RNG state.
+    *
+    * Scale shape: rank-within-stratum is a `row_number` over a
+    * source-partitioned window with a `rn <= cap` filter directly on
+    * top — Spark's WindowGroupLimit rule (pinned in PlanSpec) turns
+    * that into a per-partition partial top-k BEFORE the shuffle, so a
+    * hot source streams through a bounded heap instead of sorting its
+    * whole stratum on one task. */
+  def sampleStratified(spark: SparkSession, dir: String, cap: Int = 20): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        conv(substring(md5(concat(lit("sample:"), col("doc_id").cast("string"))), 1, 14), 16, 10)
+          .cast("long").as("rk"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("source")).orderBy(col("rk"), col("doc_id"))))
+      .filter(col("rn") <= cap)
+      .select(col("doc_id"), col("source"), col("rn").cast("long").as("rank_in_source"))
 
   /** Exact word-3-gram Jaccard between documents — the deterministic
     * oracle-checked twin of the n-gram near-dup family, over the

@@ -63,4 +63,21 @@ class GraphSpec extends AnyFunSuite {
       assert(math.abs(s - 1.0) < 1e-3, s"row ${r.getString(0)} sums to $s")
     }
   }
+
+  test("connected components: path graph converges in O(log n) rounds via pointer jumping") {
+    import spark.implicits._
+    // a 64-node path is the worst case for plain hash-min label
+    // propagation (needs 63 rounds); pointer jumping must close it
+    // well inside maxIter = 10 (~log2 64 + constant). Plus a separate
+    // triangle and an isolated node to pin multi-component labeling.
+    val nodes = ((0L until 64L) ++ Seq(100L, 101L, 102L, 200L)).toDF("id")
+    val edges = ((0L until 63L).map(i => (i, i + 1)) ++
+      Seq((100L, 101L), (101L, 102L), (102L, 100L))).toDF("src", "dst")
+    val out = Graph.connectedComponents(nodes, edges, maxIter = 10).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.size == 68)
+    for (i <- 0L until 64L) assert(out(i) == 0L, s"path node $i -> ${out(i)}")
+    for (i <- Seq(100L, 101L, 102L)) assert(out(i) == 100L)
+    assert(out(200L) == 200L, "isolated node keeps its own label")
+  }
 }

@@ -177,4 +177,103 @@ class LlmSpec extends AnyFunSuite {
     val nDocs = graft.sources.Tables.documents(spark, TestSpark.sf).count()
     assert(stats.map(_.getLong(1)).sum == nDocs)
   }
+
+  test("dedup clusters: exact + near edges close transitively, label = min doc_id") {
+    import spark.implicits._
+    // words w1..w40 all distinct; textB = textA with the LAST word
+    // changed -> 3-gram jaccard 35/41 ~ 0.854 >= 0.8 (near pair);
+    // textC shares nothing with A/B. Cluster law under test: doc 2 is
+    // only NEAR doc 0/1 (never byte-equal), docs 0/1 are only EXACTLY
+    // equal, yet all three must land in one cluster via the union of
+    // the two edge kinds.
+    val textA = (1 to 40).map(i => s"w$i").mkString(" ")
+    val textB = (1 to 39).map(i => s"w$i").mkString(" ") + " zz"
+    val textC = (1 to 40).map(i => s"v$i").mkString(" ")
+    val docs = Seq(
+      0L -> textA, 1L -> textA, 2L -> textB, // one cluster {0,1,2}
+      3L -> textC, 4L -> textC,              // exact-only cluster {3,4}
+      5L -> "lone short doc entirely"        // singleton
+    ).toDF("doc_id", "text")
+    val out = Llm.dedupClustersOn(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out.keySet == Set(0L, 1L, 2L, 3L, 4L, 5L), "every doc labeled exactly once")
+    for (d <- Seq(0L, 1L, 2L)) assert(out(d) == (0L, 3L), s"doc $d: ${out(d)}")
+    for (d <- Seq(3L, 4L)) assert(out(d) == (3L, 2L), s"doc $d: ${out(d)}")
+    assert(out(5L) == (5L, 1L))
+  }
+
+  test("split folds partition every doc deterministically at the pinned 80/10/10 hash ratios") {
+    val a = Llm.splitFolds(spark, TestSpark.sf).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val b = Llm.splitFolds(spark, TestSpark.sf).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(a == b, "split assignment must be a pure function of doc_id")
+    val nDocs = graft.sources.Tables.documents(spark, TestSpark.sf).count()
+    assert(a.size == nDocs, "every doc gets exactly one split")
+    // exact counts for this corpus's ids under the salted md5 bucket
+    // (computed independently in DuckDB) — pins the hash family
+    val counts = a.values.groupBy(identity).view.mapValues(_.size).toMap
+    assert(counts == Map("train" -> 398, "val" -> 39, "test" -> 63), s"got $counts")
+  }
+
+  test("repetition metrics: degenerate looping doc vs repeat-free doc") {
+    import spark.implicits._
+    // doc 0 "a a a a": bigrams (a a)x3 -> top_bigram_frac 1.0;
+    // trigrams (a a a)x2, 1 distinct -> dup_trigram_frac 0.5.
+    // doc 1 has all-distinct grams -> 1/3 and 0. doc 2 (< 3 tokens)
+    // is outside the domain.
+    val docs = Seq(0L -> "a a a a", 1L -> "b c d e", 2L -> "x y")
+      .toDF("doc_id", "text")
+    val out = Llm.repetitionOn(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    assert(out.keySet == Set(0L, 1L))
+    assert(out(0L) == ((3L, 1.0, 0.5)), s"looping doc: ${out(0L)}")
+    assert(out(1L) == ((3L, 0.333333, 0.0)), s"clean doc: ${out(1L)}")
+  }
+
+  test("contamination: eval doc duplicated from train scores 1.0, fresh doc 0.0") {
+    import spark.implicits._
+    // Split assignment is a pure function of doc_id (salted md5
+    // bucket), so compute it here with the same arithmetic and pick
+    // ids on the needed sides of the 80/90 cut.
+    def bucket(id: Long): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"split:$id".getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(14), 16) % 100
+    }
+    val ids = (0L until 64L)
+    val trainId = ids.find(bucket(_) < 80).get
+    val evalIds = ids.filter(bucket(_) >= 80)
+    val dupEval = evalIds.head   // exact copy of the train doc
+    val freshEval = evalIds(1)   // no 8-gram shared with train
+    val shared = (1 to 12).map(i => s"s$i").mkString(" ")
+    val docs = Seq(
+      trainId -> shared, dupEval -> shared,
+      freshEval -> (1 to 12).map(i => s"f$i").mkString(" ")
+    ).toDF("doc_id", "text")
+    val out = Llm.contaminationOn(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(out.keySet == Set(dupEval, freshEval), "train docs never appear in the report")
+    assert(out(dupEval) == ((5L, 5L, 1.0)), s"contaminated doc: ${out(dupEval)}")
+    assert(out(freshEval) == ((5L, 0L, 0.0)), s"fresh doc: ${out(freshEval)}")
+  }
+
+  test("stratified sample: per-source caps, contiguous ranks, deterministic") {
+    val docs = graft.sources.Tables.documents(spark, TestSpark.sf)
+    val perSource = docs.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val out = Llm.sampleStratified(spark, TestSpark.sf, cap = 20).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val bySource = out.groupBy(_._2)
+    assert(bySource.keySet == perSource.keySet, "no source dropped entirely")
+    for ((src, rows) <- bySource) {
+      assert(rows.length == math.min(20L, perSource(src)), s"$src cap violated")
+      assert(rows.map(_._3).sorted.toSeq == (1L to rows.length).toSeq, s"$src ranks not contiguous")
+    }
+    // shrinking the cap must select a prefix of the same ranking —
+    // the property that makes the sample stable as the cap is tuned
+    val small = Llm.sampleStratified(spark, TestSpark.sf, cap = 5).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(small == out.filter(_._3 <= 5L).toSet, "cap=5 is not a prefix of cap=20")
+  }
 }

@@ -92,4 +92,13 @@ class PlanSpec extends AnyFunSuite {
     val p = plan("eco_transitions")
     assert(p.contains("user_id"), "lead window must partition by user_id")
   }
+
+  test("stratified sample pushes the rank cap below the shuffle (WindowGroupLimit)") {
+    // rn <= cap on top of a row_number window must plan a partial
+    // per-partition top-k BEFORE the exchange — otherwise a hot
+    // source sorts its whole stratum on one task at 100 TB
+    val p = plan("llm_sample_stratified")
+    assert(p.toLowerCase.contains("windowgrouplimit"),
+      s"rank filter not pushed into a WindowGroupLimit:\n$p")
+  }
 }
