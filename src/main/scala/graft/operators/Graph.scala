@@ -166,40 +166,52 @@ object Graph {
     *
     * Each round is two shuffles — a neighbor-min groupBy and a
     * comp→comp(comp) jump join — plus one driver boolean (the
-    * converged check; no row data crosses the driver). The jump halves
-    * label-chain depth every round, so convergence is O(log diameter)
-    * rounds even on path graphs, and 2-3 rounds on the near-clique
-    * components that duplicate clusters actually form. Every round
-    * cuts lineage with an eager localCheckpoint (iterative plans
-    * otherwise grow an exponential lineage and re-execute prior
-    * rounds inside every new one); the ContextCleaner reclaims the
-    * blocks when the frames are GC'd. At 100 TB the same loop runs
-    * with reliable checkpoints, and the label/edge frames it shuffles
-    * are ids-only — never payload rows. */
+    * converged check; no row data crosses the driver). The previous
+    * label rides through the neighbor-min aggregation as a second
+    * aggregate, so convergence is a filter over the already-
+    * checkpointed round output — no extra prev-vs-next join job per
+    * round. The jump halves label-chain depth every round, so
+    * convergence is O(log diameter) rounds even on path graphs, and
+    * 2-3 rounds on the near-clique components that duplicate clusters
+    * actually form. Every round cuts lineage with an eager
+    * localCheckpoint (iterative plans otherwise grow an exponential
+    * lineage and re-execute prior rounds inside every new one); the
+    * ContextCleaner reclaims the blocks when the frames are GC'd. The
+    * edge frame is pre-partitioned on the probe key and checkpointed
+    * once, so rounds re-shuffle only the label frame, never the
+    * (much larger) edge frame. At 100 TB the same loop runs with
+    * reliable checkpoints, and the label/edge frames it shuffles are
+    * ids-only — never payload rows. */
   def connectedComponents(nodes: DataFrame, edges: DataFrame, maxIter: Int = 50): DataFrame = {
     val sym = edges.select(col("src"), col("dst"))
       .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
-      .localCheckpoint() // static across rounds; checkpoint once
+      .repartition(col("dst")) // rounds join on dst; shuffle the static side once
+      .localCheckpoint()
     var lab = nodes.select(col("id"), col("id").as("comp")).localCheckpoint()
     var converged = false
     var it = 0
     while (!converged && it < maxIter) {
       // neighbor min: each node keeps the min comp among itself and
-      // its neighbors (partial-agg min — map-side combined)
+      // its neighbors (partial-agg min — map-side combined); `own`
+      // tags the node's incumbent label so the round's output can
+      // carry prev alongside the new min
       val viaNbr = sym.join(lab, sym("dst") === lab("id"))
-        .select(sym("src").as("id"), lab("comp"))
-      val folded = lab.unionByName(viaNbr)
-        .groupBy(col("id")).agg(min(col("comp")).as("comp"))
+        .select(sym("src").as("id"), lab("comp"), lit(false).as("own"))
+      val folded = lab.withColumn("own", lit(true)).unionByName(viaNbr)
+        .groupBy(col("id"))
+        .agg(min(col("comp")).as("comp"), max(when(col("own"), col("comp"))).as("prev"))
       // pointer jump: comp := min(comp, comp(comp)) — comps are node
       // ids by construction, so the lookup is a self-join on labels
       val byId = folded.select(col("id").as("jid"), col("comp").as("jcomp"))
       val next = folded.join(byId, folded("comp") === byId("jid"), "left")
         .select(folded("id"),
-          least(folded("comp"), coalesce(col("jcomp"), folded("comp"))).as("comp"))
+          least(folded("comp"), coalesce(col("jcomp"), folded("comp"))).as("comp"),
+          folded("prev"))
         .localCheckpoint()
-      converged = next.as("n").join(lab.as("p"), col("n.id") === col("p.id"))
-        .filter(col("n.comp") =!= col("p.comp")).isEmpty
-      lab = next
+      // min-propagation only ever lowers labels, so "nothing changed"
+      // is a plain scan of the checkpointed round output
+      converged = next.filter(col("comp") =!= col("prev")).isEmpty
+      lab = next.select(col("id"), col("comp"))
       it += 1
     }
     require(converged, s"connectedComponents did not converge in $maxIter rounds")

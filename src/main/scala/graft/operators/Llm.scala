@@ -265,10 +265,16 @@ object Llm {
       .join(gid.select(col("text_hash").as("hash_a"), col("gid").as("src")), Seq("hash_a"))
       .join(gid.select(col("text_hash").as("hash_b"), col("gid").as("dst")), Seq("hash_b"))
       .select(col("src"), col("dst"))
-    val comp = Graph.connectedComponents(gid.select(col("gid").as("id")), ge)
+    // iterate ONLY over groups that touch a near edge — on a web
+    // corpus the vast majority of groups have none, and an edgeless
+    // node's component is itself, so it never needs to ride the CC
+    // rounds' shuffles; the left join below folds it back in
+    val endpoints = ge.select(col("src").as("id"))
+      .unionByName(ge.select(col("dst").as("id"))).distinct()
+    val comp = Graph.connectedComponents(endpoints, ge)
     members.join(gid, Seq("text_hash"))
-      .join(comp, col("gid") === col("id"))
-      .select(col("doc_id"), col("comp").as("cluster_id"))
+      .join(comp, col("gid") === col("id"), "left")
+      .select(col("doc_id"), coalesce(col("comp"), col("gid")).as("cluster_id"))
       .withColumn("cluster_n",
         count(lit(1)).over(Window.partitionBy(col("cluster_id"))).cast("long"))
   }
@@ -537,6 +543,45 @@ object Llm {
         Window.partitionBy(col("source")).orderBy(col("rk"), col("doc_id"))))
       .filter(col("rn") <= cap)
       .select(col("doc_id"), col("source"), col("rn").cast("long").as("rank_in_source"))
+
+  /** The end-to-end corpus-curation pipeline as ONE declared query —
+    * what a training run actually consumes: keep each dup-cluster's
+    * representative (transitive exact+near closure, `dedupClusters`),
+    * drop low-quality (< 0.15) and repetition-heavy (> 0.05 dup
+    * trigrams) documents, and assign the deterministic train/val/test
+    * fold. Demonstrates that the family composes: the output is the
+    * curated corpus manifest (doc_id, split, n_tokens, quality).
+    *
+    * Scale shape: every per-document metric (split, token stats,
+    * quality) is computed in ONE pass over a single `documents` scan
+    * (map-only expressions over one `toks` array); the trigram
+    * dup-rate is the only branch that needs a shuffle (explode →
+    * per-doc agg) and joins back on doc_id; the dedup branch reuses
+    * `dedupClusters`' group-collapsed LSH. No metric re-scans the
+    * corpus — composing the standalone queries naively would read
+    * the 100 TB input four times. */
+  def curate(spark: SparkSession, dir: String): DataFrame = {
+    val reps = dedupClusters(spark, dir)
+      .filter(col("doc_id") === col("cluster_id")).select(col("doc_id"))
+    val base = withSplit(Tables.documents(spark, dir).select(col("doc_id"), col("text")))
+      .select(col("doc_id"), col("split"), split(lower(trim(col("text"))), "\\s+").as("toks"))
+      .select(col("doc_id"), col("split"), col("toks"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        size(array_distinct(col("toks"))).as("n_uniq"))
+      .withColumn("quality",
+        round(col("n_uniq") / col("n_tokens") * least(lit(1.0), col("n_tokens") / 100.0), 6))
+    val tri = base.filter(size(col("toks")) >= 3)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(toks)-2), i -> concat(element_at(toks, i), ' ', element_at(toks, i+1), ' ', element_at(toks, i+2)))")).as("g"))
+      .groupBy(col("doc_id"))
+      .agg((count(lit(1)) - count_distinct(col("g"))).cast("double")
+        .divide(count(lit(1))).as("dup_frac"))
+    base.drop("toks", "n_uniq")
+      .join(reps, Seq("doc_id"), "left_semi")
+      .join(tri, Seq("doc_id"), "left")
+      .filter(col("quality") >= 0.15 && coalesce(col("dup_frac"), lit(0.0)) <= 0.05)
+      .select(col("doc_id"), col("split"), col("n_tokens"), col("quality"))
+  }
 
   /** Exact word-3-gram Jaccard between documents — the deterministic
     * oracle-checked twin of the n-gram near-dup family, over the
