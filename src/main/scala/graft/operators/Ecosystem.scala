@@ -113,7 +113,9 @@ object Ecosystem {
     * so it never divides by zero; ours can). The oracle SQL applies
     * the same +1 so both sides compute the identical smoothed score. */
   def importance(spark: SparkSession, dir: String): DataFrame = {
-    val e = Tables.events(spark, dir)
+    // widened: the per-row JSON extraction below is the query's CPU;
+    // a single-split events scan would serialize it into one task
+    val e = Tables.widened(Tables.events(spark, dir))
       .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
     val scored = e.groupBy(col("event_type"))
       .agg((avg(abs(col("value"))) / 50.0 * (lit(1000.0) / avg(col("k") + lit(1)))).as("raw"))
@@ -183,7 +185,7 @@ object Ecosystem {
     * a loop. Good rows aggregate; bad rows are counted, not dropped
     * silently. */
   def jsonGuard(spark: SparkSession, dir: String): DataFrame =
-    Tables.events(spark, dir)
+    Tables.widened(Tables.events(spark, dir))
       .withColumn("raw",
         when(col("event_id") % 97 === 0, expr("substring(props, 1, 3)")).otherwise(col("props")))
       .withColumn("j", from_json(col("raw"), "k INT, _corrupt_record STRING",
@@ -198,7 +200,7 @@ object Ecosystem {
     * through nested column references — the reference's
     * d["insect"]["species"] access pattern (consumer.py:56-63). */
   def nestedStruct(spark: SparkSession, dir: String): DataFrame =
-    Tables.events(spark, dir)
+    Tables.widened(Tables.events(spark, dir))
       .select(struct(
         struct(col("user_id").as("id"), col("event_type").as("type")).as("who"),
         from_json(col("props"), org.apache.spark.sql.types.StructType.fromDDL("k INT")).as("props")).as("evt"))

@@ -55,20 +55,10 @@ object Llm {
     docs.select(col("doc_id"), col("text"),
       md5(lower(trim(regexp_replace(col("text"), "\\s+", " ")))).as("text_hash"))
 
-  /** Spread a narrow scan across the cluster before per-row hash
-    * work: a small corpus arrives as one parquet split, and without
-    * this the md5+normalize pass that feeds an eager checkpoint runs
-    * as ONE task. (Round-5 A/B on a healthy host measured the toggle
-    * neutral at sf0.1 — the round-4 "2.2 s single task" reading was
-    * throttle-inflated — so this is kept purely as narrow-scan
-    * insurance.) At real scale the scan is already wider than the
-    * session's parallelism and this is the identity — the shuffle
-    * only ever moves a corpus small enough to have arrived in fewer
-    * splits than cores. */
-  private def widened(docs: DataFrame): DataFrame = {
-    val target = docs.sparkSession.sparkContext.defaultParallelism
-    if (docs.rdd.getNumPartitions < target) docs.repartition(target) else docs
-  }
+  /** Narrow-scan insurance before per-row hash work — see
+    * `Tables.widened` (shared since round 6; Ecosystem's JSON-parse
+    * queries hit the same single-split serialization). */
+  private def widened(docs: DataFrame): DataFrame = Tables.widened(docs)
 
   /** One representative (smallest doc_id) per exact-duplicate group:
     * (key = text_hash, text). Tokenization normalizes exactly the way
@@ -261,10 +251,17 @@ object Llm {
     // group node id = min doc_id of the group, so the component min
     // IS the min doc_id over every doc in the cluster
     val gid = members.groupBy(col("text_hash")).agg(min(col("doc_id")).as("gid"))
+    // checkpointed: `ge` hangs off the band-join + shingle-verify
+    // subtree (repPairs), and connectedComponents consumes it TWICE
+    // (the symmetrized edge build and the endpoint node seed) — each
+    // un-checkpointed consumer would re-execute the whole LSH verify
+    // pipeline as its own job tree (measured ~2x the query's CPU at
+    // sf0.1 before this cut)
     val ge = repPairs
       .join(gid.select(col("text_hash").as("hash_a"), col("gid").as("src")), Seq("hash_a"))
       .join(gid.select(col("text_hash").as("hash_b"), col("gid").as("dst")), Seq("hash_b"))
       .select(col("src"), col("dst"))
+      .localCheckpoint()
     // iterate ONLY over groups that touch a near edge — on a web
     // corpus the vast majority of groups have none, and an edgeless
     // node's component is itself, so it never needs to ride the CC
@@ -468,22 +465,35 @@ object Llm {
     repetitionOn(Tables.documents(spark, dir))
 
   private[graft] def repetitionOn(docs: DataFrame): DataFrame = {
-    val grams = docs
+    // Every statistic is PER-DOCUMENT, so nothing here needs a
+    // shuffle: instead of exploding grams into a 300x row table and
+    // aggregating it back (two groupBys + a join in the round-5
+    // version), each row computes its own stats with codegen'd
+    // higher-order functions — max duplicate-bigram count = longest
+    // equal run in the SORTED bigram array, distinct trigrams =
+    // array_distinct. The plan is map-only: at 100 TB it streams
+    // through the corpus scan with zero exchanges.
+    val maxRun =
+      """aggregate(
+        |  array_sort(bigrams),
+        |  named_struct('prev', cast(null as string), 'run', cast(0 as bigint), 'best', cast(0 as bigint)),
+        |  (acc, x) -> named_struct(
+        |    'prev', x,
+        |    'run', if(acc.prev <=> x, acc.run + 1, cast(1 as bigint)),
+        |    'best', greatest(acc.best, if(acc.prev <=> x, acc.run + 1, cast(1 as bigint)))),
+        |  acc -> acc.best)""".stripMargin
+    Tables.widened(docs)
       .select(col("doc_id"), split(lower(trim(col("text"))), "\\s+").as("toks"))
       .filter(size(col("toks")) >= 3)
       .select(col("doc_id"),
         expr("transform(sequence(1, size(toks)-1), i -> concat(element_at(toks, i), ' ', element_at(toks, i+1)))").as("bigrams"),
         expr("transform(sequence(1, size(toks)-2), i -> concat(element_at(toks, i), ' ', element_at(toks, i+1), ' ', element_at(toks, i+2)))").as("trigrams"))
-      .localCheckpoint()
-    val bi = grams.select(col("doc_id"), explode(col("bigrams")).as("g"))
-      .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
-      .groupBy(col("doc_id"))
-      .agg(sum(col("c")).as("n_bigrams"), max(col("c")).as("max_c"))
-    val tri = grams.select(col("doc_id"), explode(col("trigrams")).as("g"))
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_tri"), count_distinct(col("g")).as("n_tri_d"))
-    bi.join(tri, Seq("doc_id"))
-      .select(col("doc_id"), col("n_bigrams").cast("long").as("n_bigrams"),
+      .select(col("doc_id"),
+        size(col("bigrams")).cast("long").as("n_bigrams"),
+        expr(maxRun).as("max_c"),
+        size(col("trigrams")).cast("long").as("n_tri"),
+        size(array_distinct(col("trigrams"))).cast("long").as("n_tri_d"))
+      .select(col("doc_id"), col("n_bigrams"),
         round(col("max_c") / col("n_bigrams"), 6).as("top_bigram_frac"),
         round((col("n_tri") - col("n_tri_d")) / col("n_tri"), 6).as("dup_trigram_frac"))
   }

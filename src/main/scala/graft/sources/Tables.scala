@@ -48,6 +48,20 @@ object Tables {
       .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
         org.apache.spark.sql.functions.expr("ts div 1000")))
   }
+  /** Spread a narrow scan across the cluster before per-row CPU work
+    * (JSON parsing, hashing, shingling): a small table arrives as one
+    * parquet split — parquet can't split inside a row group — and
+    * without this every per-row expression downstream runs as ONE
+    * task no matter how many cores the session has. At real scale the
+    * scan is already wider than the session's parallelism and this is
+    * the identity; the round-robin shuffle only ever moves a table
+    * small enough to have arrived in fewer splits than cores.
+    * (`.rdd.getNumPartitions` plans the scan but runs no job.) */
+  def widened(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 }
