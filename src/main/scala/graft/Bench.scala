@@ -37,9 +37,19 @@ import org.apache.spark.sql.SparkSession
   *    excludes involuntary wait, so when the host steals cycles the
   *    wall number inflates but the CPU number doesn't: a wall/CPU
   *    ratio far above the clean-run ratio proves the delta is
-  *    host-side, not the engine.
+  *    host-side, not the engine;
+  *  - a calibration probe (`calib_sec` in the JSON): a fixed
+  *    single-threaded xorshift loop timed immediately before each
+  *    timed sweep and once after the last. Round 6 showed CPU-time
+  *    is NOT throttle-proof — frequency scaling stretches CPU-ns
+  *    along with wall-ns (llm_dedup_near recorded 172 CPU-s for a
+  *    workload that costs ~12 CPU-s on a healthy host) — but the
+  *    probe's work is constant, so calib_sec >> its healthy ~0.3 s
+  *    directly measures the host slowdown factor for that window.
   */
 object Bench {
+  @volatile private var calibSink: Long = 0L // defeats DCE of the calibration loop
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -85,6 +95,23 @@ object Bench {
       SparkEntry.queries(name)(spark, sfDir)
         .write.mode("overwrite").format("noop").save()
 
+    // Host-speed probe: a fixed 200M-iteration xorshift loop, single
+    // thread, no allocation. ~0.3 s on this VM healthy; linearly
+    // longer under frequency throttling. The volatile sink defeats
+    // dead-code elimination.
+    def calibrate(): Double = {
+      val t0 = System.nanoTime()
+      var x = 0x9E3779B97F4A7C15L
+      var i = 0
+      while (i < 200000000) {
+        x ^= x << 13; x ^= x >>> 7; x ^= x << 17
+        i += 1
+      }
+      calibSink = x
+      (System.nanoTime() - t0) / 1e9
+    }
+    val calib = scala.collection.mutable.ArrayBuffer.empty[Double]
+
     // Warmup (untimed): one FULL sweep. Round-4's four-query warmup
     // only touched the table families, so the heavy dedup/sketch
     // queries paid their codegen + first-materialization cost inside
@@ -110,6 +137,7 @@ object Bench {
     val cpu = scala.collection.mutable.Map.empty[String, List[Double]].withDefaultValue(Nil)
     var failed = Set.empty[String]
     for (_ <- 1 to sweeps; name <- names) {
+      if (name == names.head) calib += calibrate() // probe at each sweep boundary
       val cpu0 = settle()
       val t0 = System.nanoTime()
       try {
@@ -122,7 +150,10 @@ object Bench {
       }
     }
 
+    calib += calibrate() // closing probe: was the tail of the run throttled?
+
     def fmt(v: Option[Double], d: Int): String = v.map(x => s"%.${d}f".format(x)).getOrElse("null")
+    val calibJson = calib.map(c => f"$c%.3f").mkString("[", ",", "]")
     val wallMin = names.map(n => n -> wall(n).minOption).toMap
     val cpuMin = names.map(n => n -> cpu(n).minOption).toMap
     def qsJson(m: Map[String, Option[Double]], d: Int): String =
@@ -139,10 +170,12 @@ object Bench {
     val full =
       f"""{"metric":"total","value":$total%.4f,"unit":"sec","queries":${qsJson(wallMin, 4)},"sf":$sf""" +
         s""","n_queries":${names.size},"runs_per_query":$sweeps,"agg":"min","sweep_interleaved":true""" +
-        f""","cpu_sec_total":$cpuTotal%.4f,"queries_cpu_sec":${qsJson(cpuMin, 4)},"failed":$failedJson}"""
+        f""","cpu_sec_total":$cpuTotal%.4f,"queries_cpu_sec":${qsJson(cpuMin, 4)}""" +
+        s""","calib_sec":$calibJson,"failed":$failedJson}"""
     val compact =
       f"""{"metric":"total","value":$total%.2f,"unit":"sec","queries":${qsJson(wallMin, 2)},"sf":$sf""" +
-        f""","n_queries":${names.size},"cpu_sec_total":$cpuTotal%.1f,"failed":$failedJson}"""
+        f""","n_queries":${names.size},"cpu_sec_total":$cpuTotal%.1f""" +
+        s""","calib_sec":$calibJson,"failed":$failedJson}"""
     Files.writeString(Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")), full + "\n")
     spark.stop()
     // last stdout line before sbt's [success] trailer: nothing (not

@@ -81,6 +81,10 @@ object SparkEntry {
     "eco_graph_components" -> (Graph.graphComponents _),
     "llm_contamination"  -> (Llm.contamination _),
     "llm_sample_stratified" -> ((s, d) => Llm.sampleStratified(s, d)),
+    "llm_dedup_incremental" -> (Llm.dedupIncremental _),
+    "llm_vocab_topk"     -> (Llm.vocabTopK _),
+    "llm_pii_scrub"      -> (Llm.piiScrub _),
+    "llm_char_entropy"   -> (Llm.charEntropy _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -610,5 +614,64 @@ object SparkEntry {
                        ('0x' || substr(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 14))::BIGINT AS rk
                      FROM documents))
          WHERE rn <= 20""",
+    // New batch (src10..19) deduped against the existing corpus
+    // (src0..9) and within itself — keep min doc_id per survivor.
+    "llm_dedup_incremental" ->
+      """WITH d AS (SELECT doc_id, CAST(substr(source, 4, 10) AS INT) AS src_n,
+             md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS text_hash
+           FROM documents)
+         SELECT text_hash, min(doc_id) AS keep_doc_id,
+           CAST(count(*) AS BIGINT) AS n_dups_in_batch
+         FROM d WHERE src_n >= 10
+           AND text_hash NOT IN (SELECT text_hash FROM d WHERE src_n < 10)
+         GROUP BY 1""",
+    // Top-100 vocabulary with corpus/document frequency and ln-idf;
+    // (freq desc, token asc) tie-break makes the SET deterministic.
+    "llm_vocab_topk" ->
+      """WITH toks AS (SELECT doc_id,
+             unnest(string_split_regex(lower(trim(text)), '\s+')) AS token
+           FROM documents),
+         n AS (SELECT count(*) AS n_docs FROM documents)
+         SELECT token, CAST(count(*) AS BIGINT) AS corpus_freq,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS doc_freq,
+           round(ln(n_docs / count(DISTINCT doc_id)), 6) AS idf
+         FROM toks, n GROUP BY token, n_docs
+         ORDER BY corpus_freq DESC, token LIMIT 100""",
+    // Injected-PII redaction: counts + md5 of the scrubbed text.
+    // Injection expressions must match Llm.piiScrubOn digit for
+    // digit — the scrub_hash compare is byte-exact.
+    "llm_pii_scrub" ->
+      """WITH p AS (SELECT doc_id, text ||
+             CASE WHEN doc_id % 7 = 0
+               THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END ||
+             CASE WHEN doc_id % 11 = 0
+               THEN ' call +01-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+                    || '-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END ||
+             CASE WHEN doc_id % 13 = 0
+               THEN ' host 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+                    || '.' || CAST((doc_id * 7) % 256 AS VARCHAR) ELSE '' END AS txt
+           FROM documents)
+         SELECT doc_id,
+           CAST(len(regexp_extract_all(txt, '[a-z0-9]+@[a-z]+\.[a-z]+')) AS BIGINT) AS n_email,
+           CAST(len(regexp_extract_all(txt, '\+[0-9]{2}-[0-9]{3}-[0-9]{4}')) AS BIGINT) AS n_phone,
+           CAST(len(regexp_extract_all(txt, '[0-9]+\.[0-9]+\.[0-9]+\.[0-9]+')) AS BIGINT) AS n_ip,
+           md5(regexp_replace(regexp_replace(regexp_replace(txt,
+             '[a-z0-9]+@[a-z]+\.[a-z]+', '<EMAIL>', 'g'),
+             '\+[0-9]{2}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g'),
+             '[0-9]+\.[0-9]+\.[0-9]+\.[0-9]+', '<IP>', 'g')) AS scrub_hash
+         FROM p""",
+    // Character-entropy: the oracle sums k*log2(k) in sorted-char
+    // order (ORDER BY inside the aggregate) to mirror the Spark
+    // side's sorted fold, keeping the float rounding deterministic.
+    "llm_char_entropy" ->
+      """WITH ch AS (SELECT doc_id,
+             unnest(regexp_extract_all(regexp_replace(lower(text), '\s', '', 'g'), '.')) AS c
+           FROM documents),
+         cnt AS (SELECT doc_id, c, count(*) AS k FROM ch GROUP BY 1, 2),
+         tot AS (SELECT doc_id, CAST(sum(k) AS BIGINT) AS n,
+                   sum(k * log2(k) ORDER BY c) AS s
+                 FROM cnt GROUP BY 1)
+         SELECT doc_id, n AS n_chars_ns, round(log2(n) - s / n, 6) AS char_entropy
+         FROM tot WHERE n > 0""",
   )
 }

@@ -114,8 +114,11 @@ object Ecosystem {
     * the same +1 so both sides compute the identical smoothed score. */
   def importance(spark: SparkSession, dir: String): DataFrame = {
     // widened: the per-row JSON extraction below is the query's CPU;
-    // a single-split events scan would serialize it into one task
-    val e = Tables.widened(Tables.events(spark, dir))
+    // a single-split events scan would serialize it into one task.
+    // Width pinned to 32 (not defaultParallelism): the query averages
+    // doubles, and a host-dependent partition layout could flip the
+    // round(..,6) last digit under the exact-hash oracle compare.
+    val e = Tables.widened(Tables.events(spark, dir), width = 32)
       .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
     val scored = e.groupBy(col("event_type"))
       .agg((avg(abs(col("value"))) / 50.0 * (lit(1000.0) / avg(col("k") + lit(1)))).as("raw"))

@@ -276,6 +276,36 @@ object Llm {
         count(lit(1)).over(Window.partitionBy(col("cluster_id"))).cast("long"))
   }
 
+  /** Incremental (cross-corpus) exact dedup — the recurring-crawl
+    * stage of a corpus pipeline: a NEW batch of documents (sources
+    * src10..src19) is deduplicated against the EXISTING corpus
+    * (src0..src9) and within itself, keeping the smallest doc_id per
+    * surviving normalized-text group. The reference only ever dedups
+    * within one store (`consumer.py` upsert semantics); this is the
+    * pipeline operator a crawl cadence actually needs.
+    *
+    * Scale shape: the existing corpus never materializes text — only
+    * its distinct 128-bit hashes cross the wire into a left_anti
+    * hash join keyed on the same column as the new batch's final
+    * groupBy, so AQE plans one shuffle per side and the anti join
+    * co-locates with the keep-min aggregation. At 100 TB the
+    * existing-hash side would be a bucketed hash table on disk;
+    * nothing here depends on it fitting in memory. */
+  def dedupIncremental(spark: SparkSession, dir: String): DataFrame =
+    dedupIncrementalOn(Tables.documents(spark, dir))
+
+  private[graft] def dedupIncrementalOn(docs: DataFrame): DataFrame = {
+    val d = widened(docs).select(col("doc_id"),
+      expr("cast(substring(source, 4, 10) as int)").as("src_n"),
+      md5(lower(trim(regexp_replace(col("text"), "\\s+", " ")))).as("text_hash"))
+    val existing = d.filter(col("src_n") < 10).select(col("text_hash")).distinct()
+    d.filter(col("src_n") >= 10)
+      .join(existing, Seq("text_hash"), "left_anti")
+      .groupBy(col("text_hash"))
+      .agg(min(col("doc_id")).as("keep_doc_id"),
+           count(lit(1)).as("n_dups_in_batch"))
+  }
+
   /** 60-bit SimHash signatures per exact-duplicate GROUP over word
     * bigrams (with multiplicity — on this corpus distinct-token
     * SimHash is degenerate because all docs share a tiny vocabulary).
@@ -423,6 +453,99 @@ object Llm {
            sum(col("n_ws")).as("sum_ws_tokens"),
            sum(col("n_bpe")).as("sum_bpe_tokens"))
 
+  /** Vocabulary head — the first step of tokenizer training: top-100
+    * tokens by corpus frequency with document frequency and
+    * ln-idf, tie-broken (freq desc, token asc) so the result set is
+    * deterministic. One explode + one partial-agg groupBy on token;
+    * the corpus-size scalar rides a single-row broadcast (never a
+    * driver collect); top-k is TakeOrdered, not a global sort. At
+    * 100 TB the token groupBy is the canonical word-count shuffle —
+    * map-side combine collapses each partition to its distinct
+    * tokens before anything moves. */
+  def vocabTopK(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    widened(docs)
+      .select(col("doc_id"), explode(split(lower(trim(col("text"))), "\\s+")).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("corpus_freq"), count_distinct(col("doc_id")).as("doc_freq"))
+      .crossJoin(broadcast(n))
+      .select(col("token"), col("corpus_freq"), col("doc_freq"),
+        round(log(col("n_docs") / col("doc_freq")), 6).as("idf"))
+      .orderBy(col("corpus_freq").desc, col("token"))
+      .limit(100)
+  }
+
+  /** PII scrubbing — redact emails / phone numbers / IPv4s and count
+    * what was removed. The synthetic corpus carries no natural PII,
+    * so the query injects deterministic doc_id-keyed contact strings
+    * first (same pattern as `Ecosystem.jsonGuard`'s corrupt-row
+    * injection: the operator under test is the scrub, the injection
+    * just gives it work). Output is counts + md5 of the scrubbed
+    * text, so the oracle verifies the redaction byte-for-byte
+    * without shipping full text. Map-only: one scan, zero shuffles;
+    * the three regexes are sequential `regexp_replace`s inside one
+    * projection. */
+  def piiScrub(spark: SparkSession, dir: String): DataFrame =
+    piiScrubOn(Tables.documents(spark, dir))
+
+  private[graft] val piiEmailRe = "[a-z0-9]+@[a-z]+\\.[a-z]+"
+  private[graft] val piiPhoneRe = "\\+[0-9]{2}-[0-9]{3}-[0-9]{4}"
+  private[graft] val piiIpRe = "[0-9]+\\.[0-9]+\\.[0-9]+\\.[0-9]+"
+
+  private[graft] def piiScrubOn(docs: DataFrame): DataFrame =
+    widened(docs)
+      .withColumn("txt", concat(
+        col("text"),
+        when(col("doc_id") % 7 === 0,
+          concat(lit(" contact user"), col("doc_id").cast("string"), lit("@example.com")))
+          .otherwise(lit("")),
+        when(col("doc_id") % 11 === 0,
+          concat(lit(" call +01-"),
+            lpad((col("doc_id") % 1000).cast("string"), 3, "0"), lit("-"),
+            lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+          .otherwise(lit("")),
+        when(col("doc_id") % 13 === 0,
+          concat(lit(" host 10.0."), (col("doc_id") % 256).cast("string"), lit("."),
+            ((col("doc_id") * 7) % 256).cast("string")))
+          .otherwise(lit(""))))
+      .select(col("doc_id"),
+        regexp_count(col("txt"), lit(piiEmailRe)).cast("long").as("n_email"),
+        regexp_count(col("txt"), lit(piiPhoneRe)).cast("long").as("n_phone"),
+        regexp_count(col("txt"), lit(piiIpRe)).cast("long").as("n_ip"),
+        md5(regexp_replace(regexp_replace(regexp_replace(col("txt"),
+          piiEmailRe, "<EMAIL>"), piiPhoneRe, "<PHONE>"), piiIpRe, "<IP>")).as("scrub_hash"))
+
+  /** Per-document character-level Shannon entropy (a language-model
+    * quality signal: boilerplate and mojibake sit at the entropy
+    * extremes). Map-only like `repetitionOn`: each row sorts its own
+    * character array and folds run lengths with an array `aggregate`
+    * — H = log2(n) − (Σ k·log2 k)/n over run lengths k — so the plan
+    * has zero exchanges and the float fold order (sorted chars) is
+    * deterministic on any host; the oracle sums in the same sorted
+    * order (`ORDER BY` inside its aggregate). */
+  def charEntropy(spark: SparkSession, dir: String): DataFrame = {
+    val fin = "acc.s + if(acc.run > 0, cast(acc.run as double) * log2(cast(acc.run as double)), cast(0.0 as double))"
+    val ent =
+      s"""round(
+         |  (log2(cast(size(chars) as double)) -
+         |   aggregate(
+         |     array_sort(chars),
+         |     named_struct('prev', cast(null as string), 'run', cast(0 as bigint), 's', cast(0.0 as double)),
+         |     (acc, x) -> if(acc.prev <=> x,
+         |       named_struct('prev', x, 'run', acc.run + cast(1 as bigint), 's', acc.s),
+         |       named_struct('prev', x, 'run', cast(1 as bigint), 's', $fin)),
+         |     acc -> $fin)
+         |   / cast(size(chars) as double)), 6)""".stripMargin
+    Tables.widened(Tables.documents(spark, dir))
+      .select(col("doc_id"),
+        expr("regexp_extract_all(regexp_replace(lower(text), '\\\\s', ''), '.', 0)").as("chars"))
+      .filter(size(col("chars")) > 0)
+      .select(col("doc_id"),
+        size(col("chars")).cast("long").as("n_chars_ns"),
+        expr(ent).as("char_entropy"))
+  }
+
   /** Deterministic train/val/test assignment (80/10/10) by salted
     * content-free hash of the stable document id — the standard
     * reproducible split for training corpora: membership is a pure
@@ -455,12 +578,10 @@ object Llm {
     * boilerplate/looping documents a training pipeline drops. Domain:
     * docs with >= 3 tokens (both metrics defined).
     *
-    * One parquet scan: the gram arrays are built once and
-    * localCheckpoint'd because two aggregation branches consume them
-    * (bigram mode needs a (doc, gram) pre-group, trigram dup-rate a
-    * distinct count) — without the cut each branch would re-scan and
-    * re-split the corpus. Both branches are partial-agg friendly
-    * (per-doc keys, map-side combine). */
+    * Single-pass, shuffle-free: every statistic is per-document, so
+    * each row computes its own stats with array higher-order
+    * functions (see `repetitionOn`'s inline plan note) — one corpus
+    * scan, zero exchanges. */
   def repetition(spark: SparkSession, dir: String): DataFrame =
     repetitionOn(Tables.documents(spark, dir))
 
@@ -468,8 +589,10 @@ object Llm {
     // Every statistic is PER-DOCUMENT, so nothing here needs a
     // shuffle: instead of exploding grams into a 300x row table and
     // aggregating it back (two groupBys + a join in the round-5
-    // version), each row computes its own stats with codegen'd
-    // higher-order functions — max duplicate-bigram count = longest
+    // version), each row computes its own stats with map-only
+    // higher-order functions (HOF lambdas evaluate interpreted, not
+    // whole-stage codegen, but the plan stays exchange-free) — max
+    // duplicate-bigram count = longest
     // equal run in the SORTED bigram array, distinct trigrams =
     // array_distinct. The plan is map-only: at 100 TB it streams
     // through the corpus scan with zero exchanges.

@@ -56,9 +56,22 @@ object Tables {
     * scan is already wider than the session's parallelism and this is
     * the identity; the round-robin shuffle only ever moves a table
     * small enough to have arrived in fewer splits than cores.
-    * (`.rdd.getNumPartitions` plans the scan but runs no job.) */
-  def widened(df: DataFrame): DataFrame = {
-    val target = df.sparkSession.sparkContext.defaultParallelism
+    *
+    * PRECONDITION: pass an exchange-free plan (a raw scan plus
+    * narrow projections/filters). `.rdd.getNumPartitions` plans but
+    * runs no job ONLY for such plans — with AQE enabled, `df.rdd` on
+    * a plan containing exchanges materializes its query stages
+    * (real jobs) right here at construction time. Every current
+    * caller passes a raw table scan.
+    *
+    * `width` > 0 pins the repartition width to a constant instead of
+    * defaultParallelism — use it for queries that aggregate floats,
+    * where the partial-sum partition layout (and so the last digit
+    * of a rounded double) must not drift with the host's core
+    * count. */
+  def widened(df: DataFrame, width: Int = 0): DataFrame = {
+    val target =
+      if (width > 0) width else df.sparkSession.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions < target) df.repartition(target) else df
   }
 

@@ -276,4 +276,75 @@ class LlmSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
     assert(small == out.filter(_._3 <= 5L).toSet, "cap=5 is not a prefix of cap=20")
   }
+
+  test("incremental dedup: survivors are new-batch only, disjoint from existing hashes") {
+    import spark.implicits._
+    // existing corpus (src0..9): texts A, B; new batch (src10..19):
+    // one dup of A (dropped), two copies of C (collapse to min id),
+    // one fresh D. Survivors: C (n=2, keep=min), D (n=1).
+    val docs = Seq(
+      (1L, "alpha beta gamma", "src0"),
+      (2L, "delta epsilon zeta", "src3"),
+      (10L, "alpha beta gamma", "src11"),   // dup of existing A
+      (11L, "shared new text here", "src12"),
+      (12L, "shared new text here", "src15"),
+      (13L, "entirely fresh content", "src19")
+    ).toDF("doc_id", "text", "source")
+    val out = Llm.dedupIncrementalOn(docs).collect()
+      .map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(out == Map(11L -> 2L, 13L -> 1L), s"got $out")
+  }
+
+  test("PII scrub: counts each injected category, scrubbed text has no residual matches") {
+    import spark.implicits._
+    // doc_id 1001 = 7*11*13 + 0? (1001 = 7*11*13) — hits ALL three
+    // injection branches; doc_id 3 hits none.
+    val docs = Seq((1001L, "plain words only"), (3L, "nothing to see")).toDF("doc_id", "text")
+    val rows = Llm.piiScrubOn(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(rows(1001L) == ((1L, 1L, 1L)), s"all three categories once: ${rows(1001L)}")
+    assert(rows(3L) == ((0L, 0L, 0L)), "clean doc scrubs nothing")
+    // the scrub hash of the clean doc equals md5 of its raw text —
+    // redaction must be a no-op when nothing matches
+    val hash3 = Llm.piiScrubOn(docs).filter($"doc_id" === 3L)
+      .select($"scrub_hash").head().getString(0)
+    val md5raw = java.security.MessageDigest.getInstance("MD5")
+      .digest("nothing to see".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(hash3 == md5raw, "no-op scrub must not alter the text")
+  }
+
+  test("vocab top-k: ordered by (freq desc, token asc), idf 0 for ubiquitous tokens") {
+    val out = Llm.vocabTopK(spark, TestSpark.sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(out.nonEmpty && out.length <= 100)
+    val freqs = out.map(_._2)
+    assert(freqs.sameElements(freqs.sortBy(-_)), "not sorted by corpus_freq desc")
+    out.sliding(2).foreach { case Array(a, b) =>
+      if (a._2 == b._2) assert(a._1 < b._1, s"tie ${a._1} / ${b._1} not broken by token asc")
+      case _ => ()
+    }
+    val nDocs = graft.sources.Tables.documents(spark, TestSpark.sf).count()
+    out.foreach { case (tok, cf, df, idf) =>
+      assert(cf >= df && df >= 1, s"$tok: corpus_freq >= doc_freq >= 1")
+      if (df == nDocs) assert(idf == 0.0, s"$tok appears in every doc but idf=$idf")
+    }
+  }
+
+  test("char entropy: 0 for single-char docs, 1 bit for balanced binary alphabets") {
+    import spark.implicits._
+    val docs = Seq((1L, "aaaa aaa"), (2L, "ab ab ab ab"), (3L, "abcd")).toDF("doc_id", "text")
+    // charEntropy reads from a dir; exercise the same plan via a
+    // temp view substitution: rebuild the expression on the test df
+    // by calling the public op against a parquet round-trip
+    val dir = java.nio.file.Files.createTempDirectory("entropy").toString
+    docs.withColumn("lang", org.apache.spark.sql.functions.lit("en"))
+      .withColumn("source", org.apache.spark.sql.functions.lit("src0"))
+      .withColumn("n_chars", org.apache.spark.sql.functions.length($"text"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = Llm.charEntropy(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(out(1L) == ((7L, 0.0)), s"uniform text has zero entropy: ${out(1L)}")
+    assert(out(2L) == ((8L, 1.0)), s"balanced ab is exactly 1 bit: ${out(2L)}")
+    assert(out(3L) == ((4L, 2.0)), s"4 distinct chars = 2 bits: ${out(3L)}")
+  }
 }

@@ -101,4 +101,30 @@ class PlanSpec extends AnyFunSuite {
     assert(p.toLowerCase.contains("windowgrouplimit"),
       s"rank filter not pushed into a WindowGroupLimit:\n$p")
   }
+
+  test("map-only text ops never shuffle on a key (pii_scrub, char_entropy, repetition)") {
+    // the only allowed exchange is the narrow-scan round-robin widen,
+    // which is the identity at real scale; a hashpartitioning
+    // exchange would mean a per-doc statistic is paying a shuffle
+    for (q <- Seq("llm_pii_scrub", "llm_char_entropy", "llm_repetition")) {
+      val p = plan(q)
+      assert(!p.contains("hashpartitioning"), s"$q shuffles on a key:\n$p")
+      assert(!p.contains("Join"), s"$q must not join")
+      val scans = p.linesIterator.count(l => l.contains("Scan") && l.contains("documents"))
+      assert(scans == 1, s"$q reads its input $scans times")
+    }
+  }
+
+  test("vocab top-k plans as TakeOrdered with a broadcast scalar, no global sort") {
+    val p = plan("llm_vocab_topk")
+    assert(p.contains("TakeOrderedAndProject"), s"top-100 must be TakeOrdered:\n$p")
+    assert(!p.contains("SortMergeJoin"), "corpus-size scalar must broadcast, not shuffle")
+  }
+
+  test("incremental dedup anti-joins on the same key it aggregates (no cartesian)") {
+    val p = plan("llm_dedup_incremental")
+    assert(p.contains("LeftAnti"), s"existing-hash exclusion must be an anti join:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "anti join must stay a hash join")
+  }
 }
