@@ -85,6 +85,8 @@ object SparkEntry {
     "llm_vocab_topk"     -> (Llm.vocabTopK _),
     "llm_pii_scrub"      -> (Llm.piiScrub _),
     "llm_char_entropy"   -> (Llm.charEntropy _),
+    "llm_mix_weighted"   -> (Llm.mixWeighted _),
+    "eco_hopping_counts" -> (Ecosystem.hoppingCounts _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -673,5 +675,24 @@ object SparkEntry {
                  FROM cnt GROUP BY 1)
          SELECT doc_id, n AS n_chars_ns, round(log2(n) - s / n, 6) AS char_entropy
          FROM tot WHERE n > 0""",
+    // Mixture sampling: keep iff 56-bit salted hash % 100000 falls
+    // under the source's integer threshold — exact integer compare,
+    // no float probability anywhere.
+    "llm_mix_weighted" ->
+      """WITH d AS (SELECT doc_id, source,
+             CAST(substr(source, 4, 10) AS INT) AS src_n,
+             ('0x' || substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 14))::BIGINT % 100000 AS u
+           FROM documents)
+         SELECT doc_id, source, u AS mix_rank FROM d
+         WHERE u < (src_n % 5 + 1) * 20000""",
+    // Hopping windows: every event contributes to exactly two
+    // 10-minute windows at 5-minute hops; replay the expansion as a
+    // two-bucket UNION ALL.
+    "eco_hopping_counts" ->
+      """WITH e AS (SELECT CAST(floor(epoch(ts) / 300) * 300 AS BIGINT) AS b, event_type
+             FROM events),
+         x AS (SELECT b AS wstart, event_type FROM e
+               UNION ALL SELECT b - 300, event_type FROM e)
+         SELECT wstart, event_type, count(*) AS n FROM x GROUP BY 1, 2""",
   )
 }

@@ -48,6 +48,18 @@ object Ecosystem {
       .agg(count(lit(1)).as("n"))
       .select(col("w.start").cast("long").as("wstart"), col("event_type"), col("n"))
 
+  /** A2 sliding variant: HOPPING window counts (10-minute windows
+    * every 5 minutes) — each event lands in exactly size/slide = 2
+    * windows via Spark's Expand operator (no self-union, one scan,
+    * one shuffle on the already-doubled rows' (window, type) key).
+    * The batch twin of a `Trigger`-driven sliding aggregation; the
+    * oracle replays the two-bucket expansion arithmetically. */
+  def hoppingCounts(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(window(col("ts"), "10 minutes", "5 minutes").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").cast("long").as("wstart"), col("event_type"), col("n"))
+
   /** A3/A4 trends: hourly window × event_type counts with share of
     * hour (event_trends / species_trends, consumer.py:47-48). */
   def trends(spark: SparkSession, dir: String): DataFrame = {

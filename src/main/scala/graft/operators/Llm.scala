@@ -453,6 +453,29 @@ object Llm {
            sum(col("n_ws")).as("sum_ws_tokens"),
            sum(col("n_bpe")).as("sum_bpe_tokens"))
 
+  /** Weighted source mixing — the pretraining data-mixture operator:
+    * each source gets a sampling weight (here a deterministic
+    * function of the source number: (n%5+1)/5 → 0.2..1.0, standing
+    * in for the quality/temperature weights a real mixture config
+    * supplies) and each document is kept iff a content-free salted
+    * hash of its stable id falls under the source's threshold. Pure
+    * integer compare on a 56-bit md5 prefix — reproducible on any
+    * engine, any partitioning, any run — the property mixture
+    * resampling needs so a corpus rebuild yields the same tokens.
+    * Map-only: one scan, zero shuffles, trivially parallel at
+    * 100 TB. */
+  def mixWeighted(spark: SparkSession, dir: String): DataFrame =
+    mixWeightedOn(Tables.documents(spark, dir))
+
+  private[graft] def mixWeightedOn(docs: DataFrame): DataFrame =
+    widened(docs)
+      .select(col("doc_id"), col("source"),
+        expr("cast(substring(source, 4, 10) as int)").as("src_n"),
+        (conv(substring(md5(concat(lit("mix:"), col("doc_id").cast("string"))), 1, 14), 16, 10)
+          .cast("long") % 100000L).as("u"))
+      .filter(col("u") < (col("src_n") % 5 + 1).cast("long") * 20000L)
+      .select(col("doc_id"), col("source"), col("u").as("mix_rank"))
+
   /** Vocabulary head — the first step of tokenizer training: top-100
     * tokens by corpus frequency with document frequency and
     * ln-idf, tie-broken (freq desc, token asc) so the result set is

@@ -55,6 +55,23 @@ object Streaming {
   def upsertLatest(events: DataFrame, lateness: String = "2 hours"): DataFrame =
     events.withWatermark("ts", lateness).dropDuplicates("event_id")
 
+  /** Typed document for streaming dedup tests/feeds. */
+  case class Doc(doc_id: Long, ts: java.sql.Timestamp, text: String)
+
+  /** The dedup family's streaming leg: exact dedup of an incoming
+    * document stream — the first document per normalized-text hash
+    * passes, later copies are dropped — with state bounded by the
+    * watermark horizon (`dropDuplicatesWithinWatermark`, so the
+    * store holds one 128-bit hash per distinct text seen within
+    * `lateness`, never the corpus). The crawl-frontier shape of
+    * `Llm.dedupExact`/`dedupIncremental`: same normalization, same
+    * hash, applied per micro-batch instead of per corpus rebuild. */
+  def dedupDocs(docs: DataFrame, lateness: String = "1 hour"): DataFrame =
+    docs
+      .withColumn("text_hash", md5(lower(trim(regexp_replace(col("text"), "\\s+", " ")))))
+      .withWatermark("ts", lateness)
+      .dropDuplicatesWithinWatermark("text_hash")
+
   /** The wire format, encode side: every column JSON-serialized into
     * a single `value` string — the reference's `json.dumps(event)`
     * (producer.py:46). Shared by `kafkaSink` and the broker-free wire

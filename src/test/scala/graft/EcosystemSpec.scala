@@ -16,6 +16,15 @@ class EcosystemSpec extends AnyFunSuite {
     }
   }
 
+  test("hopping windows: every event lands in exactly two windows") {
+    val hop = Ecosystem.hoppingCounts(spark, TestSpark.sf).collect()
+    val total = graft.sources.Tables.events(spark, TestSpark.sf).count()
+    assert(hop.map(_.getLong(2)).sum == 2 * total,
+      "10min/5min hop must double-count each event exactly once")
+    // window starts align to the 5-minute hop grid
+    assert(hop.forall(_.getLong(0) % 300 == 0), "starts must sit on the hop grid")
+  }
+
   test("stats shares sum to 1") {
     val shares = Ecosystem.stats(spark, TestSpark.sf).collect().map(_.getDouble(4))
     assert(math.abs(shares.sum - 1.0) < 1e-3)

@@ -330,6 +330,23 @@ class LlmSpec extends AnyFunSuite {
     }
   }
 
+  test("weighted mixing: full-weight sources keep everything, rates track weights") {
+    import spark.implicits._
+    val docs = (0L until 2500L).map(i => (i, s"text $i", s"src${i % 5}"))
+      .toDF("doc_id", "text", "source")
+    val kept = Llm.mixWeightedOn(docs).collect().map(r => (r.getLong(0), r.getString(1)))
+    val bySrc = kept.groupBy(_._2).view.mapValues(_.length.toDouble / 500.0).toMap
+    // src4 has weight (4%5+1)/5 = 1.0: the threshold admits every
+    // 56-bit hash, so ALL its docs survive — exact, not statistical
+    assert(bySrc("src4") == 1.0, s"full-weight source must keep all: $bySrc")
+    // lower-weight sources keep close to their nominal rate
+    for ((s, w) <- Seq("src0" -> 0.2, "src1" -> 0.4, "src2" -> 0.6, "src3" -> 0.8))
+      assert(math.abs(bySrc(s) - w) < 0.08, s"$s rate ${bySrc(s)} far from $w")
+    // deterministic: a rerun selects the identical set
+    val again = Llm.mixWeightedOn(docs).collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(kept.toSet == again.toSet, "mixture sample must be reproducible")
+  }
+
   test("char entropy: 0 for single-char docs, 1 bit for balanced binary alphabets") {
     import spark.implicits._
     val docs = Seq((1L, "aaaa aaa"), (2L, "ab ab ab ab"), (3L, "abcd")).toDF("doc_id", "text")

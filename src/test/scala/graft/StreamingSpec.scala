@@ -47,6 +47,32 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming dedup: first text passes, later copies drop across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[Streaming.Doc]
+    val q = Streaming.serveMemory(
+      Streaming.dedupDocs(ms.toDF(), "1 hour"), "dedup_docs", mode = "append")
+    try {
+      // batch 1: two copies of A (one survives), one B
+      ms.addData(
+        Streaming.Doc(1, ts("2024-01-01 10:00:00"), "alpha  beta gamma"),
+        Streaming.Doc(2, ts("2024-01-01 10:00:01"), "alpha beta gamma"),
+        Streaming.Doc(3, ts("2024-01-01 10:00:02"), "delta epsilon"))
+      q.processAllAvailable()
+      // batch 2: another A copy (dropped by state), one fresh C
+      ms.addData(
+        Streaming.Doc(4, ts("2024-01-01 10:05:00"), "ALPHA BETA GAMMA"),
+        Streaming.Doc(5, ts("2024-01-01 10:05:01"), "zeta eta theta"))
+      q.processAllAvailable()
+      val ids = spark.sql("SELECT doc_id FROM dedup_docs")
+        .collect().map(_.getLong(0)).sorted.toSeq
+      assert(ids.length == 3, s"one survivor per distinct text: $ids")
+      assert(ids.contains(3L) && ids.contains(5L), "unique texts must pass")
+      assert((ids.toSet & Set(1L, 2L)).size == 1, "exactly one copy of the duplicated text")
+      assert(!ids.contains(4L), "cross-batch duplicate must hit state and drop")
+    } finally q.stop()
+  }
+
   test("last-write-wins upsert: duplicate event ids emitted once") {
     implicit val sqlCtx = spark.sqlContext
     val ms = MemoryStream[Event]
