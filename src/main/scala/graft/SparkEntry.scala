@@ -87,6 +87,8 @@ object SparkEntry {
     "llm_char_entropy"   -> (Llm.charEntropy _),
     "llm_mix_weighted"   -> (Llm.mixWeighted _),
     "eco_hopping_counts" -> (Ecosystem.hoppingCounts _),
+    "llm_length_quantiles" -> (Llm.lengthQuantiles _),
+    "llm_heavy_hitters"  -> (Llm.heavyHitters _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -694,5 +696,17 @@ object SparkEntry {
          x AS (SELECT b AS wstart, event_type FROM e
                UNION ALL SELECT b - 300, event_type FROM e)
          SELECT wstart, event_type, count(*) AS n FROM x GROUP BY 1, 2""",
+    // Exact interpolated percentiles: Spark `percentile` and DuckDB
+    // `quantile_cont` share the rank = p*(n-1) linear-interpolation
+    // definition; round-4 absorbs float formatting. (llm_heavy_hitters
+    // is no_oracle by design: CMS estimates are sketch-valued — its
+    // exact twin is llm_vocab_topk and the bound is pinned in LlmSpec.)
+    "llm_length_quantiles" ->
+      """SELECT source, count(*) AS n_docs,
+           round(quantile_cont(n_chars, 0.5), 4) AS p50,
+           round(quantile_cont(n_chars, 0.9), 4) AS p90,
+           round(quantile_cont(n_chars, 0.99), 4) AS p99,
+           max(n_chars) AS max_chars
+         FROM documents GROUP BY source""",
   )
 }

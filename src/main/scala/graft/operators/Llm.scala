@@ -453,6 +453,23 @@ object Llm {
            sum(col("n_ws")).as("sum_ws_tokens"),
            sum(col("n_bpe")).as("sum_bpe_tokens"))
 
+  /** Per-source document-length distribution (p50/p90/p99/max) — the
+    * corpus-profiling step that feeds sequence-length budgeting and
+    * outlier cuts. Uses Spark's EXACT `percentile` (linear
+    * interpolation, matching DuckDB `quantile_cont` digit for digit
+    * after round-4) because per-source groups are modest; the
+    * documented 100 TB path swaps in `approx_percentile` — same
+    * query shape, mergeable t-digest-style buffers, no exact sort —
+    * pinned within-error against the exact result in LlmSpec. */
+  def lengthQuantiles(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        expr("round(percentile(n_chars, 0.5), 4)").as("p50"),
+        expr("round(percentile(n_chars, 0.9), 4)").as("p90"),
+        expr("round(percentile(n_chars, 0.99), 4)").as("p99"),
+        max(col("n_chars")).as("max_chars"))
+
   /** Weighted source mixing — the pretraining data-mixture operator:
     * each source gets a sampling weight (here a deterministic
     * function of the source number: (n%5+1)/5 → 0.2..1.0, standing
@@ -497,6 +514,76 @@ object Llm {
         round(log(col("n_docs") / col("doc_freq")), 6).as("idf"))
       .orderBy(col("corpus_freq").desc, col("token"))
       .limit(100)
+  }
+
+  /** Heavy-hitter tokens via Count-Min Sketch — `vocabTopK`'s
+    * sketch-path twin, the shape that survives when the vocabulary
+    * itself is too hot to exact-count in one pass (streams, or a
+    * groupBy whose skewed head key melts a reducer). One pass over
+    * the token stream: each partition folds its tokens into a local
+    * d×w counter array (d=4 md5-derived Kirsch-Mitzenmacher rows,
+    * w=8192 — CMS guarantees est ∈ [true, true + εN] w.h.p.) and
+    * records local candidates by the pigeonhole rule (a token with
+    * global count ≥ minCount must have local count ≥ minCount/P in
+    * at least one of P partitions). Sketches merge by elementwise
+    * add — the partial-aggregation property that makes the operator
+    * mergeable across 1000 executors or micro-batches; the final
+    * merge moves only P constant-size (256 KB) arrays plus the
+    * candidate strings, never token-level data. Estimates = min over
+    * the d rows, filtered to ≥ minCount. Deterministic (md5 hashes,
+    * no RNG); pinned in LlmSpec against exact counts: never
+    * underestimates, overestimate bounded. */
+  def heavyHitters(spark: SparkSession, dir: String): DataFrame =
+    heavyHittersOn(Tables.documents(spark, dir), minCount = 50L)
+
+  private[graft] def heavyHittersOn(docs: DataFrame, minCount: Long): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val depth = 4
+    val width = 8192
+    val toks = widened(docs)
+      .select(explode(split(lower(trim(col("text"))), "\\s+")).as("token"))
+      .as[String]
+    val nPart = math.max(1, toks.rdd.getNumPartitions)
+    val localBar = math.max(1L, minCount / nPart)
+    def rowsOf(t: Array[Byte]): Array[Int] = {
+      def long(off: Int): Long =
+        (0 until 8).foldLeft(0L)((a, i) => (a << 8) | (t(off + i) & 0xffL))
+      val h1 = long(0); val h2 = long(8) | 1L
+      Array.tabulate(depth)(i => (((h1 + i * h2) & Long.MaxValue) % width).toInt)
+    }
+    val (sketch, candidates) = toks
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val arr = Array.ofDim[Long](depth * width)
+        val local = scala.collection.mutable.HashMap.empty[String, Long]
+        it.foreach { t =>
+          val rows = rowsOf(md.digest(t.getBytes("UTF-8")))
+          var i = 0
+          while (i < depth) { arr(i * width + rows(i)) += 1L; i += 1 }
+          local.update(t, local.getOrElse(t, 0L) + 1L)
+        }
+        Iterator((arr, local.collect { case (t, c) if c >= localBar => t }.toArray))
+      }
+      // elementwise-add merge: partial per partition, then the driver
+      // folds P constant-size buffers (treeReduce territory at real
+      // fleet sizes; the data-dependent part never leaves executors)
+      .reduce { (a, b) =>
+        val m = a._1.clone()
+        var i = 0
+        while (i < m.length) { m(i) += b._1(i); i += 1 }
+        (m, (a._2 ++ b._2).distinct)
+      }
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val out = candidates.toSeq
+      .map { t =>
+        val rows = rowsOf(md.digest(t.getBytes("UTF-8")))
+        val est = (0 until depth).map(i => sketch(i * width + rows(i))).min
+        (t, est)
+      }
+      .filter(_._2 >= minCount)
+      .sortBy { case (t, est) => (-est, t) }
+    out.toDF("token", "est_count")
   }
 
   /** PII scrubbing — redact emails / phone numbers / IPv4s and count

@@ -347,6 +347,46 @@ class LlmSpec extends AnyFunSuite {
     assert(kept.toSet == again.toSet, "mixture sample must be reproducible")
   }
 
+  test("CMS heavy hitters: never underestimates, overestimate within eps*N, no misses") {
+    import spark.implicits._
+    val docs = graft.sources.Tables.documents(spark, TestSpark.sf)
+    val exact = docs
+      .select(org.apache.spark.sql.functions.explode(
+        org.apache.spark.sql.functions.split(
+          org.apache.spark.sql.functions.lower(
+            org.apache.spark.sql.functions.trim($"text")), "\\s+")).as("t"))
+      .groupBy("t").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = exact.values.sum
+    val minCount = 20L
+    val est = Llm.heavyHittersOn(docs.select($"doc_id", $"text"), minCount).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val trulyHeavy = exact.filter(_._2 >= minCount).keySet
+    assert(trulyHeavy.subsetOf(est.keySet),
+      s"CMS must not miss a true heavy hitter: ${trulyHeavy -- est.keySet}")
+    val epsN = math.ceil(math.E / 8192.0 * n).toLong
+    est.foreach { case (t, e) =>
+      assert(e >= exact(t), s"$t: CMS underestimated ($e < ${exact(t)})")
+      assert(e <= exact(t) + epsN, s"$t: overestimate $e beyond ${exact(t)} + $epsN")
+    }
+  }
+
+  test("length quantiles: approx_percentile (the 100 TB path) tracks the exact result") {
+    import spark.implicits._
+    val exact = Llm.lengthQuantiles(spark, TestSpark.sf).collect()
+      .map(r => r.getString(0) -> r.getDouble(2)).toMap // p50
+    val approx = graft.sources.Tables.documents(spark, TestSpark.sf)
+      .groupBy($"source")
+      .agg(org.apache.spark.sql.functions.expr(
+        "approx_percentile(n_chars, 0.5, 1000)").as("ap50"))
+      .collect().map(r => r.getString(0) -> r.getLong(1).toDouble).toMap
+    exact.foreach { case (src, p50) =>
+      // approx_percentile at accuracy 1000 must land within 10% of
+      // the exact interpolated median for these group sizes
+      assert(math.abs(approx(src) - p50) <= math.max(5.0, p50 * 0.1),
+        s"$src: approx ${approx(src)} vs exact $p50")
+    }
+  }
+
   test("char entropy: 0 for single-char docs, 1 bit for balanced binary alphabets") {
     import spark.implicits._
     val docs = Seq((1L, "aaaa aaa"), (2L, "ab ab ab ab"), (3L, "abcd")).toDF("doc_id", "text")
