@@ -89,6 +89,10 @@ object SparkEntry {
     "eco_hopping_counts" -> (Ecosystem.hoppingCounts _),
     "llm_length_quantiles" -> (Llm.lengthQuantiles _),
     "llm_heavy_hitters"  -> (Llm.heavyHitters _),
+    "llm_segment_dedup"  -> (Llm.segmentDedup _),
+    "llm_unigram_logprob" -> (Llm.unigramLogprob _),
+    "llm_embed_quantize" -> (Llm.embedQuantize _),
+    "sink_partitioned"   -> (graft.sources.Sinks.partitionedRoundTrip _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -708,5 +712,65 @@ object SparkEntry {
            round(quantile_cont(n_chars, 0.99), 4) AS p99,
            max(n_chars) AS max_chars
          FROM documents GROUP BY source""",
+    // Segment granularity: 10-token windows, kept only at the
+    // corpus-wide first (doc_id, position) occurrence; clean_hash
+    // digests the order-preserving reassembly. generate_series +
+    // list slicing replays Spark's sequence + slice exactly.
+    "llm_segment_dedup" ->
+      """WITH toks AS (
+           SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t FROM documents
+         ),
+         segs0 AS (
+           SELECT doc_id, unnest(list_transform(
+             generate_series(0, CAST(floor((len(t)-1)/10) AS BIGINT)),
+             i -> struct_pack(seg := i, seg_text := array_to_string(t[(i*10+1):(i*10+10)], ' ')))) AS u
+           FROM toks
+         ),
+         segs AS (SELECT doc_id, u.seg AS seg, u.seg_text AS seg_text FROM segs0),
+         ranked AS (
+           SELECT doc_id, seg, seg_text,
+                  row_number() OVER (PARTITION BY md5(seg_text) ORDER BY doc_id, seg) AS rn
+           FROM segs
+         )
+         SELECT doc_id,
+                count(*) AS n_segs,
+                CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+                round(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) / CAST(count(*) AS DOUBLE), 6) AS kept_frac,
+                md5(coalesce(string_agg(CASE WHEN rn = 1 THEN seg_text END, ' ' ORDER BY seg), '')) AS clean_hash
+         FROM ranked GROUP BY doc_id""",
+    "llm_unigram_logprob" ->
+      """WITH toks AS (
+           SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS tok FROM documents
+         ),
+         vocab AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
+         tot AS (SELECT sum(c) AS n FROM vocab)
+         SELECT t.doc_id, count(*) AS n_toks,
+                round(avg(-ln(v.c / CAST(tot.n AS DOUBLE))), 6) AS avg_neg_logp
+         FROM toks t JOIN vocab v USING (tok), tot GROUP BY t.doc_id""",
+    // All quantization arithmetic is double in the exact operator
+    // order of the Spark side, so codes and errors are bit-identical.
+    "llm_embed_quantize" ->
+      """WITH q AS (
+           SELECT vec_id,
+                  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e,
+                  CAST(list_min(embedding) AS DOUBLE) AS mn,
+                  CAST(list_max(embedding) AS DOUBLE) AS mx
+           FROM embeddings
+         ),
+         codes AS (
+           SELECT vec_id, e, mn, mx,
+                  list_transform(e, x -> LEAST(255, CAST(floor((x - mn) * 255.0 / (mx - mn)) AS BIGINT))) AS code
+           FROM q
+         )
+         SELECT vec_id,
+                md5(array_to_string(code, ',')) AS code_hash,
+                round(list_max(list_transform(list_zip(e, code),
+                      p -> abs(p[1] - (mn + (CAST(p[2] AS DOUBLE) + 0.5) * (mx - mn) / 255.0)))), 6) AS max_abs_err
+         FROM codes""",
+    "sink_partitioned" ->
+      """SELECT source, lang, count(*) AS n_docs,
+                CAST(sum(n_chars) AS BIGINT) AS sum_chars
+         FROM documents WHERE source IN ('src3', 'src7')
+         GROUP BY source, lang""",
   )
 }

@@ -29,14 +29,26 @@ import graft.sources.Tables
 object Ecosystem {
 
   /** A1 stats: counts by event_type plus global share — the
-    * reference's `get_stats` panel (consumer.py:151-168). */
+    * reference's `get_stats` panel (consumer.py:151-168).
+    *
+    * The grand-total normalization runs on the POST-AGGREGATION frame
+    * (one row per event_type — bounded, tiny at any corpus size),
+    * materialized once with localCheckpoint and then consumed twice:
+    * once as the output rows, once summed to the scalar total that a
+    * broadcast cross-join attaches back. No empty-partition window
+    * (which would funnel rows through a single WindowExec partition),
+    * no second scan of the fact table. */
   def stats(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.events(spark, dir)
-    e.groupBy(col("event_type"))
+    val grouped = e.groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"),
            round(sum(col("value")), 4).as("sum_value"),
            round(avg(col("value")), 4).as("avg_value"))
-      .withColumn("share", round(col("n") / sum(col("n")).over(Window.partitionBy()), 6))
+      .localCheckpoint()
+    grouped
+      .crossJoin(broadcast(grouped.agg(sum(col("n")).as("total"))))
+      .withColumn("share", round(col("n") / col("total"), 6))
+      .drop("total")
   }
 
   /** A2/ST2 tumbling 1-minute windowed counts by event_type
@@ -132,11 +144,18 @@ object Ecosystem {
     // round(..,6) last digit under the exact-hash oracle compare.
     val e = Tables.widened(Tables.events(spark, dir), width = 32)
       .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
+    // grand-total normalization: same tiny-frame checkpoint +
+    // broadcast pattern as `stats` (see its doc comment) — the
+    // grouped frame is one row per event_type, so materializing it
+    // once and summing the checkpoint beats an empty-partition window
     val scored = e.groupBy(col("event_type"))
       .agg((avg(abs(col("value"))) / 50.0 * (lit(1000.0) / avg(col("k") + lit(1)))).as("raw"))
-    scored.select(col("event_type"),
+      .localCheckpoint()
+    scored
+      .crossJoin(broadcast(scored.agg(sum(col("raw")).as("total"))))
+      .select(col("event_type"),
         round(col("raw"), 6).as("raw_score"),
-        round(col("raw") / sum(col("raw")).over(Window.partitionBy()), 6).as("rank_score"))
+        round(col("raw") / col("total"), 6).as("rank_score"))
   }
 
   /** A12 MapReduce word-count equivalent (mapreduce.py:5-96): emit

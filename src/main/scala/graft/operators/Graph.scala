@@ -182,7 +182,56 @@ object Graph {
     * (much larger) edge frame. At 100 TB the same loop runs with
     * reliable checkpoints, and the label/edge frames it shuffles are
     * ids-only — never payload rows. */
-  def connectedComponents(nodes: DataFrame, edges: DataFrame, maxIter: Int = 50): DataFrame = {
+  def connectedComponents(nodes: DataFrame, edges: DataFrame, maxIter: Int = 50,
+                          driverCutoff: Int = 100000): DataFrame = {
+    // Small-graph fast path — the CC analogue of the broadcast-join
+    // threshold: each distributed round costs ~6 fixed-overhead jobs
+    // (join, groupBy, jump join, checkpoint, convergence scan), which
+    // dwarfs the actual work whenever the VERIFIED near-dup graph is
+    // modest (tens of edges at sf0.1; even a pathological corpus
+    // yields orders of magnitude fewer verified group-pairs than
+    // docs). Below the cutoff the edge list collects to the driver
+    // (ids only, never payload) and a union-find labels it in
+    // microseconds; above it, the O(log d) min-propagation rounds
+    // run exactly as before. Output is identical either way: comp =
+    // min id in the component, deterministic. Tests pin BOTH paths
+    // (driverCutoff = 0 forces the distributed rounds).
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{StructField, StructType}
+    val cutoff = driverCutoff
+    if (cutoff > 0 && edges.limit(cutoff + 1).count() <= cutoff) {
+      val idType = nodes.schema.fields.head.dataType
+      val es = edges.select(col("src"), col("dst")).collect()
+      val ns = nodes.select(col("id")).collect().map(_.get(0))
+      val parent = scala.collection.mutable.HashMap.empty[Any, Any]
+      implicit val ord: Ordering[Any] = idType match {
+        case org.apache.spark.sql.types.StringType =>
+          Ordering.String.on[Any](_.asInstanceOf[String])
+        case org.apache.spark.sql.types.IntegerType =>
+          Ordering.Int.on[Any](_.asInstanceOf[Int])
+        case _ => Ordering.Long.on[Any](_.asInstanceOf[Long])
+      }
+      def find(x: Any): Any = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent(r)
+        var c = x // path compression
+        while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      def union(a: Any, b: Any): Unit = {
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) { // union by MIN root so the final root IS the component min
+          if (ord.lt(ra, rb)) parent(rb) = ra else parent(ra) = rb
+        }
+      }
+      es.foreach(r => union(r.get(0), r.get(1)))
+      val out = ns.map(id => Row(id, find(id)))
+      val schema = StructType(Seq(
+        StructField("id", idType, nullable = false),
+        StructField("comp", idType, nullable = false)))
+      return nodes.sparkSession.createDataFrame(
+        java.util.Arrays.asList(out: _*), schema)
+    }
     val sym = edges.select(col("src"), col("dst"))
       .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
       .repartition(col("dst")) // rounds join on dst; shuffle the static side once

@@ -1184,4 +1184,98 @@ object Llm {
         col("fb").cast("long").as("first_byte"),
         sha2(col("payload"), 256).as("sha_hex"),
         col("meta.lang").as("meta_lang"))
+
+  /** Segment-level (C4-style) dedup: documents are cut into
+    * deterministic 10-token segments, each segment is kept only at
+    * its corpus-wide FIRST occurrence (smallest (doc_id, position)),
+    * and every document reports how much of it survived plus a hash
+    * of its reassembled cleaned text. This is the span-granularity
+    * complement to `dedupExact` (whole doc) and `dedupNear` (whole
+    * doc, fuzzy): boilerplate repeated across pages is removed from
+    * every page but its first.
+    *
+    * Scale shape: one explode (10x row count at ~10 tokens/segment,
+    * but each row is a short string — the corpus in segments is the
+    * corpus), one window partitioned BY SEGMENT HASH (first-occurrence
+    * ranking shuffles on the hash — uniformly distributed, no hot
+    * partition; a global sort would be wrong here and is avoided),
+    * one groupBy doc_id to reassemble. The rejoin keeps segment order
+    * with an array_sort over (position, text) structs — no second
+    * window. */
+  def segmentDedup(spark: SparkSession, dir: String): DataFrame =
+    segmentDedupOn(Tables.documents(spark, dir).select(col("doc_id"), col("text")))
+
+  private[graft] def segmentDedupOn(docs: DataFrame): DataFrame = {
+    val segs = widened(docs)
+      .select(col("doc_id"), split(lower(trim(col("text"))), "\\s+").as("t"))
+      .select(col("doc_id"), posexplode(expr(
+        "transform(sequence(0, cast(floor((size(t)-1)/10) as int)), i -> array_join(slice(t, i*10+1, 10), ' '))")))
+      .toDF("doc_id", "seg", "seg_text")
+    val ranked = segs.withColumn("rn", row_number().over(
+      Window.partitionBy(md5(col("seg_text"))).orderBy(col("doc_id"), col("seg"))))
+    ranked.groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_segs"),
+        sum(when(col("rn") === 1, lit(1L)).otherwise(lit(0L))).as("n_kept"),
+        expr("md5(coalesce(array_join(transform(array_sort(" +
+          "collect_list(case when rn = 1 then struct(seg, seg_text) end)), " +
+          "x -> x.seg_text), ' '), ''))").as("clean_hash"))
+      .withColumn("kept_frac", round(col("n_kept").cast("double") / col("n_segs"), 6))
+      .select(col("doc_id"), col("n_segs"), col("n_kept"), col("kept_frac"), col("clean_hash"))
+  }
+
+  /** Unigram-LM quality proxy: every document scored by the average
+    * negative log-probability of its tokens under the corpus's own
+    * unigram distribution — the cheap stand-in for model-perplexity
+    * filtering (high score = tokens the corpus rarely sees = likely
+    * noise; near-uniform low score = templated text). Two passes over
+    * the tokenized corpus: vocab counts, then a token→count join
+    * probed by the same exploded frame.
+    *
+    * Scale shape: the tokenized frame is localCheckpoint'd once and
+    * feeds both the vocab aggregation and the probe side, so the
+    * corpus is tokenized exactly once. The vocab join shuffles on
+    * token (both sides co-partitioned by the join key; AQE plans the
+    * small vocab side as broadcast when it fits); the grand-total
+    * rides in as a broadcast scalar. At 100 TB the classic refinement
+    * is broadcast top-K vocab + an OOV tail mass — same plan minus
+    * the shuffle — but the exact form is what an oracle can check. */
+  def unigramLogprob(spark: SparkSession, dir: String): DataFrame =
+    unigramLogprobOn(Tables.documents(spark, dir).select(col("doc_id"), col("text")))
+
+  private[graft] def unigramLogprobOn(docs: DataFrame): DataFrame = {
+    val toks = widened(docs)
+      .select(col("doc_id"), explode(split(lower(trim(col("text"))), "\\s+")).as("tok"))
+      .localCheckpoint()
+    val vocab = toks.groupBy(col("tok")).agg(count(lit(1)).as("c"))
+    val tot = vocab.agg(sum(col("c")).as("n"))
+    toks.join(vocab, Seq("tok"))
+      .crossJoin(broadcast(tot))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_toks"),
+           round(avg(-log(col("c") / col("n").cast("double"))), 6).as("avg_neg_logp"))
+  }
+
+  /** Per-vector int8 (256-level) min-max quantization of the
+    * embedding column — the memory-compression step an ANN index at
+    * 100 TB actually ships (4x smaller than float32, distance
+    * computed on codes + per-vector (mn, scale) pair). Map-only plan:
+    * each row quantizes itself with higher-order functions; the
+    * output carries a digest of the code vector (cross-engine
+    * checkable) and the max absolute reconstruction error at
+    * bucket-midpoint decoding. All arithmetic is double and written
+    * in the exact operator order the oracle uses, so the results are
+    * bit-identical across engines. */
+  def embedQuantize(spark: SparkSession, dir: String): DataFrame =
+    Tables.widened(Tables.embeddings(spark, dir))
+      .select(col("vec_id"), expr("transform(embedding, x -> cast(x as double))").as("e"))
+      .withColumn("mn", expr("array_min(e)"))
+      .withColumn("mx", expr("array_max(e)"))
+      .withColumn("code", expr(
+        "transform(e, x -> least(255L, cast(floor((x - mn) * 255.0 / (mx - mn)) as bigint)))"))
+      .select(col("vec_id"),
+        md5(expr("array_join(transform(code, c -> cast(c as string)), ',')")).as("code_hash"),
+        round(expr(
+          "array_max(zip_with(e, code, (x, c) -> abs(x - (mn + (cast(c as double) + 0.5) * (mx - mn) / 255.0))))"),
+          6).as("max_abs_err"))
 }

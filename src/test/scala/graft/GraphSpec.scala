@@ -73,11 +73,17 @@ class GraphSpec extends AnyFunSuite {
     val nodes = ((0L until 64L) ++ Seq(100L, 101L, 102L, 200L)).toDF("id")
     val edges = ((0L until 63L).map(i => (i, i + 1)) ++
       Seq((100L, 101L), (101L, 102L), (102L, 100L))).toDF("src", "dst")
-    val out = Graph.connectedComponents(nodes, edges, maxIter = 10).collect()
-      .map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(out.size == 68)
-    for (i <- 0L until 64L) assert(out(i) == 0L, s"path node $i -> ${out(i)}")
-    for (i <- Seq(100L, 101L, 102L)) assert(out(i) == 100L)
-    assert(out(200L) == 200L, "isolated node keeps its own label")
+    // driverCutoff = 0 forces the distributed min-propagation rounds
+    // (the at-scale path); the default exercises the driver-side
+    // union-find fast path — both must produce identical labels
+    for (cutoff <- Seq(0, 100000)) {
+      val out = Graph.connectedComponents(nodes, edges, maxIter = 10,
+        driverCutoff = cutoff).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(out.size == 68)
+      for (i <- 0L until 64L) assert(out(i) == 0L, s"path node $i -> ${out(i)} (cutoff $cutoff)")
+      for (i <- Seq(100L, 101L, 102L)) assert(out(i) == 100L)
+      assert(out(200L) == 200L, "isolated node keeps its own label")
+    }
   }
 }

@@ -404,4 +404,47 @@ class LlmSpec extends AnyFunSuite {
     assert(out(2L) == ((8L, 1.0)), s"balanced ab is exactly 1 bit: ${out(2L)}")
     assert(out(3L) == ((4L, 2.0)), s"4 distinct chars = 2 bits: ${out(3L)}")
   }
+
+  test("segment dedup: repeated boilerplate survives only at its first occurrence") {
+    import spark.implicits._
+    // 10-token boilerplate B opens doc 1 and doc 2; doc 2 also has 10
+    // unique tokens. Doc 1 keeps everything (first occurrence), doc 2
+    // keeps only its unique half. Doc 3 repeats B twice: both copies
+    // are dropped (first occurrence is doc 1's).
+    val b = (1 to 10).map(i => s"boiler$i").mkString(" ")
+    val u = (1 to 10).map(i => s"unique$i").mkString(" ")
+    val docs = Seq((1L, b), (2L, s"$b $u"), (3L, s"$b $b")).toDF("doc_id", "text")
+    val out = Llm.segmentDedupOn(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out(1L) == ((1L, 1L)), s"doc 1 keeps its boilerplate: ${out(1L)}")
+    assert(out(2L) == ((2L, 1L)), s"doc 2 keeps only the unique segment: ${out(2L)}")
+    assert(out(3L) == ((2L, 0L)), s"doc 3 keeps nothing: ${out(3L)}")
+  }
+
+  test("unigram logprob: a doc of rare tokens scores strictly above a doc of common ones") {
+    import spark.implicits._
+    val common = Array.fill(20)("the").mkString(" ")
+    val docs = Seq(
+      (1L, common), (2L, common), (3L, common),
+      (4L, "zyxvut qwerty plugh xyzzy")).toDF("doc_id", "text")
+    val out = Llm.unigramLogprobOn(docs).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(out(4L) > out(1L),
+      s"rare-token doc must score above common-token doc: ${out(4L)} vs ${out(1L)}")
+    // 60 of 64 tokens are 'the': -ln(60/64) for common docs, exact
+    assert(math.abs(out(1L) - (-math.log(60.0 / 64.0))) < 1e-5)
+  }
+
+  test("embed quantize: midpoint decoding error is bounded by half a bucket") {
+    val dir = TestSpark.sf
+    val rows = Llm.embedQuantize(spark, dir).collect()
+    assert(rows.nonEmpty)
+    // bucket width = (mx-mn)/255; err <= width/2. Bound it loosely
+    // from the data: embeddings are ~N(0,1)-ish per dim, range < 10
+    rows.foreach { r =>
+      val err = r.getDouble(2)
+      assert(err >= 0 && err <= 10.0 / 255.0 / 2.0 + 1e-9,
+        s"vec ${r.getLong(0)} error $err out of bound")
+    }
+  }
 }

@@ -127,4 +127,33 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       "anti join must stay a hash join")
   }
+
+  test("partitioned sink read prunes partitions at the scan (sink_partitioned)") {
+    // the written layout partitions by source; the filter on the
+    // partition column must appear as PartitionFilters on the scan
+    // (directory pruning — zero I/O for the other sources), NOT as a
+    // post-scan Filter over all rows
+    val p = plan("sink_partitioned")
+    val scanLine = p.linesIterator.find(l =>
+      l.contains("PartitionFilters: [") && !l.contains("PartitionFilters: []"))
+    assert(scanLine.isDefined, s"no partition pruning in:\n$p")
+    assert(scanLine.get.contains("src3") || p.contains("src3"),
+      "the source IN filter must drive the pruning")
+  }
+
+  test("embed quantization is map-only (llm_embed_quantize)") {
+    val p = plan("llm_embed_quantize")
+    assert(!p.contains("hashpartitioning"), s"per-vector quantization shuffles:\n$p")
+    assert(!p.contains("Join"), "quantization must not join")
+  }
+
+  test("segment dedup ranks on the segment-hash partition, not a global sort") {
+    val p = plan("llm_segment_dedup")
+    // the first-occurrence window must be partitioned (by md5(seg));
+    // an empty partition spec would funnel the exploded corpus
+    // through one WindowExec partition (an `Exchange SinglePartition`)
+    assert(p.contains("Window"), s"no window in:\n$p")
+    assert(!p.contains("Exchange SinglePartition"),
+      s"first-occurrence ranking funnels through a single partition:\n$p")
+  }
 }
