@@ -198,10 +198,16 @@ object Graph {
     // (driverCutoff = 0 forces the distributed rounds).
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types.{StructField, StructType}
+    // ids-only edge list, materialized ONCE — the threshold count,
+    // the fast-path collect, and the distributed rounds' symmetrize
+    // all read these blocks instead of re-executing the caller's
+    // edge subtree (graphComponents feeds a spatial theta-join here;
+    // three executions of it would swamp either path's win)
+    val e0 = edges.select(col("src"), col("dst")).localCheckpoint()
     val cutoff = driverCutoff
-    if (cutoff > 0 && edges.limit(cutoff + 1).count() <= cutoff) {
+    if (cutoff > 0 && e0.limit(cutoff + 1).count() <= cutoff) {
       val idType = nodes.schema.fields.head.dataType
-      val es = edges.select(col("src"), col("dst")).collect()
+      val es = e0.collect()
       val ns = nodes.select(col("id")).collect().map(_.get(0))
       val parent = scala.collection.mutable.HashMap.empty[Any, Any]
       implicit val ord: Ordering[Any] = idType match {
@@ -232,8 +238,8 @@ object Graph {
       return nodes.sparkSession.createDataFrame(
         java.util.Arrays.asList(out: _*), schema)
     }
-    val sym = edges.select(col("src"), col("dst"))
-      .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
+    val sym = e0
+      .unionByName(e0.select(col("dst").as("src"), col("src").as("dst")))
       .repartition(col("dst")) // rounds join on dst; shuffle the static side once
       .localCheckpoint()
     var lab = nodes.select(col("id"), col("id").as("comp")).localCheckpoint()
