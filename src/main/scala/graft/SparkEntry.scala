@@ -93,6 +93,9 @@ object SparkEntry {
     "llm_unigram_logprob" -> (Llm.unigramLogprob _),
     "llm_embed_quantize" -> (Llm.embedQuantize _),
     "sink_partitioned"   -> (graft.sources.Sinks.partitionedRoundTrip _),
+    "sink_orc"           -> (graft.sources.Sinks.orcRoundTrip _),
+    "sink_jsonl"         -> (graft.sources.Sinks.jsonlRoundTrip _),
+    "llm_tfidf_terms"    -> (Llm.tfidfTerms _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -772,5 +775,33 @@ object SparkEntry {
                 CAST(sum(n_chars) AS BIGINT) AS sum_chars
          FROM documents WHERE source IN ('src3', 'src7')
          GROUP BY source, lang""",
+    "sink_orc" ->
+      """SELECT lang, count(*) AS n_docs,
+                CAST(sum(n_chars) AS BIGINT) AS sum_chars
+         FROM documents GROUP BY lang""",
+    // the length(text) = n_chars conjunct proves the text column
+    // survived JSON escaping byte-for-byte on the read-back side
+    "sink_jsonl" ->
+      """SELECT source, count(*) AS n_docs
+         FROM documents WHERE n_chars > 200 AND length(text) = n_chars
+         GROUP BY source""",
+    "llm_tfidf_terms" ->
+      """WITH toks AS (
+           SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS term FROM documents
+         ),
+         tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+         df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+         n AS (SELECT count(DISTINCT doc_id) AS n FROM toks),
+         scored AS (
+           SELECT tf.doc_id, tf.term, tf.tf * ln(n.n / CAST(df.df AS DOUBLE)) AS score
+           FROM tf JOIN df USING (term), n
+         ),
+         ranked AS (
+           SELECT doc_id, term, score,
+                  row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term ASC) AS rank
+           FROM scored
+         )
+         SELECT doc_id, rank, term, round(score, 6) AS score
+         FROM ranked WHERE rank <= 3""",
   )
 }

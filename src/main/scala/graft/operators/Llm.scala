@@ -1278,4 +1278,36 @@ object Llm {
         round(expr(
           "array_max(zip_with(e, code, (x, c) -> abs(x - (mn + (cast(c as double) + 0.5) * (mx - mn) / 255.0))))"),
           6).as("max_abs_err"))
+
+  /** Per-document top-3 terms by tf-idf — the keyword-extraction /
+    * feature-selection primitive (tf = in-doc count, idf = ln(N/df)
+    * over the corpus). Deterministic ordering: (score desc, term asc)
+    * — both engines compute the identical double, so even near-ties
+    * rank identically, and exact ties fall to the term.
+    *
+    * Scale shape: term frequencies and document frequencies are two
+    * partial aggregations over one tokenized checkpoint; df joins tf
+    * on the term key (co-partitioned; AQE broadcasts the vocab side
+    * when it fits), N rides in as a broadcast scalar, and the top-3
+    * cut is a WindowGroupLimit-able rank over doc_id partitions —
+    * never a global sort. */
+  def tfidfTerms(spark: SparkSession, dir: String): DataFrame =
+    tfidfTermsOn(Tables.documents(spark, dir).select(col("doc_id"), col("text")))
+
+  private[graft] def tfidfTermsOn(docs: DataFrame): DataFrame = {
+    val toks = widened(docs)
+      .select(col("doc_id"), explode(split(lower(trim(col("text"))), "\\s+")).as("term"))
+      .localCheckpoint()
+    val tf = toks.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = toks.agg(count_distinct(col("doc_id")).as("n"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("term").asc)
+    tf.join(df, Seq("term"))
+      .crossJoin(broadcast(n))
+      .withColumn("score", col("tf") * log(col("n").cast("double") / col("df")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("doc_id"), col("rank"), col("term"), round(col("score"), 6).as("score"))
+  }
 }

@@ -40,4 +40,37 @@ object Sinks {
     docs.filter(col("source").isin("src3", "src7"))
       .groupBy(col("source"), col("lang"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+
+  /** ORC round-trip: same documents, columnar ORC instead of parquet.
+    * ORC ships in Spark with the same pushdown/pruning machinery
+    * (and bloom-filter/zone-map indexes at scale); the oracle checks
+    * the rollup against the original table, so any round-trip loss —
+    * encoding, nulls, type narrowing — breaks the hash. */
+  def orcRoundTrip(spark: SparkSession, dir: String): DataFrame = {
+    val out = new java.io.File(
+      sys.props("java.io.tmpdir"), "graft_orc_sink").getAbsolutePath
+    Tables.documents(spark, dir).write.mode("overwrite").orc(out)
+    spark.read.orc(out)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+  }
+
+  /** JSON-lines round-trip with an EXPLICIT read schema — the
+    * interchange format crawl pipelines actually ingest. Schema
+    * inference is deliberately avoided (at 100 TB an inference pass
+    * is a full extra scan, and inferred types drift between drops);
+    * the declared schema makes the read single-pass and stable. The
+    * filter + rollup runs on the read-back copy, so JSON escaping of
+    * the text column round-trips under the oracle's hash. */
+  def jsonlRoundTrip(spark: SparkSession, dir: String): DataFrame = {
+    val out = new java.io.File(
+      sys.props("java.io.tmpdir"), "graft_jsonl_sink").getAbsolutePath
+    Tables.documents(spark, dir).write.mode("overwrite").json(out)
+    spark.read
+      .schema("doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT")
+      .json(out)
+      .filter(col("n_chars") > 200 && length(col("text")) === col("n_chars"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"))
+  }
 }

@@ -435,6 +435,22 @@ class LlmSpec extends AnyFunSuite {
     assert(math.abs(out(1L) - (-math.log(60.0 / 64.0))) < 1e-5)
   }
 
+  test("tfidf: corpus-wide tokens score zero, distinctive tokens rank first") {
+    import spark.implicits._
+    // 'shared' appears in every doc (idf = ln(3/3) = 0); each doc's
+    // own token has idf = ln(3) and must rank 1
+    val docs = Seq(
+      (1L, "shared alpha"), (2L, "shared beta"), (3L, "shared gamma"))
+      .toDF("doc_id", "text")
+    val out = Llm.tfidfTermsOn(docs).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> ((r.getString(2), r.getDouble(3)))).toMap
+    assert(out((1L, 1)) == (("alpha", math.rint(math.log(3.0) * 1e6) / 1e6)))
+    assert(out((2L, 1))._1 == "beta")
+    assert(out((3L, 1))._1 == "gamma")
+    // the ubiquitous token still appears (top-3 of a 2-token doc) at score 0
+    assert(out((1L, 2)) == (("shared", 0.0)))
+  }
+
   test("embed quantize: midpoint decoding error is bounded by half a bucket") {
     val dir = TestSpark.sf
     val rows = Llm.embedQuantize(spark, dir).collect()

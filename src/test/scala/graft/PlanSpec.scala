@@ -147,6 +147,16 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Join"), "quantization must not join")
   }
 
+  test("tfidf top-3 cut happens below the window shuffle (WindowGroupLimit)") {
+    val p = plan("llm_tfidf_terms")
+    assert(p.toLowerCase.contains("windowgrouplimit"),
+      s"rank<=3 not pushed into a WindowGroupLimit:\n$p")
+    // the ranking window itself must partition by doc_id (a scalar-N
+    // single-partition exchange elsewhere in the plan is fine)
+    assert(p.contains("windowspecdefinition(doc_id"),
+      s"tfidf ranking must stay partitioned by doc_id:\n$p")
+  }
+
   test("segment dedup ranks on the segment-hash partition, not a global sort") {
     val p = plan("llm_segment_dedup")
     // the first-occurrence window must be partitioned (by md5(seg));
