@@ -95,6 +95,7 @@ object SparkEntry {
     "sink_partitioned"   -> (graft.sources.Sinks.partitionedRoundTrip _),
     "sink_orc"           -> (graft.sources.Sinks.orcRoundTrip _),
     "sink_jsonl"         -> (graft.sources.Sinks.jsonlRoundTrip _),
+    "sink_bucketed"      -> (graft.sources.Sinks.bucketedRoundTrip _),
     "llm_tfidf_terms"    -> (Llm.tfidfTerms _),
   )
 
@@ -779,6 +780,11 @@ object SparkEntry {
       """SELECT lang, count(*) AS n_docs,
                 CAST(sum(n_chars) AS BIGINT) AS sum_chars
          FROM documents GROUP BY lang""",
+    "sink_bucketed" ->
+      """SELECT a.source AS source,
+                CAST(sum(CASE WHEN a.text = b.text THEN 1 ELSE 0 END) AS BIGINT) AS n_docs
+         FROM documents a JOIN documents b ON a.doc_id = b.doc_id
+         GROUP BY a.source""",
     // the length(text) = n_chars conjunct proves the text column
     // survived JSON escaping byte-for-byte on the read-back side
     "sink_jsonl" ->

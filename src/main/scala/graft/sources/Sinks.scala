@@ -55,6 +55,37 @@ object Sinks {
       .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
   }
 
+  /** Bucketed-table round-trip: documents written `bucketBy(8,
+    * doc_id)` into the session catalog, then self-joined on the
+    * bucket key. Bucketing is THE co-located-join tool at 100 TB —
+    * both sides of a doc_id join (or a doc_id groupBy) arrive
+    * pre-partitioned on disk, so the join plans with NO exchange on
+    * either side (PlanSpec pins the shuffle-free SortMergeJoin with
+    * broadcast disabled). The join verifies the round-trip: every doc
+    * must meet its own copy with identical text, and the rollup
+    * counts survivors per source — any bucketing loss or hash drift
+    * breaks the oracle. */
+  def bucketedRoundTrip(spark: SparkSession, dir: String): DataFrame = {
+    Tables.documents(spark, dir)
+      .write.mode("overwrite")
+      .bucketBy(8, "doc_id").sortBy("doc_id")
+      .option("path", new java.io.File(
+        sys.props("java.io.tmpdir"), "graft_bucketed_sink").getAbsolutePath)
+      .saveAsTable("graft_docs_bucketed")
+    val t = spark.table("graft_docs_bucketed")
+    bucketedSelfJoin(t)
+  }
+
+  /** The join half, exposed for the plan-shape test. The text check
+    * lives INSIDE the aggregate (not a filter): a post-join equality
+    * filter would get folded into the join condition, widening the
+    * join keys past the bucket spec and disqualifying the bucketed
+    * (exchange-free) plan. */
+  private[graft] def bucketedSelfJoin(t: DataFrame): DataFrame =
+    t.as("a").join(t.as("b"), col("a.doc_id") === col("b.doc_id"))
+      .groupBy(col("a.source").as("source"))
+      .agg(sum(when(col("a.text") === col("b.text"), lit(1L)).otherwise(lit(0L))).as("n_docs"))
+
   /** JSON-lines round-trip with an EXPLICIT read schema — the
     * interchange format crawl pipelines actually ingest. Schema
     * inference is deliberately avoided (at 100 TB an inference pass

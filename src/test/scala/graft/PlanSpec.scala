@@ -147,6 +147,28 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Join"), "quantization must not join")
   }
 
+  test("bucketed self-join plans with no exchange on either side") {
+    // write the bucketed table once, then plan the join with
+    // broadcast disabled: both sides arrive bucketed on doc_id, so a
+    // SortMergeJoin needs NO hashpartitioning exchange — the
+    // co-located-join contract bucketing buys at 100 TB
+    SparkEntry.queries("sink_bucketed")(spark, TestSpark.sf).collect()
+    val conf = spark.sessionState.conf
+    val prev = conf.getConfString("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      conf.setConfString("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val p = graft.sources.Sinks.bucketedSelfJoin(spark.table("graft_docs_bucketed"))
+        .queryExecution.executedPlan.toString
+      assert(p.contains("SortMergeJoin"), s"expected SMJ over bucketed sides:\n$p")
+      assert(p.contains("Bucketed: true"), s"scans must use the bucket layout:\n$p")
+      // no exchange keyed on the join column — the rollup's
+      // source-keyed exchange above the join is a different key and
+      // is expected
+      assert(!p.contains("Exchange hashpartitioning(doc_id"),
+        s"bucketed join must not shuffle its sides on doc_id:\n$p")
+    } finally conf.setConfString("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("tfidf top-3 cut happens below the window shuffle (WindowGroupLimit)") {
     val p = plan("llm_tfidf_terms")
     assert(p.toLowerCase.contains("windowgrouplimit"),
