@@ -15,6 +15,14 @@ object DevTime {
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // JVM (not ICU) case mappings: Unicode-correct either way, and
+      // the ICU path was the top CPU frame in round-7 stack profiles
+      // of the shingle/tokenize pipelines (execBinaryICU per row)
+      .config("spark.sql.icu.caseMappings.enabled", "false")
+      // never bypass-merge shuffle: bypass opens one file per reduce
+      // partition per map task (32x32 per exchange); the unsafe/sort
+      // writers open one file per map task
+      .config("spark.shuffle.sort.bypassMergeThreshold", "0")
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.ui.enabled", "false")
     confs.foreach { c => val Array(k, v) = c.split("=", 2); builder.config(k, v) }
@@ -29,19 +37,25 @@ object DevTime {
           f"tasks=${si.numTasks}%4d  ${si.name.take(80)}")
       }
     })
+    // DEVTIME_SAMPLE=1 enables sampling; DEVTIME_SAMPLE_MS overrides
+    // the interval (default 5000 — drop to ~200 for sub-5 s queries,
+    // or one sample per run tells you nothing)
+    val sampleMs = sys.env.getOrElse("DEVTIME_SAMPLE_MS", "5000").toLong
     val sampler = new Thread(() => {
       while (true) {
-        Thread.sleep(5000)
+        Thread.sleep(sampleMs)
         val stacks = Thread.getAllStackTraces
         val lines = new scala.collection.mutable.ArrayBuffer[String]()
         stacks.forEach { (t, st) =>
           if (t.getState == Thread.State.RUNNABLE && st.nonEmpty &&
-              !t.getName.contains("sampler")) {
-            lines += s"${t.getName}: ${st.take(5).mkString(" <- ")}"
+              !t.getName.contains("sampler") &&
+              t.getName.startsWith("Executor task launch")) {
+            // top APPLICATION frame beats 5 raw frames for aggregation
+            lines += st.take(12).mkString(" <- ")
           }
         }
         println("  SAMPLE ---- runnable=" + lines.size)
-        lines.take(8).foreach(l => println(s"  SAMPLE ${l.take(300)}"))
+        lines.take(16).foreach(l => println(s"  SAMPLE ${l.take(400)}"))
       }
     })
     sampler.setDaemon(true)

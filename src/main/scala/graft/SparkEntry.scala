@@ -97,6 +97,7 @@ object SparkEntry {
     "sink_jsonl"         -> (graft.sources.Sinks.jsonlRoundTrip _),
     "sink_bucketed"      -> (graft.sources.Sinks.bucketedRoundTrip _),
     "llm_tfidf_terms"    -> (Llm.tfidfTerms _),
+    "llm_curate"         -> (Llm.curate _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -791,6 +792,60 @@ object SparkEntry {
       """SELECT source, count(*) AS n_docs
          FROM documents WHERE n_chars > 200 AND length(text) = n_chars
          GROUP BY source""",
+    // End-to-end curation: survivors = cluster representatives (the
+    // same recursive-CTE closure as llm_dedup_clusters) that clear
+    // the quality floor and the dup-trigram ceiling, labeled with
+    // their llm_split fold. Filters run on the same expressions the
+    // standalone oracles use, so each stage is already proven.
+    "llm_curate" ->
+      """WITH RECURSIVE
+         toks AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+                  FROM documents),
+         sh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+                FROM toks, LATERAL (SELECT unnest(range(1, len(t)-1)) AS i)
+                WHERE len(t) >= 3),
+         sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+         i AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+               FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+         near AS (SELECT doc_a AS a, doc_b AS b
+                  FROM i JOIN sizes sa ON sa.doc_id = doc_a
+                         JOIN sizes sb ON sb.doc_id = doc_b
+                  WHERE n_common / (sa.n + sb.n - n_common) >= 0.8),
+         g AS (SELECT doc_id,
+                 min(doc_id) OVER (PARTITION BY
+                   md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))))) AS gmin
+               FROM documents),
+         ex AS (SELECT gmin AS a, doc_id AS b FROM g WHERE doc_id <> gmin),
+         e0 AS (SELECT a, b FROM near UNION SELECT a, b FROM ex),
+         edges AS (SELECT a, b FROM e0 UNION SELECT b AS a, a AS b FROM e0),
+         reach(d, r) AS (
+           SELECT doc_id, doc_id FROM documents
+           UNION
+           SELECT reach.d, e.b FROM reach JOIN edges e ON e.a = reach.r),
+         lab AS (SELECT d AS doc_id, min(r) AS cluster_id FROM reach GROUP BY d),
+         reps AS (SELECT doc_id FROM lab WHERE doc_id = cluster_id),
+         splits AS (SELECT doc_id,
+             CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split
+           FROM (SELECT doc_id,
+                   ('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 14))::BIGINT % 100 AS b
+                 FROM documents)),
+         base AS (SELECT tk.doc_id,
+                    CAST(len(tk.t) AS BIGINT) AS n_tokens,
+                    round(len(list_distinct(tk.t)) / len(tk.t)
+                          * least(1.0, len(tk.t) / 100.0), 6) AS quality
+                  FROM toks tk),
+         tg AS (SELECT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g
+                FROM (SELECT doc_id, t FROM toks WHERE len(t) >= 3) ok,
+                     LATERAL (SELECT unnest(range(1, len(t)-1)) AS i)),
+         dup AS (SELECT doc_id,
+                   (count(*) - count(DISTINCT g)) / count(*) AS dup_frac
+                 FROM tg GROUP BY 1)
+         SELECT b.doc_id, s.split, b.n_tokens, b.quality
+         FROM base b
+         JOIN reps r ON r.doc_id = b.doc_id
+         JOIN splits s ON s.doc_id = b.doc_id
+         LEFT JOIN dup d ON d.doc_id = b.doc_id
+         WHERE b.quality >= 0.15 AND coalesce(d.dup_frac, 0.0) <= 0.05""",
     "llm_tfidf_terms" ->
       """WITH toks AS (
            SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS term FROM documents
