@@ -98,6 +98,9 @@ object SparkEntry {
     "sink_bucketed"      -> (graft.sources.Sinks.bucketedRoundTrip _),
     "llm_tfidf_terms"    -> (Llm.tfidfTerms _),
     "llm_curate"         -> (Llm.curate _),
+    // no_oracle: quantized first stage is approximate — recall vs
+    // llm_knn_exact pinned in LlmSpec
+    "llm_knn_quantized"  -> (Llm.knnQuantized _),
   )
 
   def oracleSql: Map[String, String] = Map(

@@ -451,6 +451,16 @@ class LlmSpec extends AnyFunSuite {
     assert(out((1L, 2)) == (("shared", 0.0)))
   }
 
+  test("quantized kNN: top-10 after exact re-rank matches exact kNN almost everywhere") {
+    val dir = TestSpark.sf
+    val exact = Llm.knnExact(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val quant = Llm.knnQuantized(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & quant).size.toDouble / exact.size
+    assert(recall >= 0.9, s"SQ8 recall $recall < 0.9 (${exact.size} exact pairs)")
+  }
+
   test("embed quantize: midpoint decoding error is bounded by half a bucket") {
     val dir = TestSpark.sf
     val rows = Llm.embedQuantize(spark, dir).collect()
