@@ -87,6 +87,7 @@ object SparkEntry {
     "llm_char_entropy"   -> (Llm.charEntropy _),
     "llm_mix_weighted"   -> (Llm.mixWeighted _),
     "eco_hopping_counts" -> (Ecosystem.hoppingCounts _),
+    "eco_sessions"       -> (Ecosystem.sessions _),
     "llm_length_quantiles" -> (Llm.lengthQuantiles _),
     "llm_heavy_hitters"  -> (Llm.heavyHitters _),
     "llm_segment_dedup"  -> (Llm.segmentDedup _),
@@ -720,6 +721,29 @@ object SparkEntry {
            round(quantile_cont(n_chars, 0.99), 4) AS p99,
            max(n_chars) AS max_chars
          FROM documents GROUP BY source""",
+    // Gap sessionization on floored epoch seconds both sides (Spark's
+    // timestamp->long cast floors; DuckDB's epoch() keeps fractions,
+    // so the floor is explicit); ordering at microsecond precision
+    // like eco_transitions.
+    "eco_sessions" ->
+      """WITH e AS (
+           SELECT user_id, event_id, date_trunc('microseconds', ts) AS mts,
+                  CAST(floor(epoch(ts)) AS BIGINT) AS sec
+           FROM events),
+         g AS (
+           SELECT user_id, sec, mts, event_id,
+             CASE WHEN lag(sec) OVER w IS NULL OR sec - lag(sec) OVER w > 1800
+                  THEN 1 ELSE 0 END AS gap
+           FROM e WINDOW w AS (PARTITION BY user_id ORDER BY mts, event_id)),
+         s AS (
+           SELECT user_id, sec,
+             sum(gap) OVER (PARTITION BY user_id ORDER BY mts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session
+           FROM g)
+         SELECT user_id, CAST(session AS BIGINT) AS session,
+                min(sec) AS session_start, count(*) AS n_events,
+                max(sec) - min(sec) AS duration_s
+         FROM s GROUP BY 1, 2""",
     // Segment granularity: 10-token windows, kept only at the
     // corpus-wide first (doc_id, position) occurrence; clean_hash
     // digests the order-preserving reassembly. generate_series +

@@ -96,6 +96,32 @@ object Ecosystem {
               round(col("value"), 4).as("value"))
   }
 
+  /** Gap-based sessionization: each user's event stream splits into
+    * sessions wherever >30 minutes of inactivity pass — the batch
+    * twin of a session window (the reference keeps only fixed
+    * tumbling windows; sessionization is the analytics a TTL'd
+    * per-entity event store actually wants, consumer.py:119's 2 h TTL
+    * being a crude version of the same idea).
+    *
+    * Scale shape: both windows partition by user_id (each timeline is
+    * independent — horizontal at any corpus size; same key reuses ONE
+    * sort+shuffle for the lag and the running sum), then one groupBy
+    * (user_id, session) that Spark co-locates with the window
+    * partitioning. No global sort anywhere. */
+  def sessions(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(spark, dir)
+      .withColumn("gap", when(
+        col("ts").cast("long") - lag(col("ts").cast("long"), 1).over(w) > 1800L
+          || lag(col("ts"), 1).over(w).isNull, lit(1L)).otherwise(lit(0L)))
+      .withColumn("session", sum(col("gap")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session"))
+      .agg(min(col("ts")).cast("long").as("session_start"),
+           count(lit(1)).as("n_events"),
+           (max(col("ts")).cast("long") - min(col("ts")).cast("long")).as("duration_s"))
+  }
+
   /** A6 exact distinct: distinct active users per event_type — the
     * deterministic twin of the HLL estimate (consumer.py:190-198). */
   def distinctUsers(spark: SparkSession, dir: String): DataFrame =

@@ -73,8 +73,8 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), "all-pairs join in the LSH path")
   }
 
-  test("per-row windows are partitioned (transitions, q9)") {
-    for (q <- Seq("eco_transitions", "q9_top_per_customer")) {
+  test("per-row windows are partitioned (transitions, q9, sessions)") {
+    for (q <- Seq("eco_transitions", "q9_top_per_customer", "eco_sessions")) {
       val p = plan(q)
       val windows = p.linesIterator.filter(_.contains("Window ")).toSeq
       assert(windows.nonEmpty)
@@ -91,6 +91,15 @@ class PlanSpec extends AnyFunSuite {
   test("markov ordering is per-user, never a global sort (eco_transitions)") {
     val p = plan("eco_transitions")
     assert(p.contains("user_id"), "lead window must partition by user_id")
+  }
+
+  test("sessionization reuses one sort for lag, running sum, and groupBy (eco_sessions)") {
+    val p = plan("eco_sessions")
+    // both windows share (user_id; ts, event_id), so the plan needs
+    // exactly one user_id exchange feeding them
+    val exchanges = p.linesIterator.count(_.contains("Exchange hashpartitioning(user_id"))
+    assert(exchanges == 1, s"expected one user_id exchange, got $exchanges:\n$p")
+    assert(!p.contains("Exchange SinglePartition"), "no global window allowed")
   }
 
   test("stratified sample pushes the rank cap below the shuffle (WindowGroupLimit)") {
