@@ -55,6 +55,23 @@ object Streaming {
   def upsertLatest(events: DataFrame, lateness: String = "2 hours"): DataFrame =
     events.withWatermark("ts", lateness).dropDuplicates("event_id")
 
+  /** ST6-adjacent: streaming gap sessionization — the streaming twin
+    * of `Ecosystem.sessions` via Spark's native `session_window`
+    * (merging event-time windows that close after `gap` of
+    * inactivity; watermark-driven state eviction exactly like the
+    * tumbling path). Emits one row per closed session per user:
+    * start, end, event count. The reference has no session concept
+    * (SURVEY marks ST6 n/a) — its 2 h TTL store is the crude cousin —
+    * but a per-entity event stream wants this and the batch twin is
+    * oracle-checked, so the streaming surface carries it too. */
+  def sessionCounts(events: DataFrame, gap: String = "30 minutes",
+                    lateness: String = "1 hour"): DataFrame =
+    events.withWatermark("ts", lateness)
+      .groupBy(session_window(col("ts"), gap).as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("w.start").as("session_start"), col("w.end").as("session_end"),
+              col("user_id"), col("n_events"))
+
   /** Typed document for streaming dedup tests/feeds. */
   case class Doc(doc_id: Long, ts: java.sql.Timestamp, text: String)
 

@@ -47,6 +47,36 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("session windows merge within the gap and split across it (streaming sessions)") {
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[Event]
+    // session windows only support append output: a session's row is
+    // emitted once, when the watermark proves no more events can
+    // merge into it
+    val q = Streaming.serveMemory(
+      Streaming.sessionCounts(ms.toDF(), gap = "30 minutes", lateness = "10 minutes"),
+      "sessions", mode = "append")
+    try {
+      // user 0: two events 10 min apart (one session), then a 40-min
+      // silence, then a third event (a second session)
+      ms.addData(Event(1, ts("2024-01-01 10:00:00"), 0, "click", 1.0),
+                 Event(2, ts("2024-01-01 10:10:00"), 0, "click", 1.0))
+      q.processAllAvailable()
+      ms.addData(Event(3, ts("2024-01-01 10:50:00"), 0, "click", 1.0))
+      q.processAllAvailable()
+      // advance the watermark far enough to close both sessions
+      ms.addData(Event(4, ts("2024-01-01 13:00:00"), 9, "click", 1.0))
+      q.processAllAvailable()
+      val rows = spark.sql(
+        "SELECT session_start, n_events FROM sessions WHERE user_id = 0")
+        .collect().map(r => r.getTimestamp(0).toString -> r.getLong(1)).toMap
+      assert(rows("2024-01-01 10:00:00.0") == 2,
+        s"first session must merge events 10 min apart: $rows")
+      assert(rows("2024-01-01 10:50:00.0") == 1,
+        s"40-min gap must open a new session: $rows")
+    } finally q.stop()
+  }
+
   test("streaming dedup: first text passes, later copies drop across batches") {
     implicit val sqlCtx = spark.sqlContext
     val ms = MemoryStream[Streaming.Doc]
