@@ -180,10 +180,26 @@ object Bench {
         s""","n_queries":${names.size},"runs_per_query":$sweeps,"agg":"min","sweep_interleaved":true""" +
         f""","cpu_sec_total":$cpuTotal%.4f,"queries_cpu_sec":${qsJson(cpuMin, 4)}""" +
         s""","calib_sec":$calibJson,"failed":$failedJson}"""
-    val compact =
-      f"""{"metric":"total","value":$total%.2f,"unit":"sec","queries":${qsJson(wallMin, 2)},"sf":$sf""" +
+    // The query registry has grown past the point where 2-decimal
+    // values fit the window (82 queries x ~24 B ≈ 2.0 KB): strip
+    // trailing zeros, summarize calibration to its max, and degrade
+    // to 1-decimal values if the line still exceeds 1.9 KB. The FILE
+    // keeps full precision either way.
+    def trimmed(d: Int): String = names.map { n =>
+      val v = wallMin(n).map { x =>
+        val s = s"%.${d}f".format(x)
+        if (s.contains('.')) s.reverse.dropWhile(_ == '0').reverse.stripSuffix(".") else s
+      }.getOrElse("null")
+      "\"" + n + "\":" + v
+    }.mkString("{", ",", "}")
+    def compactAt(d: Int): String =
+      f"""{"metric":"total","value":$total%.2f,"unit":"sec","queries":${trimmed(d)},"sf":$sf""" +
         f""","n_queries":${names.size},"cpu_sec_total":$cpuTotal%.1f""" +
-        s""","calib_sec":$calibJson,"failed":$failedJson}"""
+        f""","calib_max":${calib.max}%.2f,"failed":$failedJson}"""
+    val compact = {
+      val c2 = compactAt(2)
+      if (c2.length <= 1900) c2 else compactAt(1)
+    }
     Files.writeString(Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")), full + "\n")
     spark.stop()
     // last stdout line before sbt's [success] trailer: nothing (not
