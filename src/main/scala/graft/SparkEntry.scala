@@ -102,6 +102,7 @@ object SparkEntry {
     // no_oracle: quantized first stage is approximate — recall vs
     // llm_knn_exact pinned in LlmSpec
     "llm_knn_quantized"  -> (Llm.knnQuantized _),
+    "llm_sample_weighted" -> ((s, d) => Llm.sampleWeighted(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -779,6 +780,18 @@ object SparkEntry {
          SELECT t.doc_id, count(*) AS n_toks,
                 round(avg(-ln(v.c / CAST(tot.n AS DOUBLE))), 6) AS avg_neg_logp
          FROM toks t JOIN vocab v USING (tok), tot GROUP BY t.doc_id""",
+    // A-Res weighted sampling: u from the salted 56-bit md5 prefix
+    // (exact in doubles up to 2^53), ordered by the UNROUNDED
+    // ln(u)/n_chars key on both engines; wkey is rounded only in the
+    // projection, after the top-k cut.
+    "llm_sample_weighted" ->
+      """WITH s AS (
+           SELECT doc_id, source, n_chars,
+             (('0x' || substr(md5('wrs:' || CAST(doc_id AS VARCHAR)), 1, 14))::BIGINT
+                % 9007199254740992 + 1) / 9007199254740992.0 AS u
+           FROM documents)
+         SELECT doc_id, source, n_chars, round(ln(u) / n_chars, 6) AS wkey
+         FROM s ORDER BY ln(u) / n_chars DESC, doc_id LIMIT 50""",
     // All quantization arithmetic is double in the exact operator
     // order of the Spark side, so codes and errors are bit-identical.
     "llm_embed_quantize" ->

@@ -1279,6 +1279,32 @@ object Llm {
           "array_max(zip_with(e, code, (x, c) -> abs(x - (mn + (cast(c as double) + 0.5) * (mx - mn) / 255.0))))"),
           6).as("max_abs_err"))
 
+  /** One-pass weighted sampling (Efraimidis–Spirakis A-Res): keep
+    * the k documents with the largest u^(1/w), u ~ U(0,1] — here u
+    * derives from a salted md5 of doc_id, so the "random" draw is
+    * deterministic, reproducible across corpus rebuilds, and
+    * oracle-checkable. Ordering uses the monotone-equivalent key
+    * ln(u)/w (no pow underflow), tie-broken by doc_id; weight =
+    * n_chars, i.e. sampling proportional to document length.
+    *
+    * Scale shape: one map pass + top-k. A-Res's reservoir IS a
+    * mergeable partial — each partition keeps its local top-k and
+    * merging keeps the top-k of unions — which is exactly Spark's
+    * TakeOrderedAndProject (pinned in PlanSpec): no shuffle of the
+    * corpus, only k rows per partition cross the wire. */
+  def sampleWeighted(spark: SparkSession, dir: String, k: Int = 50): DataFrame = {
+    val M = 1L << 53 // doubles are exact integers up to 2^53
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+      .withColumn("u",
+        (pmod(conv(substring(md5(concat(lit("wrs:"), col("doc_id").cast("string"))), 1, 14), 16, 10)
+          .cast("long"), lit(M)) + lit(1L)).cast("double") / lit(M.toDouble))
+      .withColumn("wkey", log(col("u")) / col("n_chars").cast("double"))
+      .orderBy(col("wkey").desc, col("doc_id").asc).limit(k)
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        round(col("wkey"), 6).as("wkey"))
+  }
+
   /** SQ8 kNN: scalar-quantized search + exact re-rank — the
     * two-stage pattern a memory-bound ANN deployment actually runs
     * (FAISS SQ8 et al.). Stage 1 scans int8 codes (4x smaller than

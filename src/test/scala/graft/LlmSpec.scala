@@ -451,6 +451,20 @@ class LlmSpec extends AnyFunSuite {
     assert(out((1L, 2)) == (("shared", 0.0)))
   }
 
+  test("weighted sampling: length-weighted sample skews long, is deterministic") {
+    val dir = TestSpark.sf
+    val s1 = Llm.sampleWeighted(spark, dir).collect()
+    val s2 = Llm.sampleWeighted(spark, dir).collect()
+    assert(s1.map(_.getLong(0)).toSeq == s2.map(_.getLong(0)).toSeq,
+      "salted-hash draw must be run-to-run identical")
+    assert(s1.length == 50)
+    val sampleAvg = s1.map(_.getLong(2)).sum.toDouble / s1.length
+    val corpusAvg = graft.sources.Tables.documents(spark, dir)
+      .agg(org.apache.spark.sql.functions.avg("n_chars")).head().getDouble(0)
+    assert(sampleAvg > corpusAvg,
+      s"length-weighted sample avg $sampleAvg must exceed corpus avg $corpusAvg")
+  }
+
   test("quantized kNN: top-10 after exact re-rank matches exact kNN almost everywhere") {
     val dir = TestSpark.sf
     val exact = Llm.knnExact(spark, dir).collect()

@@ -156,6 +156,11 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Join"), "quantization must not join")
   }
 
+  test("weighted sampling plans as TakeOrdered (A-Res reservoir = mergeable top-k)") {
+    val p = plan("llm_sample_weighted")
+    assert(p.contains("TakeOrderedAndProject"), s"A-Res must plan as TakeOrdered:\n$p")
+  }
+
   test("bucketed self-join plans with no exchange on either side") {
     // write the bucketed table once, then plan the join with
     // broadcast disabled: both sides arrive bucketed on doc_id, so a
