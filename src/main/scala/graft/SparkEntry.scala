@@ -103,6 +103,7 @@ object SparkEntry {
     // llm_knn_exact pinned in LlmSpec
     "llm_knn_quantized"  -> (Llm.knnQuantized _),
     "llm_sample_weighted" -> ((s, d) => Llm.sampleWeighted(s, d)),
+    "llm_inverted_index" -> (Llm.invertedIndex _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -780,6 +781,23 @@ object SparkEntry {
          SELECT t.doc_id, count(*) AS n_toks,
                 round(avg(-ln(v.c / CAST(tot.n AS DOUBLE))), 6) AS avg_neg_logp
          FROM toks t JOIN vocab v USING (tok), tot GROUP BY t.doc_id""",
+    // Postings are canonicalized as "doc:pos" CSV ordered by
+    // (doc_id, pos) — 0-based positions on both engines.
+    "llm_inverted_index" ->
+      """WITH toks AS (
+           SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t FROM documents
+         ),
+         p0 AS (
+           SELECT doc_id, unnest(list_transform(range(1, len(t) + 1),
+             i -> struct_pack(pos := i - 1, term := t[i]))) AS u
+           FROM toks
+         ),
+         postings AS (SELECT doc_id, u.pos AS pos, u.term AS term FROM p0)
+         SELECT term, count(*) AS n_postings,
+                count(DISTINCT doc_id) AS df,
+                md5(string_agg(CAST(doc_id AS VARCHAR) || ':' || CAST(pos AS VARCHAR),
+                    ',' ORDER BY doc_id, pos)) AS postings_hash
+         FROM postings GROUP BY term""",
     // A-Res weighted sampling: u from the salted 56-bit md5 prefix
     // (exact in doubles up to 2^53), ordered by the UNROUNDED
     // ln(u)/n_chars key on both engines; wkey is rounded only in the

@@ -1279,6 +1279,33 @@ object Llm {
           "array_max(zip_with(e, code, (x, c) -> abs(x - (mn + (cast(c as double) + 0.5) * (mx - mn) / 255.0))))"),
           6).as("max_abs_err"))
 
+  /** Inverted index build: token → ordered posting list
+    * (doc_id:position pairs) plus document frequency — the
+    * search-serving preparation step over the corpus. Output rows
+    * carry an md5 digest of the canonical posting string rather than
+    * the list itself, which keeps the contract cross-engine-checkable
+    * without hauling the full postings through the compare.
+    *
+    * Scale shape: one tokenize+posexplode pass, one groupBy token —
+    * postings co-locate by term hash (uniform; stopword-heavy terms
+    * make big groups but the digest aggregation is one pass over each
+    * group, and a real deployment would shard hot terms by
+    * (term, doc_id range), which this plan's key structure admits).
+    * The posting order inside each group comes from an array_sort
+    * over (doc_id, pos) structs — deterministic without a sort
+    * exchange. */
+  def invertedIndex(spark: SparkSession, dir: String): DataFrame =
+    widened(Tables.documents(spark, dir).select(col("doc_id"), col("text")))
+      .select(col("doc_id"), posexplode(split(lower(trim(col("text"))), "\\s+")))
+      .toDF("doc_id", "pos", "term")
+      .groupBy(col("term"))
+      .agg(
+        count(lit(1)).as("n_postings"),
+        count_distinct(col("doc_id")).as("df"),
+        md5(expr("array_join(transform(array_sort(collect_list(struct(doc_id, pos))), " +
+          "x -> concat(cast(x.doc_id as string), ':', cast(x.pos as string))), ',')"))
+          .as("postings_hash"))
+
   /** One-pass weighted sampling (Efraimidis–Spirakis A-Res): keep
     * the k documents with the largest u^(1/w), u ~ U(0,1] — here u
     * derives from a salted md5 of doc_id, so the "random" draw is
