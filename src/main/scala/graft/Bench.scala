@@ -180,11 +180,14 @@ object Bench {
         s""","n_queries":${names.size},"runs_per_query":$sweeps,"agg":"min","sweep_interleaved":true""" +
         f""","cpu_sec_total":$cpuTotal%.4f,"queries_cpu_sec":${qsJson(cpuMin, 4)}""" +
         s""","calib_sec":$calibJson,"failed":$failedJson}"""
-    // The query registry has grown past the point where 2-decimal
-    // values fit the window (82 queries x ~24 B ≈ 2.0 KB): strip
-    // trailing zeros, summarize calibration to its max, and degrade
-    // to 1-decimal values if the line still exceeds 1.9 KB. The FILE
-    // keeps full precision either way.
+    // The driver captures EXACTLY the last 2000 chars of stdout
+    // (measured: every BENCH_r*.json tail is 2000) and the registry
+    // is at 83 queries (~1.7 KB of names alone): strip trailing
+    // zeros, summarize calibration to its max, drop fields the file
+    // already carries (n_queries, runs), degrade to 1-decimal values
+    // if the 2-decimal line exceeds 1.85 KB, and as a last resort
+    // drop the cpu/calib diagnostics. The FILE keeps full precision
+    // and every field either way.
     def trimmed(d: Int): String = names.map { n =>
       val v = wallMin(n).map { x =>
         val s = s"%.${d}f".format(x)
@@ -192,20 +195,28 @@ object Bench {
       }.getOrElse("null")
       "\"" + n + "\":" + v
     }.mkString("{", ",", "}")
-    def compactAt(d: Int): String =
+    def compactAt(d: Int, diag: Boolean): String =
       f"""{"metric":"total","value":$total%.2f,"unit":"sec","queries":${trimmed(d)},"sf":$sf""" +
-        f""","n_queries":${names.size},"cpu_sec_total":$cpuTotal%.1f""" +
-        f""","calib_max":${calib.max}%.2f,"failed":$failedJson}"""
+        (if (diag) f""","cpu_sec":$cpuTotal%.1f,"calib_max":${calib.max}%.2f""" else "") +
+        s""","failed":$failedJson}"""
+    // sbt prints "[success] Total time: ..." (~74 chars incl.
+    // newlines) AFTER our line even past sys.exit (sbt traps
+    // System.exit in non-forked runs), so the line itself must stay
+    // <= ~1910 chars for its head to survive the 2000-char window.
     val compact = {
-      val c2 = compactAt(2)
-      if (c2.length <= 1900) c2 else compactAt(1)
+      val c2 = compactAt(2, diag = true)
+      val c1 = compactAt(1, diag = true)
+      if (c2.length <= 1850) c2
+      else if (c1.length <= 1910) c1
+      else compactAt(1, diag = false)
     }
     Files.writeString(Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")), full + "\n")
     spark.stop()
-    // last stdout line before sbt's [success] trailer: nothing (not
-    // even executor shutdown logging) may land between this line and
-    // the end of the driver's ~2 KB stdout tail window
+    // Last stdout before sbt's unavoidable "[success]" trailer:
+    // nothing else (not even executor shutdown logging) may land
+    // between this line and the end of the 2000-char tail window.
     println(compact)
-    if (failed.nonEmpty) sys.exit(1)
+    System.out.flush()
+    sys.exit(if (failed.nonEmpty) 1 else 0)
   }
 }
