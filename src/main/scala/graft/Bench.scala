@@ -211,6 +211,12 @@ object Bench {
       else compactAt(1, diag = false)
     }
     Files.writeString(Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")), full + "\n")
+    // bench_out.json is gitignored (scratch); BENCH_FULL.json is the
+    // TRACKED copy of the same record, so the full per-query wall +
+    // CPU + calibration data survives into the repo even now that the
+    // stdout line is too tight to carry the diagnostics (the driver's
+    // snapshot commits it with the round's artifacts)
+    Files.writeString(Paths.get("BENCH_FULL.json"), full + "\n")
     spark.stop()
     // Last stdout before sbt's unavoidable "[success]" trailer:
     // nothing else (not even executor shutdown logging) may land

@@ -12,6 +12,16 @@ import org.apache.spark.sql.functions._
   */
 object Sinks {
 
+  /** Per-JVM scratch path: two engine processes (e.g. an overlapping
+    * Verify and Bench) must not race on the same write directory —
+    * the pid suffix gives each JVM its own copy of every sink
+    * round-trip, while repeated runs inside one JVM still overwrite
+    * in place. */
+  private def scratch(name: String): String =
+    new java.io.File(sys.props("java.io.tmpdir"),
+      s"${name}_${ProcessHandle.current().pid()}").getAbsolutePath
+
+
   /** Round-trips `documents` through a source-partitioned parquet
     * layout and answers a two-source rollup from the written copy.
     * The point is the READ plan: filtering on the partition column
@@ -26,8 +36,7 @@ object Sinks {
     * overwritten each call — the query is re-runnable and
     * self-contained). */
   def partitionedRoundTrip(spark: SparkSession, dir: String): DataFrame = {
-    val out = new java.io.File(
-      sys.props("java.io.tmpdir"), "graft_partitioned_sink").getAbsolutePath
+    val out = scratch("graft_partitioned_sink")
     Tables.documents(spark, dir)
       .write.mode("overwrite").partitionBy("source").parquet(out)
     prunedRollup(spark.read.parquet(out))
@@ -47,8 +56,7 @@ object Sinks {
     * the rollup against the original table, so any round-trip loss —
     * encoding, nulls, type narrowing — breaks the hash. */
   def orcRoundTrip(spark: SparkSession, dir: String): DataFrame = {
-    val out = new java.io.File(
-      sys.props("java.io.tmpdir"), "graft_orc_sink").getAbsolutePath
+    val out = scratch("graft_orc_sink")
     Tables.documents(spark, dir).write.mode("overwrite").orc(out)
     spark.read.orc(out)
       .groupBy(col("lang"))
@@ -69,8 +77,7 @@ object Sinks {
     Tables.documents(spark, dir)
       .write.mode("overwrite")
       .bucketBy(8, "doc_id").sortBy("doc_id")
-      .option("path", new java.io.File(
-        sys.props("java.io.tmpdir"), "graft_bucketed_sink").getAbsolutePath)
+      .option("path", scratch("graft_bucketed_sink"))
       .saveAsTable("graft_docs_bucketed")
     val t = spark.table("graft_docs_bucketed")
     bucketedSelfJoin(t)
@@ -94,8 +101,7 @@ object Sinks {
     * filter + rollup runs on the read-back copy, so JSON escaping of
     * the text column round-trips under the oracle's hash. */
   def jsonlRoundTrip(spark: SparkSession, dir: String): DataFrame = {
-    val out = new java.io.File(
-      sys.props("java.io.tmpdir"), "graft_jsonl_sink").getAbsolutePath
+    val out = scratch("graft_jsonl_sink")
     Tables.documents(spark, dir).write.mode("overwrite").json(out)
     spark.read
       .schema("doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT")
