@@ -60,10 +60,29 @@ object DevTime {
     })
     sampler.setDaemon(true)
     if (sys.env.contains("DEVTIME_SAMPLE")) sampler.start()
+    // executor CPU per query (same listener+settle pattern as Bench):
+    // CPU is the number to compare across A/B runs on this host —
+    // wall swings 10-50x under the VM's throttling, CPU only
+    // stretches with frequency scaling
+    val cpuNs = new java.util.concurrent.atomic.AtomicLong(0L)
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onStageCompleted(
+          sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+        val m = sc.stageInfo.taskMetrics
+        if (m != null) cpuNs.addAndGet(m.executorCpuTime)
+      }
+    })
+    def settle(): Long = {
+      var prev = -1L; var cur = cpuNs.get(); var spins = 0
+      while (cur != prev && spins < 40) { Thread.sleep(50); prev = cur; cur = cpuNs.get(); spins += 1 }
+      cur
+    }
     rest.drop(1).foreach { n =>
+      val cpu0 = settle()
       val t0 = System.nanoTime()
       SparkEntry.queries(n)(spark, sfDir).write.mode("overwrite").format("noop").save()
-      println(f"TIMING $n ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      val wall = (System.nanoTime() - t0) / 1e9
+      println(f"TIMING $n $wall%.2f s  cpu ${(settle() - cpu0) / 1e9}%.2f s")
     }
     spark.stop()
   }
