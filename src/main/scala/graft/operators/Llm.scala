@@ -806,22 +806,26 @@ object Llm {
   def curate(spark: SparkSession, dir: String): DataFrame = {
     val reps = dedupClusters(spark, dir)
       .filter(col("doc_id") === col("cluster_id")).select(col("doc_id"))
-    val base = withSplit(Tables.documents(spark, dir).select(col("doc_id"), col("text")))
+    // Both per-doc statistics come from the row's own token array
+    // (the `repetitionOn` formulation): quality from distinct-token
+    // ratio, dup_frac from the trigram list vs its array_distinct —
+    // so the stats side is ONE map-only scan, no explode, no groupBy
+    // shuffle, no rejoin. Docs under 3 tokens get a null dup_frac
+    // (outside the trigram domain), coalesced to 0 in the filter —
+    // the same semantics the round-7 grouped formulation had via its
+    // left join.
+    withSplit(Tables.documents(spark, dir).select(col("doc_id"), col("text")))
       .select(col("doc_id"), col("split"), split(lower(trim(col("text"))), "\\s+").as("toks"))
       .select(col("doc_id"), col("split"), col("toks"),
         size(col("toks")).cast("long").as("n_tokens"),
         size(array_distinct(col("toks"))).as("n_uniq"))
       .withColumn("quality",
         round(col("n_uniq") / col("n_tokens") * least(lit(1.0), col("n_tokens") / 100.0), 6))
-    val tri = base.filter(size(col("toks")) >= 3)
-      .select(col("doc_id"), explode(expr(
-        "transform(sequence(1, size(toks)-2), i -> concat(element_at(toks, i), ' ', element_at(toks, i+1), ' ', element_at(toks, i+2)))")).as("g"))
-      .groupBy(col("doc_id"))
-      .agg((count(lit(1)) - count_distinct(col("g"))).cast("double")
-        .divide(count(lit(1))).as("dup_frac"))
-    base.drop("toks", "n_uniq")
+      .withColumn("dup_frac", when(size(col("toks")) >= 3, expr(
+        """cast((size(toks) - 2) - size(array_distinct(transform(sequence(1, size(toks)-2),
+           i -> concat(element_at(toks, i), ' ', element_at(toks, i+1), ' ', element_at(toks, i+2)))))
+           as double) / (size(toks) - 2)""")))
       .join(reps, Seq("doc_id"), "left_semi")
-      .join(tri, Seq("doc_id"), "left")
       .filter(col("quality") >= 0.15 && coalesce(col("dup_frac"), lit(0.0)) <= 0.05)
       .select(col("doc_id"), col("split"), col("n_tokens"), col("quality"))
   }
