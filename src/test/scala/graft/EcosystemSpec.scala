@@ -77,4 +77,23 @@ class EcosystemSpec extends AnyFunSuite {
     assert(n == graft.sources.Tables.events(spark, TestSpark.sf).count())
   }
 
+  test("sessionization: 30-min gap splits, events inside the gap merge") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("sessions").toString
+    val base = 1700000000L * 1000000000L // epoch nanos, as events.parquet stores ts
+    def ev(id: Long, user: Long, offsetSec: Long) =
+      (id, base + offsetSec * 1000000000L, user, "click", 1.0, """{"k":1}""")
+    // user 1: events at 0s, 600s (same session), 600+1801s (new
+    // session: the gap is strictly > 1800); user 2: one lone event
+    Seq(ev(1, 1, 0), ev(2, 1, 600), ev(3, 1, 2401), ev(4, 2, 50))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = Ecosystem.sessions(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(3), r.getLong(4)))).toMap
+    assert(out.size == 3, s"expected 3 sessions: $out")
+    assert(out((1L, 1L)) == ((2L, 600L)), "first session holds both events, 600s long")
+    assert(out((1L, 2L)) == ((1L, 0L)), "post-gap event opens a fresh session")
+    assert(out((2L, 1L)) == ((1L, 0L)), "lone event is its own session")
+  }
+
 }

@@ -451,6 +451,26 @@ class LlmSpec extends AnyFunSuite {
     assert(out((1L, 2)) == (("shared", 0.0)))
   }
 
+  test("inverted index: postings digest matches the hand-built canonical string") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("invidx").toString
+    Seq((1L, "a b a"), (2L, "b a"))
+      .toDF("doc_id", "text")
+      .withColumn("lang", org.apache.spark.sql.functions.lit("en"))
+      .withColumn("source", org.apache.spark.sql.functions.lit("src0"))
+      .withColumn("n_chars", org.apache.spark.sql.functions.length($"text"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    def md5(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    val out = Llm.invertedIndex(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    // 'a': doc 1 pos 0,2; doc 2 pos 1 -> "1:0,1:2,2:1"
+    assert(out("a") == ((3L, 2L, md5("1:0,1:2,2:1"))), s"a -> ${out("a")}")
+    // 'b': doc 1 pos 1; doc 2 pos 0 -> "1:1,2:0"
+    assert(out("b") == ((2L, 2L, md5("1:1,2:0"))), s"b -> ${out("b")}")
+  }
+
   test("weighted sampling: length-weighted sample skews long, is deterministic") {
     val dir = TestSpark.sf
     val s1 = Llm.sampleWeighted(spark, dir).collect()
