@@ -4,14 +4,15 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.plans.{CosineSimilarity, NearestCentroid, SrpBuckets}
+import graft.plans.{CharRunStats, CosineSimilarity, GramStats, NearestCentroid, SrpBuckets}
 
 /** Engine extensions, installed with
   * `spark.sql.extensions=graft.GraftExtensions` (SparkSessionExtensions
   * is the public plug-in point — no Catalyst internals are patched).
   * Registers the codegen'd scalar kernels used by the
-  * similarity-search operators: `graft_cosine(a, b)`,
-  * `graft_srp_buckets(v)` and `graft_nearest_centroid(v, codebook)`. */
+  * similarity-search and text-quality operators: `graft_cosine(a, b)`,
+  * `graft_srp_buckets(v)`, `graft_nearest_centroid(v, codebook)`,
+  * `graft_char_run_stats(str)` and `graft_gram_stats(toks, n)`. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
@@ -34,6 +35,25 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
         require(children.length == 2, "graft_nearest_centroid takes exactly 2 arguments")
         NearestCentroid(children.head, children(1))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_char_run_stats"),
+      new ExpressionInfo(classOf[CharRunStats].getName, "graft_char_run_stats"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.length == 1, "graft_char_run_stats takes exactly 1 argument")
+        CharRunStats(children.head)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_gram_stats"),
+      new ExpressionInfo(classOf[GramStats].getName, "graft_gram_stats"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.length == 2, "graft_gram_stats takes exactly 2 arguments")
+        children(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(n: Int, _) =>
+            GramStats(children.head, n)
+          case other => throw new IllegalArgumentException(
+            s"graft_gram_stats requires a literal int gram width, got $other")
+        }
       }))
   }
 }

@@ -628,13 +628,37 @@ object Llm {
 
   /** Per-document character-level Shannon entropy (a language-model
     * quality signal: boilerplate and mojibake sit at the entropy
-    * extremes). Map-only like `repetitionOn`: each row sorts its own
-    * character array and folds run lengths with an array `aggregate`
-    * — H = log2(n) − (Σ k·log2 k)/n over run lengths k — so the plan
-    * has zero exchanges and the float fold order (sorted chars) is
-    * deterministic on any host; the oracle sums in the same sorted
-    * order (`ORDER BY` inside its aggregate). */
+    * extremes). Map-only like `repetitionOn`: H = log2(n) −
+    * (Σ k·log2 k)/n over character frequencies k, zero exchanges,
+    * with the Σ accumulated in sorted-character order so the float
+    * fold is deterministic on any host; the oracle sums in the same
+    * sorted order (`ORDER BY` inside its aggregate).
+    *
+    * Two formulations, hash-identical (PropertySpec pins them):
+    * the native codegen'd kernel `graft_char_run_stats`
+    * (plans/RunStats.scala — one fused pass, no regex, no
+    * per-character array) when the session has GraftExtensions, and
+    * the interpreted HOF fold (sort the char array, `aggregate` run
+    * lengths) as the no-extension fallback. The kernel exists
+    * because the HOF form was the engine's largest remaining CPU
+    * constant (12.5 CPU-s at sf0.1, round-7 bench listener): HOF
+    * lambdas evaluate interpreted, and `regexp_extract_all` builds a
+    * single-codepoint string per character. */
   def charEntropy(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.widened(Tables.documents(spark, dir))
+    if (spark.catalog.functionExists("graft_char_run_stats")) charEntropyKernel(docs)
+    else charEntropyHof(docs)
+  }
+
+  private[graft] def charEntropyKernel(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), expr("graft_char_run_stats(lower(text))").as("st"))
+      .filter(col("st.n") > 0L)
+      .select(col("doc_id"),
+        col("st.n").as("n_chars_ns"),
+        round(log2(col("st.n")) - col("st.ent_sum") / col("st.n"), 6).as("char_entropy"))
+
+  private[graft] def charEntropyHof(docs: DataFrame): DataFrame = {
     val fin = "acc.s + if(acc.run > 0, cast(acc.run as double) * log2(cast(acc.run as double)), cast(0.0 as double))"
     val ent =
       s"""round(
@@ -647,7 +671,7 @@ object Llm {
          |       named_struct('prev', x, 'run', cast(1 as bigint), 's', $fin)),
          |     acc -> $fin)
          |   / cast(size(chars) as double)), 6)""".stripMargin
-    Tables.widened(Tables.documents(spark, dir))
+    docs
       .select(col("doc_id"),
         expr("regexp_extract_all(regexp_replace(lower(text), '\\\\s', ''), '.', 0)").as("chars"))
       .filter(size(col("chars")) > 0)
@@ -699,13 +723,43 @@ object Llm {
     // Every statistic is PER-DOCUMENT, so nothing here needs a
     // shuffle: instead of exploding grams into a 300x row table and
     // aggregating it back (two groupBys + a join in the round-5
-    // version), each row computes its own stats with map-only
-    // higher-order functions (HOF lambdas evaluate interpreted, not
-    // whole-stage codegen, but the plan stays exchange-free) — max
-    // duplicate-bigram count = longest
-    // equal run in the SORTED bigram array, distinct trigrams =
-    // array_distinct. The plan is map-only: at 100 TB it streams
-    // through the corpus scan with zero exchanges.
+    // version), each row computes its own stats in one map-only pass
+    // — max duplicate-bigram count = largest gram frequency (= the
+    // longest equal run in the SORTED gram array), distinct trigrams
+    // = number of distinct frequencies' keys. The plan is map-only:
+    // at 100 TB it streams through the corpus scan with zero
+    // exchanges. Two hash-identical formulations (PropertySpec pins
+    // them): the native codegen'd `graft_gram_stats` kernel
+    // (plans/RunStats.scala) when the session has GraftExtensions —
+    // no interpreted `transform`/`aggregate` lambdas, no gram-array
+    // materialization — and the HOF fold as the fallback.
+    val spark = docs.sparkSession
+    val toks = Tables.widened(docs)
+      .select(col("doc_id"), split(lower(trim(col("text"))), "\\s+").as("toks"))
+      .filter(size(col("toks")) >= 3)
+    val counted =
+      if (spark.catalog.functionExists("graft_gram_stats")) repetitionKernelCounts(toks)
+      else repetitionHofCounts(toks)
+    counted.select(col("doc_id"), col("n_bigrams"),
+      round(col("max_c") / col("n_bigrams"), 6).as("top_bigram_frac"),
+      round((col("n_tri") - col("n_tri_d")) / col("n_tri"), 6).as("dup_trigram_frac"))
+  }
+
+  /** Gram counts via the native `graft_gram_stats` kernel — one
+    * fused pass per row, no gram-array materialization. */
+  private[graft] def repetitionKernelCounts(toks: DataFrame): DataFrame =
+    toks.select(col("doc_id"),
+      expr("graft_gram_stats(toks, 2)").as("bg"),
+      expr("graft_gram_stats(toks, 3)").as("tg"))
+      .select(col("doc_id"),
+        col("bg.n").as("n_bigrams"), col("bg.max_run").as("max_c"),
+        col("tg.n").as("n_tri"), col("tg.n_runs").as("n_tri_d"))
+
+  /** The interpreted-HOF gram counts (`transform` + sorted-run
+    * `aggregate` + `array_distinct`) — the no-extension fallback and
+    * the drift-pin twin of `graft_gram_stats`. Takes the tokenized
+    * frame (`doc_id`, `toks`) and returns the pre-ratio counts. */
+  private[graft] def repetitionHofCounts(toks: DataFrame): DataFrame = {
     val maxRun =
       """aggregate(
         |  array_sort(bigrams),
@@ -715,9 +769,7 @@ object Llm {
         |    'run', if(acc.prev <=> x, acc.run + 1, cast(1 as bigint)),
         |    'best', greatest(acc.best, if(acc.prev <=> x, acc.run + 1, cast(1 as bigint)))),
         |  acc -> acc.best)""".stripMargin
-    Tables.widened(docs)
-      .select(col("doc_id"), split(lower(trim(col("text"))), "\\s+").as("toks"))
-      .filter(size(col("toks")) >= 3)
+    toks
       .select(col("doc_id"),
         expr("transform(sequence(1, size(toks)-1), i -> concat(element_at(toks, i), ' ', element_at(toks, i+1)))").as("bigrams"),
         expr("transform(sequence(1, size(toks)-2), i -> concat(element_at(toks, i), ' ', element_at(toks, i+1), ' ', element_at(toks, i+2)))").as("trigrams"))
@@ -726,9 +778,6 @@ object Llm {
         expr(maxRun).as("max_c"),
         size(col("trigrams")).cast("long").as("n_tri"),
         size(array_distinct(col("trigrams"))).cast("long").as("n_tri_d"))
-      .select(col("doc_id"), col("n_bigrams"),
-        round(col("max_c") / col("n_bigrams"), 6).as("top_bigram_frac"),
-        round((col("n_tri") - col("n_tri_d")) / col("n_tri"), 6).as("dup_trigram_frac"))
   }
 
   /** Train/eval decontamination (GPT-3 appendix-C style): for every

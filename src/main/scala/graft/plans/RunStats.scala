@@ -1,0 +1,174 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Shared run-statistics kernel behind the two codegen'd text
+  * expressions below. "Runs" of a SORTED multiset are exactly its
+  * per-value frequencies, so both expressions count frequencies and
+  * fold the summary in ascending binary key order — the same terms,
+  * in the same order, as the interpreted higher-order-function
+  * formulations they replace (Llm.charEntropy / Llm.repetitionOn
+  * fold `array_sort`ed arrays element-by-element), which is what
+  * makes the double-precision `ent_sum` bit-identical to the HOF
+  * path and to the DuckDB oracle's ORDER BY-inside-aggregate.
+  *
+  * Output struct (both expressions):
+  *   n       — element count (post skip-set for the char variant)
+  *   n_runs  — distinct values (== size(array_distinct(...)))
+  *   max_run — largest frequency (== longest equal run when sorted)
+  *   ent_sum — Σ k·log2(k) over frequencies k, accumulated in
+  *             ascending key order; char entropy = log2(n) − ent_sum/n
+  *
+  * `java.lang.Math.log` (not StrictMath) deliberately: Spark's Log2
+  * evaluates interpreted inside HOF lambdas via `math.log`, and the
+  * drift-pin test (PropertySpec) demands bit equality with that path.
+  */
+object RunStatsKernel {
+  val statsType: StructType = StructType(Seq(
+    StructField("n", LongType, nullable = false),
+    StructField("n_runs", LongType, nullable = false),
+    StructField("max_run", LongType, nullable = false),
+    StructField("ent_sum", DoubleType, nullable = false)))
+
+  private val Ln2 = java.lang.Math.log(2.0)
+
+  /** Character run stats of a string, mirroring the HOF pipeline
+    * `regexp_extract_all(regexp_replace(s, '\\s', ''), '.', 0)`
+    * exactly: Java-regex `\s` chars are removed, and the three
+    * non-`\s` line terminators that `.` never matches (U+0085,
+    * U+2028, U+2029) are likewise skipped. Iteration is by code
+    * point (Java regex `.` matches one code point), and ascending
+    * code-point order equals the UTF-8 binary order `array_sort`
+    * gives single-code-point strings. */
+  def charStats(s: UTF8String): InternalRow = {
+    val str = s.toString
+    val counts = new java.util.TreeMap[Integer, Array[Long]]()
+    val len = str.length
+    var n = 0L
+    var i = 0
+    while (i < len) {
+      val cp = str.codePointAt(i)
+      i += Character.charCount(cp)
+      if (!skip(cp)) {
+        n += 1L
+        val c = counts.get(cp)
+        if (c == null) counts.put(cp, Array(1L)) else c(0) += 1L
+      }
+    }
+    finish(n, counts.values.iterator)
+  }
+
+  // java.util.regex: \s = [ \t\n\x0B\f\r]; '.' (DOTALL off) also
+  // excludes the line terminators U+0085 / U+2028 / U+2029.
+  private def skip(cp: Int): Boolean = cp match {
+    case ' ' | '\t' | '\n' | 0x0B | '\f' | '\r' => true
+    case 0x85 | 0x2028 | 0x2029 => true
+    case _ => false
+  }
+
+  /** Word n-gram run stats over a token array: each gram is the
+    * space-joined window of `gramN` consecutive tokens — byte-equal
+    * to the HOF `concat(element_at(toks, i), ' ', ...)` construction
+    * (tokens come from `split` on `\s+`, so they contain no spaces
+    * and no nulls, and joined-string equality is window equality). */
+  def gramStats(toks: ArrayData, gramN: Int): InternalRow = {
+    val m = toks.numElements() - gramN + 1
+    val counts = new java.util.TreeMap[UTF8String, Array[Long]]()
+    val sep = UTF8String.fromString(" ")
+    var n = 0L
+    var i = 0
+    while (i < m) {
+      val parts = new Array[UTF8String](gramN)
+      var j = 0
+      while (j < gramN) { parts(j) = toks.getUTF8String(i + j); j += 1 }
+      val g = UTF8String.concatWs(sep, parts: _*)
+      n += 1L
+      val c = counts.get(g)
+      if (c == null) counts.put(g, Array(1L)) else c(0) += 1L
+      i += 1
+    }
+    finish(n, counts.values.iterator)
+  }
+
+  private def finish(n: Long, it: java.util.Iterator[Array[Long]]): InternalRow = {
+    var runs = 0L
+    var maxRun = 0L
+    var s = 0.0
+    while (it.hasNext) {
+      val k = it.next()(0)
+      runs += 1L
+      if (k > maxRun) maxRun = k
+      val kd = k.toDouble
+      s += kd * (java.lang.Math.log(kd) / Ln2)
+    }
+    new GenericInternalRow(Array[Any](n, runs, maxRun, s))
+  }
+}
+
+/** Native Catalyst expression `graft_char_run_stats(str)`: character
+  * frequency/run summary of a string in ONE pass — no regex scans, no
+  * per-character single-codepoint string array, no interpreted
+  * `aggregate` lambda. Replaces the hottest remaining interpreted-HOF
+  * CPU in the engine (the round-7 bench CPU listener put
+  * `llm_char_entropy` at 12.5 CPU-s at sf0.1, almost all of it the
+  * `regexp_extract_all` + `array_sort` + lambda fold this fuses).
+  * The loop body is a static call, so the expression stays inside the
+  * enclosing WholeStageCodegen span like CosineSimilarity. */
+case class CharRunStats(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = RunStatsKernel.statsType
+  override def prettyName: String = "graft_char_run_stats"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string argument, got ${other.catalogString}")
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    RunStatsKernel.charStats(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s =>
+      s"${ev.value} = graft.plans.RunStatsKernel.charStats($s);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Native Catalyst expression `graft_gram_stats(toks, n)`: word
+  * n-gram frequency/run summary of a token array in one pass —
+  * replaces the interpreted `transform(sequence(...))` gram
+  * materialization plus `aggregate` fold plus `array_distinct` of
+  * the repetition metrics (Llm.repetitionOn). `n` must be a literal
+  * (enforced at registration in GraftExtensions) so the window width
+  * is a compile-time constant in both eval and codegen. */
+case class GramStats(child: Expression, gramN: Int) extends UnaryExpression {
+  require(gramN >= 1, "graft_gram_stats requires n >= 1")
+
+  override def dataType: DataType = RunStatsKernel.statsType
+  override def prettyName: String = "graft_gram_stats"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires an array<string> argument, got ${other.catalogString}")
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    RunStatsKernel.gramStats(input.asInstanceOf[ArrayData], gramN)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.plans.RunStatsKernel.gramStats($a, $gramN);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

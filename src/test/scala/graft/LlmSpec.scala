@@ -507,4 +507,40 @@ class LlmSpec extends AnyFunSuite {
         s"vec ${r.getLong(0)} error $err out of bound")
     }
   }
+
+  test("run-stats kernels and HOF fallbacks are hash-identical on edge-case docs + real corpus") {
+    import spark.implicits._
+    // Only one of the two formulations runs in any given session
+    // (functionExists switch), so drift between them would be
+    // invisible until a no-extension session disagreed with the
+    // oracle — same rationale as the SRP pin in PropertySpec, but at
+    // the DataFrame level where the interpreted lambda actually runs.
+    val edge = Seq(
+      (1L, "aaaa bbbb aaaa bbbb aaaa"),
+      (2L, "  \t\n mixed   WHITESPACE\r\n doc \f here  "),
+      (3L, "unicode é ß 中文 😀 😀 é MiXeD CaSe ÉÉ"),
+      (4L, "x y x y x y x y x y x y"),
+      (5L, "singleword"),
+      (6L, "a b c"),
+      (7L, (1 to 60).map(i => s"tok${i % 7}").mkString(" "))).toDF("doc_id", "text")
+    val corpus = graft.sources.Tables.documents(spark, TestSpark.sf)
+      .select($"doc_id", $"text")
+    for (docs <- Seq(edge, corpus)) {
+      val kEnt = Llm.charEntropyKernel(docs).collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val hEnt = Llm.charEntropyHof(docs).collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(kEnt == hEnt, "charEntropy kernel drifted from HOF form")
+      val toks = docs.select($"doc_id",
+        org.apache.spark.sql.functions.split(
+          org.apache.spark.sql.functions.lower(
+            org.apache.spark.sql.functions.trim($"text")), "\\s+").as("toks"))
+        .filter(org.apache.spark.sql.functions.size($"toks") >= 3)
+      val kRep = Llm.repetitionKernelCounts(toks).collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+      val hRep = Llm.repetitionHofCounts(toks).collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+      assert(kRep == hRep, "repetition kernel drifted from HOF form")
+    }
+  }
 }

@@ -124,6 +124,20 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("entropy/repetition run on the native run-stats kernels, not interpreted HOF folds") {
+    // the codegen'd kernels (plans/RunStats.scala) are what make the
+    // quality family's corpus scan CPU-bound on arithmetic instead of
+    // interpreted lambda dispatch; this pins that a session with
+    // GraftExtensions actually plans them
+    val ent = plan("llm_char_entropy")
+    assert(ent.contains("graft_char_run_stats"), s"entropy not on the kernel:\n$ent")
+    assert(!ent.contains("regexp_extract_all"), "per-character regex extraction resurfaced")
+    assert(!ent.contains("aggregate("), "interpreted fold resurfaced in entropy")
+    val rep = plan("llm_repetition")
+    assert(rep.contains("graft_gram_stats"), s"repetition not on the kernel:\n$rep")
+    assert(!rep.contains("array_distinct"), "interpreted trigram distinct resurfaced")
+  }
+
   test("vocab top-k plans as TakeOrdered with a broadcast scalar, no global sort") {
     val p = plan("llm_vocab_topk")
     assert(p.contains("TakeOrderedAndProject"), s"top-100 must be TakeOrdered:\n$p")

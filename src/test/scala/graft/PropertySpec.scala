@@ -129,4 +129,66 @@ class PropertySpec extends AnyFunSuite {
         b == spec(v.map(_ * k)) && native(v.map(_ * k)) == b
     }, n = 50)
   }
+
+  test("char run stats kernel == independent spec of the HOF fold (incl. unicode/astral)") {
+    import graft.plans.RunStatsKernel
+    import org.apache.spark.unsafe.types.UTF8String
+    // the spec mirrors Llm.charEntropyHof independently: Java-regex
+    // \s removal, '.' code-point extraction (never matches U+0085 /
+    // U+2028 / U+2029), sort in CODE POINT order (= UTF-8 binary, =
+    // Spark UTF8String order — NOT java.lang.String's UTF-16 order,
+    // which misplaces astral chars), then the run fold with the
+    // exact double-add sequence the interpreted lambda performs
+    def spec(s: String): (Long, Long, Long, Double) = {
+      val cps = s.replaceAll("\\s", "").codePoints().toArray
+        .filter(cp => cp != 0x85 && cp != 0x2028 && cp != 0x2029)
+        .sorted
+      var n = 0L; var runs = 0L; var maxRun = 0L; var sum = 0.0
+      var i = 0
+      while (i < cps.length) {
+        var j = i
+        while (j < cps.length && cps(j) == cps(i)) j += 1
+        val k = (j - i).toLong
+        n += k; runs += 1; maxRun = math.max(maxRun, k)
+        sum += k.toDouble * (math.log(k.toDouble) / math.log(2.0))
+        i = j
+      }
+      (n, runs, maxRun, sum)
+    }
+    val charGen = Gen.frequency(
+      8 -> Gen.alphaNumChar.map(_.toString),
+      3 -> Gen.oneOf(" ", "\t", "\n", "\r", "\f", ""),
+      2 -> Gen.oneOf("é", "ß", "中", "", " ", " ", "￮"),
+      1 -> Gen.oneOf("😀", "𐀀")) // astral (surrogate pairs)
+    val textGen = Gen.listOf(charGen).map(_.mkString)
+    check(Prop.forAll(textGen) { s =>
+      val row = RunStatsKernel.charStats(UTF8String.fromString(s))
+      val (n, runs, maxRun, sum) = spec(s)
+      row.getLong(0) == n && row.getLong(1) == runs &&
+        row.getLong(2) == maxRun && row.getDouble(3) == sum
+    })
+  }
+
+  test("gram stats kernel == independent sliding-window spec") {
+    import graft.plans.RunStatsKernel
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.unsafe.types.UTF8String
+    // spec: grams = space-joined sliding windows, stats over their
+    // frequency multiset; binary (code-point) order for the fold
+    def spec(toks: List[String], gn: Int): (Long, Long, Long) = {
+      val grams =
+        if (toks.length < gn) Nil else toks.sliding(gn).map(_.mkString(" ")).toList
+      val freq = grams.groupBy(identity).map { case (_, v) => v.length.toLong }
+      (grams.length.toLong, freq.size.toLong, if (freq.isEmpty) 0L else freq.max)
+    }
+    val tokGen = Gen.listOf(Gen.frequency(
+      6 -> Gen.oneOf("a", "b", "ab", "the", "xyz"),
+      1 -> Gen.oneOf("é", "中文", "😀")))
+    check(Prop.forAll(tokGen, Gen.choose(1, 4)) { (toks, gn) =>
+      val arr = new GenericArrayData(toks.map(UTF8String.fromString).toArray[Any])
+      val row = RunStatsKernel.gramStats(arr, gn)
+      val (n, runs, maxRun) = spec(toks, gn)
+      row.getLong(0) == n && row.getLong(1) == runs && row.getLong(2) == maxRun
+    })
+  }
 }
