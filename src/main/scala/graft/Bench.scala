@@ -203,20 +203,51 @@ object Bench {
     // newlines) AFTER our line even past sys.exit (sbt traps
     // System.exit in non-forked runs), so the line itself must stay
     // <= ~1910 chars for its head to survive the 2000-char window.
+    // Terminal fallback: past ~84 queries even the diag-free
+    // 1-decimal line overflows the tail window with no further
+    // degradation step (the silent round-4 parsed:null failure mode)
+    // — drop the per-query map entirely before that happens; totals,
+    // sf and the failed list always fit
     val compact = {
       val c2 = compactAt(2, diag = true)
       val c1 = compactAt(1, diag = true)
+      val c0 = compactAt(1, diag = false)
       if (c2.length <= 1850) c2
       else if (c1.length <= 1910) c1
-      else compactAt(1, diag = false)
+      else if (c0.length <= 1910) c0
+      else f"""{"metric":"total","value":$total%.2f,"unit":"sec","sf":$sf""" +
+        s""","n_queries":${names.size},"queries_in_file_only":true,"failed":$failedJson}"""
     }
     Files.writeString(Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")), full + "\n")
     // bench_out.json is gitignored (scratch); BENCH_FULL.json is the
     // TRACKED copy of the same record, so the full per-query wall +
     // CPU + calibration data survives into the repo even now that the
     // stdout line is too tight to carry the diagnostics (the driver's
-    // snapshot commits it with the round's artifacts)
-    Files.writeString(Paths.get("BENCH_FULL.json"), full + "\n")
+    // snapshot commits it with the round's artifacts). Resolved
+    // against the repo root (overridable), NOT the process cwd — a
+    // Bench run from elsewhere must not drop the tracked artifact in
+    // a random directory after the whole benchmark has completed.
+    val fullOut = sys.env.get("SPARK_GRAFT_BENCH_FULL_OUT")
+      .orElse(sys.env.get("SPARK_GRAFT_REPO_ROOT").map(_ + "/BENCH_FULL.json"))
+      .getOrElse {
+        // walk up from the cwd AND from wherever this class was
+        // loaded (<repo>/target/scala-2.13/classes under sbt) to the
+        // nearest build.sbt — a bare-JVM run from /tmp still finds
+        // the repo through its own classpath
+        val starts = Paths.get("").toAbsolutePath ::
+          (try List(Paths.get(
+            Bench.getClass.getProtectionDomain.getCodeSource.getLocation.toURI))
+           catch { case _: Exception => Nil })
+        val root = starts.view
+          .flatMap(s => Iterator.iterate(s)(_.getParent).takeWhile(_ != null)
+            .find(p => Files.exists(p.resolve("build.sbt"))))
+          .headOption.getOrElse(starts.head)
+        root.resolve("BENCH_FULL.json").toString
+      }
+    try Files.writeString(Paths.get(fullOut), full + "\n")
+    catch { case e: java.io.IOException =>
+      System.err.println(s"[bench] BENCH_FULL write to $fullOut failed: ${e.getMessage}")
+    }
     spark.stop()
     // Last stdout before sbt's unavoidable "[success]" trailer:
     // nothing else (not even executor shutdown logging) may land

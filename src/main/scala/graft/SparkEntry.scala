@@ -822,7 +822,8 @@ object SparkEntry {
          ),
          codes AS (
            SELECT vec_id, e, mn, mx,
-                  list_transform(e, x -> LEAST(255, CAST(floor((x - mn) * 255.0 / (mx - mn)) AS BIGINT))) AS code
+                  list_transform(e, x -> CASE WHEN mx = mn THEN 0
+                    ELSE LEAST(255, CAST(floor((x - mn) * 255.0 / (mx - mn)) AS BIGINT)) END) AS code
            FROM q
          )
          SELECT vec_id,

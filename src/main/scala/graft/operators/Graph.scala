@@ -203,10 +203,23 @@ object Graph {
     // all read these blocks instead of re-executing the caller's
     // edge subtree (graphComponents feeds a spatial theta-join here;
     // three executions of it would swamp either path's win)
-    val e0 = edges.select(col("src"), col("dst")).localCheckpoint()
+    // null endpoints (a malformed caller edge) are dropped up front
+    // for BOTH paths: they would NPE the fast path's Ordering /
+    // fabricate a non-node component label, and in the distributed
+    // rounds a null src joins into the label frame as a spurious
+    // id=null output row
+    val e0 = edges.select(col("src"), col("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull)
+      .localCheckpoint()
     val cutoff = driverCutoff
-    if (cutoff > 0 && e0.limit(cutoff + 1).count() <= cutoff) {
-      val idType = nodes.schema.fields.head.dataType
+    // BOTH frames must be bounded before anything collects: the edge
+    // count alone does not cap `nodes` (a near-empty edge set over a
+    // huge node frame must still take the distributed path), and the
+    // id type comes from the `id` column by NAME, not ordinal — the
+    // caller's frame may carry id in any position
+    if (cutoff > 0 && e0.limit(cutoff + 1).count() <= cutoff &&
+        nodes.limit(cutoff + 1).count() <= cutoff) {
+      val idType = nodes.schema("id").dataType
       val es = e0.collect()
       val ns = nodes.select(col("id")).collect().map(_.get(0))
       val parent = scala.collection.mutable.HashMap.empty[Any, Any]

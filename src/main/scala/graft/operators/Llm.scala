@@ -1320,12 +1320,21 @@ object Llm {
     * in the exact operator order the oracle uses, so the results are
     * bit-identical across engines. */
   def embedQuantize(spark: SparkSession, dir: String): DataFrame =
-    Tables.widened(Tables.embeddings(spark, dir))
+    embedQuantizeOn(Tables.widened(Tables.embeddings(spark, dir)))
+
+  private[graft] def embedQuantizeOn(embeddings: DataFrame): DataFrame =
+    embeddings
       .select(col("vec_id"), expr("transform(embedding, x -> cast(x as double))").as("e"))
       .withColumn("mn", expr("array_min(e)"))
       .withColumn("mx", expr("array_max(e)"))
+      // mx = mn (constant vector) would divide 0/0: non-ANSI Spark
+      // casts the NaN to 0 while DuckDB's CAST errors under IEEE
+      // semantics, failing the whole verify run on a legal input —
+      // both engines special-case it to code 0 explicitly (the
+      // decode error needs no guard: its (mx-mn) factor zeroes the
+      // bucket term, leaving abs(x - mn) = 0 exactly)
       .withColumn("code", expr(
-        "transform(e, x -> least(255L, cast(floor((x - mn) * 255.0 / (mx - mn)) as bigint)))"))
+        "transform(e, x -> if(mx = mn, 0L, least(255L, cast(floor((x - mn) * 255.0 / (mx - mn)) as bigint))))"))
       .select(col("vec_id"),
         md5(expr("array_join(transform(code, c -> cast(c as string)), ',')")).as("code_hash"),
         round(expr(

@@ -16,10 +16,28 @@ object Sinks {
     * Verify and Bench) must not race on the same write directory —
     * the pid suffix gives each JVM its own copy of every sink
     * round-trip, while repeated runs inside one JVM still overwrite
-    * in place. */
-  private def scratch(name: String): String =
-    new java.io.File(sys.props("java.io.tmpdir"),
-      s"${name}_${ProcessHandle.current().pid()}").getAbsolutePath
+    * in place. Every root is registered with a single shutdown hook
+    * that deletes it recursively: without this, each JVM run (tests,
+    * Verify, Bench, DevTime) would leak four sink copies of the
+    * documents table into java.io.tmpdir forever. */
+  private val scratchRoots = java.util.concurrent.ConcurrentHashMap.newKeySet[java.io.File]()
+  private lazy val cleanupHook: Unit =
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      scratchRoots.forEach { root =>
+        def rm(f: java.io.File): Unit = {
+          val kids = f.listFiles()
+          if (kids != null) kids.foreach(rm)
+          f.delete(): Unit
+        }
+        rm(root)
+      }))
+  private def scratch(name: String): String = {
+    val f = new java.io.File(sys.props("java.io.tmpdir"),
+      s"${name}_${ProcessHandle.current().pid()}")
+    cleanupHook
+    scratchRoots.add(f)
+    f.getAbsolutePath
+  }
 
 
   /** Round-trips `documents` through a source-partitioned parquet

@@ -86,4 +86,23 @@ class GraphSpec extends AnyFunSuite {
       assert(out(200L) == 200L, "isolated node keeps its own label")
     }
   }
+
+  test("connected components: null edge endpoints are dropped, id column found by name") {
+    import spark.implicits._
+    // both paths must treat a malformed (null-endpoint) edge as
+    // absent — the distributed join drops it naturally; the
+    // union-find fast path once NPE'd in the Ordering instead — and
+    // the id type must come from the `id` column even when it is not
+    // the frame's first column
+    val nodes = Seq(("x", 1L), ("x", 2L), ("x", 3L)).toDF("tag", "id")
+    val edges = Seq((Some(1L), Some(2L)), (Some(2L), None), (None, Some(3L)))
+      .toDF("src", "dst")
+    for (cutoff <- Seq(0, 100000)) {
+      val out = Graph.connectedComponents(nodes, edges,
+        maxIter = 10, driverCutoff = cutoff).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 3L),
+        s"cutoff $cutoff: $out")
+    }
+  }
 }

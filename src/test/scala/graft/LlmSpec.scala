@@ -508,6 +508,23 @@ class LlmSpec extends AnyFunSuite {
     }
   }
 
+  test("embed quantize: constant vector gets code 0 / err 0, not NaN") {
+    import spark.implicits._
+    // mx = mn used to divide 0/0: Spark's non-ANSI cast silently made
+    // the codes 0 while the DuckDB oracle errored on CAST(NaN) — now
+    // both engines special-case it (the oracle SQL carries the same
+    // CASE), so a legal constant vector yields a well-defined row
+    val rows = Llm.embedQuantizeOn(
+      Seq((1L, Array.fill(8)(0.25f)), (2L, Array(0f, 1f, 2f, 3f, 4f, 5f, 6f, 7f)))
+        .toDF("vec_id", "embedding")).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getDouble(2)))).toMap
+    val zeroHash = java.security.MessageDigest.getInstance("MD5")
+      .digest(Array.fill(8)("0").mkString(",").getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    assert(rows(1L) == ((zeroHash, 0.0)), s"constant vector: ${rows(1L)}")
+    assert(rows(2L)._2 > 0.0 && !rows(2L)._2.isNaN)
+  }
+
   test("run-stats kernels and HOF fallbacks are hash-identical on edge-case docs + real corpus") {
     import spark.implicits._
     // Only one of the two formulations runs in any given session
