@@ -857,23 +857,39 @@ object Llm {
       .filter(col("doc_id") === col("cluster_id")).select(col("doc_id"))
     // Both per-doc statistics come from the row's own token array
     // (the `repetitionOn` formulation): quality from distinct-token
-    // ratio, dup_frac from the trigram list vs its array_distinct —
-    // so the stats side is ONE map-only scan, no explode, no groupBy
-    // shuffle, no rejoin. Docs under 3 tokens get a null dup_frac
-    // (outside the trigram domain), coalesced to 0 in the filter —
-    // the same semantics the round-7 grouped formulation had via its
-    // left join.
-    withSplit(Tables.documents(spark, dir).select(col("doc_id"), col("text")))
+    // ratio, dup_frac from duplicated trigrams — so the stats side is
+    // ONE map-only scan, no explode, no groupBy shuffle, no rejoin.
+    // Docs under 3 tokens get a null dup_frac (outside the trigram
+    // domain), coalesced to 0 in the filter — the same semantics the
+    // round-7 grouped formulation had via its left join. Distinct
+    // counts come from the native graft_gram_stats kernel when the
+    // session has it (n_runs of the 1-gram/3-gram frequency map ==
+    // size(array_distinct(...)) of the materialized gram arrays,
+    // without the interpreted transform + distinct per row); the HOF
+    // expressions remain the no-extension fallback.
+    val tokenized = withSplit(Tables.documents(spark, dir).select(col("doc_id"), col("text")))
       .select(col("doc_id"), col("split"), split(lower(trim(col("text"))), "\\s+").as("toks"))
-      .select(col("doc_id"), col("split"), col("toks"),
-        size(col("toks")).cast("long").as("n_tokens"),
-        size(array_distinct(col("toks"))).as("n_uniq"))
+    val stats =
+      if (spark.catalog.functionExists("graft_gram_stats"))
+        tokenized
+          .select(col("doc_id"), col("split"), col("toks"),
+            size(col("toks")).cast("long").as("n_tokens"),
+            expr("graft_gram_stats(toks, 1).n_runs").cast("int").as("n_uniq"),
+            expr("graft_gram_stats(toks, 3)").as("tg"))
+          .withColumn("dup_frac", when(size(col("toks")) >= 3,
+            (col("tg.n") - col("tg.n_runs")).cast("double") / col("tg.n")))
+      else
+        tokenized
+          .select(col("doc_id"), col("split"), col("toks"),
+            size(col("toks")).cast("long").as("n_tokens"),
+            size(array_distinct(col("toks"))).as("n_uniq"))
+          .withColumn("dup_frac", when(size(col("toks")) >= 3, expr(
+            """cast((size(toks) - 2) - size(array_distinct(transform(sequence(1, size(toks)-2),
+               i -> concat(element_at(toks, i), ' ', element_at(toks, i+1), ' ', element_at(toks, i+2)))))
+               as double) / (size(toks) - 2)""")))
+    stats
       .withColumn("quality",
         round(col("n_uniq") / col("n_tokens") * least(lit(1.0), col("n_tokens") / 100.0), 6))
-      .withColumn("dup_frac", when(size(col("toks")) >= 3, expr(
-        """cast((size(toks) - 2) - size(array_distinct(transform(sequence(1, size(toks)-2),
-           i -> concat(element_at(toks, i), ' ', element_at(toks, i+1), ' ', element_at(toks, i+2)))))
-           as double) / (size(toks) - 2)""")))
       .join(reps, Seq("doc_id"), "left_semi")
       .filter(col("quality") >= 0.15 && coalesce(col("dup_frac"), lit(0.0)) <= 0.05)
       .select(col("doc_id"), col("split"), col("n_tokens"), col("quality"))

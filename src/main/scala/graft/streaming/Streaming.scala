@@ -6,6 +6,8 @@ import org.apache.spark.sql.streaming.{DataStreamWriter, GroupStateTimeout, Stre
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.Row
 
+import scala.concurrent.duration._
+
 import graft.plans.Dgim
 
 /** Structured Streaming surface (SURVEY §2.9): the reference IS a
@@ -164,26 +166,49 @@ object Streaming {
     * trigger). Across batches the engine delivers batch N+1 after N —
     * late stragglers beyond that are the stream's lateness domain,
     * same as the reference's arrival-order deque. Run with
-    * outputMode("update"). */
-  def dgimCounts(events: DataFrame, windowSec: Long = 3600L): Dataset[DgimUpdate] = {
+    * outputMode("update").
+    *
+    * State eviction: pass `ttl = Some(d)` to give each key a
+    * processing-time TTL. A key idle past the TTL holds only buckets
+    * older than the window it estimates — dead weight — so the
+    * timeout callback drops its state and emits a tombstone row
+    * (`n_buckets = 0`, `last_ts = -1`); a revived key rebuilds from
+    * an empty sketch. Use it whenever the key domain is OPEN
+    * (user-id, session — unbounded state growth otherwise); the
+    * default `None` keeps NoTimeout for bounded domains like
+    * event_type, where data-driven triggers alone suffice — a
+    * registered processing-time timer makes the engine schedule
+    * batches on its own clock, a cost an idle bounded-key stream
+    * needn't pay. */
+  def dgimCounts(events: DataFrame, windowSec: Long = 3600L,
+                 ttl: Option[FiniteDuration] = None): Dataset[DgimUpdate] = {
     import events.sparkSession.implicits._
+    val timeoutConf =
+      if (ttl.isDefined) GroupStateTimeout.ProcessingTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
     events
       .select(col("event_type"), col("ts").cast("long").as("tsec"),
         when(col("event_type") === "error", 1).otherwise(0).as("bit"))
       .as[(String, Long, Int)]
       .groupByKey(_._1)
-      .mapGroupsWithState[Seq[(Long, Long)], DgimUpdate](GroupStateTimeout.NoTimeout()) {
+      .mapGroupsWithState[Seq[(Long, Long)], DgimUpdate](timeoutConf) {
         (key, rows, state) =>
-          val d = new Dgim(windowSec)
-          state.getOption.foreach(d.loadBuckets)
-          var last = Long.MinValue
-          rows.toSeq.sortBy(_._2).foreach { case (_, tsec, bit) =>
-            d.addBit(tsec, bit)
-            if (tsec > last) last = tsec
+          if (state.hasTimedOut) {
+            state.remove()
+            DgimUpdate(key, -1L, 0L, 0)
+          } else {
+            val d = new Dgim(windowSec)
+            state.getOption.foreach(d.loadBuckets)
+            var last = Long.MinValue
+            rows.toSeq.sortBy(_._2).foreach { case (_, tsec, bit) =>
+              d.addBit(tsec, bit)
+              if (tsec > last) last = tsec
+            }
+            val est = if (last == Long.MinValue) 0L else d.estimate(last)
+            state.update(d.exportBuckets)
+            ttl.foreach(t => state.setTimeoutDuration(t.toMillis))
+            DgimUpdate(key, last, est, d.bucketCount)
           }
-          val est = if (last == Long.MinValue) 0L else d.estimate(last)
-          state.update(d.exportBuckets)
-          DgimUpdate(key, last, est, d.bucketCount)
       }
   }
 }

@@ -174,6 +174,52 @@ class StreamingSpec extends AnyFunSuite {
       "corrupt/null-id records must be skipped like the reference's try/except")
   }
 
+  test("Kafka E2E: sink -> broker -> source round-trip (gated on a live broker)") {
+    // The live half of S2/S3 (consumer.py:358-399's actual Kafka
+    // loop). The sandbox ships neither a broker nor the
+    // spark-sql-kafka connector, so this test CANCELS (not fails)
+    // unless both are present. To run it for real:
+    //   1. start a broker, e.g. docker run -p 9092:9092 apache/kafka
+    //   2. put spark-sql-kafka-0-10 + kafka-clients on the test
+    //      classpath (they are not in /opt/spark/jars)
+    //   3. GRAFT_KAFKA_BOOTSTRAP=localhost:9092 sbt test
+    val bootstrap = sys.env.get("GRAFT_KAFKA_BOOTSTRAP")
+    assume(bootstrap.isDefined, "GRAFT_KAFKA_BOOTSTRAP not set — skipping live Kafka E2E")
+    assume(scala.util.Try(Class.forName(
+      "org.apache.spark.sql.kafka010.KafkaSourceProvider")).isSuccess,
+      "spark-sql-kafka connector not on the classpath")
+    val Array(host, port) = bootstrap.get.split(":")
+    assume(scala.util.Try {
+      val s = new java.net.Socket()
+      s.connect(new java.net.InetSocketAddress(host, port.toInt), 2000)
+      s.close()
+    }.isSuccess, s"no broker reachable at ${bootstrap.get}")
+
+    implicit val sqlCtx = spark.sqlContext
+    val topic = s"graft_e2e_${System.currentTimeMillis()}"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_kafka_ckpt").toString
+    val ms = MemoryStream[Event]
+    val producer = Streaming.kafkaSink(ms.toDF(), bootstrap.get, topic, ckpt).start()
+    val consumer = Streaming.kafkaSource(spark, bootstrap.get, topic)
+      .writeStream.format("memory").queryName("kafka_e2e").outputMode("append").start()
+    try {
+      val sent = Seq(
+        Event(1L, ts("2024-01-01 10:00:10"), 3L, "click", 1.25),
+        Event(2L, ts("2024-01-01 10:00:20"), 4L, "error", -0.5))
+      ms.addData(sent: _*)
+      producer.processAllAvailable()
+      val deadline = System.currentTimeMillis() + 30000
+      var got = Array.empty[org.apache.spark.sql.Row]
+      while (got.length < sent.length && System.currentTimeMillis() < deadline) {
+        consumer.processAllAvailable()
+        got = spark.sql("SELECT * FROM kafka_e2e").collect()
+        if (got.length < sent.length) Thread.sleep(250)
+      }
+      assert(got.map(_.getLong(0)).sorted.toSeq == sent.map(_.event_id).sorted,
+        s"round-tripped ids ${got.map(_.getLong(0)).mkString(",")}")
+    } finally { producer.stop(); consumer.stop() }
+  }
+
   test("Bloom sketch builds incrementally inside a windowed streaming aggregation (A8 streaming leg)") {
     // The mergeable-buffer claim under incremental execution: the
     // same BloomAgg the batch path uses (Sketches.bloomMembers) runs
@@ -250,6 +296,54 @@ class StreamingSpec extends AnyFunSuite {
       assert(latest.getLong(1) > 30, "sketch state lost between micro-batches")
       assert(latest.getInt(2) <= 26,
         s"bucket count ${latest.getInt(2)} not O(log² W)")
+    } finally q.stop()
+  }
+
+  test("stateful DGIM TTL: an idle key's state is evicted, a revived key restarts empty") {
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[Event]
+    // tiny processing-time TTL so the eviction fires between batches.
+    // NOTE no processAllAvailable here: with ProcessingTimeTimeout
+    // the engine schedules its own timer-driven batches, so "all
+    // available" never settles — the sink is polled with a deadline
+    // instead, which is also the honest way to observe an eviction
+    // that happens on the engine's clock, not the data's
+    val q = Streaming.dgimCounts(ms.toDF(), windowSec = 3600L,
+      ttl = Some(scala.concurrent.duration.Duration(200, "ms")))
+      .writeStream.format("memory").queryName("dgim_ttl")
+      .outputMode("update").start()
+    def at(id: Long, typ: String, minute: Long) =
+      Event(id, new Timestamp(ts("2024-01-01 10:00:00").getTime + minute * 60000L),
+        id % 7, typ, 1.0)
+    def awaitRows(what: String)(sql: String): Array[org.apache.spark.sql.Row] = {
+      val deadline = System.currentTimeMillis() + 30000
+      var rows = Array.empty[org.apache.spark.sql.Row]
+      while (rows.isEmpty && System.currentTimeMillis() < deadline) {
+        rows = spark.sql(sql).collect()
+        if (rows.isEmpty) Thread.sleep(100)
+      }
+      assert(rows.nonEmpty, s"timed out waiting for $what (${q.exception})")
+      rows
+    }
+    try {
+      // batch 1: 20 errors -> key "error" holds a live sketch
+      ms.addData((0L until 20L).map(m => at(m, "error", m)): _*)
+      awaitRows("live sketch")(
+        "SELECT * FROM dgim_ttl WHERE event_type = 'error' AND n_buckets > 0")
+      // idle past the TTL: the engine's timer-driven batch evicts the
+      // key and emits the tombstone
+      val tomb = awaitRows("eviction tombstone")(
+        "SELECT * FROM dgim_ttl WHERE event_type = 'error' AND n_buckets = 0")
+      assert(tomb.head.getLong(1) == -1L, "tombstone must carry last_ts = -1")
+      // revival: the key must rebuild from an EMPTY sketch — 3 fresh
+      // errors estimate ~3, not ~23 (state resurrection). The live
+      // batch-1 rows are excluded by their minute-31 timestamp.
+      ms.addData((200L until 203L).map(m => at(m, "error", 31L)): _*)
+      val revived = awaitRows("revived key")(
+        "SELECT est_errors_1h FROM dgim_ttl WHERE event_type = 'error' " +
+          "AND n_buckets > 0 AND last_ts = " + (ts("2024-01-01 10:00:00").getTime / 1000 + 31 * 60))
+      assert(revived.map(_.getLong(0)).min <= 5,
+        s"revived key estimates ${revived.mkString(",")} — old state resurrected?")
     } finally q.stop()
   }
 
