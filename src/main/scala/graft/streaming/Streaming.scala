@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{DataStreamWriter, GroupStateTimeout, StreamingQuery}
+import org.apache.spark.sql.streaming.{DataStreamWriter, GroupStateTimeout, OutputMode, StreamingQuery}
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.Row
 
@@ -73,6 +73,80 @@ object Streaming {
       .agg(count(lit(1)).as("n_events"))
       .select(col("w.start").as("session_start"), col("w.end").as("session_end"),
               col("user_id"), col("n_events"))
+
+  /** One closed session from `sessionsCustom`: [start, end] event
+    * times (epoch seconds) and the event count. */
+  case class SessionOut(user_id: Long, session_start: Long,
+                        session_end: Long, n_events: Long)
+
+  /** Per-user open-session state for `sessionsCustom`. */
+  case class OpenSession(start: Long, last: Long, n: Long)
+
+  /** ST6's arbitrary-stateful twin: the same gap sessionization as
+    * `sessionCounts`, but hand-rolled with
+    * `flatMapGroupsWithState` + `EventTimeTimeout` instead of the
+    * native `session_window` — the demonstration that CUSTOM
+    * per-session state (here start/last/count; in a real pipeline
+    * any accumulator a session carries — distinct pages, funnel
+    * stage, revenue) rides the same merge/expiry semantics the
+    * declarative operator gives for plain counts.
+    *
+    * Semantics match `Ecosystem.sessions`: events ≤ `gapSec` apart
+    * extend the session, a longer silence closes it. Within a
+    * micro-batch the group's rows fold in event-time order; across
+    * batches the open session lives in the state store and new rows
+    * MERGE into it; expiry is watermark-driven — when the watermark
+    * passes last + gap, the timeout callback closes the session and
+    * drops the state, so an idle user holds no state past the
+    * horizon (the reference's 2 h TTL sweep, consumer.py:119, as an
+    * engine property). Emits each session exactly once, on close.
+    *
+    * Scale shape: state is O(1) per ACTIVE user (three longs), keyed
+    * and shuffled once by user_id — the same horizontal partitioning
+    * as the batch twin's window, with the state store sharded across
+    * executors at any user count. */
+  def sessionsCustom(events: DataFrame, gapSec: Long = 1800L,
+                     lateness: String = "1 hour"): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", lateness)
+      .select(col("user_id"), col("ts"))
+      .as[(Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[OpenSession, SessionOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout()) {
+        (uid, rows, state) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(SessionOut(uid, s.start, s.last, s.n))
+          } else {
+            val times = rows.map(_._2.getTime / 1000L).toSeq.sorted
+            val closed = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
+            var open = state.getOption
+            times.foreach { t =>
+              open match {
+                case Some(s) if t - s.last <= gapSec =>
+                  open = Some(OpenSession(s.start, math.max(s.last, t), s.n + 1))
+                case Some(s) =>
+                  closed += SessionOut(uid, s.start, s.last, s.n)
+                  open = Some(OpenSession(t, t, 1L))
+                case None =>
+                  open = Some(OpenSession(t, t, 1L))
+              }
+            }
+            open.foreach { s =>
+              state.update(s)
+              // close when the watermark passes last + gap; the +1
+              // guards the engine's strictly-greater requirement when
+              // a straggler batch arrives entirely behind the horizon
+              state.setTimeoutTimestamp(
+                math.max((s.last + gapSec) * 1000L, state.getCurrentWatermarkMs + 1))
+            }
+            closed.iterator
+          }
+      }
+  }
 
   /** Typed document for streaming dedup tests/feeds. */
   case class Doc(doc_id: Long, ts: java.sql.Timestamp, text: String)

@@ -347,6 +347,44 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("custom-state sessionization merges across batches and expires by watermark (ST6 twin)") {
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[Event]
+    // lateness 0s makes the watermark deterministic: max event time
+    // seen so far — each batch's data closes whatever it proves ended
+    val q = Streaming.sessionsCustom(ms.toDF(), gapSec = 1800L, lateness = "0 seconds")
+      .writeStream.format("memory").queryName("custom_sessions")
+      .outputMode("append").start()
+    def sec(s: String) = ts(s).getTime / 1000L
+    def at(id: Long, user: Long, t: String) = Event(id, ts(t), user, "click", 1.0)
+    def rows() = spark.sql(
+      "SELECT user_id, session_start, session_end, n_events FROM custom_sessions")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    try {
+      // batch 1, user 5: two events 10 min apart, then a 50-min gap —
+      // the in-batch fold must close the first session immediately
+      ms.addData(
+        at(1, 5, "2024-01-01 10:00:00"),
+        at(2, 5, "2024-01-01 10:10:00"),
+        at(3, 5, "2024-01-01 11:00:00"))
+      q.processAllAvailable()
+      assert(rows() == Set((5L, sec("2024-01-01 10:00:00"), sec("2024-01-01 10:10:00"), 2L)),
+        s"in-batch split: ${rows()}")
+      // batch 2: 20 min after the open session's last event — MERGES
+      // into the cross-batch open session, emits nothing yet
+      ms.addData(at(4, 5, "2024-01-01 11:20:00"))
+      q.processAllAvailable()
+      assert(rows().size == 1, s"open session must not emit early: ${rows()}")
+      // batch 3: another user far in the future pushes the watermark
+      // past 11:20 + 30 min — user 5's open session times out and
+      // closes with BOTH batches' events (11:00..11:20, n=2)
+      ms.addData(at(9, 6, "2024-01-01 13:00:00"))
+      q.processAllAvailable()
+      assert(rows().contains((5L, sec("2024-01-01 11:00:00"), sec("2024-01-01 11:20:00"), 2L)),
+        s"watermark expiry must close the merged session: ${rows()}")
+    } finally q.stop()
+  }
+
   test("console sink starts, processes a batch, and stops cleanly (S7)") {
     implicit val sqlCtx = spark.sqlContext
     val ms = MemoryStream[Event]
