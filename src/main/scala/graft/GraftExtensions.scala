@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.plans.{CharRunStats, CosineSimilarity, GramStats, NearestCentroid, SrpBuckets}
+import graft.plans.{CharRunStats, CosineSimilarity, GramStats, NearestCentroid, SrpBuckets, TermCounts}
 
 /** Engine extensions, installed with
   * `spark.sql.extensions=graft.GraftExtensions` (SparkSessionExtensions
@@ -54,6 +54,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           case other => throw new IllegalArgumentException(
             s"graft_gram_stats requires a literal int gram width, got $other")
         }
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_term_counts"),
+      new ExpressionInfo(classOf[TermCounts].getName, "graft_term_counts"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.length == 1, "graft_term_counts takes exactly 1 argument")
+        TermCounts(children.head)
       }))
   }
 }

@@ -1313,16 +1313,37 @@ object Llm {
     unigramLogprobOn(Tables.documents(spark, dir).select(col("doc_id"), col("text")))
 
   private[graft] def unigramLogprobOn(docs: DataFrame): DataFrame = {
-    val toks = widened(docs)
-      .select(col("doc_id"), explode(split(lower(trim(col("text"))), "\\s+")).as("tok"))
-      .localCheckpoint()
-    val vocab = toks.groupBy(col("tok")).agg(count(lit(1)).as("c"))
-    val tot = vocab.agg(sum(col("c")).as("n"))
-    toks.join(vocab, Seq("tok"))
-      .crossJoin(broadcast(tot))
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_toks"),
-           round(avg(-log(col("c") / col("n").cast("double"))), 6).as("avg_neg_logp"))
+    val spark = docs.sparkSession
+    if (spark.catalog.functionExists("graft_term_counts")) {
+      // per-doc term counts from the kernel: the vocab aggregate and
+      // the prob join ship one row per DISTINCT (doc, term) instead
+      // of one per token occurrence, and the materialized working
+      // set shrinks the same way. The per-doc average becomes the
+      // algebraically-equal count-weighted form sum(cnt·(−log p)) /
+      // sum(cnt) — same value, fewer float adds.
+      val tc = termCountsOf(docs)
+        .select(col("doc_id"), col("term").as("tok"), col("cnt"))
+        .localCheckpoint()
+      val vocab = tc.groupBy(col("tok")).agg(sum(col("cnt")).as("c"))
+      val tot = vocab.agg(sum(col("c")).as("n"))
+      tc.join(vocab, Seq("tok"))
+        .crossJoin(broadcast(tot))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("cnt")).as("n_toks"),
+             round(sum(col("cnt") * -log(col("c") / col("n").cast("double"))) / sum(col("cnt")), 6)
+               .as("avg_neg_logp"))
+    } else {
+      val toks = widened(docs)
+        .select(col("doc_id"), explode(split(lower(trim(col("text"))), "\\s+")).as("tok"))
+        .localCheckpoint()
+      val vocab = toks.groupBy(col("tok")).agg(count(lit(1)).as("c"))
+      val tot = vocab.agg(sum(col("c")).as("n"))
+      toks.join(vocab, Seq("tok"))
+        .crossJoin(broadcast(tot))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_toks"),
+             round(avg(-log(col("c") / col("n").cast("double"))), 6).as("avg_neg_logp"))
+    }
   }
 
   /** Per-vector int8 (256-level) min-max quantization of the
@@ -1468,13 +1489,41 @@ object Llm {
   def tfidfTerms(spark: SparkSession, dir: String): DataFrame =
     tfidfTermsOn(Tables.documents(spark, dir).select(col("doc_id"), col("text")))
 
+  /** One row per DISTINCT (doc, term) with its in-doc count, computed
+    * by the `graft_term_counts` kernel inside the scan projection —
+    * zero exchanges (LlmSpec pins the plan and the counts' agreement
+    * with the explode + groupBy formulation). The map side of every
+    * term-level statistic: tf-idf's tf frame and the unigram LM's
+    * working set both start here. */
+  private[graft] def termCountsOf(docs: DataFrame): DataFrame =
+    widened(docs)
+      .select(col("doc_id"),
+        explode(expr("graft_term_counts(split(lower(trim(text)), '\\\\s+'))")).as("tc"))
+      .select(col("doc_id"), col("tc.term").as("term"), col("tc.cnt").as("cnt"))
+
   private[graft] def tfidfTermsOn(docs: DataFrame): DataFrame = {
-    val toks = widened(docs)
-      .select(col("doc_id"), explode(split(lower(trim(col("text"))), "\\s+")).as("term"))
-      .localCheckpoint()
-    val tf = toks.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    // tf is a PER-DOCUMENT statistic, so with the graft_term_counts
+    // kernel it never shuffles: each row counts its own terms inside
+    // the scan projection and the explode emits one row per DISTINCT
+    // (doc, term) — the round-8 profile put the replaced formulation's
+    // CPU in the (doc_id, term) hash aggregation's string-key
+    // UnsafeRow hashing, and its exchange shipped every token
+    // occurrence. The token-explode + groupBy stays as the
+    // no-extension fallback (same counts, LlmSpec pins agreement).
+    val spark = docs.sparkSession
+    val tf =
+      if (spark.catalog.functionExists("graft_term_counts"))
+        termCountsOf(docs)
+          .select(col("doc_id"), col("term"), col("cnt").as("tf"))
+          .localCheckpoint()
+      else {
+        val toks = widened(docs)
+          .select(col("doc_id"), explode(split(lower(trim(col("text"))), "\\s+")).as("term"))
+        toks.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+          .localCheckpoint()
+      }
     val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    val n = toks.agg(count_distinct(col("doc_id")).as("n"))
+    val n = tf.agg(count_distinct(col("doc_id")).as("n"))
     val w = Window.partitionBy(col("doc_id"))
       .orderBy(col("score").desc, col("term").asc)
     tf.join(df, Seq("term"))

@@ -97,6 +97,38 @@ object RunStatsKernel {
     finish(n, counts.values.iterator)
   }
 
+  val termCountsType: DataType = ArrayType(StructType(Seq(
+    StructField("term", StringType, nullable = false),
+    StructField("cnt", LongType, nullable = false))), containsNull = false)
+
+  /** Per-row term frequency map as an array of (term, cnt) structs in
+    * ascending binary term order — the map side of a distributed
+    * term count. Exploding this instead of the raw token array
+    * shrinks the downstream frame to DISTINCT terms per doc and, for
+    * per-document statistics (tf), removes the (doc_id, term)
+    * shuffle entirely: the count that groupBy would compute after an
+    * exchange happens here, inside the scan projection. */
+  def termCounts(toks: ArrayData): org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val counts = new java.util.TreeMap[UTF8String, Array[Long]]()
+    val n = toks.numElements()
+    var i = 0
+    while (i < n) {
+      val t = toks.getUTF8String(i)
+      val c = counts.get(t)
+      if (c == null) counts.put(t, Array(1L)) else c(0) += 1L
+      i += 1
+    }
+    val out = new Array[Any](counts.size)
+    val it = counts.entrySet().iterator()
+    var j = 0
+    while (it.hasNext) {
+      val e = it.next()
+      out(j) = new GenericInternalRow(Array[Any](e.getKey, e.getValue()(0)))
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
   private def finish(n: Long, it: java.util.Iterator[Array[Long]]): InternalRow = {
     var runs = 0L
     var maxRun = 0L
@@ -138,6 +170,35 @@ case class CharRunStats(child: Expression) extends UnaryExpression {
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, s =>
       s"${ev.value} = graft.plans.RunStatsKernel.charStats($s);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Native Catalyst expression `graft_term_counts(toks)`: the per-row
+  * term frequency array (see RunStatsKernel.termCounts). The
+  * token-level `explode` + `groupBy(doc_id, term)` it replaces
+  * shuffles every token occurrence on a variable-width string pair —
+  * the round-8 profile's top frame for tf-idf (UnsafeRow string
+  * hashing in the fast hash map); this computes the same counts
+  * inside the scan and ships one row per DISTINCT (doc, term). */
+case class TermCounts(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = RunStatsKernel.termCountsType
+  override def prettyName: String = "graft_term_counts"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires an array<string> argument, got ${other.catalogString}")
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    RunStatsKernel.termCounts(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.plans.RunStatsKernel.termCounts($a);")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)

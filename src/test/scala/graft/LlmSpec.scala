@@ -525,6 +525,35 @@ class LlmSpec extends AnyFunSuite {
     assert(rows(2L)._2 > 0.0 && !rows(2L)._2.isNaN)
   }
 
+  test("term-counts kernel == explode+groupBy formulation, and its plan never shuffles") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, count, explode, lit, lower, split, trim}
+    val edge = Seq(
+      (1L, "a b a b a"),
+      (2L, "  \t repeated repeated REPEATED  x "),
+      (3L, "unicode é 中文 é 😀"),
+      (4L, "solo")).toDF("doc_id", "text")
+    val corpus = graft.sources.Tables.documents(spark, TestSpark.sf)
+      .select($"doc_id", $"text")
+    for (docs <- Seq(edge, corpus)) {
+      val kernel = Llm.termCountsOf(docs).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+      val spec = docs
+        .select(col("doc_id"), explode(split(lower(trim(col("text"))), "\\s+")).as("term"))
+        .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("cnt"))
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+      assert(kernel == spec, "term-counts kernel drifted from the explode+groupBy counts")
+    }
+    // the whole point: the per-doc count is computed inside the scan,
+    // so the frame plans with no exchange at all (the widen
+    // round-robin only fires below-parallelism scans; on this 4-core
+    // test session the tiny corpus keeps it, so assert only that no
+    // KEYED exchange appears — the at-scale identity)
+    val p = Llm.termCountsOf(corpus).queryExecution.executedPlan.toString
+    assert(p.contains("graft_term_counts"), s"kernel missing from plan:\n$p")
+    assert(!p.contains("hashpartitioning"), s"per-doc term count must not shuffle on a key:\n$p")
+  }
+
   test("run-stats kernels and HOF fallbacks are hash-identical on edge-case docs + real corpus") {
     import spark.implicits._
     // Only one of the two formulations runs in any given session
