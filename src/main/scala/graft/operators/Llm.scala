@@ -505,10 +505,22 @@ object Llm {
   def vocabTopK(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
     val n = docs.agg(count(lit(1)).as("n_docs"))
-    widened(docs)
-      .select(col("doc_id"), explode(split(lower(trim(col("text"))), "\\s+")).as("token"))
-      .groupBy(col("token"))
-      .agg(count(lit(1)).as("corpus_freq"), count_distinct(col("doc_id")).as("doc_freq"))
+    // with the term-counts kernel the input rows are already distinct
+    // (doc, term) pairs, so corpus_freq is a plain sum and doc_freq a
+    // plain count — no count_distinct, which otherwise rewrites to a
+    // second (token, doc_id)-keyed aggregate over every token
+    // occurrence (the expensive half of this query's round-7 CPU)
+    val grouped =
+      if (spark.catalog.functionExists("graft_term_counts"))
+        termCountsOf(docs.select(col("doc_id"), col("text")))
+          .groupBy(col("term").as("token"))
+          .agg(sum(col("cnt")).as("corpus_freq"), count(lit(1)).as("doc_freq"))
+      else
+        widened(docs)
+          .select(col("doc_id"), explode(split(lower(trim(col("text"))), "\\s+")).as("token"))
+          .groupBy(col("token"))
+          .agg(count(lit(1)).as("corpus_freq"), count_distinct(col("doc_id")).as("doc_freq"))
+    grouped
       .crossJoin(broadcast(n))
       .select(col("token"), col("corpus_freq"), col("doc_freq"),
         round(log(col("n_docs") / col("doc_freq")), 6).as("idf"))
