@@ -142,6 +142,12 @@ class PlanSpec extends AnyFunSuite {
     val p = plan("llm_vocab_topk")
     assert(p.contains("TakeOrderedAndProject"), s"top-100 must be TakeOrdered:\n$p")
     assert(!p.contains("SortMergeJoin"), "corpus-size scalar must broadcast, not shuffle")
+    // the term-counts kernel makes doc_freq a plain count over
+    // already-distinct (doc, term) rows — the count_distinct rewrite
+    // (a second aggregate keyed on (token, doc_id)) must stay gone
+    assert(p.contains("graft_term_counts"), s"vocab not on the term-counts kernel:\n$p")
+    val exchanges = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges == 1, s"expected exactly one token exchange, got $exchanges:\n$p")
   }
 
   test("incremental dedup anti-joins on the same key it aggregates (no cartesian)") {

@@ -169,6 +169,28 @@ class PropertySpec extends AnyFunSuite {
     })
   }
 
+  test("term counts kernel == frequency map, ascending binary term order, sizes sum to n") {
+    import graft.plans.RunStatsKernel
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.unsafe.types.UTF8String
+    val tokGen = Gen.listOf(Gen.frequency(
+      6 -> Gen.oneOf("a", "b", "ab", "the", "xyz"),
+      1 -> Gen.oneOf("é", "中文", "😀", "")))
+    check(Prop.forAll(tokGen) { toks =>
+      val arr = new GenericArrayData(toks.map(UTF8String.fromString).toArray[Any])
+      val out = RunStatsKernel.termCounts(arr)
+      val got = (0 until out.numElements()).map { i =>
+        val r = out.getStruct(i, 2).asInstanceOf[InternalRow]
+        (r.getUTF8String(0).toString, r.getLong(1))
+      }
+      val want = toks.groupBy(identity).map { case (t, v) => (t, v.length.toLong) }
+      val ordered = got.map(t => UTF8String.fromString(t._1))
+        .sliding(2).forall(w => w.length < 2 || w(0).compareTo(w(1)) < 0)
+      got.toMap == want && ordered && got.map(_._2).sum == toks.length.toLong
+    })
+  }
+
   test("gram stats kernel == independent sliding-window spec") {
     import graft.plans.RunStatsKernel
     import org.apache.spark.sql.catalyst.util.GenericArrayData
