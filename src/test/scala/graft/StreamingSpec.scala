@@ -397,6 +397,46 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("custom-state sessionization reproduces the batch sessionization on the real events table") {
+    implicit val sqlCtx = spark.sqlContext
+    // The ST6 twin claim, end-to-end: replaying the whole sf0.001
+    // events table through the stateful streaming operator (in
+    // event-time-ordered chunks — cross-batch order is the streaming
+    // contract; within-batch disorder is handled by the fold's sort)
+    // must yield EXACTLY the batch operator's sessions. A far-future
+    // sentinel event pushes the watermark so every open session
+    // closes before the comparison.
+    val evs = graft.sources.Tables.events(spark, TestSpark.sf)
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+      .collect()
+      .map(r => Event(r.getLong(0), r.getTimestamp(1), r.getLong(2), r.getString(3), r.getDouble(4)))
+      .sortBy(_.ts.getTime)
+    val sentinel = Event(-1L,
+      new Timestamp(evs.last.ts.getTime + 30L * 24 * 3600 * 1000), -999L, "click", 0.0)
+    val ms = MemoryStream[Event]
+    val q = Streaming.sessionsCustom(ms.toDF(), gapSec = 1800L, lateness = "0 seconds")
+      .writeStream.format("memory").queryName("sessions_replay")
+      .outputMode("append").start()
+    try {
+      evs.grouped(math.max(1, evs.length / 3 + 1)).foreach { chunk =>
+        ms.addData(chunk.toIndexedSeq: _*)
+        q.processAllAvailable()
+      }
+      ms.addData(sentinel)
+      q.processAllAvailable()
+      val streamed = spark.sql(
+        "SELECT user_id, session_start, session_end, n_events FROM sessions_replay " +
+          "WHERE user_id <> -999")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      val batch = graft.operators.Ecosystem.sessions(spark, TestSpark.sf)
+        .collect().map(r => (r.getLong(0), r.getLong(2),
+          r.getLong(2) + r.getLong(4), r.getLong(3))).toSet
+      assert(streamed == batch,
+        s"streaming sessions drifted from batch: missing ${(batch -- streamed).take(3)}, " +
+          s"extra ${(streamed -- batch).take(3)}")
+    } finally q.stop()
+  }
+
   test("streaming and batch share the same transformation (consistency)") {
     // the batch frame through the same tumblingCounts code path
     val batch = graft.sources.Tables.events(spark, TestSpark.sf)
