@@ -1405,7 +1405,19 @@ object Llm {
     * The posting order inside each group comes from an array_sort
     * over (doc_id, pos) structs — deterministic without a sort
     * exchange. */
-  def invertedIndex(spark: SparkSession, dir: String): DataFrame =
+  def invertedIndex(spark: SparkSession, dir: String): DataFrame = {
+    // the digest of each term's sorted posting list: fused
+    // sort+join+md5 kernel when the session has it (the HOF
+    // formulation ran an interpreted transform per posting and
+    // materialized three intermediate arrays per group), byte-equal
+    // HOF fallback otherwise — LlmSpec pins both against a
+    // hand-built canonical string
+    val digest =
+      if (spark.catalog.functionExists("graft_postings_digest"))
+        expr("graft_postings_digest(collect_list(struct(doc_id, pos)))")
+      else
+        md5(expr("array_join(transform(array_sort(collect_list(struct(doc_id, pos))), " +
+          "x -> concat(cast(x.doc_id as string), ':', cast(x.pos as string))), ',')"))
     widened(Tables.documents(spark, dir).select(col("doc_id"), col("text")))
       .select(col("doc_id"), posexplode(split(lower(trim(col("text"))), "\\s+")))
       .toDF("doc_id", "pos", "term")
@@ -1413,9 +1425,8 @@ object Llm {
       .agg(
         count(lit(1)).as("n_postings"),
         count_distinct(col("doc_id")).as("df"),
-        md5(expr("array_join(transform(array_sort(collect_list(struct(doc_id, pos))), " +
-          "x -> concat(cast(x.doc_id as string), ':', cast(x.pos as string))), ',')"))
-          .as("postings_hash"))
+        digest.as("postings_hash"))
+  }
 
   /** One-pass weighted sampling (Efraimidis–Spirakis A-Res): keep
     * the k documents with the largest u^(1/w), u ~ U(0,1] — here u

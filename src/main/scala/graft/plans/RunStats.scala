@@ -129,6 +129,49 @@ object RunStatsKernel {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
 
+  /** Canonical postings digest: sort (doc_id, pos) pairs, join as
+    * "doc:pos,doc:pos,...", md5 — one pass, no intermediate string
+    * array (the HOF formulation ran an interpreted `transform` per
+    * posting and materialized the sorted struct array, the joined
+    * array and the final string separately). Byte-equal to
+    * md5(array_join(transform(array_sort(ps), ...), ',')). */
+  def postingsDigest(ps: ArrayData): UTF8String = {
+    val n = ps.numElements()
+    val docs = new Array[Long](n)
+    val poss = new Array[Int](n)
+    val idx = new Array[Integer](n)
+    var i = 0
+    while (i < n) {
+      val r = ps.getStruct(i, 2)
+      docs(i) = r.getLong(0)
+      poss(i) = r.getInt(1)
+      idx(i) = i
+      i += 1
+    }
+    java.util.Arrays.sort(idx, (a: Integer, b: Integer) => {
+      val c = java.lang.Long.compare(docs(a), docs(b))
+      if (c != 0) c else java.lang.Integer.compare(poss(a), poss(b))
+    })
+    val sb = new java.lang.StringBuilder(n * 8)
+    i = 0
+    while (i < n) {
+      if (i > 0) sb.append(',')
+      sb.append(docs(idx(i))).append(':').append(poss(idx(i)))
+      i += 1
+    }
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val digest = md.digest(sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val hex = new Array[Byte](32)
+    val alphabet = "0123456789abcdef"
+    i = 0
+    while (i < 16) {
+      hex(i * 2) = alphabet.charAt((digest(i) >> 4) & 0xF).toByte
+      hex(i * 2 + 1) = alphabet.charAt(digest(i) & 0xF).toByte
+      i += 1
+    }
+    UTF8String.fromBytes(hex)
+  }
+
   private def finish(n: Long, it: java.util.Iterator[Array[Long]]): InternalRow = {
     var runs = 0L
     var maxRun = 0L
@@ -199,6 +242,33 @@ case class TermCounts(child: Expression) extends UnaryExpression {
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, a =>
       s"${ev.value} = graft.plans.RunStatsKernel.termCounts($a);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Native Catalyst expression `graft_postings_digest(ps)`: md5 of
+  * the canonical sorted "doc:pos,..." posting string for an inverted
+  * index group (see RunStatsKernel.postingsDigest). */
+case class PostingsDigest(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = StringType
+  override def prettyName: String = "graft_postings_digest"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(s: StructType, _) if s.length == 2 &&
+        s(0).dataType == LongType && s(1).dataType == IntegerType =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<struct<bigint,int>>, got ${other.catalogString}")
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    RunStatsKernel.postingsDigest(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.plans.RunStatsKernel.postingsDigest($a);")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)

@@ -191,6 +191,24 @@ class PropertySpec extends AnyFunSuite {
     })
   }
 
+  test("postings digest kernel == sorted-join-md5 spec on random posting lists") {
+    import graft.plans.RunStatsKernel
+    import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    def spec(ps: List[(Long, Int)]): String = {
+      val canon = ps.sorted.map { case (d, p) => s"$d:$p" }.mkString(",")
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(canon.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    }
+    val pGen = Gen.listOf(Gen.zip(Gen.choose(0L, 50L), Gen.choose(0, 30)))
+    check(Prop.forAll(pGen) { ps =>
+      val arr = new GenericArrayData(ps.map { case (d, p) =>
+        new GenericInternalRow(Array[Any](d, p))
+      }.toArray[Any])
+      RunStatsKernel.postingsDigest(arr).toString == spec(ps)
+    })
+  }
+
   test("gram stats kernel == independent sliding-window spec") {
     import graft.plans.RunStatsKernel
     import org.apache.spark.sql.catalyst.util.GenericArrayData
