@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.plans.{CharRunStats, CosineSimilarity, GramStats, NearestCentroid, PostingsDigest, SrpBuckets, TermCounts}
+import graft.plans.{CharRunStats, CosineSimilarity, GramStats, MinHashSig, NearestCentroid, PostingsDigest, SrpBuckets, TermCounts}
 
 /** Engine extensions, installed with
   * `spark.sql.extensions=graft.GraftExtensions` (SparkSessionExtensions
@@ -61,6 +61,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
         require(children.length == 1, "graft_term_counts takes exactly 1 argument")
         TermCounts(children.head)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_minhash_sig"),
+      new ExpressionInfo(classOf[MinHashSig].getName, "graft_minhash_sig"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.length == 1, "graft_minhash_sig takes exactly 1 argument")
+        MinHashSig(children.head)
       }))
     ext.injectFunction((
       FunctionIdentifier("graft_postings_digest"),

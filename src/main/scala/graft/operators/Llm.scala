@@ -75,9 +75,35 @@ object Llm {
     * self-join. Exposed for scale tests: a corpus with a large
     * exact-duplicate cluster must produce O(groups) candidates, not
     * O(cluster²) — the cluster collapses to one representative before
-    * any quadratic step. */
-  private[graft] def nearDupCandidates(docs: DataFrame): DataFrame =
-    candidatesOf(shingles(repsOf(normalized(docs))))
+    * any quadratic step. Routes through the kernel signature build
+    * when the session has it (the shipping path), the explode+fold
+    * otherwise — candidate sets are identical (signatures bit-equal,
+    * LlmSpec pins it). */
+  private[graft] def nearDupCandidates(docs: DataFrame): DataFrame = {
+    val m = normalized(docs)
+    if (docs.sparkSession.catalog.functionExists("graft_minhash_sig"))
+      bandJoin(repsOf(m)
+        .select(col("key"), split(lower(trim(col("text"))), "\\s+").as("toks"))
+        .filter(size(col("toks")) >= 3)
+        .select(col("key"), expr("graft_minhash_sig(toks)").as("s"))
+        .select(col("key"), col("s.n").as("n"), col("s.sig").as("sig")))
+    else candidatesOf(shingles(repsOf(m)))
+  }
+
+  /** Band join shared by both signature builds: 32 bands × 4 rows
+    * per signature, groups sharing any (band, band_hash) bucket
+    * become candidate pairs. Input: (key, n, sig[128]). */
+  private def bandJoin(sigs: DataFrame): DataFrame = {
+    val bands = sigs.select(col("key"), col("n"), posexplode(expr(
+      "transform(sequence(0, 31), b -> xxhash64(b, slice(sig, b*4 + 1, 4)))")))
+      .toDF("key", "n", "band", "band_hash")
+    bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.band_hash") === col("y.band_hash") &&
+          col("x.key") < col("y.key"))
+      .select(col("x.key").as("hash_a"), col("x.n").as("n_a"),
+              col("y.key").as("hash_b"), col("y.n").as("n_b"))
+      .distinct()
+  }
 
   private def candidatesOf(sh: DataFrame): DataFrame = {
     // Kirsch-Mitzenmacher double hashing: two string hashes expand to
@@ -125,15 +151,7 @@ object Llm {
       }
       (k, n, buf)
     }.toDF("key", "n", "sig")
-    val bands = sigs.select(col("key"), col("n"), posexplode(expr(
-      "transform(sequence(0, 31), b -> xxhash64(b, slice(sig, b*4 + 1, 4)))")))
-      .toDF("key", "n", "band", "band_hash")
-    bands.as("x").join(bands.as("y"),
-        col("x.band") === col("y.band") && col("x.band_hash") === col("y.band_hash") &&
-          col("x.key") < col("y.key"))
-      .select(col("x.key").as("hash_a"), col("x.n").as("n_a"),
-              col("y.key").as("hash_b"), col("y.n").as("n_b"))
-      .distinct()
+    bandJoin(sigs)
   }
 
   /** Near-dup detection via MinHash + LSH banding, exact-verified,
@@ -170,50 +188,83 @@ object Llm {
   def dedupNear(spark: SparkSession, dir: String): DataFrame =
     dedupNearOn(Tables.documents(spark, dir).select(col("doc_id"), col("text")))
 
-  /** The shared trunk of the near-dup pipeline: (members, sh,
-    * repPairs) where members = (doc_id, text_hash), sh = the
-    * representatives' shingle table (key = text_hash, shingle), and
-    * repPairs = verified >= 0.8 Jaccard pairs BETWEEN exact-duplicate
-    * groups (hash_a, hash_b, jac). `dedupNearOn` expands these to the
-    * doc-pair contract; `dedupClustersOn` runs connected components
-    * over them without ever materializing the quadratic expansion. */
+  /** The shared trunk of the near-dup pipeline: (members,
+    * shingledGroups, repPairs) where members = (doc_id, text_hash),
+    * shingledGroups = the keys with >= 3 tokens (the near-dup
+    * domain), and repPairs = verified >= 0.8 Jaccard pairs BETWEEN
+    * exact-duplicate groups (hash_a, hash_b, jac). `dedupNearOn`
+    * expands these to the doc-pair contract; `dedupClustersOn` runs
+    * connected components over them without ever materializing the
+    * quadratic expansion.
+    *
+    * Two signature builds, candidate-identical (LlmSpec pins the
+    * signatures bit-equal): with GraftExtensions, `graft_minhash_sig`
+    * computes each representative's 128-slot signature in one pass
+    * over its own token array — every shingle of a key comes from ONE
+    * row, so the fallback's explode → shuffle → regroup
+    * (`candidatesOf`) moves the whole working set just to reassemble
+    * rows the scan already had together. The kernel path also
+    * restricts the verify-side shingle explode to CANDIDATE keys
+    * (a semi-join first): non-candidate shingles never matched the
+    * verify joins anyway, and on a web corpus candidates are a tiny
+    * fraction of groups. */
   private def nearDupCore(docs: DataFrame): (DataFrame, DataFrame, DataFrame) = {
-    // `m` and `sh` are the pipeline's working set: `m` feeds the
-    // member table and the rep build, `sh` feeds the signature build
-    // and both sides of the verify join. They are materialized once
-    // with an eager localCheckpoint — without it, every broadcast
-    // exchange re-executes the scan→md5→group→shingle subtree as its
-    // own (often single-task) job, which round-3 profiling measured
-    // at 10-60 s of pure recomputation at sf0.1. Checkpointed blocks
-    // are dropped by the ContextCleaner when the frames are GC'd (no
-    // session-level cache leak); a cluster run at 100 TB would use a
-    // reliable checkpoint for the same stage cut.
+    // `m` and the tokenized reps are the pipeline's working set,
+    // materialized once with an eager localCheckpoint — without it,
+    // every broadcast exchange re-executes the scan→md5→group
+    // subtree as its own (often single-task) job, which round-3
+    // profiling measured at 10-60 s of pure recomputation at sf0.1.
+    // Checkpointed blocks are dropped by the ContextCleaner when the
+    // frames are GC'd (no session-level cache leak); a cluster run
+    // at 100 TB would use a reliable checkpoint for the same stage
+    // cut.
+    val spark = docs.sparkSession
     val m = normalized(widened(docs)).localCheckpoint()
     val members = m.select(col("doc_id"), col("text_hash"))
-    val sh = shingles(repsOf(m))
-      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
-      .localCheckpoint()
-    val cand = candidatesOf(sh)
-    // exact verify restricted to candidate group pairs: expand each
-    // pair by side a's shingles, hash-join against side b's set.
-    val inter = cand
+    if (spark.catalog.functionExists("graft_minhash_sig")) {
+      val repToks = repsOf(m)
+        .select(col("key"), split(lower(trim(col("text"))), "\\s+").as("toks"))
+        .filter(size(col("toks")) >= 3)
+        .repartition(spark.sparkContext.defaultParallelism)
+        .localCheckpoint()
+      val sigs = repToks
+        .select(col("key"), expr("graft_minhash_sig(toks)").as("s"))
+        .select(col("key"), col("s.n").as("n"), col("s.sig").as("sig"))
+      val cand = bandJoin(sigs).localCheckpoint()
+      val candKeys = cand.select(col("hash_a").as("key"))
+        .unionByName(cand.select(col("hash_b").as("key"))).distinct()
+      val shCand = repToks.join(candKeys, Seq("key"), "left_semi")
+        .select(col("key"), explode(array_distinct(expr(
+          "transform(sequence(0, size(toks)-3), i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))")))
+          .as("shingle"))
+        .localCheckpoint()
+      (members, repToks.select(col("key")), verified(cand, shCand))
+    } else {
+      val sh = shingles(repsOf(m))
+        .repartition(spark.sparkContext.defaultParallelism)
+        .localCheckpoint()
+      (members, sh.select(col("key")).distinct(), verified(candidatesOf(sh), sh))
+    }
+  }
+
+  /** Exact-Jaccard verification of candidate group pairs against the
+    * shingle table: expand each pair by side a's shingles, hash-join
+    * against side b's set, keep >= 0.8. */
+  private def verified(cand: DataFrame, sh: DataFrame): DataFrame =
+    cand
       .join(sh.select(col("key").as("hash_a"), col("shingle")), Seq("hash_a"))
       .join(sh.select(col("key").as("hash_b"), col("shingle")), Seq("hash_b", "shingle"))
       .groupBy(col("hash_a"), col("hash_b"), col("n_a"), col("n_b"))
       .agg(count(lit(1)).as("n_common"))
-    val repPairs = inter
       .withColumn("jac", col("n_common") / (col("n_a") + col("n_b") - col("n_common")))
       .filter(col("jac") >= 0.8)
       .select(col("hash_a"), col("hash_b"), col("jac"))
-    (members, sh, repPairs)
-  }
 
   private[graft] def dedupNearOn(docs: DataFrame): DataFrame = {
-    val (members, sh, repPairs) = nearDupCore(docs)
+    val (members, shingled, repPairs) = nearDupCore(docs)
     // groups that produced shingles (>= 3 tokens) — shorter docs are
     // outside the near-dup domain, both here and in the oracle
-    val shingledGroups = sh.select(col("key").as("text_hash")).distinct()
-    val vm = members.join(shingledGroups, Seq("text_hash"))
+    val vm = members.join(shingled.select(col("key").as("text_hash")), Seq("text_hash"))
     val intra = vm.as("m1").join(vm.as("m2"),
         col("m1.text_hash") === col("m2.text_hash") && col("m1.doc_id") < col("m2.doc_id"))
       .select(col("m1.doc_id").as("doc_a"), col("m2.doc_id").as("doc_b"),

@@ -1,0 +1,87 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expression `graft_minhash_sig(toks)`: the
+  * 128-slot MinHash signature (plus distinct-shingle count) of a
+  * token array, in ONE pass per row — distinct word-3-gram shingles,
+  * two xxhash64 evaluations per shingle, Kirsch-Mitzenmacher
+  * expansion `(h1 + i*h2) & (2^31-1)`, elementwise min.
+  *
+  * Replaces the explode → shuffle → `groupByKey.mapGroups` signature
+  * build in the near-dup pipeline: every shingle of a key comes from
+  * ONE representative row (exact-dup groups collapse first), so
+  * regrouping the exploded shingles was a full-working-set shuffle
+  * plus typed-encoder serde that reassembled what the scan already
+  * had in hand. Cites Llm.candidatesOf's fold (the no-extension
+  * fallback) — bit parity is guaranteed by construction:
+  *   h1 = pmod(xxhash64(1, shingle), 2^31)
+  *      = XXH64.hashUTF8String(shingle, XXH64.hashInt(1, 42)) & mask
+  * (pmod by a power of two IS the two's-complement mask), and the
+  * shingle bytes come from the same UTF8String.concatWs the SQL
+  * `concat_ws` evaluates. LlmSpec pins kernel-vs-fold equality on
+  * the real corpus.
+  */
+case class MinHashSig(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = MinHashSig.sigType
+  override def prettyName: String = "graft_minhash_sig"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires an array<string> argument, got ${other.catalogString}")
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    MinHashSig.compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.plans.MinHashSig.compute($a);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object MinHashSig {
+  val Slots = 128
+  private val Mask = (1L << 31) - 1
+  private val Seed1 = XXH64.hashInt(1, 42L) // xxhash64(lit(1), _)'s running seed
+  private val Seed2 = XXH64.hashInt(2, 42L)
+
+  val sigType: StructType = StructType(Seq(
+    StructField("n", LongType, nullable = false),
+    StructField("sig", ArrayType(LongType, containsNull = false), nullable = false)))
+
+  def compute(toks: ArrayData): GenericInternalRow = {
+    val nTok = toks.numElements()
+    val sp = UTF8String.fromString(" ")
+    val seen = new java.util.HashSet[UTF8String]()
+    val buf = Array.fill(Slots)(Long.MaxValue)
+    var n = 0L
+    var i = 0
+    while (i <= nTok - 3) {
+      val g = UTF8String.concatWs(sp,
+        toks.getUTF8String(i), toks.getUTF8String(i + 1), toks.getUTF8String(i + 2))
+      if (seen.add(g)) {
+        n += 1L
+        val h1 = XXH64.hashUTF8String(g, Seed1) & Mask
+        val h2 = XXH64.hashUTF8String(g, Seed2) & Mask
+        var j = 0
+        while (j < Slots) {
+          val v = (h1 + j * h2) & Mask
+          if (v < buf(j)) buf(j) = v
+          j += 1
+        }
+      }
+      i += 1
+    }
+    new GenericInternalRow(Array[Any](n, new GenericArrayData(buf)))
+  }
+}

@@ -525,6 +525,52 @@ class LlmSpec extends AnyFunSuite {
     assert(rows(2L)._2 > 0.0 && !rows(2L)._2.isNaN)
   }
 
+  test("minhash signature kernel is bit-equal to the explode+fold formulation on the corpus") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // the fallback's arithmetic, reproduced: SQL pmod(xxhash64(seed,
+    // shingle), 2^31) per distinct shingle, Kirsch-Mitzenmacher
+    // 128-slot min fold in Scala — candidate sets can only be
+    // identical across sessions if the signatures are
+    val docs = graft.sources.Tables.documents(spark, TestSpark.sf)
+      .select(md5(lower(trim(regexp_replace($"text", "\\s+", " ")))).as("key"), $"text")
+      .limit(200)
+    val M = 1L << 31
+    val spec = docs
+      .select($"key", split(lower(trim($"text")), "\\s+").as("toks"))
+      .filter(size($"toks") >= 3)
+      .select($"key", explode(array_distinct(expr(
+        "transform(sequence(0, size(toks)-3), i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))")))
+        .as("shingle"))
+      .select($"key",
+        pmod(xxhash64(lit(1), $"shingle"), lit(M)).as("h1"),
+        pmod(xxhash64(lit(2), $"shingle"), lit(M)).as("h2"))
+      .collect().groupBy(_.getString(0)).map { case (k, rows) =>
+        val buf = Array.fill(128)(Long.MaxValue)
+        rows.foreach { r =>
+          val (h1, h2) = (r.getLong(1), r.getLong(2))
+          var i = 0
+          while (i < 128) {
+            val v = (h1 + i * h2) & (M - 1)
+            if (v < buf(i)) buf(i) = v
+            i += 1
+          }
+        }
+        k -> ((rows.length.toLong, buf.toSeq))
+      }
+    val kernel = docs
+      .select($"key", split(lower(trim($"text")), "\\s+").as("toks"))
+      .filter(size($"toks") >= 3)
+      .select($"key", expr("graft_minhash_sig(toks)").as("s"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getStruct(1).getLong(0), r.getStruct(1).getSeq[Long](1)))).toMap
+    assert(kernel.keySet == spec.keySet)
+    for ((k, (n, sig)) <- spec) {
+      assert(kernel(k)._1 == n, s"distinct-shingle count drifted for $k")
+      assert(kernel(k)._2 == sig, s"signature drifted for $k")
+    }
+  }
+
   test("term-counts kernel == explode+groupBy formulation, and its plan never shuffles") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{col, count, explode, lit, lower, split, trim}
