@@ -370,9 +370,25 @@ object Llm {
     * SQL formulation won the hot path for the same serde reason as
     * candidatesOf). Returns (key = text_hash, simhash). */
   private def simhashSigs(m: DataFrame): DataFrame = {
-    val bigrams = repsOf(m)
+    // per-representative sketch: with GraftExtensions the whole
+    // bigram → md5-60-bit → ±1 votes → sign fold runs as one native
+    // pass per row (graft_simhash — every bigram of a key comes from
+    // ONE representative row, same argument as graft_minhash_sig);
+    // the explode + 60-column sum aggregation is the no-extension
+    // fallback. LlmSpec pins the signatures bit-equal.
+    val toks = repsOf(m)
       .select(col("key"), split(lower(trim(col("text"))), "\\s+").as("toks"))
       .filter(size(col("toks")) >= 2)
+    if (m.sparkSession.catalog.functionExists("graft_simhash"))
+      toks.select(col("key"), expr("graft_simhash(toks)").as("simhash"))
+    else simhashSigsHof(toks)
+  }
+
+  /** The explode + 60-vote aggregation formulation — the
+    * no-extension fallback and the drift-pin twin of
+    * `graft_simhash`. Takes the tokenized reps (`key`, `toks`). */
+  private[graft] def simhashSigsHof(toks: DataFrame): DataFrame = {
+    val bigrams = toks
       .select(col("key"), explode(expr(
         "transform(sequence(0, size(toks)-2), i -> concat_ws(' ', toks[i], toks[i+1]))")).as("g"))
       .withColumn("hv", conv(substring(md5(col("g")), 1, 15), 16, 10).cast("long"))

@@ -49,6 +49,75 @@ case class MinHashSig(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Native Catalyst expression `graft_simhash(toks)`: the 60-bit
+  * SimHash of a token array in one pass — word bigrams (with
+  * multiplicity: votes count every occurrence), md5-derived 60-bit
+  * hash per bigram, ±1 bit votes, sign-threshold signature. Replaces
+  * the bigram explode + 60-column sum aggregation (same
+  * explode-shuffle-regroup shape as the MinHash build: every bigram
+  * of a key comes from one representative row). Bit parity with the
+  * SQL formulation `conv(substring(md5(g), 1, 15), 16, 10)`: the
+  * first 15 hex chars of the digest are bytes 0..6 plus the high
+  * nibble of byte 7, folded most-significant-first. */
+case class SimHash60(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_simhash"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires an array<string> argument, got ${other.catalogString}")
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    SimHash60.compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.plans.SimHash60.compute($a);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object SimHash60 {
+  private val Bits = 60
+  private val md5 = ThreadLocal.withInitial[java.security.MessageDigest](() =>
+    java.security.MessageDigest.getInstance("MD5"))
+
+  def compute(toks: ArrayData): Long = {
+    val nTok = toks.numElements()
+    val sp = UTF8String.fromString(" ")
+    val votes = new Array[Int](Bits)
+    val md = md5.get()
+    var i = 0
+    while (i <= nTok - 2) {
+      val g = UTF8String.concatWs(sp, toks.getUTF8String(i), toks.getUTF8String(i + 1))
+      md.reset()
+      val d = md.digest(g.getBytes)
+      // first 15 hex chars == bytes 0..6 then the high nibble of 7
+      var hv = 0L
+      var b = 0
+      while (b < 7) { hv = (hv << 8) | (d(b) & 0xFFL); b += 1 }
+      hv = (hv << 4) | ((d(7) >> 4) & 0xFL)
+      var j = 0
+      while (j < Bits) {
+        votes(j) += (if (((hv >> j) & 1L) == 1L) 1 else -1)
+        j += 1
+      }
+      i += 1
+    }
+    var sig = 0L
+    var j = 0
+    while (j < Bits) {
+      if (votes(j) > 0) sig |= (1L << j)
+      j += 1
+    }
+    sig
+  }
+}
+
 object MinHashSig {
   val Slots = 128
   private val Mask = (1L << 31) - 1

@@ -571,6 +571,21 @@ class LlmSpec extends AnyFunSuite {
     }
   }
 
+  test("simhash kernel is bit-equal to the explode + 60-vote aggregation on the corpus") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val toks = graft.sources.Tables.documents(spark, TestSpark.sf)
+      .select(md5(lower(trim(regexp_replace($"text", "\\s+", " ")))).as("key"), $"text")
+      .limit(200)
+      .select($"key", split(lower(trim($"text")), "\\s+").as("toks"))
+      .filter(size($"toks") >= 2)
+    val kernel = toks.select($"key", expr("graft_simhash(toks)").as("simhash"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val hof = Llm.simhashSigsHof(toks)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(kernel == hof, "simhash kernel drifted from the vote-aggregation form")
+  }
+
   test("term-counts kernel == explode+groupBy formulation, and its plan never shuffles") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{col, count, explode, lit, lower, split, trim}
