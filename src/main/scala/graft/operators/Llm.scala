@@ -1031,11 +1031,29 @@ object Llm {
   def fingerprint(spark: SparkSession, dir: String): DataFrame =
     fingerprintOn(Tables.documents(spark, dir))
 
-  private[graft] def fingerprintOn(docs: DataFrame): DataFrame =
-    docs
+  private[graft] def fingerprintOn(docs: DataFrame): DataFrame = {
+    val normed = docs
       .select(col("doc_id"),
         regexp_replace(lower(trim(col("text"))), "\\s+", " ").as("t"))
       .filter(length(col("t")) >= 8)
+    if (docs.sparkSession.catalog.functionExists("graft_fingerprint"))
+      // one fused pass per row — the ~300x gram table never
+      // materializes and the groupBy disappears with it; the widen
+      // round-robin (BEFORE the kernel, so the md5 work spreads)
+      // only fires on a below-parallelism scan
+      Tables.widened(normed)
+        .select(col("doc_id"), expr("graft_fingerprint(t)").as("fp"))
+        .select(col("doc_id"), col("fp.n_grams").as("n_grams"),
+          col("fp.n_selected").as("n_selected"),
+          col("fp.min_fp").as("min_fp"), col("fp.fp_xor").as("fp_xor"))
+    else fingerprintHof(normed)
+  }
+
+  /** The gram-explode + groupBy formulation — the no-extension
+    * fallback and the drift-pin twin of `graft_fingerprint`. Takes
+    * the normalized (`doc_id`, `t`) frame. */
+  private[graft] def fingerprintHof(normed: DataFrame): DataFrame =
+    normed
       // partition by doc_id BEFORE the gram explode: the per-gram md5
       // work spreads across cores regardless of scan granularity, and
       // the final groupBy(doc_id) reuses this partitioning instead of

@@ -172,6 +172,64 @@ object RunStatsKernel {
     UTF8String.fromBytes(hex)
   }
 
+  val fingerprintType: StructType = StructType(Seq(
+    StructField("n_grams", LongType, nullable = false),
+    StructField("n_selected", LongType, nullable = false),
+    StructField("min_fp", LongType, nullable = false),
+    StructField("fp_xor", LongType, nullable = false)))
+
+  private val fpMd5 = ThreadLocal.withInitial[java.security.MessageDigest](() =>
+    java.security.MessageDigest.getInstance("MD5"))
+
+  /** Rolling character-8-gram fingerprint stats of a normalized
+    * string in one pass: every 8-CODE-POINT window (Spark
+    * `substring` counts code points) is md5'd over its UTF-8 bytes,
+    * the first 14 hex chars (= digest bytes 0..6) form the 56-bit
+    * gram hash, and the "0 mod 16" selected hashes fold into
+    * count/min/xor exactly like the SQL aggregate (empty selection →
+    * -1/-1). Replaces the 300× gram-row explode + conv hex parse +
+    * groupBy — the gram table never materializes. */
+  def fingerprintStats(t: UTF8String): InternalRow = {
+    val bytes = t.getBytes
+    // code-point start offsets (UTF-8 continuation bytes are 10xxxxxx)
+    var cp = 0
+    var i = 0
+    while (i < bytes.length) {
+      if ((bytes(i) & 0xC0) != 0x80) cp += 1
+      i += 1
+    }
+    val offs = new Array[Int](cp + 1)
+    var j = 0
+    i = 0
+    while (i < bytes.length) {
+      if ((bytes(i) & 0xC0) != 0x80) { offs(j) = i; j += 1 }
+      i += 1
+    }
+    offs(cp) = bytes.length
+    val md = fpMd5.get()
+    var nSel = 0L
+    var minFp = Long.MaxValue
+    var xorFp = 0L
+    var w = 0
+    while (w + 8 <= cp) {
+      md.reset()
+      md.update(bytes, offs(w), offs(w + 8) - offs(w))
+      val d = md.digest()
+      var h = 0L
+      var b = 0
+      while (b < 7) { h = (h << 8) | (d(b) & 0xFFL); b += 1 }
+      if (h % 16L == 0L) {
+        nSel += 1L
+        if (h < minFp) minFp = h
+        xorFp ^= h
+      }
+      w += 1
+    }
+    val nGrams = math.max(cp - 7, 0).toLong
+    new GenericInternalRow(Array[Any](nGrams, nSel,
+      if (nSel == 0L) -1L else minFp, if (nSel == 0L) -1L else xorFp))
+  }
+
   private def finish(n: Long, it: java.util.Iterator[Array[Long]]): InternalRow = {
     var runs = 0L
     var maxRun = 0L
@@ -242,6 +300,31 @@ case class TermCounts(child: Expression) extends UnaryExpression {
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, a =>
       s"${ev.value} = graft.plans.RunStatsKernel.termCounts($a);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Native Catalyst expression `graft_fingerprint(t)`: rolling
+  * char-8-gram fingerprint stats (see
+  * RunStatsKernel.fingerprintStats). */
+case class FingerprintStats(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = RunStatsKernel.fingerprintType
+  override def prettyName: String = "graft_fingerprint"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string argument, got ${other.catalogString}")
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    RunStatsKernel.fingerprintStats(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s =>
+      s"${ev.value} = graft.plans.RunStatsKernel.fingerprintStats($s);")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)

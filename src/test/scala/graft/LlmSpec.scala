@@ -571,6 +571,32 @@ class LlmSpec extends AnyFunSuite {
     }
   }
 
+  test("fingerprint kernel is bit-equal to the gram-explode formulation (incl. multi-byte)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // multi-byte chars exercise the code-point windowing: Spark's
+    // substring counts code points, so the kernel must slice UTF-8
+    // byte ranges on code-point boundaries, never fixed byte widths
+    val edge = Seq(
+      (1L, "abcdefghij"),
+      (2L, "éèêëàâîïôù çñüöäß 中文字符串测试 😀😁😂🤣😃 mixed ascii too"),
+      (3L, "exactly8"),
+      (4L, "short"),
+      (5L, (1 to 400).map(i => s"w$i").mkString(" "))).toDF("doc_id", "text")
+    val corpus = graft.sources.Tables.documents(spark, TestSpark.sf)
+      .select($"doc_id", $"text").limit(150)
+    for (docs <- Seq(edge, corpus)) {
+      val normed = docs.select($"doc_id",
+        regexp_replace(lower(trim($"text")), "\\s+", " ").as("t"))
+        .filter(length($"t") >= 8)
+      val kernel = Llm.fingerprintOn(docs).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+      val hof = Llm.fingerprintHof(normed).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+      assert(kernel == hof, "fingerprint kernel drifted from the gram-explode form")
+    }
+  }
+
   test("simhash kernel is bit-equal to the explode + 60-vote aggregation on the corpus") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
