@@ -115,7 +115,10 @@ class PlanSpec extends AnyFunSuite {
     // the only allowed exchange is the narrow-scan round-robin widen,
     // which is the identity at real scale; a hashpartitioning
     // exchange would mean a per-doc statistic is paying a shuffle
-    for (q <- Seq("llm_pii_scrub", "llm_char_entropy", "llm_repetition")) {
+    // llm_fingerprint joined this family in round 8: the kernel
+    // computes the whole rolling-gram rollup per row, so the gram
+    // explode, its doc_id repartition and the groupBy are all gone
+    for (q <- Seq("llm_pii_scrub", "llm_char_entropy", "llm_repetition", "llm_fingerprint")) {
       val p = plan(q)
       assert(!p.contains("hashpartitioning"), s"$q shuffles on a key:\n$p")
       assert(!p.contains("Join"), s"$q must not join")
