@@ -92,19 +92,24 @@ object Streaming {
     * declarative operator gives for plain counts.
     *
     * Semantics match `Ecosystem.sessions`: events ≤ `gapSec` apart
-    * extend the session, a longer silence closes it. Within a
-    * micro-batch the group's rows fold in event-time order; across
-    * batches the open session lives in the state store and new rows
-    * MERGE into it; expiry is watermark-driven — when the watermark
-    * passes last + gap, the timeout callback closes the session and
-    * drops the state, so an idle user holds no state past the
-    * horizon (the reference's 2 h TTL sweep, consumer.py:119, as an
-    * engine property). Emits each session exactly once, on close.
+    * extend the session, a longer silence closes it. The state per
+    * user is the set of DISJOINT session intervals not yet sealed by
+    * the watermark — the same merging-interval state the native
+    * `session_window` store keeps — so an out-of-order event the
+    * watermark still admits lands exactly where event-time
+    * sessionization puts it: extending an interval backwards
+    * (start = min), forwards (last = max), or BRIDGING two intervals
+    * into one (their counts add). A session is emitted exactly once,
+    * when the watermark passes last + gap — only then can no
+    * admissible event still reach it; expiry is the timeout callback,
+    * so an idle user holds no state past the horizon (the reference's
+    * 2 h TTL sweep, consumer.py:119, as an engine property).
     *
-    * Scale shape: state is O(1) per ACTIVE user (three longs), keyed
-    * and shuffled once by user_id — the same horizontal partitioning
-    * as the batch twin's window, with the state store sharded across
-    * executors at any user count. */
+    * Scale shape: state is O(open intervals) per ACTIVE user — three
+    * longs per interval, and at most ~lateness/gap + 1 intervals can
+    * be simultaneously unsealed (older ones seal as the watermark
+    * advances) — keyed and shuffled once by user_id, the state store
+    * sharded across executors at any user count. */
   def sessionsCustom(events: DataFrame, gapSec: Long = 1800L,
                      lateness: String = "1 hour"): Dataset[SessionOut] = {
     import events.sparkSession.implicits._
@@ -113,38 +118,40 @@ object Streaming {
       .select(col("user_id"), col("ts"))
       .as[(Long, java.sql.Timestamp)]
       .groupByKey(_._1)
-      .flatMapGroupsWithState[OpenSession, SessionOut](
+      .flatMapGroupsWithState[Seq[OpenSession], SessionOut](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout()) {
         (uid, rows, state) =>
-          if (state.hasTimedOut) {
-            val s = state.get
-            state.remove()
-            Iterator(SessionOut(uid, s.start, s.last, s.n))
-          } else {
-            val times = rows.map(_._2.getTime / 1000L).toSeq.sorted
-            val closed = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
-            var open = state.getOption
-            times.foreach { t =>
-              open match {
-                case Some(s) if t - s.last <= gapSec =>
-                  open = Some(OpenSession(s.start, math.max(s.last, t), s.n + 1))
-                case Some(s) =>
-                  closed += SessionOut(uid, s.start, s.last, s.n)
-                  open = Some(OpenSession(t, t, 1L))
-                case None =>
-                  open = Some(OpenSession(t, t, 1L))
-              }
+          val wmMs = state.getCurrentWatermarkMs
+          // fold the batch's events (as singleton intervals) into the
+          // stored disjoint intervals with one sort + merge sweep
+          val incoming = rows.map { r =>
+            val t = r._2.getTime / 1000L; OpenSession(t, t, 1L)
+          }.toSeq
+          val all = (state.getOption.getOrElse(Seq.empty) ++ incoming)
+            .sortBy(s => (s.start, s.last))
+          val merged = scala.collection.mutable.ArrayBuffer.empty[OpenSession]
+          all.foreach { s =>
+            merged.lastOption match {
+              case Some(p) if s.start - p.last <= gapSec =>
+                merged(merged.length - 1) =
+                  OpenSession(p.start, math.max(p.last, s.last), p.n + s.n)
+              case _ => merged += s
             }
-            open.foreach { s =>
-              state.update(s)
-              // close when the watermark passes last + gap; the +1
-              // guards the engine's strictly-greater requirement when
-              // a straggler batch arrives entirely behind the horizon
-              state.setTimeoutTimestamp(
-                math.max((s.last + gapSec) * 1000L, state.getCurrentWatermarkMs + 1))
-            }
-            closed.iterator
           }
+          // closed = watermark strictly past last + gap: every event
+          // that could still merge (t <= last + gap) is now late
+          // beyond the watermark and the engine drops it before us
+          val (closed, open) =
+            merged.partition(s => (s.last + gapSec) * 1000L < wmMs)
+          if (open.nonEmpty) {
+            state.update(open.toSeq)
+            // wake when the watermark passes the earliest close; the
+            // +1 guards the engine's strictly-greater requirement
+            state.setTimeoutTimestamp(
+              math.max(open.map(s => (s.last + gapSec) * 1000L).min, wmMs + 1))
+          } else state.remove()
+          closed.sortBy(_.start).iterator
+            .map(s => SessionOut(uid, s.start, s.last, s.n))
       }
   }
 

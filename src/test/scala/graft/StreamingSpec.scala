@@ -385,6 +385,84 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("custom-state sessionization honors admissible out-of-order events (late extend + bridge)") {
+    implicit val sqlCtx = spark.sqlContext
+    // lateness 1 h: the watermark ADMITS events up to an hour behind
+    // the max seen — event-time sessionization must then place them
+    // exactly where the batch operator would, including extending a
+    // session's start backwards and BRIDGING two open sessions into
+    // one. This is the path a single-open-session fold gets wrong.
+    val ms = MemoryStream[Event]
+    val q = Streaming.sessionsCustom(ms.toDF(), gapSec = 1800L, lateness = "1 hour")
+      .writeStream.format("memory").queryName("late_sessions")
+      .outputMode("append").start()
+    def sec(s: String) = ts(s).getTime / 1000L
+    def at(id: Long, user: Long, t: String) = Event(id, ts(t), user, "click", 1.0)
+    try {
+      // batch 1 — user 5: events at 10:00 and 11:00 (60 min apart =
+      // two separate open sessions); user 6: one event at 10:20.
+      // Watermark after this batch: 11:00 - 1 h = 10:00.
+      ms.addData(at(1, 5, "2024-01-01 10:00:00"), at(2, 5, "2024-01-01 11:00:00"),
+                 at(3, 6, "2024-01-01 10:20:00"))
+      q.processAllAvailable()
+      // batch 2 — two late-but-admissible events (both >= 10:00):
+      //  user 5 @ 10:30 is within the gap of BOTH open sessions ->
+      //  must bridge them into one (10:00..11:00, n=3);
+      //  user 6 @ 10:05 precedes the open session's start -> must
+      //  extend it backwards (start = 10:05)
+      ms.addData(at(4, 5, "2024-01-01 10:30:00"), at(5, 6, "2024-01-01 10:05:00"))
+      q.processAllAvailable()
+      // sentinel far in the future seals everything
+      ms.addData(at(9, 99, "2024-01-01 20:00:00"))
+      q.processAllAvailable()
+      val got = spark.sql(
+        "SELECT user_id, session_start, session_end, n_events FROM late_sessions " +
+          "WHERE user_id IN (5, 6)")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      assert(got == Set(
+        (5L, sec("2024-01-01 10:00:00"), sec("2024-01-01 11:00:00"), 3L),
+        (6L, sec("2024-01-01 10:05:00"), sec("2024-01-01 10:20:00"), 2L)),
+        s"out-of-order merge drifted from event-time semantics: $got")
+    } finally q.stop()
+  }
+
+  test("custom-state sessionization survives a checkpoint restart (open session persists, then closes)") {
+    implicit val sqlCtx = spark.sqlContext
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_sess_ckpt").toString
+    val ms = MemoryStream[Event]
+    val out = Streaming.sessionsCustom(ms.toDF(), gapSec = 1800L, lateness = "0 seconds")
+    val seen = java.util.Collections.synchronizedList(
+      new java.util.ArrayList[(Long, Long, Long, Long)]())
+    def start() = out.writeStream.outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[Streaming.SessionOut], _: Long) =>
+        batch.collect().foreach(s =>
+          seen.add((s.user_id, s.session_start, s.session_end, s.n_events)))
+      }.start()
+    def sec(s: String) = ts(s).getTime / 1000L
+    val q1 = start()
+    try {
+      // one event opens a session; the open session lives ONLY in the
+      // state store when the query stops
+      ms.addData(Event(1, ts("2024-01-01 10:00:00"), 7, "click", 1.0))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    assert(!seen.iterator().hasNext, "open session must not emit before close")
+    // restart from the checkpoint: the recovered state must MERGE the
+    // next in-gap event (10:10), then close on watermark advance with
+    // BOTH events — a lost state store would emit (10:10,10:10,1)
+    val q2 = start()
+    try {
+      ms.addData(Event(2, ts("2024-01-01 10:10:00"), 7, "click", 1.0))
+      q2.processAllAvailable()
+      ms.addData(Event(9, ts("2024-01-01 13:00:00"), 99, "click", 1.0))
+      q2.processAllAvailable()
+      val u7 = seen.toArray(Array.empty[(Long, Long, Long, Long)]).filter(_._1 == 7L)
+      assert(u7.toSeq == Seq((7L, sec("2024-01-01 10:00:00"), sec("2024-01-01 10:10:00"), 2L)),
+        s"restart lost or duplicated session state: ${u7.mkString(",")}")
+    } finally q2.stop()
+  }
+
   test("console sink starts, processes a batch, and stops cleanly (S7)") {
     implicit val sqlCtx = spark.sqlContext
     val ms = MemoryStream[Event]
