@@ -50,6 +50,45 @@ import org.apache.spark.sql.SparkSession
 object Bench {
   @volatile private var calibSink: Long = 0L // defeats DCE of the calibration loop
 
+  /** The stdout metrics line, degraded to fit the driver's capture
+    * window. The driver keeps EXACTLY the last 2000 chars of stdout
+    * (measured: every BENCH_r*.json tail is 2000) and sbt prints
+    * "[success] Total time: ..." (~74 chars incl. newlines) AFTER our
+    * line even past sys.exit, so the line must stay <= ~1910 chars
+    * for its head to survive. The ladder: strip trailing zeros,
+    * summarize calibration to its max, drop fields the file already
+    * carries (n_queries, runs); degrade to 1-decimal values if the
+    * 2-decimal line exceeds 1.85 KB; then drop the cpu/calib
+    * diagnostics; and as the terminal fallback (past ~84 queries even
+    * the diag-free 1-decimal line overflows — the silent round-4
+    * parsed:null failure mode) drop the per-query map entirely:
+    * totals, sf and the failed list always fit. The FILE record keeps
+    * full precision and every field either way. Package-visible so
+    * BenchLineSpec can pin the ladder without running a benchmark. */
+  private[graft] def compactLine(names: Seq[String],
+      wallMin: Map[String, Option[Double]], total: Double, cpuTotal: Double,
+      calibMax: Double, sf: String, failedJson: String): String = {
+    def trimmed(d: Int): String = names.map { n =>
+      val v = wallMin(n).map { x =>
+        val s = s"%.${d}f".format(x)
+        if (s.contains('.')) s.reverse.dropWhile(_ == '0').reverse.stripSuffix(".") else s
+      }.getOrElse("null")
+      "\"" + n + "\":" + v
+    }.mkString("{", ",", "}")
+    def compactAt(d: Int, diag: Boolean): String =
+      f"""{"metric":"total","value":$total%.2f,"unit":"sec","queries":${trimmed(d)},"sf":$sf""" +
+        (if (diag) f""","cpu_sec":$cpuTotal%.1f,"calib_max":$calibMax%.2f""" else "") +
+        s""","failed":$failedJson}"""
+    val c2 = compactAt(2, diag = true)
+    val c1 = compactAt(1, diag = true)
+    val c0 = compactAt(1, diag = false)
+    if (c2.length <= 1850) c2
+    else if (c1.length <= 1910) c1
+    else if (c0.length <= 1910) c0
+    else f"""{"metric":"total","value":$total%.2f,"unit":"sec","sf":$sf""" +
+      s""","n_queries":${names.size},"queries_in_file_only":true,"failed":$failedJson}"""
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -180,44 +219,7 @@ object Bench {
         s""","n_queries":${names.size},"runs_per_query":$sweeps,"agg":"min","sweep_interleaved":true""" +
         f""","cpu_sec_total":$cpuTotal%.4f,"queries_cpu_sec":${qsJson(cpuMin, 4)}""" +
         s""","calib_sec":$calibJson,"failed":$failedJson}"""
-    // The driver captures EXACTLY the last 2000 chars of stdout
-    // (measured: every BENCH_r*.json tail is 2000) and the registry
-    // is at 83 queries (~1.7 KB of names alone): strip trailing
-    // zeros, summarize calibration to its max, drop fields the file
-    // already carries (n_queries, runs), degrade to 1-decimal values
-    // if the 2-decimal line exceeds 1.85 KB, and as a last resort
-    // drop the cpu/calib diagnostics. The FILE keeps full precision
-    // and every field either way.
-    def trimmed(d: Int): String = names.map { n =>
-      val v = wallMin(n).map { x =>
-        val s = s"%.${d}f".format(x)
-        if (s.contains('.')) s.reverse.dropWhile(_ == '0').reverse.stripSuffix(".") else s
-      }.getOrElse("null")
-      "\"" + n + "\":" + v
-    }.mkString("{", ",", "}")
-    def compactAt(d: Int, diag: Boolean): String =
-      f"""{"metric":"total","value":$total%.2f,"unit":"sec","queries":${trimmed(d)},"sf":$sf""" +
-        (if (diag) f""","cpu_sec":$cpuTotal%.1f,"calib_max":${calib.max}%.2f""" else "") +
-        s""","failed":$failedJson}"""
-    // sbt prints "[success] Total time: ..." (~74 chars incl.
-    // newlines) AFTER our line even past sys.exit (sbt traps
-    // System.exit in non-forked runs), so the line itself must stay
-    // <= ~1910 chars for its head to survive the 2000-char window.
-    // Terminal fallback: past ~84 queries even the diag-free
-    // 1-decimal line overflows the tail window with no further
-    // degradation step (the silent round-4 parsed:null failure mode)
-    // — drop the per-query map entirely before that happens; totals,
-    // sf and the failed list always fit
-    val compact = {
-      val c2 = compactAt(2, diag = true)
-      val c1 = compactAt(1, diag = true)
-      val c0 = compactAt(1, diag = false)
-      if (c2.length <= 1850) c2
-      else if (c1.length <= 1910) c1
-      else if (c0.length <= 1910) c0
-      else f"""{"metric":"total","value":$total%.2f,"unit":"sec","sf":$sf""" +
-        s""","n_queries":${names.size},"queries_in_file_only":true,"failed":$failedJson}"""
-    }
+    val compact = compactLine(names, wallMin, total, cpuTotal, calib.max, sf, failedJson)
     Files.writeString(Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")), full + "\n")
     // bench_out.json is gitignored (scratch); BENCH_FULL.json is the
     // TRACKED copy of the same record, so the full per-query wall +
@@ -230,18 +232,21 @@ object Bench {
     val fullOut = sys.env.get("SPARK_GRAFT_BENCH_FULL_OUT")
       .orElse(sys.env.get("SPARK_GRAFT_REPO_ROOT").map(_ + "/BENCH_FULL.json"))
       .getOrElse {
-        // walk up from the cwd AND from wherever this class was
-        // loaded (<repo>/target/scala-2.13/classes under sbt) to the
-        // nearest build.sbt — a bare-JVM run from /tmp still finds
-        // the repo through its own classpath
-        val starts = Paths.get("").toAbsolutePath ::
+        // walk up to the nearest build.sbt, probing from wherever
+        // this class was loaded FIRST (<repo>/target/scala-2.13/
+        // classes under sbt — it identifies the repo this Bench was
+        // built from) and from the cwd only as a fallback: running
+        // Bench from inside some OTHER sbt project must not drop the
+        // artifact into that project's root
+        val starts =
           (try List(Paths.get(
             Bench.getClass.getProtectionDomain.getCodeSource.getLocation.toURI))
-           catch { case _: Exception => Nil })
+           catch { case _: Exception => Nil }) :+
+          Paths.get("").toAbsolutePath
         val root = starts.view
           .flatMap(s => Iterator.iterate(s)(_.getParent).takeWhile(_ != null)
             .find(p => Files.exists(p.resolve("build.sbt"))))
-          .headOption.getOrElse(starts.head)
+          .headOption.getOrElse(Paths.get("").toAbsolutePath)
         root.resolve("BENCH_FULL.json").toString
       }
     try Files.writeString(Paths.get(fullOut), full + "\n")

@@ -1,0 +1,36 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.storage.StorageLevel
+
+/** Central `localCheckpoint` wrapper for the pipeline working sets.
+  *
+  * Checkpointed blocks default to SERIALIZED storage
+  * (MEMORY_AND_DISK_SER) instead of `localCheckpoint()`'s
+  * deserialized MEMORY_AND_DISK: a deserialized block's size is
+  * measured by `SizeEstimator` walking a sample of the stored object
+  * graph — round-9 stack profiles showed that walk as a top-5 frame
+  * across the checkpoint-heavy llm queries — while a serialized
+  * block's size is just its byte length, and UnsafeRow serialization
+  * is a buffer copy. The round-9 A/B on the five most CPU-expensive
+  * queries (DevTime, warm runs, sf0.1) measured the serialized form
+  * cheaper on every one: llm_tfidf_terms 8.0 → 3.9 CPU-s, llm_curate
+  * 13.9 → 8.9, llm_dedup_near 6.8 → 5.1, llm_dedup_clusters
+  * 8.6 → 6.9, llm_inverted_index level.
+  *
+  * `spark.graft.ckpt.deserialized=true` restores the engine default
+  * (the escape hatch if a future workload rereads a checkpoint so
+  * often that per-read deserialization dominates the one-time
+  * SizeEstimator walk). */
+private[graft] object Ckpt {
+  implicit class CkptOps(private val df: DataFrame) extends AnyVal {
+    def ckptLocal(): DataFrame = {
+      val deser = df.sparkSession.conf
+        .getOption("spark.graft.ckpt.deserialized").contains("true")
+      val level =
+        if (deser) StorageLevel.MEMORY_AND_DISK
+        else StorageLevel.MEMORY_AND_DISK_SER
+      df.localCheckpoint(true, level)
+    }
+  }
+}

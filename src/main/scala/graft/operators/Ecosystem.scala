@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
+import graft.operators.Ckpt.CkptOps
 import graft.sources.Tables
 
 /** The reference's ecosystem analytics re-expressed over the `events`
@@ -44,7 +45,7 @@ object Ecosystem {
       .agg(count(lit(1)).as("n"),
            round(sum(col("value")), 4).as("sum_value"),
            round(avg(col("value")), 4).as("avg_value"))
-      .localCheckpoint()
+      .ckptLocal()
     grouped
       .crossJoin(broadcast(grouped.agg(sum(col("n")).as("total"))))
       .withColumn("share", round(col("n") / col("total"), 6))
@@ -176,7 +177,7 @@ object Ecosystem {
     // once and summing the checkpoint beats an empty-partition window
     val scored = e.groupBy(col("event_type"))
       .agg((avg(abs(col("value"))) / 50.0 * (lit(1000.0) / avg(col("k") + lit(1)))).as("raw"))
-      .localCheckpoint()
+      .ckptLocal()
     scored
       .crossJoin(broadcast(scored.agg(sum(col("raw")).as("total"))))
       .select(col("event_type"),

@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.Geo
+import graft.operators.Ckpt.CkptOps
 import graft.plans.Markov
 import graft.sources.Tables
 
@@ -210,7 +211,7 @@ object Graph {
     // id=null output row
     val e0 = edges.select(col("src"), col("dst"))
       .filter(col("src").isNotNull && col("dst").isNotNull)
-      .localCheckpoint()
+      .ckptLocal()
     val cutoff = driverCutoff
     // BOTH frames must be bounded before anything collects: the edge
     // count alone does not cap `nodes` (a near-empty edge set over a
@@ -254,8 +255,8 @@ object Graph {
     val sym = e0
       .unionByName(e0.select(col("dst").as("src"), col("src").as("dst")))
       .repartition(col("dst")) // rounds join on dst; shuffle the static side once
-      .localCheckpoint()
-    var lab = nodes.select(col("id"), col("id").as("comp")).localCheckpoint()
+      .ckptLocal()
+    var lab = nodes.select(col("id"), col("id").as("comp")).ckptLocal()
     var converged = false
     var it = 0
     while (!converged && it < maxIter) {
@@ -275,7 +276,7 @@ object Graph {
         .select(folded("id"),
           least(folded("comp"), coalesce(col("jcomp"), folded("comp"))).as("comp"),
           folded("prev"))
-        .localCheckpoint()
+        .ckptLocal()
       // min-propagation only ever lowers labels, so "nothing changed"
       // is a plain scan of the checkpointed round output
       converged = next.filter(col("comp") =!= col("prev")).isEmpty

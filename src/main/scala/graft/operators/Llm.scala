@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.operators.Ckpt.CkptOps
 import graft.sources.Tables
 
 /** Large-scale training-data pipeline operators over the `documents`
@@ -219,30 +220,30 @@ object Llm {
     // at 100 TB would use a reliable checkpoint for the same stage
     // cut.
     val spark = docs.sparkSession
-    val m = normalized(widened(docs)).localCheckpoint()
+    val m = normalized(widened(docs)).ckptLocal()
     val members = m.select(col("doc_id"), col("text_hash"))
     if (spark.catalog.functionExists("graft_minhash_sig")) {
       val repToks = repsOf(m)
         .select(col("key"), split(lower(trim(col("text"))), "\\s+").as("toks"))
         .filter(size(col("toks")) >= 3)
         .repartition(spark.sparkContext.defaultParallelism)
-        .localCheckpoint()
+        .ckptLocal()
       val sigs = repToks
         .select(col("key"), expr("graft_minhash_sig(toks)").as("s"))
         .select(col("key"), col("s.n").as("n"), col("s.sig").as("sig"))
-      val cand = bandJoin(sigs).localCheckpoint()
+      val cand = bandJoin(sigs).ckptLocal()
       val candKeys = cand.select(col("hash_a").as("key"))
         .unionByName(cand.select(col("hash_b").as("key"))).distinct()
       val shCand = repToks.join(candKeys, Seq("key"), "left_semi")
         .select(col("key"), explode(array_distinct(expr(
           "transform(sequence(0, size(toks)-3), i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))")))
           .as("shingle"))
-        .localCheckpoint()
+        .ckptLocal()
       (members, repToks.select(col("key")), verified(cand, shCand))
     } else {
       val sh = shingles(repsOf(m))
         .repartition(spark.sparkContext.defaultParallelism)
-        .localCheckpoint()
+        .ckptLocal()
       (members, sh.select(col("key")).distinct(), verified(candidatesOf(sh), sh))
     }
   }
@@ -312,7 +313,7 @@ object Llm {
       .join(gid.select(col("text_hash").as("hash_a"), col("gid").as("src")), Seq("hash_a"))
       .join(gid.select(col("text_hash").as("hash_b"), col("gid").as("dst")), Seq("hash_b"))
       .select(col("src"), col("dst"))
-      .localCheckpoint()
+      .ckptLocal()
     // iterate ONLY over groups that touch a near edge — on a web
     // corpus the vast majority of groups have none, and an edgeless
     // node's component is itself, so it never needs to ride the CC
@@ -408,7 +409,7 @@ object Llm {
     // m is read by both the member projection and the sig build —
     // one eager materialization (see dedupNearOn's scale note)
     val m = normalized(widened(Tables.documents(spark, dir).select(col("doc_id"), col("text"))))
-      .localCheckpoint()
+      .ckptLocal()
     m.select(col("doc_id"), col("text_hash"))
       .join(simhashSigs(m), col("text_hash") === col("key"))
       .select(col("doc_id"), col("simhash"))
@@ -430,9 +431,9 @@ object Llm {
     // four consumers each (band join sides, member expansion, group
     // filter) — materialize both once (see dedupNearOn's scale note)
     val m = normalized(widened(Tables.documents(spark, dir).select(col("doc_id"), col("text"))))
-      .localCheckpoint()
+      .ckptLocal()
     val members = m.select(col("doc_id"), col("text_hash"))
-    val sig = simhashSigs(m).localCheckpoint()
+    val sig = simhashSigs(m).ckptLocal()
     val bands = sig.select(col("key"), col("simhash"), posexplode(expr(
       "transform(sequence(0, 3), b -> (simhash >> (b*15)) & 32767)")))
       .toDF("key", "simhash", "band", "band_key")
@@ -1214,11 +1215,32 @@ object Llm {
       .orderBy(col("hk")).limit(k)
       .select(col("v")).as[Seq[Double]].collect().map(_.toArray)
 
-    def nearest(v: Seq[Double], cs: Array[Array[Double]], n: Int): Array[Int] = {
-      val sims = cs.map { c =>
-        var dot = 0.0; var nv = 0.0; var nc = 0.0; var i = 0
-        while (i < v.length) { dot += v(i) * c(i); nv += v(i) * v(i); nc += c(i) * c(i); i += 1 }
-        dot / (math.sqrt(nv) * math.sqrt(nc))
+    // centroid norms are hoisted out of the per-vector loop: computed
+    // once per codebook (per partition after broadcast), they drop a
+    // third of the Lloyd assignment arithmetic — per vector only the
+    // dot products and the vector's own norm remain
+    def centroidNorms(cs: Array[Array[Double]]): Array[Double] =
+      cs.map { c =>
+        var nc = 0.0; var i = 0
+        while (i < c.length) { nc += c(i) * c(i); i += 1 }
+        math.sqrt(nc)
+      }
+
+    def nearest(v: Seq[Double], cs: Array[Array[Double]],
+                norms: Array[Double], n: Int): Array[Int] = {
+      var nv = 0.0
+      var i = 0
+      while (i < v.length) { nv += v(i) * v(i); i += 1 }
+      val vNorm = math.sqrt(nv)
+      val sims = new Array[Double](cs.length)
+      var c = 0
+      while (c < cs.length) {
+        val cc = cs(c)
+        var dot = 0.0
+        i = 0
+        while (i < v.length) { dot += v(i) * cc(i); i += 1 }
+        sims(c) = dot / (vNorm * norms(c))
+        c += 1
       }
       sims.zipWithIndex.sortBy(-_._1).take(n).map(_._2)
     }
@@ -1228,10 +1250,11 @@ object Llm {
       val bc = spark.sparkContext.broadcast(centroids)
       val sums = typed.mapPartitions { rows =>
         val cs = bc.value
+        val norms = centroidNorms(cs)
         val acc = Array.fill(cs.length)(new Array[Double](cs(0).length))
         val cnt = new Array[Long](cs.length)
         rows.foreach { case (_, v) =>
-          val c = nearest(v, cs, 1)(0)
+          val c = nearest(v, cs, norms, 1)(0)
           var i = 0
           while (i < v.length) { acc(c)(i) += v(i); i += 1 }
           cnt(c) += 1
@@ -1263,7 +1286,8 @@ object Llm {
         val bc = spark.sparkContext.broadcast(centroids)
         typed.mapPartitions { rows =>
           val cs = bc.value
-          rows.map { case (id, v) => (id, nearest(v, cs, 1)(0)) }
+          val norms = centroidNorms(cs)
+          rows.map { case (id, v) => (id, nearest(v, cs, norms, 1)(0)) }
         }.toDF("vec_id", "cluster")
       }
     val listed = all.join(assigned, Seq("vec_id"))
@@ -1271,8 +1295,9 @@ object Llm {
     val probes = all.filter(col("vec_id") < 10)
       .select(col("vec_id"), col("v"), col("nrm")).as[(Long, Seq[Double], Double)]
       .collect()
+    val finalNorms = centroidNorms(centroids)
     val probeClusters = probes.flatMap { case (pid, pv, _) =>
-      nearest(pv, centroids, nprobe).map(c => (pid, c)) }.toSeq
+      nearest(pv, centroids, finalNorms, nprobe).map(c => (pid, c)) }.toSeq
       .toDF("probe_id", "cluster")
     val probeVecs = probes.toSeq.toDF("probe_id", "pv", "pn")
     val w = Window.partitionBy(col("probe_id")).orderBy(col("sim").desc, col("vec_id").asc)
@@ -1409,9 +1434,18 @@ object Llm {
   def unigramLogprob(spark: SparkSession, dir: String): DataFrame =
     unigramLogprobOn(Tables.documents(spark, dir).select(col("doc_id"), col("text")))
 
-  private[graft] def unigramLogprobOn(docs: DataFrame): DataFrame = {
-    val spark = docs.sparkSession
-    if (spark.catalog.functionExists("graft_term_counts")) {
+  private[graft] def unigramLogprobOn(docs: DataFrame): DataFrame =
+    unigramLogprobPath(docs,
+      docs.sparkSession.catalog.functionExists("graft_term_counts"))
+
+  /** Both formulations, selectable for the kernel-vs-fallback drift
+    * pin (LlmSpec): the kernel path's count-weighted mean and the
+    * fallback's per-occurrence mean are algebraically equal but sum
+    * floats in different orders, so the pin proves the round(...,6)
+    * output can't disagree between a no-extension session and the
+    * kernel session. */
+  private[graft] def unigramLogprobPath(docs: DataFrame, useKernel: Boolean): DataFrame = {
+    if (useKernel) {
       // per-doc term counts from the kernel: the vocab aggregate and
       // the prob join ship one row per DISTINCT (doc, term) instead
       // of one per token occurrence, and the materialized working
@@ -1420,7 +1454,7 @@ object Llm {
       // sum(cnt) — same value, fewer float adds.
       val tc = termCountsOf(docs)
         .select(col("doc_id"), col("term").as("tok"), col("cnt"))
-        .localCheckpoint()
+        .ckptLocal()
       val vocab = tc.groupBy(col("tok")).agg(sum(col("cnt")).as("c"))
       val tot = vocab.agg(sum(col("c")).as("n"))
       tc.join(vocab, Seq("tok"))
@@ -1432,7 +1466,7 @@ object Llm {
     } else {
       val toks = widened(docs)
         .select(col("doc_id"), explode(split(lower(trim(col("text"))), "\\s+")).as("tok"))
-        .localCheckpoint()
+        .ckptLocal()
       val vocab = toks.groupBy(col("tok")).agg(count(lit(1)).as("c"))
       val tot = vocab.agg(sum(col("c")).as("n"))
       toks.join(vocab, Seq("tok"))
@@ -1556,7 +1590,7 @@ object Llm {
       .withColumn("code", expr(
         "transform(v, x -> least(255, cast(floor((x - mn) * 255.0 / (mx - mn)) as int)))"))
       .select(col("vec_id"), col("mn"), col("mx"), col("code"))
-      .localCheckpoint()
+      .ckptLocal()
     val probes = all.filter(col("vec_id") < 10)
       .select(col("vec_id").as("probe_id"), col("v").as("pv"), col("nrm").as("pn"))
     // approximate cosine from bucket-midpoint decode, fused into one
@@ -1623,12 +1657,12 @@ object Llm {
       if (spark.catalog.functionExists("graft_term_counts"))
         termCountsOf(docs)
           .select(col("doc_id"), col("term"), col("cnt").as("tf"))
-          .localCheckpoint()
+          .ckptLocal()
       else {
         val toks = widened(docs)
           .select(col("doc_id"), explode(split(lower(trim(col("text"))), "\\s+")).as("term"))
         toks.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
-          .localCheckpoint()
+          .ckptLocal()
       }
     val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val n = tf.agg(count_distinct(col("doc_id")).as("n"))

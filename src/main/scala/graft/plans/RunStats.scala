@@ -115,7 +115,13 @@ object RunStatsKernel {
     while (i < n) {
       val t = toks.getUTF8String(i)
       val c = counts.get(t)
-      if (c == null) counts.put(t, Array(1L)) else c(0) += 1L
+      // clone() on first occurrence: the input string can alias a
+      // reused scan/column-vector buffer, and the key is RETAINED —
+      // both as the TreeMap key and inside the returned row. Copying
+      // here (once per distinct term, trivial next to the TreeMap
+      // insert) makes the output row own its bytes instead of relying
+      // on the caller materializing to UnsafeRow before the next row.
+      if (c == null) counts.put(t.clone(), Array(1L)) else c(0) += 1L
       i += 1
     }
     val out = new Array[Any](counts.size)

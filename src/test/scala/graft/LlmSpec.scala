@@ -435,6 +435,34 @@ class LlmSpec extends AnyFunSuite {
     assert(math.abs(out(1L) - (-math.log(60.0 / 64.0))) < 1e-5)
   }
 
+  test("unigram logprob: kernel and fallback formulations agree after round-6 (drift pin)") {
+    import spark.implicits._
+    // the kernel path computes the count-weighted mean
+    // sum(cnt·-log p)/sum(cnt), the fallback the per-occurrence avg —
+    // algebraically equal, but the float adds happen in different
+    // orders, so a no-extension session could disagree with the
+    // oracle if a value landed on a round(...,6) boundary. Pin that
+    // the rounded outputs match on edge docs AND the real corpus.
+    val edge = Seq(
+      (1L, "a b a b a"),
+      (2L, "  \t repeated repeated REPEATED  x "),
+      (3L, "unicode é 中文 é 😀"),
+      (4L, "solo")).toDF("doc_id", "text")
+    val corpus = graft.sources.Tables.documents(spark, TestSpark.sf)
+      .select($"doc_id", $"text")
+    for (docs <- Seq(edge, corpus)) {
+      val kernel = Llm.unigramLogprobPath(docs, useKernel = true).collect()
+        .map(r => (r.getLong(0), (r.getLong(1), r.getDouble(2)))).toMap
+      val fb = Llm.unigramLogprobPath(docs, useKernel = false).collect()
+        .map(r => (r.getLong(0), (r.getLong(1), r.getDouble(2)))).toMap
+      assert(kernel.keySet == fb.keySet, "paths disagree on which docs exist")
+      val drift = kernel.collect {
+        case (id, (n, v)) if fb(id) != ((n, v)) => (id, (n, v), fb(id))
+      }
+      assert(drift.isEmpty, s"round-6 outputs drifted between paths: ${drift.take(5)}")
+    }
+  }
+
   test("tfidf: corpus-wide tokens score zero, distinctive tokens rank first") {
     import spark.implicits._
     // 'shared' appears in every doc (idf = ln(3/3) = 0); each doc's
