@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.plans.{CharRunStats, CosineSimilarity, FingerprintStats, GramStats, MinHashSig, NearestCentroid, PostingsDigest, SimHash60, SrpBuckets, TermCounts}
+import graft.plans.{BandHashes, CharRunStats, CosineSimilarity, FingerprintStats, GramStats, MinHashSig, NearestCentroid, PostingsDigest, SimHash60, SrpBuckets, TermCounts}
 
 /** Engine extensions, installed with
   * `spark.sql.extensions=graft.GraftExtensions` (SparkSessionExtensions
@@ -68,6 +68,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
         require(children.length == 1, "graft_minhash_sig takes exactly 1 argument")
         MinHashSig(children.head)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_band_hashes"),
+      new ExpressionInfo(classOf[BandHashes].getName, "graft_band_hashes"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.length == 1, "graft_band_hashes takes exactly 1 argument")
+        BandHashes(children.head)
       }))
     ext.injectFunction((
       FunctionIdentifier("graft_fingerprint"),

@@ -95,8 +95,15 @@ object Llm {
     * per signature, groups sharing any (band, band_hash) bucket
     * become candidate pairs. Input: (key, n, sig[128]). */
   private def bandJoin(sigs: DataFrame): DataFrame = {
-    val bands = sigs.select(col("key"), col("n"), posexplode(expr(
-      "transform(sequence(0, 31), b -> xxhash64(b, slice(sig, b*4 + 1, 4)))")))
+    // band hashes via the native kernel when available — the HOF
+    // lambda evaluates interpretively (Slice.nullSafeEval was a top
+    // frame in warm llm_curate profiles); the kernel is one primitive
+    // loop, bit-equal to the fold (pinned in LlmSpec)
+    val bandsExpr =
+      if (sigs.sparkSession.catalog.functionExists("graft_band_hashes"))
+        expr("graft_band_hashes(sig)")
+      else expr("transform(sequence(0, 31), b -> xxhash64(b, slice(sig, b*4 + 1, 4)))")
+    val bands = sigs.select(col("key"), col("n"), posexplode(bandsExpr))
       .toDF("key", "n", "band", "band_hash")
     bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.band_hash") === col("y.band_hash") &&

@@ -118,6 +118,62 @@ object SimHash60 {
   }
 }
 
+/** Native Catalyst expression `graft_band_hashes(sig)`: the 32
+  * LSH band hashes of a 128-slot MinHash signature in one primitive
+  * loop — band b hashes signature slots [4b, 4b+4). Replaces the
+  * interpreted `transform(sequence(0, 31),
+  * b -> xxhash64(b, slice(sig, b*4 + 1, 4)))` in the band join
+  * (higher-order-function lambdas evaluate interpretively, and
+  * `Slice.nullSafeEval` was a top frame in round-9 warm profiles of
+  * llm_curate). Bit parity with the SQL fold by construction:
+  * multi-arg `xxhash64` seed-chains its arguments — seed 42, then
+  * `hashInt(b)`, then one `hashLong` per array element in order —
+  * which is exactly the loop below; LlmSpec pins equality on real
+  * corpus signatures. */
+case class BandHashes(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_band_hashes"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires an array<bigint> argument, got ${other.catalogString}")
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    BandHashes.compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.plans.BandHashes.compute($a);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object BandHashes {
+  val Bands = 32
+  val RowsPerBand = 4
+
+  def compute(sig: ArrayData): GenericArrayData = {
+    val out = new Array[Long](Bands)
+    var b = 0
+    while (b < Bands) {
+      var h = XXH64.hashInt(b, 42L)
+      var k = b * RowsPerBand
+      val end = k + RowsPerBand
+      while (k < end) {
+        h = XXH64.hashLong(sig.getLong(k), h)
+        k += 1
+      }
+      out(b) = h
+      b += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
 object MinHashSig {
   val Slots = 128
   private val Mask = (1L << 31) - 1

@@ -599,6 +599,29 @@ class LlmSpec extends AnyFunSuite {
     }
   }
 
+  test("band-hash kernel is bit-equal to the xxhash64+slice fold on real signatures") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // the LSH bucketing can only be identical across sessions (with
+    // and without the extension) if every band hash matches bit-for-
+    // bit; the kernel reproduces multi-arg xxhash64's seed chaining
+    // (seed 42 -> hashInt(b) -> one hashLong per slot in order)
+    val sigs = graft.sources.Tables.documents(spark, TestSpark.sf)
+      .select(split(lower(trim($"text")), "\\s+").as("toks"))
+      .filter(size($"toks") >= 3)
+      .limit(200)
+      .select(expr("graft_minhash_sig(toks).sig").as("sig"))
+    val both = sigs.select(
+        expr("graft_band_hashes(sig)").as("kernel"),
+        expr("transform(sequence(0, 31), b -> xxhash64(b, slice(sig, b*4 + 1, 4)))").as("spec"))
+      .collect()
+    assert(both.nonEmpty)
+    both.foreach { r =>
+      assert(r.getSeq[Long](0) == r.getSeq[Long](1),
+        "band hashes drifted between the kernel and the SQL fold")
+    }
+  }
+
   test("fingerprint kernel is bit-equal to the gram-explode formulation (incl. multi-byte)") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
