@@ -463,6 +463,56 @@ class StreamingSpec extends AnyFunSuite {
     } finally q2.stop()
   }
 
+  test("custom-state sessionization runs under the RocksDB state store (100 TB posture)") {
+    // The streaming-state scale story: the default HDFS-backed store
+    // keeps every key's state on the executor HEAP — at web-scale key
+    // cardinality that's an OOM, not a design. RocksDB spills state
+    // to local disk with bounded memory, so the SAME operator code is
+    // the 100 TB deployment shape; this test proves the stateful
+    // operators run unmodified under the swapped provider and that
+    // the provider actually engaged (its custom metrics are
+    // provider-specific).
+    assume(scala.util.Try(Class.forName(
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")).isSuccess,
+      "RocksDB state store provider not on the classpath")
+    implicit val sqlCtx = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val ms = MemoryStream[Event]
+      val q = Streaming.sessionsCustom(ms.toDF(), gapSec = 1800L, lateness = "0 seconds")
+        .writeStream.format("memory").queryName("rocksdb_sessions")
+        .outputMode("append").start()
+      def sec(s: String) = ts(s).getTime / 1000L
+      def at(id: Long, user: Long, t: String) = Event(id, ts(t), user, "click", 1.0)
+      try {
+        ms.addData(at(1, 5, "2024-01-01 10:00:00"), at(2, 5, "2024-01-01 10:10:00"))
+        q.processAllAvailable()
+        ms.addData(at(3, 5, "2024-01-01 10:20:00")) // merges into the stored session
+        q.processAllAvailable()
+        ms.addData(at(9, 6, "2024-01-01 13:00:00")) // watermark closes it
+        q.processAllAvailable()
+        val rows = spark.sql(
+          "SELECT user_id, session_start, session_end, n_events FROM rocksdb_sessions " +
+            "WHERE user_id = 5")
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+        assert(rows == Set((5L, sec("2024-01-01 10:00:00"), sec("2024-01-01 10:20:00"), 3L)),
+          s"sessionization drifted under RocksDB state: $rows")
+        val sops = q.lastProgress.stateOperators
+        assert(sops.nonEmpty, "no state operator reported progress")
+        val metricNames = sops.flatMap(_.customMetrics.keySet.toArray(Array.empty[AnyRef]))
+          .map(_.toString.toLowerCase)
+        assert(metricNames.exists(_.contains("rocksdb")),
+          s"state ran on the default provider, not RocksDB: ${metricNames.take(8).mkString(",")}")
+      } finally q.stop()
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("console sink starts, processes a batch, and stops cleanly (S7)") {
     implicit val sqlCtx = spark.sqlContext
     val ms = MemoryStream[Event]
