@@ -507,6 +507,27 @@ class StreamingSpec extends AnyFunSuite {
         assert(metricNames.exists(_.contains("rocksdb")),
           s"state ran on the default provider, not RocksDB: ${metricNames.take(8).mkString(",")}")
       } finally q.stop()
+
+      // the other stateful operator family: per-key DGIM sketches
+      // must survive micro-batches in RocksDB state just like heap
+      // state (same cross-batch estimate the heap-store test pins)
+      val ms2 = MemoryStream[Event]
+      val q2 = Streaming.dgimCounts(ms2.toDF(), windowSec = 3600L)
+        .writeStream.format("memory").queryName("rocksdb_dgim")
+        .outputMode("update").start()
+      def errAt(id: Long, minute: Long) =
+        Event(id, new Timestamp(ts("2024-01-01 10:00:00").getTime + minute * 60000L),
+          id % 7, "error", 1.0)
+      try {
+        ms2.addData((0L until 60L).map(m => errAt(m, m)): _*)
+        q2.processAllAvailable()
+        ms2.addData((60L until 90L).map(m => errAt(m, m)): _*)
+        q2.processAllAvailable()
+        val latest = spark.sql(
+          "SELECT last_ts, est_errors_1h FROM rocksdb_dgim").collect().maxBy(_.getLong(0))
+        assert(latest.getLong(1) > 30,
+          "DGIM sketch state lost between micro-batches under RocksDB")
+      } finally q2.stop()
     } finally prev match {
       case Some(v) => spark.conf.set(key, v)
       case None => spark.conf.unset(key)
