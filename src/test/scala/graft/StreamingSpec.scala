@@ -534,6 +534,53 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("custom-state sessionization equals the batch fold under arbitrary arrival order (property)") {
+    implicit val sqlCtx = spark.sqlContext
+    // when lateness exceeds the whole event span, NO arrival order is
+    // late — so the merging-interval state must reproduce event-time
+    // sessionization exactly on a fully shuffled stream, any chunking.
+    // Seeded so failures replay.
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 2) {
+      val events = (1 to 80).map { i =>
+        val user = rnd.nextInt(4).toLong
+        val t = ts("2024-01-01 08:00:00").getTime + rnd.nextInt(4 * 3600) * 1000L
+        Event(trial * 1000L + i, new Timestamp(t), user, "click", 1.0)
+      }
+      // expected: the plain per-user gap fold over sorted event times
+      val expected = events.groupBy(_.user_id).flatMap { case (u, evs) =>
+        val times = evs.map(_.ts.getTime / 1000L).sorted
+        val sess = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
+        var start = times.head; var last = times.head; var n = 1L
+        times.tail.foreach { t =>
+          if (t - last <= 900L) { last = t; n += 1 }
+          else { sess += ((u, start, last, n)); start = t; last = t; n = 1L }
+        }
+        sess += ((u, start, last, n))
+        sess
+      }.toSet
+      val ms = MemoryStream[Event]
+      val q = Streaming.sessionsCustom(ms.toDF(), gapSec = 900L, lateness = "6 hours")
+        .writeStream.format("memory").queryName(s"prop_sessions_$trial")
+        .outputMode("append").start()
+      try {
+        rnd.shuffle(events).grouped(17).foreach { chunk =>
+          ms.addData(chunk.toIndexedSeq: _*)
+          q.processAllAvailable()
+        }
+        // far-future sentinel seals every open session
+        ms.addData(Event(-1L, ts("2024-02-01 00:00:00"), -999L, "click", 1.0))
+        q.processAllAvailable()
+        val got = spark.sql(
+          s"SELECT user_id, session_start, session_end, n_events FROM prop_sessions_$trial " +
+            "WHERE user_id <> -999")
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+        assert(got == expected,
+          s"trial $trial drifted: missing ${(expected -- got).take(3)}, extra ${(got -- expected).take(3)}")
+      } finally q.stop()
+    }
+  }
+
   test("console sink starts, processes a batch, and stops cleanly (S7)") {
     implicit val sqlCtx = spark.sqlContext
     val ms = MemoryStream[Event]
