@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.plans.{BandHashes, CharRunStats, CosineSimilarity, FingerprintStats, GramStats, MinHashSig, NearestCentroid, PostingsDigest, SimHash60, SrpBuckets, TermCounts}
+import graft.plans.{BandHashes, CharRunStats, CosineSimilarity, FingerprintStats, GramHashes, GramStats, MinHashSig, NearestCentroid, PostingsDigest, Segments, SimHash60, SrpBuckets, TermCounts}
 
 /** Engine extensions, installed with
   * `spark.sql.extensions=graft.GraftExtensions` (SparkSessionExtensions
@@ -68,6 +68,30 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
         require(children.length == 1, "graft_minhash_sig takes exactly 1 argument")
         MinHashSig(children.head)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_gram_hashes"),
+      new ExpressionInfo(classOf[GramHashes].getName, "graft_gram_hashes"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.length == 2, "graft_gram_hashes takes exactly 2 arguments")
+        children(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(n: Int, _) =>
+            GramHashes(children.head, n)
+          case other => throw new IllegalArgumentException(
+            s"graft_gram_hashes requires a literal int gram width, got $other")
+        }
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_segments"),
+      new ExpressionInfo(classOf[Segments].getName, "graft_segments"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.length == 2, "graft_segments takes exactly 2 arguments")
+        children(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(n: Int, _) =>
+            Segments(children.head, n)
+          case other => throw new IllegalArgumentException(
+            s"graft_segments requires a literal int segment width, got $other")
+        }
       }))
     ext.injectFunction((
       FunctionIdentifier("graft_band_hashes"),

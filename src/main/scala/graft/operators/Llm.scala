@@ -885,11 +885,18 @@ object Llm {
     contaminationOn(Tables.documents(spark, dir).select(col("doc_id"), col("text")))
 
   private[graft] def contaminationOn(docs: DataFrame): DataFrame = {
+    // gram hashing via the native kernel when available: the HOF
+    // lambda evaluates interpretively per gram; the kernel is one
+    // pass per row, bit-equal to the fold (pinned in LlmSpec)
+    val gramsExpr =
+      if (docs.sparkSession.catalog.functionExists("graft_gram_hashes"))
+        expr("graft_gram_hashes(toks, 8)")
+      else expr(
+        "transform(sequence(1, size(toks)-7), i -> xxhash64(concat_ws(' ', slice(toks, i, 8))))")
     val grams = withSplit(docs)
       .select(col("doc_id"), col("split"), split(lower(trim(col("text"))), "\\s+").as("toks"))
       .filter(size(col("toks")) >= 8)
-      .select(col("doc_id"), col("split"), explode(expr(
-        "transform(sequence(1, size(toks)-7), i -> xxhash64(concat_ws(' ', slice(toks, i, 8))))")).as("g"))
+      .select(col("doc_id"), col("split"), explode(gramsExpr).as("g"))
       .distinct()
     val train = grams.filter(col("split") === "train").select(col("g")).distinct()
     grams.filter(col("split") =!= "train")
@@ -1404,10 +1411,17 @@ object Llm {
     segmentDedupOn(Tables.documents(spark, dir).select(col("doc_id"), col("text")))
 
   private[graft] def segmentDedupOn(docs: DataFrame): DataFrame = {
+    // segment strings via the native kernel when available — same
+    // interpreted-lambda-to-one-pass swap as the gram hashes, pinned
+    // byte-equal in LlmSpec
+    val segsExpr =
+      if (docs.sparkSession.catalog.functionExists("graft_segments"))
+        expr("graft_segments(t, 10)")
+      else expr(
+        "transform(sequence(0, cast(floor((size(t)-1)/10) as int)), i -> array_join(slice(t, i*10+1, 10), ' '))")
     val segs = widened(docs)
       .select(col("doc_id"), split(lower(trim(col("text"))), "\\s+").as("t"))
-      .select(col("doc_id"), posexplode(expr(
-        "transform(sequence(0, cast(floor((size(t)-1)/10) as int)), i -> array_join(slice(t, i*10+1, 10), ' '))")))
+      .select(col("doc_id"), posexplode(segsExpr))
       .toDF("doc_id", "seg", "seg_text")
     val ranked = segs.withColumn("rn", row_number().over(
       Window.partitionBy(md5(col("seg_text"))).orderBy(col("doc_id"), col("seg"))))

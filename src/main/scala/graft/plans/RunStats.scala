@@ -2,7 +2,7 @@ package graft.plans
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.catalyst.util.ArrayData
@@ -131,6 +131,60 @@ object RunStatsKernel {
       val e = it.next()
       out(j) = new GenericInternalRow(Array[Any](e.getKey, e.getValue()(0)))
       j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  /** 64-bit hashes of every word n-gram, one pass — the hashed-gram
+    * side of the contamination overlap join. Bit-equal to the SQL
+    * `transform(sequence(1, size(toks)-(n-1)), i ->
+    * xxhash64(concat_ws(' ', slice(toks, i, n))))`: single-arg
+    * xxhash64 is XXH64 over the string bytes at seed 42, and the gram
+    * bytes come from the same `UTF8String.concatWs` the SQL
+    * `concat_ws` evaluates. Callers gate on size >= n (contamination
+    * filters first), so the SQL's descending-sequence quirk at
+    * size < n never arises. */
+  def gramHashes(toks: ArrayData, gramN: Int): org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val m = toks.numElements() - gramN + 1
+    val sp = UTF8String.fromString(" ")
+    val out = new Array[Long](math.max(m, 0))
+    val parts = new Array[UTF8String](gramN)
+    var i = 0
+    while (i < m) {
+      var j = 0
+      while (j < gramN) { parts(j) = toks.getUTF8String(i + j); j += 1 }
+      out(i) = XXH64.hashUTF8String(UTF8String.concatWs(sp, parts: _*), 42L)
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  /** Fixed-width token segments (the C4-style span dedup unit), one
+    * pass — replaces the interpreted `transform(sequence(0,
+    * floor((size(t)-1)/w)), i -> array_join(slice(t, i*w+1, w), ' '))`.
+    * `array_join(..., ' ')` over no-null tokens is `concat_ws`, so
+    * the segment strings are byte-equal. For the SQL's size-0 edge
+    * (`sequence(0, -1)` descends through two out-of-range slices)
+    * this returns the same two empty segments — though `split` never
+    * produces an empty array, so the path is theoretical. */
+  def segments(toks: ArrayData, width: Int): org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val n = toks.numElements()
+    val sp = UTF8String.fromString(" ")
+    if (n == 0) {
+      val e = UTF8String.EMPTY_UTF8
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array[Any](e, e))
+    }
+    val nSeg = (n - 1) / width + 1
+    val out = new Array[Any](nSeg)
+    var s = 0
+    while (s < nSeg) {
+      val from = s * width
+      val len = math.min(width, n - from)
+      val parts = new Array[UTF8String](len)
+      var j = 0
+      while (j < len) { parts(j) = toks.getUTF8String(from + j); j += 1 }
+      out(s) = UTF8String.concatWs(sp, parts: _*)
+      s += 1
     }
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
@@ -388,6 +442,62 @@ case class GramStats(child: Expression, gramN: Int) extends UnaryExpression {
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, a =>
       s"${ev.value} = graft.plans.RunStatsKernel.gramStats($a, $gramN);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Native Catalyst expression `graft_gram_hashes(toks, n)`: 64-bit
+  * xxhash per word n-gram in one pass — the hashed-gram side of the
+  * contamination overlap join without the interpreted
+  * transform/slice/concat_ws lambda (reference: the GPT-3-style
+  * 8-gram overlap decontamination the SQL fold implements). `n` is a
+  * literal, enforced at registration. */
+case class GramHashes(child: Expression, gramN: Int) extends UnaryExpression {
+  require(gramN >= 1, "graft_gram_hashes requires n >= 1")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_gram_hashes"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires an array<string> argument, got ${other.catalogString}")
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    RunStatsKernel.gramHashes(input.asInstanceOf[ArrayData], gramN)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.plans.RunStatsKernel.gramHashes($a, $gramN);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Native Catalyst expression `graft_segments(toks, w)`: the
+  * fixed-width token spans of the C4-style segment dedup in one pass
+  * — byte-equal to the `array_join(slice(...), ' ')` lambda it
+  * replaces. `w` is a literal, enforced at registration. */
+case class Segments(child: Expression, width: Int) extends UnaryExpression {
+  require(width >= 1, "graft_segments requires width >= 1")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_segments"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires an array<string> argument, got ${other.catalogString}")
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    RunStatsKernel.segments(input.asInstanceOf[ArrayData], width)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.plans.RunStatsKernel.segments($a, $width);")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)

@@ -622,6 +622,36 @@ class LlmSpec extends AnyFunSuite {
     }
   }
 
+  test("gram-hash and segment kernels are byte-equal to their HOF folds on edge docs + corpus") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val edge = Seq(
+      (1L, "a b c d e f g h"),                                 // exactly one 8-gram
+      (2L, (1 to 25).map(i => s"tok$i").mkString(" ")),        // 2 full + 1 partial segment
+      (3L, "unicode é 中文 😀 mixed a b c d e f"),              // multi-byte grams
+      (4L, "short"),                                           // below the 8-gram domain
+      (5L, (1 to 30).map(_ => "same").mkString(" "))).toDF("doc_id", "text")
+    val corpus = graft.sources.Tables.documents(spark, TestSpark.sf)
+      .select($"doc_id", $"text").limit(150)
+    for (docs <- Seq(edge, corpus)) {
+      val toks = docs.select($"doc_id", split(lower(trim($"text")), "\\s+").as("toks"))
+      val g = toks.filter(size($"toks") >= 8).select(
+          expr("graft_gram_hashes(toks, 8)").as("kernel"),
+          expr("transform(sequence(1, size(toks)-7), i -> xxhash64(concat_ws(' ', slice(toks, i, 8))))")
+            .as("spec"))
+        .collect()
+      g.foreach(r => assert(r.getSeq[Long](0) == r.getSeq[Long](1),
+        "gram hashes drifted from the xxhash64 fold"))
+      val s = toks.select(
+          expr("graft_segments(toks, 10)").as("kernel"),
+          expr("transform(sequence(0, cast(floor((size(toks)-1)/10) as int)), i -> array_join(slice(toks, i*10+1, 10), ' '))")
+            .as("spec"))
+        .collect()
+      s.foreach(r => assert(r.getSeq[String](0) == r.getSeq[String](1),
+        "segment strings drifted from the array_join fold"))
+    }
+  }
+
   test("fingerprint kernel is bit-equal to the gram-explode formulation (incl. multi-byte)") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
