@@ -88,7 +88,7 @@ object SimHash60 {
 
   def compute(toks: ArrayData): Long = {
     val nTok = toks.numElements()
-    val sp = UTF8String.fromString(" ")
+    val sp = RunStatsKernel.Space
     val votes = new Array[Int](Bits)
     val md = md5.get()
     var i = 0
@@ -157,14 +157,19 @@ object BandHashes {
   val RowsPerBand = 4
 
   def compute(sig: ArrayData): GenericArrayData = {
+    val n = sig.numElements()
     val out = new Array[Long](Bands)
     var b = 0
     while (b < Bands) {
       var h = XXH64.hashInt(b, 42L)
+      // mirror the SQL fold on ANY input (the function is registered
+      // for user SQL too, not just the 128-slot pipeline): slice
+      // past the array end is a short/empty slice, and array hashing
+      // skips null elements (hash of null leaves the seed unchanged)
       var k = b * RowsPerBand
-      val end = k + RowsPerBand
+      val end = math.min(k + RowsPerBand, n)
       while (k < end) {
-        h = XXH64.hashLong(sig.getLong(k), h)
+        if (!sig.isNullAt(k)) h = XXH64.hashLong(sig.getLong(k), h)
         k += 1
       }
       out(b) = h
@@ -186,7 +191,7 @@ object MinHashSig {
 
   def compute(toks: ArrayData): GenericInternalRow = {
     val nTok = toks.numElements()
-    val sp = UTF8String.fromString(" ")
+    val sp = RunStatsKernel.Space
     val seen = new java.util.HashSet[UTF8String]()
     val buf = Array.fill(Slots)(Long.MaxValue)
     var n = 0L

@@ -39,6 +39,11 @@ object RunStatsKernel {
 
   private val Ln2 = java.lang.Math.log(2.0)
 
+  // shared separator: these kernels run once per row inside
+  // WholeStageCodegen; re-encoding the one-space string per call is
+  // pure allocation churn
+  private[plans] val Space = UTF8String.fromString(" ")
+
   /** Character run stats of a string, mirroring the HOF pipeline
     * `regexp_extract_all(regexp_replace(s, '\\s', ''), '.', 0)`
     * exactly: Java-regex `\s` chars are removed, and the three
@@ -81,7 +86,7 @@ object RunStatsKernel {
   def gramStats(toks: ArrayData, gramN: Int): InternalRow = {
     val m = toks.numElements() - gramN + 1
     val counts = new java.util.TreeMap[UTF8String, Array[Long]]()
-    val sep = UTF8String.fromString(" ")
+    val sep = Space
     var n = 0L
     var i = 0
     while (i < m) {
@@ -146,7 +151,7 @@ object RunStatsKernel {
     * size < n never arises. */
   def gramHashes(toks: ArrayData, gramN: Int): org.apache.spark.sql.catalyst.util.GenericArrayData = {
     val m = toks.numElements() - gramN + 1
-    val sp = UTF8String.fromString(" ")
+    val sp = Space
     val out = new Array[Long](math.max(m, 0))
     val parts = new Array[UTF8String](gramN)
     var i = 0
@@ -169,7 +174,7 @@ object RunStatsKernel {
     * produces an empty array, so the path is theoretical. */
   def segments(toks: ArrayData, width: Int): org.apache.spark.sql.catalyst.util.GenericArrayData = {
     val n = toks.numElements()
-    val sp = UTF8String.fromString(" ")
+    val sp = Space
     if (n == 0) {
       val e = UTF8String.EMPTY_UTF8
       return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array[Any](e, e))

@@ -109,7 +109,13 @@ object Streaming {
     * longs per interval, and at most ~lateness/gap + 1 intervals can
     * be simultaneously unsealed (older ones seal as the watermark
     * advances) — keyed and shuffled once by user_id, the state store
-    * sharded across executors at any user count. */
+    * sharded across executors at any user count.
+    *
+    * State-schema note: this interval-set state replaced an earlier
+    * single-open-session encoding; a checkpoint written by that
+    * build fails Spark's state-schema compatibility check on restart
+    * — resume such a query from a fresh checkpoint (replay), not in
+    * place. */
   def sessionsCustom(events: DataFrame, gapSec: Long = 1800L,
                      lateness: String = "1 hour"): Dataset[SessionOut] = {
     import events.sparkSession.implicits._
@@ -138,17 +144,25 @@ object Streaming {
               case _ => merged += s
             }
           }
-          // closed = watermark strictly past last + gap: every event
-          // that could still merge (t <= last + gap) is now late
-          // beyond the watermark and the engine drops it before us
-          val (closed, open) =
-            merged.partition(s => (s.last + gapSec) * 1000L < wmMs)
+          // closed = no admissible event can still merge. Session
+          // times are SECOND-truncated (matching the batch twin) but
+          // the watermark keeps milliseconds and the engine admits
+          // any raw ts >= wm — an event with raw time T extends the
+          // interval iff floor(T/1000) <= last + gap, i.e.
+          // T < (last + gap + 1) * 1000, so the interval is sealed
+          // only once wm has reached that millisecond boundary
+          // (sealing at (last+gap)*1000 would split a session the
+          // batch oracle merges when sub-second stragglers arrive)
+          def sealMs(s: OpenSession): Long = (s.last + gapSec + 1) * 1000L
+          val (closed, open) = merged.partition(s => sealMs(s) <= wmMs)
           if (open.nonEmpty) {
             state.update(open.toSeq)
-            // wake when the watermark passes the earliest close; the
-            // +1 guards the engine's strictly-greater requirement
+            // the timeout fires when wm > ts, so ts = sealMs - 1
+            // wakes exactly when the earliest interval seals; the
+            // max(.., wmMs + 1) guards the engine's requirement that
+            // a new timeout lies strictly beyond the watermark
             state.setTimeoutTimestamp(
-              math.max(open.map(s => (s.last + gapSec) * 1000L).min, wmMs + 1))
+              math.max(open.map(sealMs).min - 1, wmMs + 1))
           } else state.remove()
           closed.sortBy(_.start).iterator
             .map(s => SessionOut(uid, s.start, s.last, s.n))

@@ -620,6 +620,19 @@ class LlmSpec extends AnyFunSuite {
       assert(r.getSeq[Long](0) == r.getSeq[Long](1),
         "band hashes drifted between the kernel and the SQL fold")
     }
+    // the function is registered for user SQL too: short arrays and
+    // null elements must follow the SQL fold (short/empty slices,
+    // null-skipping array hash), never read out of bounds
+    val edge = spark.sql(
+      """SELECT graft_band_hashes(sig) AS kernel,
+                transform(sequence(0, 31), b -> xxhash64(b, slice(sig, b*4 + 1, 4))) AS spec
+         FROM VALUES (array(1L, 2L)),
+                     (array(CAST(NULL AS bigint), 7L, NULL, 9L, 11L)),
+                     (CAST(array() AS array<bigint>)) AS t(sig)""").collect()
+    edge.foreach { r =>
+      assert(r.getSeq[Long](0) == r.getSeq[Long](1),
+        "band hashes diverge from the SQL fold on short/null-element input")
+    }
   }
 
   test("gram-hash and segment kernels are byte-equal to their HOF folds on edge docs + corpus") {

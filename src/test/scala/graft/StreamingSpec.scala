@@ -426,6 +426,39 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("custom-state sessionization does not seal early on sub-second watermarks") {
+    implicit val sqlCtx = spark.sqlContext
+    // session times are second-truncated but the watermark keeps
+    // milliseconds: an interval with last=10:00:00 must stay OPEN at
+    // watermark 10:30:00.500, because an admissible raw event at
+    // 10:30:00.700 truncates to 10:30:00 and still merges (gap 1800).
+    // Sealing at (last+gap)*1000 would emit a split the batch oracle
+    // merges.
+    val ms = MemoryStream[Event]
+    val q = Streaming.sessionsCustom(ms.toDF(), gapSec = 1800L, lateness = "1 hour")
+      .writeStream.format("memory").queryName("subsec_sessions")
+      .outputMode("append").start()
+    def sec(s: String) = ts(s).getTime / 1000L
+    try {
+      // watermark after this batch: 11:30:00.500 - 1 h = 10:30:00.500
+      ms.addData(
+        Event(1, ts("2024-01-01 10:00:00"), 7, "click", 1.0),
+        Event(2, new Timestamp(ts("2024-01-01 11:30:00").getTime + 500), 8, "click", 1.0))
+      q.processAllAvailable()
+      // admissible straggler 200 ms past the watermark, in-gap after
+      // truncation — must MERGE into user 7's still-open session
+      ms.addData(Event(3, new Timestamp(ts("2024-01-01 10:30:00").getTime + 700), 7, "click", 1.0))
+      q.processAllAvailable()
+      ms.addData(Event(9, ts("2024-01-01 20:00:00"), 99, "click", 1.0))
+      q.processAllAvailable()
+      val got = spark.sql(
+        "SELECT session_start, session_end, n_events FROM subsec_sessions WHERE user_id = 7")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got == Set((sec("2024-01-01 10:00:00"), sec("2024-01-01 10:30:00"), 2L)),
+        s"sub-second watermark split the session: $got")
+    } finally q.stop()
+  }
+
   test("custom-state sessionization survives a checkpoint restart (open session persists, then closes)") {
     implicit val sqlCtx = spark.sqlContext
     val ckpt = java.nio.file.Files.createTempDirectory("graft_sess_ckpt").toString
