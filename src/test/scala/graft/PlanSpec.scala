@@ -225,4 +225,19 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Exchange SinglePartition"),
       s"first-occurrence ranking funnels through a single partition:\n$p")
   }
+
+  test("round-9 kernels are in the executed plans, interpreted lambdas gone") {
+    // a silent fall-back to the HOF formulations (e.g. a renamed or
+    // unregistered function) would keep every result identical and
+    // only show up as CPU — pin the plans instead
+    val contam = plan("llm_contamination")
+    assert(contam.contains("graft_gram_hashes"), s"contamination off the kernel:\n$contam")
+    assert(!contam.contains("transform("), "interpreted gram lambda resurfaced in contamination")
+    val seg = plan("llm_segment_dedup")
+    assert(seg.contains("graft_segments"), s"segment dedup off the kernel:\n$seg")
+    assert(!seg.contains("array_join"), "interpreted segment lambda resurfaced")
+    // (the band-hash kernel runs inside nearDupCore's eager
+    // checkpoint, so it never appears in llm_dedup_near's FINAL
+    // executed plan — its engagement is pinned value-wise in LlmSpec)
+  }
 }
