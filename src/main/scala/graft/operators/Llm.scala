@@ -1222,7 +1222,13 @@ object Llm {
              iters: Int = 2): DataFrame = {
     import spark.implicits._
     val all = vecs(spark, dir)
-    val typed = all.select(col("vec_id"), col("v")).as[(Long, Seq[Double])]
+    // widen the Lloyd input: a single-file embeddings scan is ONE
+    // partition, which serializes the per-round assignment
+    // mapPartitions into one task (measured 0.85 s/round at sf0.1 —
+    // the bulk of the query's wall). Round-robin to parallelism is a
+    // no-op once the corpus has real partitioning.
+    val typed = Tables.widened(all.select(col("vec_id"), col("v")))
+      .as[(Long, Seq[Double])]
     // deterministic centroid seeds
     var centroids: Array[Array[Double]] = all
       .select(col("vec_id"), col("v"), xxhash64(col("vec_id")).as("hk"))
