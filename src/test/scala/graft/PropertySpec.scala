@@ -231,4 +231,53 @@ class PropertySpec extends AnyFunSuite {
       row.getLong(0) == n && row.getLong(1) == runs && row.getLong(2) == maxRun
     })
   }
+
+  // --- round-9 kernels vs independent Scala models -----------------
+  // LlmSpec pins these byte-equal to their SQL folds on the corpus;
+  // here the same arithmetic is checked against pure-Scala models
+  // over random inputs (unicode, empty strings, arbitrary lengths)
+  // with no Spark session in the loop.
+
+  private def arr(toks: List[String]) =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      toks.map(org.apache.spark.unsafe.types.UTF8String.fromString).toArray[Any])
+
+  private val tokGen: Gen[List[String]] = Gen.listOf(Gen.oneOf(
+    "a", "bc", "word", "\u00e9\u00e8", "\u4e2d\u6587", "\ud83d\ude00", "", "x y", "longer-token-value"))
+
+  test("gram-hash kernel matches the join-then-xxhash64 model on random token arrays") {
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    import org.apache.spark.unsafe.types.UTF8String
+    check(Prop.forAll(tokGen, Gen.choose(1, 5)) { (toks, g) =>
+      val out = graft.plans.RunStatsKernel.gramHashes(arr(toks), g)
+      val m = math.max(0, toks.length - g + 1)
+      out.numElements() == m && (0 until m).forall { i =>
+        out.getLong(i) == XXH64.hashUTF8String(
+          UTF8String.fromString(toks.slice(i, i + g).mkString(" ")), 42L)
+      }
+    })
+  }
+
+  test("segment kernel partitions the token array exactly, any width") {
+    check(Prop.forAll(tokGen.suchThat(_.nonEmpty), Gen.choose(1, 7)) { (toks, w) =>
+      val out = graft.plans.RunStatsKernel.segments(arr(toks), w)
+      val nSeg = (toks.length - 1) / w + 1
+      out.numElements() == nSeg && (0 until nSeg).forall { s =>
+        out.getUTF8String(s).toString == toks.slice(s * w, s * w + w).mkString(" ")
+      }
+    })
+  }
+
+  test("band-hash kernel matches the seed-chained model for any signature length") {
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    check(Prop.forAll(Gen.listOf(Gen.long)) { sig =>
+      val out = graft.plans.BandHashes.compute(
+        new org.apache.spark.sql.catalyst.util.GenericArrayData(sig.toArray))
+      out.numElements() == 32 && (0 until 32).forall { b =>
+        var h = XXH64.hashInt(b, 42L)
+        sig.slice(b * 4, b * 4 + 4).foreach(v => h = XXH64.hashLong(v, h))
+        out.getLong(b) == h
+      }
+    })
+  }
 }
