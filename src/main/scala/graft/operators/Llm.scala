@@ -893,6 +893,10 @@ object Llm {
         expr("graft_gram_hashes(toks, 8)")
       else expr(
         "transform(sequence(1, size(toks)-7), i -> xxhash64(concat_ws(' ', slice(toks, i, 8))))")
+    // NOT widened: the gram kernel here is cheap enough (<1 CPU-s at
+    // sf0.1) that round-robin-shuffling the full text column costs
+    // more CPU than the extra parallelism saves (measured +4.4 CPU-s,
+    // +0.2 s wall when widened).
     val grams = withSplit(docs)
       .select(col("doc_id"), col("split"), split(lower(trim(col("text"))), "\\s+").as("toks"))
       .filter(size(col("toks")) >= 8)
@@ -961,7 +965,10 @@ object Llm {
     // size(array_distinct(...)) of the materialized gram arrays,
     // without the interpreted transform + distinct per row); the HOF
     // expressions remain the no-extension fallback.
-    val tokenized = withSplit(Tables.documents(spark, dir).select(col("doc_id"), col("text")))
+    // widened: a single-file documents scan is one partition, which
+    // would serialize the kernelized stats scan into one task
+    // (measured 1.07 s of the warm query's wall at sf0.1)
+    val tokenized = withSplit(widened(Tables.documents(spark, dir).select(col("doc_id"), col("text"))))
       .select(col("doc_id"), col("split"), split(lower(trim(col("text"))), "\\s+").as("toks"))
     val stats =
       if (spark.catalog.functionExists("graft_gram_stats"))
@@ -984,6 +991,18 @@ object Llm {
     stats
       .withColumn("quality",
         round(col("n_uniq") / col("n_tokens") * least(lit(1.0), col("n_tokens") / 100.0), 6))
+      .select(col("doc_id"), col("split"), col("n_tokens"), col("quality"), col("dup_frac"))
+      // materialize the per-doc stats BEFORE the quality filter:
+      // predicate pushdown otherwise substitutes the filter's column
+      // references with their defining expressions and sinks the
+      // condition into the parquet scan — the tokenize + gram kernels
+      // re-evaluated up to 4x per row, inside the scan's single
+      // partition where the widen can't help (FilterExec does no
+      // common-subexpression elimination; ProjectExec does, so the
+      // checkpointed projection computes each kernel once). Measured:
+      // the 1.4 s single-task scan stage disappears from the warm
+      // plan at sf0.1.
+      .ckptLocal()
       .join(reps, Seq("doc_id"), "left_semi")
       .filter(col("quality") >= 0.15 && coalesce(col("dup_frac"), lit(0.0)) <= 0.05)
       .select(col("doc_id"), col("split"), col("n_tokens"), col("quality"))
