@@ -61,6 +61,19 @@ object Llm {
     * queries hit the same single-split serialization). */
   private def widened(docs: DataFrame): DataFrame = Tables.widened(docs)
 
+  /** Gate shared by every native-kernel call site: the session must
+    * have `GraftExtensions` registered AND `spark.graft.kernels
+    * .enabled` (default true) left on. The conf is the operational
+    * escape hatch — flipping it forces every operator onto its
+    * pure-SQL fallback formulation in the SAME session, which
+    * `KernelParitySpec` uses to pin whole-query agreement between
+    * the two paths: a no-extension deployment takes exactly these
+    * branches, so the pin covers all twenty decision points
+    * end-to-end rather than per-expression. */
+  private[graft] def kernelOn(spark: SparkSession, fn: String): Boolean =
+    spark.conf.get("spark.graft.kernels.enabled", "true").toBoolean &&
+      spark.catalog.functionExists(fn)
+
   /** One representative (smallest doc_id) per exact-duplicate group:
     * (key = text_hash, text). Tokenization normalizes exactly the way
     * the grouping hash does (lower + trim + whitespace collapse), so
@@ -82,7 +95,7 @@ object Llm {
     * LlmSpec pins it). */
   private[graft] def nearDupCandidates(docs: DataFrame): DataFrame = {
     val m = normalized(docs)
-    if (docs.sparkSession.catalog.functionExists("graft_minhash_sig"))
+    if (kernelOn(docs.sparkSession, "graft_minhash_sig"))
       bandJoin(repsOf(m)
         .select(col("key"), split(lower(trim(col("text"))), "\\s+").as("toks"))
         .filter(size(col("toks")) >= 3)
@@ -100,7 +113,7 @@ object Llm {
     // frame in warm llm_curate profiles); the kernel is one primitive
     // loop, bit-equal to the fold (pinned in LlmSpec)
     val bandsExpr =
-      if (sigs.sparkSession.catalog.functionExists("graft_band_hashes"))
+      if (kernelOn(sigs.sparkSession, "graft_band_hashes"))
         expr("graft_band_hashes(sig)")
       else expr("transform(sequence(0, 31), b -> xxhash64(b, slice(sig, b*4 + 1, 4)))")
     val bands = sigs.select(col("key"), col("n"), posexplode(bandsExpr))
@@ -229,7 +242,7 @@ object Llm {
     val spark = docs.sparkSession
     val m = normalized(widened(docs)).ckptLocal()
     val members = m.select(col("doc_id"), col("text_hash"))
-    if (spark.catalog.functionExists("graft_minhash_sig")) {
+    if (kernelOn(spark, "graft_minhash_sig")) {
       val repToks = repsOf(m)
         .select(col("key"), split(lower(trim(col("text"))), "\\s+").as("toks"))
         .filter(size(col("toks")) >= 3)
@@ -387,7 +400,7 @@ object Llm {
     val toks = repsOf(m)
       .select(col("key"), split(lower(trim(col("text"))), "\\s+").as("toks"))
       .filter(size(col("toks")) >= 2)
-    if (m.sparkSession.catalog.functionExists("graft_simhash"))
+    if (kernelOn(m.sparkSession, "graft_simhash"))
       toks.select(col("key"), expr("graft_simhash(toks)").as("simhash"))
     else simhashSigsHof(toks)
   }
@@ -586,7 +599,7 @@ object Llm {
     // second (token, doc_id)-keyed aggregate over every token
     // occurrence (the expensive half of this query's round-7 CPU)
     val grouped =
-      if (spark.catalog.functionExists("graft_term_counts"))
+      if (kernelOn(spark, "graft_term_counts"))
         termCountsOf(docs.select(col("doc_id"), col("text")))
           .groupBy(col("term").as("token"))
           .agg(sum(col("cnt")).as("corpus_freq"), count(lit(1)).as("doc_freq"))
@@ -733,7 +746,7 @@ object Llm {
     * single-codepoint string per character. */
   def charEntropy(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.widened(Tables.documents(spark, dir))
-    if (spark.catalog.functionExists("graft_char_run_stats")) charEntropyKernel(docs)
+    if (kernelOn(spark, "graft_char_run_stats")) charEntropyKernel(docs)
     else charEntropyHof(docs)
   }
 
@@ -825,7 +838,7 @@ object Llm {
       .select(col("doc_id"), split(lower(trim(col("text"))), "\\s+").as("toks"))
       .filter(size(col("toks")) >= 3)
     val counted =
-      if (spark.catalog.functionExists("graft_gram_stats")) repetitionKernelCounts(toks)
+      if (kernelOn(spark, "graft_gram_stats")) repetitionKernelCounts(toks)
       else repetitionHofCounts(toks)
     counted.select(col("doc_id"), col("n_bigrams"),
       round(col("max_c") / col("n_bigrams"), 6).as("top_bigram_frac"),
@@ -889,7 +902,7 @@ object Llm {
     // lambda evaluates interpretively per gram; the kernel is one
     // pass per row, bit-equal to the fold (pinned in LlmSpec)
     val gramsExpr =
-      if (docs.sparkSession.catalog.functionExists("graft_gram_hashes"))
+      if (kernelOn(docs.sparkSession, "graft_gram_hashes"))
         expr("graft_gram_hashes(toks, 8)")
       else expr(
         "transform(sequence(1, size(toks)-7), i -> xxhash64(concat_ws(' ', slice(toks, i, 8))))")
@@ -971,7 +984,7 @@ object Llm {
     val tokenized = withSplit(widened(Tables.documents(spark, dir).select(col("doc_id"), col("text"))))
       .select(col("doc_id"), col("split"), split(lower(trim(col("text"))), "\\s+").as("toks"))
     val stats =
-      if (spark.catalog.functionExists("graft_gram_stats"))
+      if (kernelOn(spark, "graft_gram_stats"))
         tokenized
           .select(col("doc_id"), col("split"), col("toks"),
             size(col("toks")).cast("long").as("n_tokens"),
@@ -1038,7 +1051,7 @@ object Llm {
   def dedupEmbed(spark: SparkSession, dir: String, threshold: Double = 0.35): DataFrame = {
     val v = vecs(spark, dir).filter(col("vec_id") < 200)
     val cos =
-      if (spark.catalog.functionExists("graft_cosine")) expr("graft_cosine(va, vb)")
+      if (kernelOn(spark, "graft_cosine")) expr("graft_cosine(va, vb)")
       else expr("aggregate(zip_with(va, vb, (x, y) -> x * y), cast(0.0 AS double), (a, x) -> a + x)" +
         " / (sqrt(aggregate(va, cast(0.0 AS double), (a, x) -> a + x * x))" +
         " * sqrt(aggregate(vb, cast(0.0 AS double), (a, x) -> a + x * x)))")
@@ -1070,7 +1083,7 @@ object Llm {
       .select(col("doc_id"),
         regexp_replace(lower(trim(col("text"))), "\\s+", " ").as("t"))
       .filter(length(col("t")) >= 8)
-    if (docs.sparkSession.catalog.functionExists("graft_fingerprint"))
+    if (kernelOn(docs.sparkSession, "graft_fingerprint"))
       // one fused pass per row — the ~300x gram table never
       // materializes and the groupBy disappears with it; the widen
       // round-robin (BEFORE the kernel, so the md5 work spreads)
@@ -1120,7 +1133,7 @@ object Llm {
     * the identical double arithmetic, so results hash-match either
     * way. */
   private def cosineSim(spark: SparkSession) =
-    if (spark.catalog.functionExists("graft_cosine")) expr("graft_cosine(v, pv)")
+    if (kernelOn(spark, "graft_cosine")) expr("graft_cosine(v, pv)")
     else expr("aggregate(zip_with(v, pv, (x, y) -> x * y), cast(0.0 AS double), (a, x) -> a + x)") /
       (col("nrm") * col("pn"))
 
@@ -1195,7 +1208,7 @@ object Llm {
     // fallback (same LCG planes, identical buckets) for sessions
     // built without `spark.sql.extensions`.
     val bucketsCol =
-      if (spark.catalog.functionExists("graft_srp_buckets")) expr("graft_srp_buckets(v)")
+      if (kernelOn(spark, "graft_srp_buckets")) expr("graft_srp_buckets(v)")
       else annBucketsUdf(col("v"))
     val all = vecs(spark, dir)
     // Only ids cross the bucket join and the candidate dedup — the
@@ -1317,7 +1330,7 @@ object Llm {
     // path (round-3 verdict item 5). The mapPartitions fallback
     // (sessions without the extension) batches the same arithmetic.
     val assigned =
-      if (spark.catalog.functionExists("graft_nearest_centroid")) {
+      if (kernelOn(spark, "graft_nearest_centroid")) {
         val codebook = array(centroids.map(c => array(c.map(lit).toIndexedSeq: _*)).toIndexedSeq: _*)
         all.select(col("vec_id"),
           call_function("graft_nearest_centroid", col("v"), codebook).as("cluster"))
@@ -1370,7 +1383,7 @@ object Llm {
   private[graft] def embedNearDupOn(spark: SparkSession, vecs: DataFrame,
                                     threshold: Double): DataFrame = {
     val buckets =
-      if (spark.catalog.functionExists("graft_srp_buckets")) expr("graft_srp_buckets(v)")
+      if (kernelOn(spark, "graft_srp_buckets")) expr("graft_srp_buckets(v)")
       else annBucketsUdf(col("v"))
     val tabled = vecs.withColumn("buckets", buckets)
       .select(col("vec_id"), posexplode(col("buckets"))).toDF("vec_id", "t", "bucket")
@@ -1380,7 +1393,7 @@ object Llm {
       .select(col("x.vec_id").as("id_a"), col("y.vec_id").as("id_b"))
       .distinct()
     val cos =
-      if (spark.catalog.functionExists("graft_cosine")) expr("graft_cosine(va, vb)")
+      if (kernelOn(spark, "graft_cosine")) expr("graft_cosine(va, vb)")
       else expr("aggregate(zip_with(va, vb, (x, y) -> x * y), cast(0.0 AS double), (a, x) -> a + x)" +
         " / (sqrt(aggregate(va, cast(0.0 AS double), (a, x) -> a + x * x))" +
         " * sqrt(aggregate(vb, cast(0.0 AS double), (a, x) -> a + x * x)))")
@@ -1440,7 +1453,7 @@ object Llm {
     // interpreted-lambda-to-one-pass swap as the gram hashes, pinned
     // byte-equal in LlmSpec
     val segsExpr =
-      if (docs.sparkSession.catalog.functionExists("graft_segments"))
+      if (kernelOn(docs.sparkSession, "graft_segments"))
         expr("graft_segments(t, 10)")
       else expr(
         "transform(sequence(0, cast(floor((size(t)-1)/10) as int)), i -> array_join(slice(t, i*10+1, 10), ' '))")
@@ -1482,7 +1495,7 @@ object Llm {
 
   private[graft] def unigramLogprobOn(docs: DataFrame): DataFrame =
     unigramLogprobPath(docs,
-      docs.sparkSession.catalog.functionExists("graft_term_counts"))
+      kernelOn(docs.sparkSession, "graft_term_counts"))
 
   /** Both formulations, selectable for the kernel-vs-fallback drift
     * pin (LlmSpec): the kernel path's count-weighted mean and the
@@ -1578,7 +1591,7 @@ object Llm {
     // HOF fallback otherwise — LlmSpec pins both against a
     // hand-built canonical string
     val digest =
-      if (spark.catalog.functionExists("graft_postings_digest"))
+      if (kernelOn(spark, "graft_postings_digest"))
         expr("graft_postings_digest(collect_list(struct(doc_id, pos)))")
       else
         md5(expr("array_join(transform(array_sort(collect_list(struct(doc_id, pos))), " +
@@ -1700,7 +1713,7 @@ object Llm {
     // no-extension fallback (same counts, LlmSpec pins agreement).
     val spark = docs.sparkSession
     val tf =
-      if (spark.catalog.functionExists("graft_term_counts"))
+      if (kernelOn(spark, "graft_term_counts"))
         termCountsOf(docs)
           .select(col("doc_id"), col("term"), col("cnt").as("tf"))
           .ckptLocal()

@@ -1,0 +1,109 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.col
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Llm
+
+/** Whole-query drift pin for the no-extension path.
+  *
+  * Every native-kernel call site routes through `Llm.kernelOn`, which
+  * honors the `spark.graft.kernels.enabled` escape hatch in addition
+  * to extension presence — so flipping the conf in THIS session takes
+  * exactly the branches a session without `GraftExtensions` would
+  * take. Running each kernel-using declared query under both settings
+  * and requiring identical results pins all twenty decision points
+  * end-to-end: the per-expression bit-parity tests (LlmSpec /
+  * PropertySpec) prove each kernel equals its pinned fallback
+  * FORMULA; this proves each operator actually WIRES the equivalent
+  * pair, so a no-extension deployment hash-matches the oracle too.
+  *
+  * `llm_ann_ivf` is the one exception to exact equality: Lloyd's
+  * centroid update merges distributed float partial sums in
+  * nondeterministic order, so even two kernel-path runs may differ in
+  * the last ulp and flip a boundary assignment. Its pin is per-probe
+  * neighbor-set overlap instead.
+  */
+class KernelParitySpec extends AnyFunSuite {
+  private def spark = TestSpark.spark
+  private val dir = TestSpark.sf
+
+  /** Column-name-sorted, row-sorted, null/array/struct-normalized
+    * textual form — the same canonicalization shape the driver's
+    * oracle compare uses. */
+  private def canon(df: DataFrame): Seq[String] = {
+    val cols = df.columns.sorted.toSeq
+    df.select(cols.map(col): _*)
+      .collect()
+      .map(_.toSeq.map {
+        case null                              => "∅"
+        case a: Seq[_]                         => a.mkString("[", ",", "]")
+        case m: scala.collection.Map[_, _]     =>
+          m.map { case (k, v) => s"$k=$v" }.toSeq.sorted.mkString("{", ",", "}")
+        case b: Array[Byte]                    => b.map("%02x".format(_)).mkString
+        case x                                 => x.toString
+      }.mkString(""))
+      .sorted.toSeq
+  }
+
+  private def withKernels[A](on: Boolean)(body: => A): A = {
+    spark.conf.set("spark.graft.kernels.enabled", on.toString)
+    try body
+    finally spark.conf.unset("spark.graft.kernels.enabled")
+  }
+
+  // Minimal declared-query set covering every kernelOn site:
+  // nearDupCandidates + bandJoin (dedup_near), nearDupCore
+  // (dedup_clusters), curate's stats + band path (curate),
+  // simhashSigs (simhash_pairs), vocabTopK, charEntropy,
+  // repetitionOn, contaminationOn, dedupEmbed's pair cosine,
+  // fingerprintOn, cosineSim (knn_exact), annLsh's SRP buckets,
+  // segmentDedupOn, unigramLogprobOn, invertedIndex's postings
+  // digest, tfidfTermsOn.
+  private val covering = Seq(
+    "llm_dedup_near", "llm_dedup_clusters", "llm_curate",
+    "llm_simhash_pairs", "llm_vocab_topk", "llm_char_entropy",
+    "llm_repetition", "llm_contamination", "llm_dedup_embed",
+    "llm_fingerprint", "llm_knn_exact", "llm_ann_lsh",
+    "llm_segment_dedup", "llm_unigram_logprob", "llm_inverted_index",
+    "llm_tfidf_terms")
+
+  for (q <- covering)
+    test(s"$q is identical with kernels disabled") {
+      val on  = withKernels(on = true)  { canon(SparkEntry.queries(q)(spark, dir)) }
+      val off = withKernels(on = false) { canon(SparkEntry.queries(q)(spark, dir)) }
+      assert(on.nonEmpty, s"$q returned no rows — parity would be vacuous")
+      assert(off == on, s"$q diverges between kernel and fallback paths")
+    }
+
+  test("llm_ann_ivf neighbor sets overlap with kernels disabled") {
+    def neighbors(): Map[Long, Set[Long]] =
+      Llm.annIvf(spark, dir)
+        .select(col("probe_id"), col("vec_id"))
+        .collect()
+        .groupBy(_.getLong(0))
+        .map { case (p, rs) => p -> rs.map(_.getLong(1)).toSet }
+    val on  = withKernels(on = true)(neighbors())
+    val off = withKernels(on = false)(neighbors())
+    assert(on.keySet == off.keySet)
+    val overlaps = on.keySet.toSeq.map { p =>
+      val (a, b) = (on(p), off(p))
+      a.intersect(b).size.toDouble / a.union(b).size.max(1)
+    }
+    val mean = overlaps.sum / overlaps.size
+    assert(mean >= 0.9,
+      s"mean per-probe neighbor overlap $mean < 0.9 between kernel and fallback paths")
+  }
+
+  // embedNearDup is not a declared query (the synthetic embeddings
+  // are near-orthogonal noise with no pairs at its default 0.9
+  // threshold); cover its SRP-bucket + verify-cosine sites at a low
+  // threshold where real pairs exist.
+  test("embed near-dup pairs are identical with kernels disabled") {
+    val on  = withKernels(on = true)  { canon(Llm.embedNearDup(spark, dir, 0.25)) }
+    val off = withKernels(on = false) { canon(Llm.embedNearDup(spark, dir, 0.25)) }
+    assert(on.nonEmpty, "no pairs at threshold 0.25 — lower it so the pin bites")
+    assert(off == on, "embedNearDup diverges between kernel and fallback paths")
+  }
+}
