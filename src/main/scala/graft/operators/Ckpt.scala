@@ -1,6 +1,9 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import scala.concurrent.{Await, Future}
+import scala.concurrent.duration.Duration
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.storage.StorageLevel
 
 /** Central `localCheckpoint` wrapper for the pipeline working sets.
@@ -32,5 +35,24 @@ private[graft] object Ckpt {
         else StorageLevel.MEMORY_AND_DISK_SER
       df.localCheckpoint(true, level)
     }
+  }
+
+  /** Materialize two INDEPENDENT eager subtrees concurrently and wait
+    * for both. Spark schedules jobs submitted from separate driver
+    * threads side by side (the same mechanism broadcast exchanges use
+    * to materialize asynchronously), so two pipelines that would
+    * otherwise run their checkpoint barriers back to back overlap
+    * their cluster utilization instead — on a 1000-executor cluster
+    * the second subtree's scan runs while the first's shuffle drains.
+    * `a` runs on a pool thread with the session re-attached (Spark's
+    * active-session thread-local does not cross threads); `b` runs on
+    * the caller's thread, so no extra thread is parked waiting. Only
+    * pass subtrees where neither side reads the other's result; an
+    * exception on either side propagates to the caller. */
+  private[graft] def par2[A, B](spark: SparkSession)(a: => A, b: => B): (A, B) = {
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val fa = Future { SparkSession.setActiveSession(spark); a }
+    val bv = b
+    (Await.result(fa, Duration.Inf), bv)
   }
 }

@@ -964,8 +964,6 @@ object Llm {
     * corpus — composing the standalone queries naively would read
     * the 100 TB input four times. */
   def curate(spark: SparkSession, dir: String): DataFrame = {
-    val reps = dedupClusters(spark, dir)
-      .filter(col("doc_id") === col("cluster_id")).select(col("doc_id"))
     // Both per-doc statistics come from the row's own token array
     // (the `repetitionOn` formulation): quality from distinct-token
     // ratio, dup_frac from duplicated trigrams — so the stats side is
@@ -1001,21 +999,30 @@ object Llm {
             """cast((size(toks) - 2) - size(array_distinct(transform(sequence(1, size(toks)-2),
                i -> concat(element_at(toks, i), ' ', element_at(toks, i+1), ' ', element_at(toks, i+2)))))
                as double) / (size(toks) - 2)""")))
-    stats
+    val statsPlan = stats
       .withColumn("quality",
         round(col("n_uniq") / col("n_tokens") * least(lit(1.0), col("n_tokens") / 100.0), 6))
       .select(col("doc_id"), col("split"), col("n_tokens"), col("quality"), col("dup_frac"))
-      // materialize the per-doc stats BEFORE the quality filter:
-      // predicate pushdown otherwise substitutes the filter's column
-      // references with their defining expressions and sinks the
-      // condition into the parquet scan — the tokenize + gram kernels
-      // re-evaluated up to 4x per row, inside the scan's single
-      // partition where the widen can't help (FilterExec does no
-      // common-subexpression elimination; ProjectExec does, so the
-      // checkpointed projection computes each kernel once). Measured:
-      // the 1.4 s single-task scan stage disappears from the warm
-      // plan at sf0.1.
-      .ckptLocal()
+    // The dedup branch and the stats scan are independent until the
+    // final semi join, so their materializations run CONCURRENTLY
+    // (Ckpt.par2): dedupClusters' chain of checkpoint barriers
+    // overlaps the stats scan instead of following it.
+    //
+    // The stats ckpt itself materializes the per-doc stats BEFORE the
+    // quality filter: predicate pushdown otherwise substitutes the
+    // filter's column references with their defining expressions and
+    // sinks the condition into the parquet scan — the tokenize + gram
+    // kernels re-evaluated up to 4x per row, inside the scan's single
+    // partition where the widen can't help (FilterExec does no
+    // common-subexpression elimination; ProjectExec does, so the
+    // checkpointed projection computes each kernel once). Measured:
+    // the 1.4 s single-task scan stage disappears from the warm
+    // plan at sf0.1.
+    val (reps, statsCk) = Ckpt.par2(spark)(
+      dedupClusters(spark, dir)
+        .filter(col("doc_id") === col("cluster_id")).select(col("doc_id")),
+      statsPlan.ckptLocal())
+    statsCk
       .join(reps, Seq("doc_id"), "left_semi")
       .filter(col("quality") >= 0.15 && coalesce(col("dup_frac"), lit(0.0)) <= 0.05)
       .select(col("doc_id"), col("split"), col("n_tokens"), col("quality"))
