@@ -1264,9 +1264,14 @@ object Llm {
     // widen the Lloyd input: a single-file embeddings scan is ONE
     // partition, which serializes the per-round assignment
     // mapPartitions into one task (measured 0.85 s/round at sf0.1 —
-    // the bulk of the query's wall). Round-robin to parallelism is a
-    // no-op once the corpus has real partitioning.
-    val typed = Tables.widened(all.select(col("vec_id"), col("v")))
+    // the bulk of the query's wall). Width is PINNED (not
+    // defaultParallelism): the centroid update sums floats in
+    // partition-then-row order, so the codebook — and therefore every
+    // assignment — is bit-reproducible on any host only if the
+    // round-robin layout is. 64 tasks is ample for a codebook
+    // training pass (at 100 TB the codebook trains on a sample, not
+    // the corpus; only the final assignment scan is corpus-sized).
+    val typed = Tables.widened(all.select(col("vec_id"), col("v")), width = 64)
       .as[(Long, Seq[Double])]
     // deterministic centroid seeds
     var centroids: Array[Array[Double]] = all
