@@ -22,9 +22,15 @@ object SketchAggs {
     * `org.apache.spark.util.sketch.BloomFilter`, which uses the same
     * optimal sizing formulas as bloomfilter.py:13-17
     * (m = -n·ln p/ln²2, k = (m/n)·ln 2). The buffer is the live
-    * filter (kryo-encoded between partial and final agg); the output
-    * is its portable serialized form, small enough to broadcast to
-    * probe-side tasks.
+    * filter, java-serialized between partial and final agg:
+    * `BloomFilterImpl.writeObject` delegates to its own `writeTo`
+    * wire format, so the buffer bytes ARE the sketch's portable form.
+    * (Kryo's FieldSerializer would instead reflect into the backing
+    * `ByteBuffer`, which JDK 17 forbids unless the JVM was launched
+    * with `--add-opens java.base/java.nio` — true under spark-submit
+    * but not under an embedded/plain-JVM driver.) The output is the
+    * same serialized form, small enough to broadcast to probe-side
+    * tasks.
     *
     * `expectedItems` is the per-group design capacity: at scale,
     * derive it from an `approx_count_distinct` pre-pass or a fixed
@@ -41,7 +47,7 @@ object SketchAggs {
       b.writeTo(out)
       out.toByteArray
     }
-    def bufferEncoder: Encoder[BloomFilter] = Encoders.kryo[BloomFilter]
+    def bufferEncoder: Encoder[BloomFilter] = Encoders.javaSerialization[BloomFilter]
     def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
   }
 
