@@ -48,11 +48,16 @@ private[graft] object Ckpt {
     * active-session thread-local does not cross threads); `b` runs on
     * the caller's thread, so no extra thread is parked waiting. Only
     * pass subtrees where neither side reads the other's result; an
-    * exception on either side propagates to the caller. */
+    * exception on either side propagates to the caller — but only
+    * AFTER both sides have finished, so a failure in `b` never leaves
+    * `a`'s jobs running as orphans behind whatever the caller (e.g. a
+    * per-query try/catch loop) does next. */
   private[graft] def par2[A, B](spark: SparkSession)(a: => A, b: => B): (A, B) = {
     import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.util.Try
     val fa = Future { SparkSession.setActiveSession(spark); a }
-    val bv = b
-    (Await.result(fa, Duration.Inf), bv)
+    val bv = Try(b)
+    val av = Try(Await.result(fa, Duration.Inf))
+    (av.get, bv.get)
   }
 }
