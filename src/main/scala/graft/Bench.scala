@@ -57,11 +57,12 @@ object Bench {
     * line even past sys.exit, so the line must stay <= ~1910 chars
     * for its head to survive. The ladder: strip trailing zeros,
     * summarize calibration to its max, drop fields the file already
-    * carries (n_queries, runs); degrade to 1-decimal values if the
-    * 2-decimal line exceeds 1.85 KB; then drop the cpu/calib
-    * diagnostics; and as the terminal fallback (past ~84 queries even
-    * the diag-free 1-decimal line overflows — the silent round-4
-    * parsed:null failure mode) drop the per-query map entirely:
+    * carries (n_queries, runs) and the failed list when it is empty;
+    * degrade to 1-decimal values if the 2-decimal line exceeds
+    * 1.85 KB; then drop the cpu/calib diagnostics; and as the
+    * terminal fallback (when even the diag-free 1-decimal line
+    * overflows — the silent round-4 parsed:null failure mode) drop
+    * the per-query map entirely:
     * totals, sf and the failed list always fit. The FILE record keeps
     * full precision and every field either way. Package-visible so
     * BenchLineSpec can pin the ladder without running a benchmark. */
@@ -75,18 +76,25 @@ object Bench {
       }.getOrElse("null")
       "\"" + n + "\":" + v
     }.mkString("{", ",", "}")
+    // `failed` is this engine's own field (not part of the driver's
+    // {"metric","value","unit","queries","sf"} contract): emitted only
+    // when non-empty, because at 84 real query names the diag-free
+    // 1-decimal rung measured EXACTLY 1910 chars — the 12 chars of an
+    // empty failed list are the difference between per-query data
+    // surviving in stdout and the totals-only fallback
+    val failedField = if (failedJson == "[]") "" else s""","failed":$failedJson"""
     def compactAt(d: Int, diag: Boolean): String =
-      f"""{"metric":"total","value":$total%.2f,"unit":"sec","queries":${trimmed(d)},"sf":$sf""" +
+      f"""{"metric":"total","value":$total%.1f,"unit":"sec","queries":${trimmed(d)},"sf":$sf""" +
         (if (diag) f""","cpu_sec":$cpuTotal%.1f,"calib_max":$calibMax%.2f""" else "") +
-        s""","failed":$failedJson}"""
+        failedField + "}"
     val c2 = compactAt(2, diag = true)
     val c1 = compactAt(1, diag = true)
     val c0 = compactAt(1, diag = false)
     if (c2.length <= 1850) c2
     else if (c1.length <= 1910) c1
     else if (c0.length <= 1910) c0
-    else f"""{"metric":"total","value":$total%.2f,"unit":"sec","sf":$sf""" +
-      s""","n_queries":${names.size},"queries_in_file_only":true,"failed":$failedJson}"""
+    else f"""{"metric":"total","value":$total%.1f,"unit":"sec","sf":$sf""" +
+      s""","n_queries":${names.size},"queries_in_file_only":true$failedField}"""
   }
 
   def main(args: Array[String]): Unit = {

@@ -96,6 +96,7 @@ object SparkEntry {
     "sink_partitioned"   -> (graft.sources.Sinks.partitionedRoundTrip _),
     "sink_orc"           -> (graft.sources.Sinks.orcRoundTrip _),
     "sink_jsonl"         -> (graft.sources.Sinks.jsonlRoundTrip _),
+    "sink_csv"           -> (graft.sources.Sinks.csvRoundTrip _),
     "sink_bucketed"      -> (graft.sources.Sinks.bucketedRoundTrip _),
     "llm_tfidf_terms"    -> (Llm.tfidfTerms _),
     "llm_curate"         -> (Llm.curate _),
@@ -851,6 +852,12 @@ object SparkEntry {
       """SELECT source, count(*) AS n_docs
          FROM documents WHERE n_chars > 200 AND length(text) = n_chars
          GROUP BY source""",
+    // same text-survival conjunct, through the RFC-4180 CSV dialect
+    "sink_csv" ->
+      """SELECT lang, count(*) AS n_docs,
+                CAST(sum(n_chars) AS BIGINT) AS sum_chars
+         FROM documents WHERE n_chars > 200 AND length(text) = n_chars
+         GROUP BY lang""",
     // End-to-end curation: survivors = cluster representatives (the
     // same recursive-CTE closure as llm_dedup_clusters) that clear
     // the quality floor and the dup-trigram ceiling, labeled with

@@ -128,4 +128,38 @@ object Sinks {
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"))
   }
+
+  /** CSV round-trip, RFC-4180 dialect (`escape="` → quotes double
+    * instead of Spark's default backslash escaping, so the files are
+    * readable by DuckDB/pandas/BigQuery without dialect flags). Like
+    * the JSONL leg: no header, explicit schema — inference is an
+    * extra full scan and inferred CSV types drift (a numeric-looking
+    * text column silently narrows). The filter proves the text column
+    * itself round-trips, not just the metadata.
+    *
+    * Scale caveat, documented as the reason JSONL is the preferred
+    * text interchange: a CSV row with embedded newlines needs
+    * `multiLine=true`, which makes each file non-splittable (one task
+    * per file regardless of size). This leg keeps the default
+    * line-per-record read — correct for corpora whose text is
+    * newline-free (or newline-escaped upstream), splittable at any
+    * scale. */
+  private[graft] val csvDialect = Map(
+    "escape" -> "\"",
+    // the CSV WRITER trims whitespace by default — silent text
+    // mutation for a corpus store; both directions pinned verbatim
+    "ignoreLeadingWhiteSpace" -> "false",
+    "ignoreTrailingWhiteSpace" -> "false")
+  def csvRoundTrip(spark: SparkSession, dir: String): DataFrame = {
+    val out = scratch("graft_csv_sink")
+    Tables.documents(spark, dir)
+      .write.mode("overwrite").options(csvDialect).csv(out)
+    spark.read
+      .schema("doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT")
+      .options(csvDialect)
+      .csv(out)
+      .filter(col("n_chars") > 200 && length(col("text")) === col("n_chars"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+  }
 }
