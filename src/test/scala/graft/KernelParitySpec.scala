@@ -106,4 +106,23 @@ class KernelParitySpec extends AnyFunSuite {
     assert(on.nonEmpty, "no pairs at threshold 0.25 — lower it so the pin bites")
     assert(off == on, "embedNearDup diverges between kernel and fallback paths")
   }
+
+  // The OTHER session escape hatch: deserialized checkpoint blocks
+  // (spark.graft.ckpt.deserialized=true) must be storage-level-only —
+  // identical results through the checkpoint-heaviest declared
+  // queries (curate crosses Ckpt.par2 + multiple ckptLocal barriers;
+  // dedup_near crosses the working-set checkpoint).
+  test("deserialized-checkpoint escape hatch changes storage, not results") {
+    def withDeserCkpt[A](body: => A): A = {
+      spark.conf.set("spark.graft.ckpt.deserialized", "true")
+      try body
+      finally spark.conf.unset("spark.graft.ckpt.deserialized")
+    }
+    for (q <- Seq("llm_curate", "llm_dedup_near")) {
+      val ser   = canon(SparkEntry.queries(q)(spark, dir))
+      val deser = withDeserCkpt { canon(SparkEntry.queries(q)(spark, dir)) }
+      assert(ser.nonEmpty, s"$q returned no rows — parity would be vacuous")
+      assert(deser == ser, s"$q diverges under deserialized checkpoint blocks")
+    }
+  }
 }
