@@ -173,6 +173,21 @@ class PlanSpec extends AnyFunSuite {
       "the source IN filter must drive the pruning")
   }
 
+  test("CSV read-back prunes unused columns at the scan (sink_csv)") {
+    // row format, but Spark's CSV parser still prunes: the rollup
+    // needs text/lang/n_chars, so doc_id and source must be absent
+    // from the scan's ReadSchema (the parser skips their fields
+    // instead of converting them — at 100 TB that's the difference
+    // between parsing 3 columns and 5)
+    val p = plan("sink_csv")
+    val read = p.linesIterator.find(_.contains("ReadSchema"))
+    assert(read.isDefined, s"no ReadSchema in:\n$p")
+    assert(!read.get.contains("doc_id") && !read.get.contains("source"),
+      s"CSV scan reads columns the rollup never uses:\n${read.get}")
+    assert(read.get.contains("n_chars") && read.get.contains("lang"),
+      s"expected the rollup columns in:\n${read.get}")
+  }
+
   test("embed quantization is map-only (llm_embed_quantize)") {
     val p = plan("llm_embed_quantize")
     assert(!p.contains("hashpartitioning"), s"per-vector quantization shuffles:\n$p")
