@@ -19,11 +19,14 @@ import graft.operators.Llm
   * FORMULA; this proves each operator actually WIRES the equivalent
   * pair, so a no-extension deployment hash-matches the oracle too.
   *
-  * `llm_ann_ivf` is the one exception to exact equality: Lloyd's
-  * centroid update merges distributed float partial sums in
-  * nondeterministic order, so even two kernel-path runs may differ in
-  * the last ulp and flip a boundary assignment. Its pin is per-probe
-  * neighbor-set overlap instead.
+  * `llm_ann_ivf` is the one exception to exact equality: within one
+  * path Lloyd is reproducible (the training layout is width-pinned,
+  * so partial sums merge in a fixed order — verified identical at
+  * local[4] vs local[32]), but the kernel and fallback paths compute
+  * the assignment distance with differently-associated float
+  * arithmetic, so the two codebooks can differ in the last ulp and
+  * flip a boundary assignment. Its pin is per-probe neighbor-set
+  * overlap instead.
   */
 class KernelParitySpec extends AnyFunSuite {
   private def spark = TestSpark.spark
