@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.plans.{BandHashes, CharRunStats, CosineSimilarity, FingerprintStats, GramHashes, GramStats, MinHashSig, NearestCentroid, PostingsDigest, Segments, SimHash60, SrpBuckets, TermCounts}
+import graft.plans.{BandHashes, CharRunStats, CosineSimilarity, DequantDot, FingerprintStats, GramHashes, GramStats, MinHashSig, NearestCentroid, PostingsDigest, Segments, SimHash60, SrpBuckets, TermCounts}
 
 /** Engine extensions, installed with
   * `spark.sql.extensions=graft.GraftExtensions` (SparkSessionExtensions
@@ -113,6 +113,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
         require(children.length == 1, "graft_simhash takes exactly 1 argument")
         SimHash60(children.head)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_dequant_dot"),
+      new ExpressionInfo(classOf[DequantDot].getName, "graft_dequant_dot"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.length == 4, "graft_dequant_dot takes exactly 4 arguments")
+        DequantDot(children.head, children(1), children(2), children(3))
       }))
     ext.injectFunction((
       FunctionIdentifier("graft_postings_digest"),

@@ -51,11 +51,40 @@ private[graft] object Ckpt {
     * exception on either side propagates to the caller — but only
     * AFTER both sides have finished, so a failure in `b` never leaves
     * `a`'s jobs running as orphans behind whatever the caller (e.g. a
-    * per-query try/catch loop) does next. */
+    * per-query try/catch loop) does next. The unbounded wait is that
+    * same guarantee, not an oversight: a bounded wait that abandons a
+    * hung `a` would orphan its jobs behind the caller; a hang stays
+    * visible in the Spark UI instead of being masked by a timeout.
+    *
+    * Thread hygiene (round-9 ADVICE): the pool thread is a REUSED
+    * global-EC worker, so `a` runs with the caller's active session
+    * AND scheduling-relevant local properties (job group/description,
+    * interrupt-on-cancel, scheduler pool) copied in, and everything
+    * restored after — a stale session or job group must not leak into
+    * whatever unrelated task the pool runs next (multi-session JVMs),
+    * and `a`'s jobs must land in the caller's job group so a caller-
+    * side cancelJobGroup reaches them. */
   private[graft] def par2[A, B](spark: SparkSession)(a: => A, b: => B): (A, B) = {
     import scala.concurrent.ExecutionContext.Implicits.global
     import scala.util.Try
-    val fa = Future { SparkSession.setActiveSession(spark); a }
+    val sc = spark.sparkContext
+    val propKeys = Seq("spark.jobGroup.id", "spark.job.description",
+      "spark.job.interruptOnCancel", "spark.scheduler.pool")
+    val callerProps = propKeys.map(k => k -> sc.getLocalProperty(k))
+    val fa = Future {
+      val priorSession = SparkSession.getActiveSession
+      val priorProps = propKeys.map(k => k -> sc.getLocalProperty(k))
+      SparkSession.setActiveSession(spark)
+      callerProps.foreach { case (k, v) => sc.setLocalProperty(k, v) }
+      try a
+      finally {
+        priorProps.foreach { case (k, v) => sc.setLocalProperty(k, v) }
+        priorSession match {
+          case Some(s) => SparkSession.setActiveSession(s)
+          case None    => SparkSession.clearActiveSession()
+        }
+      }
+    }
     val bv = Try(b)
     val av = Try(Await.result(fa, Duration.Inf))
     (av.get, bv.get)

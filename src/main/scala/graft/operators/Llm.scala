@@ -70,9 +70,17 @@ object Llm {
     * the two paths: a no-extension deployment takes exactly these
     * branches, so the pin covers all twenty decision points
     * end-to-end rather than per-expression. */
-  private[graft] def kernelOn(spark: SparkSession, fn: String): Boolean =
-    spark.conf.get("spark.graft.kernels.enabled", "true").toBoolean &&
-      spark.catalog.functionExists(fn)
+  private[graft] def kernelOn(spark: SparkSession, fn: String): Boolean = {
+    val raw = spark.conf.get("spark.graft.kernels.enabled", "true")
+    val enabled = raw.trim.toLowerCase match {
+      case "true" | "1" | "yes" | "on"  => true
+      case "false" | "0" | "no" | "off" => false
+      case other => throw new IllegalArgumentException(
+        s"spark.graft.kernels.enabled must be a boolean ('$other' given); " +
+          "use true/false (1/0, yes/no, on/off accepted)")
+    }
+    enabled && spark.catalog.functionExists(fn)
+  }
 
   /** One representative (smallest doc_id) per exact-duplicate group:
     * (key = text_hash, text). Tokenization normalizes exactly the way
@@ -665,15 +673,20 @@ object Llm {
         }
         Iterator((arr, local.collect { case (t, c) if c >= localBar => t }.toArray))
       }
-      // elementwise-add merge: partial per partition, then the driver
-      // folds P constant-size buffers (treeReduce territory at real
-      // fleet sizes; the data-dependent part never leaves executors)
-      .reduce { (a, b) =>
+      // elementwise-add merge, combined as a depth-2 TREE: partials
+      // merge pairwise on executors first, so the driver folds
+      // ~sqrt(P) pre-combined buffers instead of P sequential 256 KB
+      // merges — at fleet task counts the driver-side work stays
+      // O(sqrt(P)) while the data-dependent part still never leaves
+      // executors. The merge is commutative + associative
+      // (elementwise long add; candidate-set union), so tree order
+      // cannot change the result.
+      .rdd.treeReduce({ (a, b) =>
         val m = a._1.clone()
         var i = 0
         while (i < m.length) { m(i) += b._1(i); i += 1 }
         (m, (a._2 ++ b._2).distinct)
-      }
+      }, depth = 2)
     val md = java.security.MessageDigest.getInstance("MD5")
     val out = candidates.toSeq
       .map { t =>
@@ -1264,14 +1277,19 @@ object Llm {
     // widen the Lloyd input: a single-file embeddings scan is ONE
     // partition, which serializes the per-round assignment
     // mapPartitions into one task (measured 0.85 s/round at sf0.1 —
-    // the bulk of the query's wall). Width is PINNED (not
-    // defaultParallelism): the centroid update sums floats in
+    // the bulk of the query's wall). The layout is PINNED the strong
+    // way (hash-partition on vec_id into exactly 64 + in-partition
+    // sort, Tables.pinnedLayout): the centroid update sums floats in
     // partition-then-row order, so the codebook — and therefore every
-    // assignment — is bit-reproducible on any host only if the
-    // round-robin layout is. 64 tasks is ample for a codebook
-    // training pass (at 100 TB the codebook trains on a sample, not
+    // assignment — is bit-reproducible only if row→partition and
+    // within-partition order are functions of the data alone. A
+    // round-robin widen held that only for inputs narrower than the
+    // pin (round-9 ADVICE); hashing on the unique vec_id holds it for
+    // ANY input split layout. 64 tasks is ample for a codebook
+    // training pass, and the sort is per-partition over training
+    // rows only (at 100 TB the codebook trains on a sample, not
     // the corpus; only the final assignment scan is corpus-sized).
-    val typed = Tables.widened(all.select(col("vec_id"), col("v")), width = 64)
+    val typed = Tables.pinnedLayout(all.select(col("vec_id"), col("v")), 64, "vec_id")
       .as[(Long, Seq[Double])]
     // deterministic centroid seeds
     var centroids: Array[Array[Double]] = all
@@ -1664,12 +1682,20 @@ object Llm {
       .ckptLocal()
     val probes = all.filter(col("vec_id") < 10)
       .select(col("vec_id").as("probe_id"), col("v").as("pv"), col("nrm").as("pn"))
-    // approximate cosine from bucket-midpoint decode, fused into one
-    // higher-order fold over the code array
-    val approxSim = expr(
-      """aggregate(zip_with(code, pv, (c, y) ->
-         (mn + (cast(c as double) + 0.5) * (mx - mn) / 255.0) * y),
-         cast(0.0 as double), (a, x) -> a + x)""")
+    // approximate cosine from bucket-midpoint decode: the codegen'd
+    // dequantize-dot kernel (plans/DequantDot) when the session has
+    // it — one fused primitive loop per (vector × probe) row inside
+    // WholeStageCodegen — with the higher-order-fold formulation as
+    // the no-extension fallback. Both compose the identical double
+    // arithmetic in the identical association order (KernelParitySpec
+    // pins bit agreement), so results match either way.
+    val approxSim =
+      if (kernelOn(spark, "graft_dequant_dot"))
+        expr("graft_dequant_dot(code, pv, mn, mx)")
+      else expr(
+        """aggregate(zip_with(code, pv, (c, y) ->
+           (mn + (cast(c as double) + 0.5) * (mx - mn) / 255.0) * y),
+           cast(0.0 as double), (a, x) -> a + x)""")
     val wq = Window.partitionBy(col("probe_id")).orderBy(col("simq").desc, col("vec_id").asc)
     val cand = codes.crossJoin(broadcast(probes.select(col("probe_id"), col("pv"))))
       .filter(col("vec_id") =!= col("probe_id"))

@@ -152,7 +152,12 @@ object Sinks {
     "ignoreTrailingWhiteSpace" -> "false")
   def csvRoundTrip(spark: SparkSession, dir: String): DataFrame = {
     val out = scratch("graft_csv_sink")
+    // headerless CSV binds read columns POSITIONALLY: pin the write
+    // order to the read schema below explicitly, so a reorder of the
+    // documents projection can't silently scramble fields (round-9
+    // ADVICE — the JSONL leg is name-based and doesn't need this)
     Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"), col("lang"), col("source"), col("n_chars"))
       .write.mode("overwrite").options(csvDialect).csv(out)
     spark.read
       .schema("doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT")

@@ -63,14 +63,16 @@ class KernelParitySpec extends AnyFunSuite {
   // repetitionOn, contaminationOn, dedupEmbed's pair cosine,
   // fingerprintOn, cosineSim (knn_exact), annLsh's SRP buckets,
   // segmentDedupOn, unigramLogprobOn, invertedIndex's postings
-  // digest, tfidfTermsOn.
+  // digest, tfidfTermsOn, knnQuantized's dequantize-dot + rerank
+  // cosine (both kernels keep the fallback's association order, so
+  // the quantized path pins EXACT despite being float-heavy).
   private val covering = Seq(
     "llm_dedup_near", "llm_dedup_clusters", "llm_curate",
     "llm_simhash_pairs", "llm_vocab_topk", "llm_char_entropy",
     "llm_repetition", "llm_contamination", "llm_dedup_embed",
     "llm_fingerprint", "llm_knn_exact", "llm_ann_lsh",
     "llm_segment_dedup", "llm_unigram_logprob", "llm_inverted_index",
-    "llm_tfidf_terms")
+    "llm_tfidf_terms", "llm_knn_quantized")
 
   for (q <- covering)
     test(s"$q is identical with kernels disabled") {

@@ -255,4 +255,16 @@ class PlanSpec extends AnyFunSuite {
     // checkpoint, so it never appears in llm_dedup_near's FINAL
     // executed plan — its engagement is pinned value-wise in LlmSpec)
   }
+
+  test("quantized kNN ranks on the dequantize-dot kernel, not an interpreted fold") {
+    // round-9 verdict item 5: the approximate-similarity pass was the
+    // last aggregate(zip_with(...)) in a declared query — pin that
+    // the fused kernel is what actually plans (the vecs() norm is a
+    // separate bounded aggregate(), so the pin is on zip_with: only
+    // the fold fallbacks use it)
+    val p = plan("llm_knn_quantized")
+    assert(p.contains("graft_dequant_dot"), s"quantized rank off the kernel:\n$p")
+    assert(!p.contains("zip_with"), "interpreted dequantize fold resurfaced")
+    assert(!p.contains("ScalaUDF"), "quantized path must carry no Scala UDF")
+  }
 }
