@@ -46,6 +46,30 @@ import org.apache.spark.sql.SparkSession
   *    workload that costs ~12 CPU-s on a healthy host) — but the
   *    probe's work is constant, so calib_sec >> its healthy ~0.3 s
   *    directly measures the host slowdown factor for that window.
+  *
+  * Throttle PROOFING (round-9 verdict top item — the round-9 official
+  * artifact shipped a 2x-inflated total that per-sweep probes could
+  * diagnose but not correct, because one throttle window spanned the
+  * same alphabetical block in both sweeps). Three additions:
+  *  - probes run every `windowN` (15) queries, not just at sweep
+  *    boundaries, so each timed sample is bracketed by a probe pair
+  *    and carries a per-WINDOW slowdown factor
+  *    (max(bracketing probes) / healthy — conservative: a throttle
+  *    entering OR leaving mid-window taints the window);
+  *  - a query whose every sample landed in a throttled window
+  *    (factor > 1.3) gets ONE bounded partial re-sweep after an idle
+  *    pause — min-of-samples then usually recovers the clean number
+  *    (self-correcting);
+  *  - if a clean window never happened, the artifact says so
+  *    honestly: top-level `"throttled": true` (also on the stdout
+  *    line), `"calib_healthy"` (the reference the factors are
+  *    against), and per-query `"throttle_factors"` for the still-
+  *    suspect queries — so no reader can mistake host noise for an
+  *    engine regression. `healthy` = min(observed probes, documented
+  *    healthy 0.38 s, env SPARK_GRAFT_CALIB_HEALTHY): the clamp
+  *    matters when the WHOLE run is throttled and even the fastest
+  *    probe is slow. The analysis is pure (`throttleAnalysis`) and
+  *    pinned synthetically in BenchLineSpec.
   */
 object Bench {
   @volatile private var calibSink: Long = 0L // defeats DCE of the calibration loop
@@ -68,7 +92,8 @@ object Bench {
     * BenchLineSpec can pin the ladder without running a benchmark. */
   private[graft] def compactLine(names: Seq[String],
       wallMin: Map[String, Option[Double]], total: Double, cpuTotal: Double,
-      calibMax: Double, sf: String, failedJson: String): String = {
+      calibMax: Double, sf: String, failedJson: String,
+      throttled: Boolean = false): String = {
     def trimmed(d: Int): String = names.map { n =>
       val v = wallMin(n).map { x =>
         val s = s"%.${d}f".format(x)
@@ -83,10 +108,15 @@ object Bench {
     // empty failed list are the difference between per-query data
     // surviving in stdout and the totals-only fallback
     val failedField = if (failedJson == "[]") "" else s""","failed":$failedJson"""
+    // like `failed`, emitted only in the bad case: a healthy run pays
+    // zero chars, a throttled run MUST carry the flag on every rung —
+    // a reader of the stdout line alone can't otherwise tell host
+    // noise from a regression
+    val throttledField = if (throttled) ""","throttled":true""" else ""
     def compactAt(d: Int, diag: Boolean): String =
       f"""{"metric":"total","value":$total%.1f,"unit":"sec","queries":${trimmed(d)},"sf":$sf""" +
         (if (diag) f""","cpu_sec":$cpuTotal%.1f,"calib_max":$calibMax%.2f""" else "") +
-        failedField + "}"
+        failedField + throttledField + "}"
     val c2 = compactAt(2, diag = true)
     val c1 = compactAt(1, diag = true)
     val c0 = compactAt(1, diag = false)
@@ -94,7 +124,39 @@ object Bench {
     else if (c1.length <= 1910) c1
     else if (c0.length <= 1910) c0
     else f"""{"metric":"total","value":$total%.1f,"unit":"sec","sf":$sf""" +
-      s""","n_queries":${names.size},"queries_in_file_only":true$failedField}"""
+      s""","n_queries":${names.size},"queries_in_file_only":true$failedField$throttledField}"""
+  }
+
+  /** Pure throttle adjudication over the windowed calibration record.
+    * `winIdx`: each query's sample → index of the probe window it was
+    * timed in (aligned with its wall-sample list). `windows`: per
+    * window, the (before, after) bracketing probe seconds.
+    *
+    * healthy = min(all observed probes, `healthyDefault`): the run's
+    * own fastest probe when the host was ever healthy, clamped by the
+    * documented healthy value so a run throttled END-TO-END still
+    * reads as throttled rather than redefining slow as normal.
+    *
+    * A window's factor is max(bracketing probes) / healthy —
+    * conservative, a throttle entering or leaving mid-window taints
+    * it. A query's factor is the MIN over its samples' windows (the
+    * cleanest evidence it ever got — min-of-samples wall comes from
+    * that window or better, since throttle only inflates). Returns
+    * (healthy, per-query factor, queries whose cleanest window still
+    * exceeded `flagAt`). */
+  private[graft] def throttleAnalysis(
+      winIdx: Map[String, List[Int]],
+      windows: IndexedSeq[(Double, Double)],
+      healthyDefault: Double,
+      flagAt: Double = 1.3): (Double, Map[String, Double], Set[String]) = {
+    val probes = windows.flatMap(w => Seq(w._1, w._2)).filterNot(_.isNaN)
+    val healthy = math.min(if (probes.nonEmpty) probes.min else healthyDefault, healthyDefault)
+    def wFactor(i: Int): Double = {
+      val (a, b) = windows(i)
+      math.max(a, if (b.isNaN) a else b) / healthy
+    }
+    val factors = winIdx.collect { case (n, ws) if ws.nonEmpty => n -> ws.map(wFactor).min }
+    (healthy, factors.toMap, factors.collect { case (n, f) if f > flagAt => n }.toSet)
   }
 
   def main(args: Array[String]): Unit = {
@@ -190,22 +252,63 @@ object Bench {
     val sweeps = 2
     val wall = scala.collection.mutable.Map.empty[String, List[Double]].withDefaultValue(Nil)
     val cpu = scala.collection.mutable.Map.empty[String, List[Double]].withDefaultValue(Nil)
+    // per-sample probe-window index, aligned with wall's sample lists
+    val winIdx = scala.collection.mutable.Map.empty[String, List[Int]].withDefaultValue(Nil)
+    val windows = scala.collection.mutable.ArrayBuffer.empty[(Double, Double)]
     var failed = Set.empty[String]
-    for (_ <- 1 to sweeps; name <- names) {
-      if (name == names.head) calib += calibrate() // probe at each sweep boundary
-      val cpu0 = settle()
-      val t0 = System.nanoTime()
-      try {
-        materialize(name)
-        wall(name) ::= (System.nanoTime() - t0) / 1e9
-        cpu(name) ::= (settle() - cpu0) / 1e9
-      } catch { case e: Throwable =>
-        System.err.println(s"[bench] $name FAILED: ${e.getClass.getSimpleName}: ${e.getMessage}")
-        failed += name
+
+    // Windowed sweep: a probe brackets every <= windowN consecutive
+    // timed queries, so each sample knows how fast the host was while
+    // it ran. 15 queries ≈ the round-9 throttle window's grain (the
+    // inflated block was ~12 alphabetical names); ~6 extra probes per
+    // sweep ≈ 2 s overhead at the healthy 0.38 s/probe.
+    val windowN = 15
+    def runSweep(qs: Seq[String]): Unit = {
+      var cur = windows.length
+      val p0 = calibrate(); calib += p0
+      windows += ((p0, Double.NaN))
+      var inWin = 0
+      for (name <- qs) {
+        val cpu0 = settle()
+        val t0 = System.nanoTime()
+        try {
+          materialize(name)
+          wall(name) ::= (System.nanoTime() - t0) / 1e9
+          cpu(name) ::= (settle() - cpu0) / 1e9
+          winIdx(name) ::= cur
+        } catch { case e: Throwable =>
+          System.err.println(s"[bench] $name FAILED: ${e.getClass.getSimpleName}: ${e.getMessage}")
+          failed += name
+        }
+        inWin += 1
+        if (inWin >= windowN && name != qs.last) {
+          val p = calibrate(); calib += p
+          windows(cur) = (windows(cur)._1, p)
+          cur = windows.length; windows += ((p, Double.NaN)); inWin = 0
+        }
       }
+      val pEnd = calibrate(); calib += pEnd
+      windows(cur) = (windows(cur)._1, pEnd)
     }
 
-    calib += calibrate() // closing probe: was the tail of the run throttled?
+    for (_ <- 1 to sweeps) runSweep(names)
+
+    // Bounded self-correction: queries whose EVERY sample sat in a
+    // throttled window get one partial re-sweep after an idle pause
+    // (interleaving can't save a query when the throttle spans both
+    // sweeps — exactly round 9's artifact failure). One re-sweep,
+    // never more: a host that stays slow gets FLAGGED, not retried
+    // forever.
+    val healthyDefault = sys.env.getOrElse("SPARK_GRAFT_CALIB_HEALTHY", "0.38").toDouble
+    val suspect = throttleAnalysis(winIdx.toMap, windows.toIndexedSeq, healthyDefault)._3
+    if (suspect.nonEmpty) {
+      System.err.println(s"[bench] calibration shows host throttle over ${suspect.size} " +
+        "queries' every sample; idling, then one partial re-sweep")
+      Thread.sleep(math.min(settleMs, 30000L))
+      runSweep(names.filter(suspect))
+    }
+    val (calibHealthy, qFactors, throttledQs) =
+      throttleAnalysis(winIdx.toMap, windows.toIndexedSeq, healthyDefault)
 
     def fmt(v: Option[Double], d: Int): String = v.map(x => s"%.${d}f".format(x)).getOrElse("null")
     val calibJson = calib.map(c => f"$c%.3f").mkString("[", ",", "]")
@@ -222,12 +325,24 @@ object Bench {
     // recorded parsed:null because the driver keeps only a ~2 KB tail
     // of stdout and the 3.1 KB line's "{"metric":..." prefix fell off
     // the window — the stdout line must stay well under that budget.
+    // Throttle verdict fields: `throttled` is the one-bit headline
+    // (any query's cleanest window > 1.3x healthy); `throttle_factors`
+    // names the still-suspect queries with the slowdown factor their
+    // BEST sample was measured under, so a reader can discount exactly
+    // those numbers and no others.
+    val tfJson = throttledQs.toSeq.sorted
+      .map(n => "\"" + n + "\":" + f"${qFactors(n)}%.2f").mkString("{", ",", "}")
+    val throttleFields =
+      s""","throttled":${throttledQs.nonEmpty}""" +
+        f""","calib_healthy":$calibHealthy%.3f""" +
+        (if (throttledQs.nonEmpty) s""","throttle_factors":$tfJson""" else "")
     val full =
       f"""{"metric":"total","value":$total%.4f,"unit":"sec","queries":${qsJson(wallMin, 4)},"sf":$sf""" +
         s""","n_queries":${names.size},"runs_per_query":$sweeps,"agg":"min","sweep_interleaved":true""" +
         f""","cpu_sec_total":$cpuTotal%.4f,"queries_cpu_sec":${qsJson(cpuMin, 4)}""" +
-        s""","calib_sec":$calibJson,"failed":$failedJson}"""
-    val compact = compactLine(names, wallMin, total, cpuTotal, calib.max, sf, failedJson)
+        s""","calib_sec":$calibJson$throttleFields,"failed":$failedJson}"""
+    val compact = compactLine(names, wallMin, total, cpuTotal, calib.max, sf, failedJson,
+      throttled = throttledQs.nonEmpty)
     Files.writeString(Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")), full + "\n")
     // bench_out.json is gitignored (scratch); BENCH_FULL.json is the
     // TRACKED copy of the same record, so the full per-query wall +

@@ -65,4 +65,71 @@ class BenchLineSpec extends AnyFunSuite {
     assert(node.has("queries") && node.get("queries").size == names.size,
       "the real registry should still carry its per-query map")
   }
+
+  // ---- throttle adjudication (round-9 verdict item 1) -------------
+  // Synthetic replays of the round-9 failure: a throttle window that
+  // spans the same block of queries in both sweeps. The analysis must
+  // (a) flag those queries for the bounded re-sweep, (b) clear them
+  // once a clean-window sample exists (self-correction), and (c) keep
+  // flagging honestly when no clean window ever happens — including a
+  // run throttled end-to-end, where min(observed probes) alone would
+  // redefine slow as normal.
+
+  private val healthy = 0.38
+
+  test("a query throttled in both sweeps is flagged; a clean-window sample clears it") {
+    // windows: 0 clean, 1 throttled (throttle hit before its closing
+    // probe), 2 throttled (recovered before ITS closing probe — the
+    // 0.80 opening probe still taints it, conservatively), 3 clean
+    val windows = IndexedSeq((0.38, 0.39), (0.39, 0.80), (0.80, 0.39), (0.39, 0.38))
+    val winIdx = Map(
+      "q_clean" -> List(0, 3),    // clean both sweeps
+      "q_hot"   -> List(1, 2),    // throttled both sweeps → re-sweep needed
+      "q_edge"  -> List(1, 3))    // one throttled, one clean → min factor clean
+    val (h, factors, flagged) = Bench.throttleAnalysis(winIdx, windows, healthy)
+    assert(h === 0.38)
+    assert(flagged == Set("q_hot"), s"only the doubly-throttled query should flag: $flagged")
+    assert(factors("q_clean") < 1.3 && factors("q_edge") < 1.3)
+    assert(factors("q_hot") > 1.9, s"q_hot's cleanest window was ~2x: ${factors("q_hot")}")
+    // self-correction: the re-sweep adds a clean-window sample
+    val windows2 = windows :+ ((0.38, 0.39))
+    val winIdx2 = winIdx.updated("q_hot", 4 :: winIdx("q_hot"))
+    val (_, factors2, flagged2) = Bench.throttleAnalysis(winIdx2, windows2, healthy)
+    assert(flagged2.isEmpty, "a clean re-sweep sample must clear the flag")
+    assert(factors2("q_hot") < 1.3)
+  }
+
+  test("a run throttled end-to-end still reads as throttled (healthy clamp)") {
+    // every probe slow: min observed = 0.74, but the documented
+    // healthy clamp keeps the reference honest
+    val windows = IndexedSeq((0.80, 0.76), (0.74, 0.79))
+    val winIdx = Map("q1" -> List(0, 1), "q2" -> List(1))
+    val (h, factors, flagged) = Bench.throttleAnalysis(winIdx, windows, healthy)
+    assert(h === healthy, "reference must clamp to the documented healthy value")
+    assert(flagged == Set("q1", "q2"), "an end-to-end-throttled run must flag everything")
+    assert(factors.values.forall(_ > 1.9))
+  }
+
+  test("a healthy run flags nothing and pays no stdout chars") {
+    val windows = IndexedSeq((0.38, 0.39), (0.37, 0.40))
+    val winIdx = Map("q1" -> List(0, 1), "q2" -> List(0))
+    val (_, _, flagged) = Bench.throttleAnalysis(winIdx, windows, healthy)
+    assert(flagged.isEmpty)
+    val names = (1 to 84).map(i => f"llm_synthetic_query_name_$i%03d")
+    val wall = names.map(nm => nm -> Some(12.3456)).toMap
+    val clean = Bench.compactLine(names, wall, 100.0, 70.0, 0.31, "0.1", "[]")
+    assert(!clean.contains("throttled"), "healthy runs must not carry the field")
+  }
+
+  test("the throttled flag survives every rung of the line ladder") {
+    for (n <- Seq(40, 84, 120)) {
+      val names = (1 to n).map(i => f"llm_synthetic_query_name_$i%03d")
+      val wall = names.map(nm => nm -> Some(12.3456)).toMap
+      val l = Bench.compactLine(names, wall, n * 12.3456, n * 7.0, 0.92, "0.1", "[]",
+        throttled = true)
+      assert(l.length <= 1910, s"$n queries throttled: ${l.length} chars")
+      val node = mapper.readTree(l)
+      assert(node.get("throttled").asBoolean, s"$n queries: flag must survive the ladder")
+    }
+  }
 }
