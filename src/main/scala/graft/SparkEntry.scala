@@ -105,6 +105,8 @@ object SparkEntry {
     "llm_knn_quantized"  -> (Llm.knnQuantized _),
     "llm_sample_weighted" -> ((s, d) => Llm.sampleWeighted(s, d)),
     "llm_inverted_index" -> (Llm.invertedIndex _),
+    "q13_asof_join"      -> (Joins.asofJoin _),
+    "q14_range_join"     -> (Joins.rangeJoinBands _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -930,5 +932,29 @@ object SparkEntry {
          )
          SELECT doc_id, rank, term, round(score, 6) AS score
          FROM ranked WHERE rank <= 3""",
+    // DuckDB's native ASOF LEFT JOIN is the oracle for the engine's
+    // union+window as-of (Joins.asofJoin): largest ref ts <= probe ts
+    // per user, nulls kept for probe rows with no prior ref
+    "q13_asof_join" ->
+      """SELECT p.event_id, p.user_id, epoch_us(p.ts) AS ts_us,
+                round(p.value, 4) AS click_value,
+                epoch_us(r.ts) AS asof_ts_us, round(r.value, 4) AS asof_value
+         FROM (SELECT event_id, user_id, ts, value FROM events
+               WHERE event_type = 'click') p
+         ASOF LEFT JOIN (SELECT user_id, ts, value FROM events
+                         WHERE event_type = 'purchase') r
+           ON p.user_id = r.user_id AND p.ts >= r.ts""",
+    // point-in-interval range join against the same literal band
+    // table the Spark side bin-explodes (Joins.bands)
+    "q14_range_join" ->
+      """WITH bands(band, lo, hi) AS (VALUES
+           ('micro', 0.0, 1.0), ('tiny', 1.0, 5.0), ('small', 5.0, 20.0),
+           ('mid', 20.0, 75.0), ('large', 75.0, 150.0), ('xl', 150.0, 300.0),
+           ('huge', 300.0, 1000.0))
+         SELECT band, CAST(lo AS DOUBLE) AS lo, CAST(hi AS DOUBLE) AS hi,
+                count(*) AS n_events,
+                round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 4) AS sum_value
+         FROM events e JOIN bands b ON e.value >= b.lo AND e.value < b.hi
+         GROUP BY band, lo, hi""",
   )
 }

@@ -26,27 +26,40 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = table(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = table(s, d, "lineitem")
-  /** `events.ts` is written as parquet TIMESTAMP(NANOS), which Spark's
-    * reader rejects by default (PARQUET_TYPE_ILLEGAL). Read nanos as
-    * long (legacy conf) and convert to a proper TimestampType at
-    * microsecond precision — integer `div`, no double roundtrip (ns
-    * epoch values exceed 2^53).
+  /** `events.ts` has shipped in two physical layouts across testdata
+    * generations: parquet TIMESTAMP(NANOS) — which Spark's reader
+    * rejects by default (PARQUET_TYPE_ILLEGAL), so it is read as a
+    * nanos LONG via the legacy conf and converted with integer `div`
+    * (no double roundtrip; ns epoch values exceed 2^53) — and plain
+    * TIMESTAMP(MICROS, isAdjustedToUTC=false), which arrives as
+    * TIMESTAMP_NTZ. Normalize BOTH to session-zone TimestampType at
+    * microsecond precision so every downstream operator (windows,
+    * unix_timestamp, watermarks) sees one type. All graft sessions
+    * pin spark.sql.session.timeZone=UTC, so the NTZ cast is
+    * value-preserving (wall-clock == epoch micros).
     *
-    * The conf is normally set once at session construction
-    * (Verify/Bench builders, test harness); the set here is a
-    * defensive idempotent fallback for driver-owned sessions that
-    * haven't, and only affects parquet nanos columns (no other
+    * The nanosAsLong conf is normally set once at session
+    * construction (Verify/Bench builders, test harness); the set here
+    * is a defensive idempotent fallback for driver-owned sessions
+    * that haven't, and only affects parquet nanos columns (no other
     * testdata table has any). A save/restore around this call would
     * be unsound, not just ugly: the returned scan is LAZY, so the
     * conf must still hold whenever a downstream action finally
     * executes it — which is why the fallback is a sticky idempotent
     * set rather than a scoped one. */
   def events(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     if (s.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true")
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(s, d, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+    val raw = table(s, d, "events")
+    raw.schema("ts").dataType match {
+      case LongType         => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+      case TimestampType    => raw
+      case other => throw new IllegalStateException(
+        s"events.ts arrived as $other; expected nanos LONG, TIMESTAMP_NTZ or TIMESTAMP")
+    }
   }
   /** Spread a narrow scan across the cluster before per-row CPU work
     * (JSON parsing, hashing, shingling): a small table arrives as one
