@@ -74,6 +74,18 @@ import org.apache.spark.sql.SparkSession
 object Bench {
   @volatile private var calibSink: Long = 0L // defeats DCE of the calibration loop
 
+  /** 8-hex fingerprint of a sorted query-name list, carried on the
+    * `qv` rungs of the compact line so a reader zipping the values
+    * array against its own idea of the registry can PROVE the
+    * alignment (names come from BENCH_FULL.json's map or the
+    * registry itself; a md5 mismatch means the registry changed
+    * between the bench run and the read). */
+  private[graft] def namesFingerprint(names: Seq[String]): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    md.digest(names.mkString(",").getBytes("UTF-8"))
+      .take(4).map("%02x".format(_)).mkString
+  }
+
   /** The stdout metrics line, degraded to fit the driver's capture
     * window. The driver keeps EXACTLY the last 2000 chars of stdout
     * (measured: every BENCH_r*.json tail is 2000) and sbt prints
@@ -83,24 +95,34 @@ object Bench {
     * summarize calibration to its max, drop fields the file already
     * carries (n_queries, runs) and the failed list when it is empty;
     * degrade to 1-decimal values if the 2-decimal line exceeds
-    * 1.85 KB; then drop the cpu/calib diagnostics; and as the
-    * terminal fallback (when even the diag-free 1-decimal line
-    * overflows — the silent round-4 parsed:null failure mode) drop
-    * the per-query map entirely:
-    * totals, sf and the failed list always fit. The FILE record keeps
-    * full precision and every field either way. Package-visible so
-    * BenchLineSpec can pin the ladder without running a benchmark. */
+    * 1.85 KB; then drop the cpu/calib diagnostics. When even the
+    * diag-free named map overflows (~84 full names is the measured
+    * ceiling — round 10's 86-query registry shipped totals-only),
+    * switch the per-query payload from a named map to `"qv"`: a
+    * values ARRAY aligned to the SORTED registry names (~6 chars per
+    * query instead of ~23, headroom past 300 queries), tagged with
+    * `"qn_md5"` (fingerprint of the name list, see above) and
+    * `"n_queries"` so any reader can verify the alignment before
+    * zipping. Only when even the 1-decimal array overflows does the
+    * terminal totals-only fallback (`queries_in_file_only`, the
+    * silent round-4 parsed:null failure mode's fix) drop per-query
+    * data from stdout: totals, sf and the failed list always fit.
+    * The FILE record keeps the full named map at full precision and
+    * every field either way. Package-visible so BenchLineSpec can
+    * pin the ladder without running a benchmark. */
   private[graft] def compactLine(names: Seq[String],
       wallMin: Map[String, Option[Double]], total: Double, cpuTotal: Double,
       calibMax: Double, sf: String, failedJson: String,
       throttled: Boolean = false): String = {
+    def num(x: Double, d: Int): String = {
+      val s = s"%.${d}f".format(x)
+      if (s.contains('.')) s.reverse.dropWhile(_ == '0').reverse.stripSuffix(".") else s
+    }
     def trimmed(d: Int): String = names.map { n =>
-      val v = wallMin(n).map { x =>
-        val s = s"%.${d}f".format(x)
-        if (s.contains('.')) s.reverse.dropWhile(_ == '0').reverse.stripSuffix(".") else s
-      }.getOrElse("null")
-      "\"" + n + "\":" + v
+      "\"" + n + "\":" + wallMin(n).map(num(_, d)).getOrElse("null")
     }.mkString("{", ",", "}")
+    def valuesArr(d: Int): String =
+      names.map(n => wallMin(n).map(num(_, d)).getOrElse("null")).mkString("[", ",", "]")
     // `failed` is this engine's own field (not part of the driver's
     // {"metric","value","unit","queries","sf"} contract): emitted only
     // when non-empty, because at 84 real query names the diag-free
@@ -117,12 +139,22 @@ object Bench {
       f"""{"metric":"total","value":$total%.1f,"unit":"sec","queries":${trimmed(d)},"sf":$sf""" +
         (if (diag) f""","cpu_sec":$cpuTotal%.1f,"calib_max":$calibMax%.2f""" else "") +
         failedField + throttledField + "}"
+    def qvAt(d: Int, diag: Boolean): String =
+      f"""{"metric":"total","value":$total%.1f,"unit":"sec","sf":$sf""" +
+        s""","n_queries":${names.size},"qn_md5":"${namesFingerprint(names)}"""" +
+        s""","qv":${valuesArr(d)}""" +
+        (if (diag) f""","cpu_sec":$cpuTotal%.1f,"calib_max":$calibMax%.2f""" else "") +
+        failedField + throttledField + "}"
     val c2 = compactAt(2, diag = true)
     val c1 = compactAt(1, diag = true)
     val c0 = compactAt(1, diag = false)
+    val v2 = qvAt(2, diag = true)
+    val v1 = qvAt(1, diag = false)
     if (c2.length <= 1850) c2
     else if (c1.length <= 1910) c1
     else if (c0.length <= 1910) c0
+    else if (v2.length <= 1850) v2
+    else if (v1.length <= 1910) v1
     else f"""{"metric":"total","value":$total%.1f,"unit":"sec","sf":$sf""" +
       s""","n_queries":${names.size},"queries_in_file_only":true$failedField$throttledField}"""
   }

@@ -8,9 +8,12 @@ import com.fasterxml.jackson.databind.ObjectMapper
   * (sbt's ~74-char success trailer included), so the metrics line
   * must stay parseable and <= 1910 chars at ANY registry size.
   * Round 4 shipped `parsed:null` when the then-3.1 KB line overflowed
-  * the window, and the overflow reproduces past ~84 queries unless
-  * the totals-only fallback kicks in — this spec drives the ladder
-  * with synthetic registries well past that point. */
+  * the window; round 10 shipped totals-only when the 86-name map
+  * outgrew the diag-free rung. The ladder's fix (round-10 verdict
+  * item 1) is the `qv` rung: per-query values as an ARRAY aligned to
+  * the sorted registry names, fingerprinted with `qn_md5` — this
+  * spec drives the ladder with synthetic registries well past 300
+  * queries and pins the real registry onto a per-query-carrying rung. */
 class BenchLineSpec extends AnyFunSuite {
   private val mapper = new ObjectMapper()
 
@@ -21,8 +24,24 @@ class BenchLineSpec extends AnyFunSuite {
       calibMax = 0.31, sf = "0.1", failedJson = "[]")
   }
 
-  test("compact line stays parseable and under the 1910-char budget from 1 to 150 queries") {
-    for (n <- Seq(1, 10, 40, 60, 83, 84, 90, 120, 150)) {
+  /** Per-query wall values as carried by whichever rung the line
+    * landed on: the named map, or the qv array (alignment verified
+    * against the fingerprint), or None on the totals-only fallback. */
+  private def perQuery(l: String, names: Seq[String]): Option[Seq[Double]] = {
+    val node = mapper.readTree(l)
+    if (node.has("queries")) {
+      Some(names.map(n => node.get("queries").get(n).asDouble))
+    } else if (node.has("qv")) {
+      assert(node.get("qn_md5").asText == Bench.namesFingerprint(names),
+        "qv rung must fingerprint the name list it is aligned to")
+      assert(node.get("n_queries").asInt == names.size)
+      assert(node.get("qv").size == names.size, "qv must have one slot per sorted name")
+      Some((0 until names.size).map(i => node.get("qv").get(i).asDouble))
+    } else None
+  }
+
+  test("compact line stays parseable and under the 1910-char budget from 1 to 300 queries") {
+    for (n <- Seq(1, 10, 40, 60, 83, 84, 90, 120, 150, 200, 300)) {
       val l = mkLine(n)
       assert(l.length <= 1910, s"$n queries: ${l.length} chars overflows the tail window")
       val node = mapper.readTree(l)
@@ -31,39 +50,72 @@ class BenchLineSpec extends AnyFunSuite {
       // an empty failed list is omitted — those 12 chars are what
       // keeps the 84-name registry's per-query map inside the window
       assert(!node.has("failed"), s"$n queries: empty failed list should be omitted")
+      // the round-10 regression: per-query data must survive far past
+      // the named map's ~84-name ceiling, via the qv rung
+      val names = (1 to n).map(i => f"llm_synthetic_query_name_$i%03d")
+      val vals = perQuery(l, names)
+      assert(vals.nonEmpty, s"$n queries: per-query data fell off the line")
+      assert(vals.get.forall(v => math.abs(v - 12.3456) < 0.06),
+        s"$n queries: rung values must round-trip within its decimal precision")
     }
   }
 
-  test("small registries keep per-query values + diagnostics; huge ones fall back to totals-only") {
+  test("small registries keep the named map + diagnostics; mid-size switch to qv; only 500+ fall back") {
     val small = mapper.readTree(mkLine(40))
     assert(small.has("queries") && small.get("queries").size == 40)
     assert(small.has("cpu_sec") && small.has("calib_max"),
       "diagnostics expected on the 2-decimal rung")
-    val big = mapper.readTree(mkLine(120))
-    assert(!big.has("queries"), "a 120-query map cannot fit the tail window")
+    val mid = mapper.readTree(mkLine(120))
+    assert(!mid.has("queries"), "a 120-name MAP cannot fit the tail window")
+    assert(mid.has("qv") && mid.get("qv").size == 120,
+      "120 queries must ride the qv rung, not the totals-only fallback")
+    assert(mid.has("cpu_sec"), "the 2-decimal qv rung still carries diagnostics")
+    val big = mapper.readTree(mkLine(500))
+    assert(!big.has("queries") && !big.has("qv"),
+      "500 synthetic 27-char names exceed even the qv rung")
     assert(big.get("queries_in_file_only").asBoolean,
       "fallback must say where the per-query data went")
-    assert(big.get("n_queries").asInt == 120)
+    assert(big.get("n_queries").asInt == 500)
   }
 
   test("failed queries render as null values and survive every rung") {
-    val names = (1 to 120).map(i => f"llm_synthetic_query_name_$i%03d")
+    val names = (1 to 500).map(i => f"llm_synthetic_query_name_$i%03d")
     val wall = names.map(nm => nm -> (None: Option[Double])).toMap
     val l = Bench.compactLine(names, wall, 0.0, 0.0, 0.31, "0.1",
       names.take(3).map("\"" + _ + "\"").mkString("[", ",", "]"))
     assert(l.length <= 1910)
     val node = mapper.readTree(l)
     assert(node.get("failed").size == 3, "failed list must survive the totals-only fallback")
+    // and on the qv rung, an all-failed registry is all-null slots
+    val names120 = names.take(120)
+    val l120 = Bench.compactLine(names120,
+      names120.map(nm => nm -> (None: Option[Double])).toMap, 0.0, 0.0, 0.31, "0.1",
+      names120.take(3).map("\"" + _ + "\"").mkString("[", ",", "]"))
+    val node120 = mapper.readTree(l120)
+    assert(node120.has("qv") && node120.get("qv").get(0).isNull,
+      "a failed query must hold a null slot in the qv array")
+    assert(node120.get("failed").size == 3)
   }
 
-  test("the real registry's line fits the window with its actual names") {
+  test("the real registry's line carries per-query data with its actual names") {
     val names = SparkEntry.queries.keys.toSeq.sorted
     val wall = names.map(nm => nm -> Some(3.21)).toMap
     val l = Bench.compactLine(names, wall, 46.1, 82.7, 0.31, "0.1", "[]")
     assert(l.length <= 1910, s"real registry line is ${l.length} chars")
-    val node = mapper.readTree(l)
-    assert(node.has("queries") && node.get("queries").size == names.size,
-      "the real registry should still carry its per-query map")
+    val vals = perQuery(l, names)
+    assert(vals.nonEmpty,
+      s"the real ${names.size}-query registry must carry per-query data (map or qv), " +
+        "not the totals-only fallback — round 10 shipped an artifact without it")
+    assert(vals.get.forall(v => math.abs(v - 3.21) < 0.06))
+    // worst case on the same registry: throttled flag + a failed list
+    // must not push the line onto the totals-only rung either
+    val lWorst = Bench.compactLine(names, wall, 46.1, 82.7, 0.92, "0.1",
+      names.take(3).map("\"" + _ + "\"").mkString("[", ",", "]"), throttled = true)
+    assert(lWorst.length <= 1910, s"worst-case real line is ${lWorst.length} chars")
+    val worst = mapper.readTree(lWorst)
+    assert(worst.get("throttled").asBoolean && worst.get("failed").size == 3)
+    assert(worst.has("queries") || worst.has("qv"),
+      "per-query data must survive the throttled+failed worst case at the real registry size")
   }
 
   // ---- throttle adjudication (round-9 verdict item 1) -------------

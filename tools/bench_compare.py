@@ -8,12 +8,31 @@ bench recorded failed queries, or any baseline query is missing from
 (or null/zero in) the new bench — a query that stops running must
 never read as an improvement.
 """
-import json, sys
+import hashlib, json, os, sys
 
 def load_bench(path):
     with open(path) as f:
         d = json.load(f)
-    return d.get("parsed", d)  # BENCH_r{N}.json wraps under "parsed"
+    d = d.get("parsed", d)  # BENCH_r{N}.json wraps under "parsed"
+    if "queries" not in d and "qv" in d:
+        # qv rung (86+ query registries): values array aligned to the
+        # SORTED registry names. Recover the names from BENCH_FULL.json
+        # (the tracked full record of the same run, next to the bench
+        # file or in the cwd) and verify the alignment fingerprint
+        # before zipping — a mismatch means the registry changed
+        # between the bench run and this read.
+        cands = [os.path.join(os.path.dirname(os.path.abspath(path)), "BENCH_FULL.json"),
+                 "BENCH_FULL.json"]
+        full = next((c for c in cands if os.path.exists(c)), None)
+        if full is None:
+            sys.exit(f"{path} is a qv-rung line but no BENCH_FULL.json found for its names")
+        names = sorted(json.load(open(full))["queries"])
+        fp = hashlib.md5(",".join(names).encode()).hexdigest()[:8]
+        if fp != d.get("qn_md5") or len(names) != len(d["qv"]):
+            sys.exit(f"qv fingerprint {d.get('qn_md5')}/{len(d['qv'])} does not match "
+                     f"{full}'s names ({fp}/{len(names)}) — registry drift, refusing to zip")
+        d["queries"] = dict(zip(names, d["qv"]))
+    return d
 
 def main(bench_path, base_path="BASELINE_BENCH.json"):
     bench = load_bench(bench_path)
