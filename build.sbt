@@ -40,4 +40,10 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // makes later queries run 10-50x slower (measured in round 3).
   "-XX:ReservedCodeCacheSize=1g",
 ) ++ sys.env.get("GRAFT_JVM_LOG").map(f =>
-  s"-Xlog:gc*,safepoint*:file=$f:time,uptime").toSeq
+  s"-Xlog:gc*,safepoint*:file=$f:time,uptime").toSeq ++
+  // Forward engine conf knobs into the FORKED run JVM (sbt -D lands
+  // in the sbt JVM only): GRAFT_CONF="k=v;k2=v2" becomes -Dk=v ...;
+  // Spark's session builder absorbs spark.* system properties, so
+  // e.g. GRAFT_CONF=spark.graft.kernels.enabled=false runs a whole
+  // Verify/Bench on the fallback formulations (tools/sf1_sweep.sh).
+  sys.env.get("GRAFT_CONF").toSeq.flatMap(_.split(';')).filter(_.nonEmpty).map("-D" + _)

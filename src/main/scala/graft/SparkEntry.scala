@@ -107,6 +107,11 @@ object SparkEntry {
     "llm_inverted_index" -> (Llm.invertedIndex _),
     "q13_asof_join"      -> (Joins.asofJoin _),
     "q14_range_join"     -> (Joins.rangeJoinBands _),
+    // the skew-proof as-of twin, with the chunk cap forced far below
+    // the testdata's per-user row counts (max ~43 at sf0.1) so the
+    // boundary stitch REALLY runs through the oracle gate — at the
+    // production default the twin degenerates to single chunks
+    "q15_asof_stitched"  -> ((s, d) => Joins.asofJoinStitched(s, d, maxRowsPerKey = 8L)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -956,5 +961,16 @@ object SparkEntry {
                 round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 4) AS sum_value
          FROM events e JOIN bands b ON e.value >= b.lo AND e.value < b.hi
          GROUP BY band, lo, hi""",
+    // the stitched twin answers the SAME question as q13 (bit-equal
+    // by construction, JoinsSpec) — the oracle is the same ASOF join
+    "q15_asof_stitched" ->
+      """SELECT p.event_id, p.user_id, epoch_us(p.ts) AS ts_us,
+                round(p.value, 4) AS click_value,
+                epoch_us(r.ts) AS asof_ts_us, round(r.value, 4) AS asof_value
+         FROM (SELECT event_id, user_id, ts, value FROM events
+               WHERE event_type = 'click') p
+         ASOF LEFT JOIN (SELECT user_id, ts, value FROM events
+                         WHERE event_type = 'purchase') r
+           ON p.user_id = r.user_id AND p.ts >= r.ts""",
   )
 }

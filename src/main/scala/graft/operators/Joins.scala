@@ -44,20 +44,27 @@ import graft.sources.Tables
   *
   * 100 TB posture:
   *  - as-of: one hash exchange + per-partition sort, the minimum any
-  *    order-sensitive per-key operator pays; skewed keys follow the
-  *    engine's standard answer (range partition by (key, ts) and
-  *    stitch the per-partition last ref value across boundaries — a
-  *    driver-size boundary table, same pattern as the DGIM stitch).
+  *    order-sensitive per-key operator pays; a SKEWED key (one key
+  *    holding a partition-breaking share of the rows) takes the
+  *    stitched twin `asofJoinStitched` below: chunk the key's
+  *    timeline, window per chunk, stitch chunk boundaries with a
+  *    broadcast carry table — same pattern as the DGIM stitch
+  *    (Sketches.dgimStitchedOn).
   *  - range: bin width trades explode factor vs residual selectivity;
-  *    with intervals ~uniform in width, pick width ≈ median interval
-  *    so each interval lands in O(1) bins.
+  *    computed from the interval table at plan-build time
+  *    (`chooseBinWidth`): the median interval width keeps a typical
+  *    interval in O(1) bins, clamped from below by total-width/4096
+  *    so an outlier-wide interval cannot explode the broadcast table.
   */
 object Joins {
 
   /** Irregular value bands for the range join — deliberately NOT
     * uniform, so band lookup is a genuine interval probe rather than
     * a closed-form floor(value/width). Covers [0, 1000); events.value
-    * spans ~(0, 561] across the shipped SFs. */
+    * spans ~[0, 561] across the shipped SFs and TESTDATA.md records
+    * the [0, 1000) domain contract — a value outside it would fall
+    * out of q14 on BOTH the Spark and oracle sides, so the contract
+    * is asserted by JoinsSpec's every-event-covered check. */
   private[graft] val bands: Seq[(String, Double, Double)] = Seq(
     ("micro", 0.0, 1.0),
     ("tiny", 1.0, 5.0),
@@ -67,8 +74,36 @@ object Joins {
     ("xl", 150.0, 300.0),
     ("huge", 300.0, 1000.0))
 
-  /** Bin width for the range join's interval binning. */
-  private[graft] val binWidth = 25.0
+  /** Bin width for a given interval table, computed driver-side at
+    * plan-build time (the table is tiny by contract — it broadcasts).
+    * Median interval width ⇒ a typical interval overlaps O(1) bins;
+    * the total-width/4096 clamp bounds the exploded bin table at
+    * ~4096 + 2·|bands| rows even when one interval is orders of
+    * magnitude wider than the median (each interval costs
+    * ceil(width/binWidth)+1 ≤ width/binWidth + 2 bins, and
+    * Σ width/binWidth ≤ 4096 under the clamp), so the broadcast
+    * stays kilobytes no matter how skewed the interval widths are. */
+  private[graft] def chooseBinWidth(bandTable: Seq[(String, Double, Double)]): Double = {
+    require(bandTable.nonEmpty, "range join needs at least one band")
+    val widths = bandTable.map { case (_, lo, hi) => hi - lo }.sorted
+    val median = widths(widths.size / 2)
+    math.max(math.max(median, widths.map(identity).sum / 4096.0), 1e-9)
+  }
+
+  /** The interval table exploded into the fixed-width bins each
+    * interval overlaps — the build side of the range join's hash
+    * equi-join. Package-visible so JoinsSpec can pin the bounded-
+    * explode property under skewed interval widths. */
+  private[graft] def explodedBins(spark: SparkSession,
+      bandTable: Seq[(String, Double, Double)], binWidth: Double): DataFrame = {
+    import spark.implicits._
+    bandTable.toDF("band", "lo", "hi")
+      .withColumn("bin", explode(sequence(
+        floor(col("lo") / binWidth).cast("int"),
+        // hi is exclusive: the last overlapped bin is the one holding
+        // the largest representable value strictly below hi
+        floor((col("hi") - lit(1e-9)) / binWidth).cast("int"))))
+  }
 
   /** As-of join: for each `click` event, the user's most recent
     * `purchase` at-or-before it (value + timestamp), left-joined —
@@ -80,6 +115,10 @@ object Joins {
     * the latest ref value forward onto every probe row. Ref rows sort
     * before probe rows at equal ts (side asc) ⇒ inclusive `<=`
     * as-of semantics, matching the DuckDB `ASOF LEFT JOIN` oracle.
+    * event_id is the tertiary sort key: without it, two refs sharing
+    * (user_id, ts) would make the carried value a nondeterministic
+    * window-tie pick (no such ties exist in the shipped testdata —
+    * TESTDATA.md — but the operator must not rely on that).
     */
   def asofJoin(spark: SparkSession, dir: String): DataFrame = {
     val tagged = Tables.events(spark, dir)
@@ -89,7 +128,7 @@ object Joins {
         when(col("event_type") === "click", 1).otherwise(0).as("side"),
         col("event_id"), col("value"))
     val w = Window.partitionBy(col("user_id"))
-      .orderBy(col("ts").asc, col("side").asc)
+      .orderBy(col("ts").asc, col("side").asc, col("event_id").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     tagged
       .withColumn("asof_ts_us",
@@ -105,23 +144,118 @@ object Joins {
         round(col("asof_value"), 4).as("asof_value"))
   }
 
+  /** The skew-proof as-of twin (round-10 verdict item 5): bit-equal
+    * output to `asofJoin`, but no single key's rows ever have to fit
+    * one window partition. The window form's scale limit is a key
+    * whose whole history lands on one task; this form splits such a
+    * key's timeline into ts-chunks and stitches the chunk boundaries:
+    *
+    *  1. skew census — `groupBy(key).agg(count, min ts, max ts)`,
+    *     keeping only keys above `maxRowsPerKey` (≤ total/cap keys by
+    *     construction, so the broadcast is bounded);
+    *  2. chunk assignment — a skewed key's rows get
+    *     `sub = floor((ts - lo) / w)` with w sized for ~cap rows per
+    *     chunk; everyone else sub = 0. The partitioned window then
+    *     runs per (key, sub): the one data exchange, now skew-free;
+    *  3. boundary stitch — per (key, sub) the chunk's LAST ref
+    *     (max_by over side=0 rows) forms a chunks-sized table; a tiny
+    *     window over IT (partitionBy key, orderBy sub, rows up to -1,
+    *     last ignoreNulls) yields each chunk's carry-in: the most
+    *     recent ref from ALL earlier chunks, skipping ref-less ones.
+    *     Broadcast-joined back on (key, sub);
+    *  4. a probe's as-of = coalesce(chunk-local carry, carry-in) —
+    *     sound because chunk ts-ranges are disjoint and ordered, so
+    *     any local ref is strictly newer than every earlier-chunk ref.
+    *
+    * Same shape as the DGIM stitch (interior chunks exact, boundaries
+    * stitched through a small ordered table). Cost: the census is a
+    * second (cheap, partial-agged) scan and the stitch table a third —
+    * at real scale the census comes from table stats / AQE skew
+    * detection instead; this is the escape hatch for the skewed-key
+    * regime, not the default path. Ordering inside a chunk matches
+    * `asofJoin` exactly (ts, side, event_id), so the two forms agree
+    * bit-for-bit (JoinsSpec pins equality; the q15 oracle row reuses
+    * q13's DuckDB ASOF LEFT JOIN).
+    */
+  def asofJoinStitched(spark: SparkSession, dir: String,
+      maxRowsPerKey: Long = 1 << 20): DataFrame = {
+    val tagged = Tables.events(spark, dir)
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(
+        col("user_id"), unix_micros(col("ts")).as("ts_us"),
+        when(col("event_type") === "click", 1).otherwise(0).as("side"),
+        col("event_id"), col("value"))
+
+    // 1. skew census: only keys ABOVE the cap survive (bounded set)
+    val skew = tagged.groupBy("user_id")
+      .agg(count(lit(1)).as("n"), min("ts_us").as("lo"), max("ts_us").as("hi"))
+      .filter(col("n") > maxRowsPerKey)
+      .select(col("user_id").as("sk_user"), col("lo"),
+        // chunk width: the key's ts span split into ceil(n/cap)
+        // chunks, floored at 1 µs (all-identical-ts keys collapse to
+        // one chunk — no narrower split is possible or needed)
+        greatest(ceil((col("hi") - col("lo") + 1).cast("double") /
+          ceil(col("n") / lit(maxRowsPerKey.toDouble))), lit(1.0)).cast("long").as("w"))
+
+    // 2. chunk ids: non-skewed keys miss the broadcast join → sub 0
+    val chunked = tagged.join(broadcast(skew), col("user_id") === col("sk_user"), "left")
+      .withColumn("sub", coalesce(floor((col("ts_us") - col("lo")) / col("w")), lit(0L)))
+      .drop("sk_user", "lo", "w")
+
+    val w = Window.partitionBy(col("user_id"), col("sub"))
+      .orderBy(col("ts_us").asc, col("side").asc, col("event_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = chunked
+      .withColumn("loc_ts",
+        last(when(col("side") === 0, col("ts_us")), ignoreNulls = true).over(w))
+      .withColumn("loc_v",
+        last(when(col("side") === 0, col("value")), ignoreNulls = true).over(w))
+
+    // 3. the stitch table: each SKEWED key's chunks with their last
+    // ref; ref-less chunks keep a null and the ignoreNulls window
+    // carries past them. max_by's ordering key is null for probe
+    // rows, so only refs compete — ties on ts break by event_id,
+    // matching the window's (ts, side, event_id) order.
+    val bounds = chunked
+      .join(broadcast(skew.select(col("sk_user"))),
+        col("user_id") === col("sk_user"), "leftsemi")
+      .groupBy(col("user_id"), col("sub"))
+      .agg(max_by(struct(col("ts_us"), col("value")),
+        when(col("side") === 0, struct(col("ts_us"), col("event_id")))).as("lastref"))
+    val carryW = Window.partitionBy(col("user_id")).orderBy(col("sub").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carry = bounds
+      .withColumn("carry", last(col("lastref"), ignoreNulls = true).over(carryW))
+      .filter(col("carry").isNotNull)
+      .select(col("user_id").as("c_user"), col("sub").as("c_sub"),
+        col("carry.ts_us").as("carry_ts"), col("carry.value").as("carry_v"))
+
+    // 4. stitch: local chunk carry wins (strictly newer by chunk
+    // ordering); earlier-chunk carry-in fills the chunk's pre-ref gap
+    local.filter(col("side") === 1)
+      .join(broadcast(carry),
+        col("user_id") === col("c_user") && col("sub") === col("c_sub"), "left")
+      .select(
+        col("event_id"), col("user_id"), col("ts_us"),
+        round(col("value"), 4).as("click_value"),
+        coalesce(col("loc_ts"), col("carry_ts")).as("asof_ts_us"),
+        round(coalesce(col("loc_v"), col("carry_v")), 4).as("asof_value"))
+  }
+
   /** Range join: classify every event's value into an irregular band
     * table (point-in-interval, NO equi key), then roll up per band.
     *
-    * Each band explodes into the fixed-width bins it overlaps; the
-    * probe side computes its bin in closed form; the join is then a
-    * hash equi-join on the bin with the interval test as a residual.
-    * Sum in exact decimal (order-independent) before the single cast
-    * to double — same hygiene as q12.
+    * Each band explodes into the bins it overlaps (width chosen from
+    * the band table itself — `chooseBinWidth`); the probe side
+    * computes its bin in closed form; the join is then a hash
+    * equi-join on the bin with the interval test as a residual. Sum
+    * in exact decimal (order-independent) before the single cast to
+    * double — same hygiene as q12.
     */
-  def rangeJoinBands(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val bandBins = bands.toDF("band", "lo", "hi")
-      .withColumn("bin", explode(sequence(
-        floor(col("lo") / binWidth).cast("int"),
-        // hi is exclusive: the last overlapped bin is the one holding
-        // the largest representable value strictly below hi
-        floor((col("hi") - lit(1e-9)) / binWidth).cast("int"))))
+  def rangeJoin(spark: SparkSession, dir: String,
+      bandTable: Seq[(String, Double, Double)]): DataFrame = {
+    val binWidth = chooseBinWidth(bandTable)
+    val bandBins = explodedBins(spark, bandTable, binWidth)
     val e = Tables.events(spark, dir)
       .select(col("value"), floor(col("value") / binWidth).cast("int").as("bin"))
     e.join(broadcast(bandBins),
@@ -132,4 +266,8 @@ object Joins {
         count(lit(1)).as("n_events"),
         round(sum(col("value").cast("decimal(18,2)")).cast("double"), 4).as("sum_value"))
   }
+
+  /** The declared q14 query: the range join over the fixed band set. */
+  def rangeJoinBands(spark: SparkSession, dir: String): DataFrame =
+    rangeJoin(spark, dir, bands)
 }

@@ -52,6 +52,14 @@ object Tables {
     import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     if (s.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true")
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // The NTZ→TimestampType cast below is value-preserving ONLY under
+    // a UTC session zone; every in-repo session pins it, but a
+    // driver-owned session that hasn't would silently shift every ts
+    // by its zone offset. Same sticky-idempotent-set reasoning as
+    // nanosAsLong above: the scan is lazy, so a scoped save/restore
+    // would be unsound — the conf must still hold at action time.
+    if (s.conf.get("spark.sql.session.timeZone") != "UTC")
+      s.conf.set("spark.sql.session.timeZone", "UTC")
     val raw = table(s, d, "events")
     raw.schema("ts").dataType match {
       case LongType         => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))

@@ -13,6 +13,19 @@ class JoinsSpec extends AnyFunSuite {
   private val spark = TestSpark.spark
   private val sf = TestSpark.sf
 
+  // Spark's round() on doubles is BigDecimal HALF_UP on the double's
+  // canonical decimal form — math.rint (half-to-even on a scaled
+  // float) would fail spuriously on an exact 1e-4 half-tie
+  private def r4(v: Double): Double =
+    BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  private def collectAsof(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map { r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        if (r.isNullAt(4)) None else Some(r.getLong(4)),
+        if (r.isNullAt(5)) None else Some(r.getDouble(5)))
+    }.toSet
+
   test("as-of join matches the brute-force per-probe max(ref.ts <= probe.ts)") {
     import org.apache.spark.sql.functions._
     val e = graft.sources.Tables.events(spark, sf)
@@ -24,20 +37,83 @@ class JoinsSpec extends AnyFunSuite {
     val expected = e.filter(_._3 == "click").map { case (id, u, _, ts, v) =>
       val prior = refs.getOrElse(u, Array.empty).filter(_._4 <= ts)
       val best = if (prior.isEmpty) None else Some(prior.maxBy(_._4))
-      (id, u, ts, math.rint(v * 1e4) / 1e4,
-        best.map(_._4), best.map(b => math.rint(b._5 * 1e4) / 1e4))
+      (id, u, ts, r4(v), best.map(_._4), best.map(b => r4(b._5)))
     }.toSet
 
-    val got = Joins.asofJoin(spark, sf).collect().map { r =>
-      (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
-        if (r.isNullAt(4)) None else Some(r.getLong(4)),
-        if (r.isNullAt(5)) None else Some(r.getDouble(5)))
-    }.toSet
-
+    val got = collectAsof(Joins.asofJoin(spark, sf))
     assert(got == expected)
     // both populated and null-asof rows must exist, or the fixture
     // stopped exercising the LEFT semantics
     assert(got.exists(_._5.isEmpty) && got.exists(_._5.nonEmpty))
+  }
+
+  test("stitched as-of twin is bit-equal to the window form, with chunking really engaged") {
+    val want = collectAsof(Joins.asofJoin(spark, sf))
+    // cap far below the per-user row counts (max ~32 at sf0.001), so
+    // most keys split into several ts-chunks and the boundary stitch
+    // carries refs across them — a cap that never triggers would make
+    // this test vacuous
+    for (cap <- Seq(4L, 8L)) {
+      val got = collectAsof(Joins.asofJoinStitched(spark, sf, maxRowsPerKey = cap))
+      assert(got == want, s"stitched(cap=$cap) diverged from the window form")
+    }
+    // and at the never-split default the twin degenerates to the
+    // single-chunk window semantics unchanged
+    assert(collectAsof(Joins.asofJoinStitched(spark, sf)) == want)
+  }
+
+  test("stitched as-of must cross chunk boundaries (stitch engagement probe)") {
+    import org.apache.spark.sql.functions._
+    // replicate the operator's own chunk assignment at cap=4 and
+    // count probes whose brute-force as-of ref sits in an EARLIER
+    // chunk — those are answerable ONLY through the carry table, so
+    // a nonzero count proves the bit-equality test above actually
+    // exercised the stitch rather than 1-chunk degenerate splits
+    val cap = 4L
+    val e = graft.sources.Tables.events(spark, sf)
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+        when(col("event_type") === "click", 1).otherwise(0).as("side"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val crossers = e.groupBy(_._1).values.map { rows =>
+      val n = rows.length
+      if (n <= cap) 0
+      else {
+        val lo = rows.map(_._2).min
+        val hi = rows.map(_._2).max
+        val w = math.max(math.ceil((hi - lo + 1).toDouble / math.ceil(n / cap.toDouble)).toLong, 1L)
+        def sub(ts: Long): Long = (ts - lo) / w
+        val sorted = rows.sortBy(r => (r._2, r._3))
+        var lastRef = Option.empty[Long] // ts of most recent ref
+        var cross = 0
+        for ((_, ts, side) <- sorted) {
+          if (side == 0) lastRef = Some(ts)
+          else lastRef.foreach(rts => if (sub(rts) < sub(ts)) cross += 1)
+        }
+        cross
+      }
+    }.sum
+    assert(crossers > 0,
+      "fixture no longer makes any probe's as-of ref fall in an earlier cap-4 chunk — stitch untested")
+  }
+
+  test("range join bin width bounds the exploded table under skewed interval widths") {
+    // 100 narrow bands + one 3-orders-wider: the median alone would
+    // explode the wide band into ~40k bins; the total-width/4096
+    // clamp must keep the whole table near 4096 rows
+    val skewed = (0 until 100).map(i => (s"n$i", i * 1.0, i * 1.0 + 0.5)) :+
+      (("wide", 1000.0, 41000.0))
+    val w = Joins.chooseBinWidth(skewed)
+    val exploded = Joins.explodedBins(spark, skewed, w).count()
+    assert(exploded <= 4096 + 2 * skewed.size,
+      s"exploded $exploded rows — broadcast bound broken at width $w")
+    // every interval still lands in at least one bin
+    assert(exploded >= skewed.size)
+    // and the uniform case stays O(1) bins per interval
+    val uniform = (0 until 50).map(i => (s"u$i", i * 10.0, i * 10.0 + 10.0))
+    val wu = Joins.chooseBinWidth(uniform)
+    val eu = Joins.explodedBins(spark, uniform, wu).count()
+    assert(eu <= 2L * uniform.size, s"uniform bands exploded $eu rows at width $wu")
   }
 
   test("range join matches the brute-force interval scan and covers every event") {

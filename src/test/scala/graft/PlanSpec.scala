@@ -270,6 +270,23 @@ class PlanSpec extends AnyFunSuite {
       s"type filter must reach the parquet scan:\n$p")
   }
 
+  test("stitched as-of partitions the data window by (user_id, sub) and stitches via broadcast") {
+    // the skew-proof twin's contract: the one DATA exchange hashes on
+    // (user_id, sub) — a skewed key's rows spread across chunks
+    // instead of one task — and every stitch-side join (skew census,
+    // carry table) broadcasts; nothing may degenerate to a nested
+    // loop or pull the big side to one partition
+    val p = plan("q15_asof_stitched")
+    assert(p.contains("Exchange hashpartitioning(user_id") && p.contains(", sub"),
+      s"stitched as-of window must partition by (user_id, sub):\n$p")
+    assert(!p.contains("Exchange SinglePartition"), "stitched as-of must stay partitioned")
+    assert(p.contains("BroadcastHashJoin"), s"stitch joins must broadcast:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct") &&
+      !p.contains("SortMergeJoin"), s"stitch-side join degenerated:\n$p")
+    assert(p.contains("PushedFilters: [In(event_type"),
+      s"type filter must reach the parquet scan:\n$p")
+  }
+
   test("range join plans as a hash equi-join on the bin, never a nested loop") {
     // without the bin key the interval predicate has no equi
     // conjunct, so Spark would plan BroadcastNestedLoopJoin — every
