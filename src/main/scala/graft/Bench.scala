@@ -47,6 +47,22 @@ import org.apache.spark.sql.SparkSession
   *    probe's work is constant, so calib_sec >> its healthy ~0.3 s
   *    directly measures the host slowdown factor for that window.
   *
+  * CPU-ledger attribution limits (round-11 adjudication of the
+  * round-10 "watch" pair): the per-query CPU numbers come from
+  * stage-completion deltas around each materialization, settled by
+  * polling the async listener bus. Under host throttle the settle
+  * can time out (2 s cap) while a slow stage is still draining, so a
+  * stage's CPU lands on the NEXT query — and frequency scaling
+  * stretches CPU-ns itself. Round 10's official artifact recorded
+  * llm_inverted_index at 12.6 CPU-s and llm_simhash at 2× wall with
+  * halved CPU; a quiet-host DevTime re-measure (round 11, 3 runs
+  * each) got warm 2.3–3.5 CPU-s and 0.6–0.9 s wall respectively —
+  * the declared SURVEY §8 floors stand, and a per-query CPU reading
+  * that disagrees with its own wall/CPU history by >2× on a run with
+  * slow calibration probes should be re-measured with DevTime before
+  * being believed (fresh session, one query at a time, no
+  * neighboring stages to misattribute).
+  *
   * Throttle PROOFING (round-9 verdict top item — the round-9 official
   * artifact shipped a 2x-inflated total that per-sweep probes could
   * diagnose but not correct, because one throttle window spanned the
