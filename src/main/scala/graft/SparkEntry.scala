@@ -112,6 +112,7 @@ object SparkEntry {
     // boundary stitch REALLY runs through the oracle gate — at the
     // production default the twin degenerates to single chunks
     "q15_asof_stitched"  -> ((s, d) => Joins.asofJoinStitched(s, d, maxRowsPerKey = 8L)),
+    "q16_interval_join"  -> (Joins.intervalJoin _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -972,5 +973,37 @@ object SparkEntry {
          ASOF LEFT JOIN (SELECT user_id, ts, value FROM events
                          WHERE event_type = 'purchase') r
            ON p.user_id = r.user_id AND p.ts >= r.ts""",
+    // interval × interval overlap: the session derivation is
+    // eco_sessions' oracle verbatim; the window grid is one 90-min
+    // window every 6 h from the first event. The theta join is the
+    // oracle's prerogative — the engine runs the binned equi-join
+    // with the first-overlap-bin dedupe guard instead (Joins.scala)
+    "q16_interval_join" ->
+      """WITH e AS (
+           SELECT user_id, event_id, date_trunc('microseconds', ts) AS mts,
+                  CAST(floor(epoch(ts)) AS BIGINT) AS sec
+           FROM events),
+         g AS (
+           SELECT user_id, sec, mts, event_id,
+             CASE WHEN lag(sec) OVER w IS NULL OR sec - lag(sec) OVER w > 1800
+                  THEN 1 ELSE 0 END AS gap
+           FROM e WINDOW w AS (PARTITION BY user_id ORDER BY mts, event_id)),
+         s AS (
+           SELECT user_id, sec,
+             sum(gap) OVER (PARTITION BY user_id ORDER BY mts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session
+           FROM g),
+         sess AS (
+           SELECT user_id, min(sec) AS s_lo, max(sec) AS s_hi
+           FROM s GROUP BY user_id, session),
+         span AS (SELECT min(sec) AS t0, max(sec) AS t1 FROM e),
+         ks AS (SELECT unnest(generate_series(0,
+                  CAST(floor((t1 - t0) / 21600) AS BIGINT))) AS k, t0 FROM span),
+         wins AS (SELECT k, t0 + k * 21600 AS w_lo,
+                         t0 + k * 21600 + 5400 AS w_hi FROM ks)
+         SELECT k, w_lo, w_hi, count(*) AS n_sessions,
+                count(DISTINCT user_id) AS n_users
+         FROM sess JOIN wins ON s_lo < w_hi AND w_lo <= s_hi
+         GROUP BY 1, 2, 3""",
   )
 }

@@ -270,4 +270,63 @@ object Joins {
   /** The declared q14 query: the range join over the fixed band set. */
   def rangeJoinBands(spark: SparkSession, dir: String): DataFrame =
     rangeJoin(spark, dir, bands)
+
+  /** Interval-overlap join (q16): completes the temporal-join family
+    * — the as-of join matches a point against a point history, the
+    * range join a point against intervals; this joins INTERVALS to
+    * INTERVALS. Concretely: gap-based user sessions
+    * (Ecosystem.sessions) against a derived audit-window grid (one
+    * 90-minute window every 6 hours across the corpus timespan,
+    * anchored at the first event), counting overlapping sessions and
+    * distinct users per window.
+    *
+    * Scale pattern: BOTH sides explode into fixed-width time bins
+    * and hash-equi-join on the bin with the overlap test as residual
+    * — the two-sided generalization of q14's binning (which bins
+    * only the build side). A pair whose overlap region spans k
+    * shared bins would emit k times; the FIRST-OVERLAP-BIN guard
+    * (keep the pair only in the bin holding max(s_lo, w_lo)) makes
+    * the join duplicate-free WITHOUT a post-join distinct — at
+    * 100 TB that deletes a full-output-sized shuffle. The window
+    * grid broadcasts here (a grid over any corpus timespan is tiny);
+    * two genuinely large interval tables shuffle-hash on the bin
+    * instead — same plan shape, same guard. The grid itself derives
+    * lazily from a broadcast 1-row min/max aggregate, so no driver
+    * action runs at plan-build time.
+    *
+    * The 600 s bin is deliberately finer than the 5 400 s window so
+    * multi-bin overlap pairs occur in the shipped testdata and the
+    * guard is exercised through the oracle gate (JoinsSpec pins
+    * engagement: without the guard, n_sessions would overcount). */
+  def intervalJoin(spark: SparkSession, dir: String): DataFrame = {
+    val binSec = 600L
+    val pitchSec = 21600L
+    val winLenSec = 5400L
+    // closed session intervals [s_lo, s_hi] in epoch seconds
+    // (duration-0 sessions are points); half-open windows [w_lo, w_hi)
+    val sessions = Ecosystem.sessions(spark, dir)
+      .select(col("user_id"), col("session_start").as("s_lo"),
+        (col("session_start") + col("duration_s")).as("s_hi"))
+    val span = Tables.events(spark, dir)
+      .agg(min(col("ts").cast("long")).as("t0"), max(col("ts").cast("long")).as("t1"))
+    val wins = span
+      .select(col("t0"), explode(sequence(lit(0L),
+        floor((col("t1") - col("t0")) / pitchSec))).as("k"))
+      .select(col("k"), (col("t0") + col("k") * pitchSec).as("w_lo"))
+      .withColumn("w_hi", col("w_lo") + winLenSec)
+    val winBins = wins.withColumn("bin",
+      explode(sequence(floor(col("w_lo") / binSec),
+        // w_hi exclusive: last overlapped bin holds w_hi - 1
+        floor((col("w_hi") - 1) / binSec))))
+    val sessBins = sessions.withColumn("bin",
+      explode(sequence(floor(col("s_lo") / binSec), floor(col("s_hi") / binSec))))
+    sessBins.join(broadcast(winBins),
+        sessBins("bin") === winBins("bin") &&
+        col("s_lo") < col("w_hi") && col("w_lo") <= col("s_hi") &&
+        // first-overlap-bin guard: emit each overlapping pair exactly
+        // once, in the bin where its overlap region begins
+        sessBins("bin") === floor(greatest(col("s_lo"), col("w_lo")) / binSec))
+      .groupBy(col("k"), col("w_lo"), col("w_hi"))
+      .agg(count(lit(1)).as("n_sessions"), countDistinct(col("user_id")).as("n_users"))
+  }
 }

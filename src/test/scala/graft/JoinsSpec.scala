@@ -97,6 +97,44 @@ class JoinsSpec extends AnyFunSuite {
       "fixture no longer makes any probe's as-of ref fall in an earlier cap-4 chunk — stitch untested")
   }
 
+  test("interval-overlap join matches brute force and the bin guard really deduplicates") {
+    import org.apache.spark.sql.functions._
+    val (binSec, pitchSec, winLenSec) = (600L, 21600L, 5400L)
+    val sess = graft.operators.Ecosystem.sessions(spark, sf)
+      .select(col("user_id"), col("session_start"),
+        (col("session_start") + col("duration_s")).as("s_hi"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val secs = graft.sources.Tables.events(spark, sf)
+      .select(col("ts").cast("long")).collect().map(_.getLong(0))
+    val (t0, t1) = (secs.min, secs.max)
+    val wins = (0L to (t1 - t0) / pitchSec).map { k =>
+      val lo = t0 + k * pitchSec; (k, lo, lo + winLenSec)
+    }
+    val pairs = for {
+      (u, sLo, sHi) <- sess
+      (k, wLo, wHi) <- wins
+      if sLo < wHi && wLo <= sHi
+    } yield (k, wLo, wHi, u, sLo, sHi)
+    val expected = pairs.groupBy(p => (p._1, p._2, p._3)).map { case ((k, lo, hi), ps) =>
+      (k, lo, hi, ps.length.toLong, ps.map(_._4).distinct.length.toLong)
+    }.toSet
+
+    val got = Joins.intervalJoin(spark, sf).collect().map { r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+    }.toSet
+    assert(got == expected)
+
+    // engagement: some overlapping pair's overlap REGION must span a
+    // bin boundary — those pairs share >= 2 bins and would double in
+    // n_sessions without the first-overlap-bin guard, so brute-force
+    // equality above only proves the guard if such pairs exist
+    val multiBin = pairs.count { case (_, wLo, wHi, _, sLo, sHi) =>
+      math.min(sHi, wHi - 1) / binSec > math.max(sLo, wLo) / binSec
+    }
+    assert(multiBin > 0,
+      "fixture has no multi-bin overlap pair at 600 s bins — dedupe guard untested")
+  }
+
   test("range join bin width bounds the exploded table under skewed interval widths") {
     // 100 narrow bands + one 3-orders-wider: the median alone would
     // explode the wide band into ~40k bins; the total-width/4096

@@ -297,6 +297,19 @@ class PlanSpec extends AnyFunSuite {
       s"interval probe degenerated to a nested loop:\n$p")
   }
 
+  test("interval-overlap join is a binned hash equi-join, never a nested loop") {
+    // interval × interval with no equi key is the other classic
+    // nested-loop degeneration; the two-sided bin explode must keep
+    // it a BroadcastHashJoin with the overlap test as residual, and
+    // the sessionization window must stay partitioned by user_id
+    val p = plan("q16_interval_join")
+    assert(p.contains("BroadcastHashJoin"), s"interval join must hash-join on the bin:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"interval overlap degenerated to a nested loop:\n$p")
+    assert(p.contains("Exchange hashpartitioning(user_id"),
+      s"sessionization window must partition by user_id:\n$p")
+  }
+
   test("quantized kNN ranks on the dequantize-dot kernel, not an interpreted fold") {
     // round-9 verdict item 5: the approximate-similarity pass was the
     // last aggregate(zip_with(...)) in a declared query — pin that
