@@ -120,8 +120,17 @@ object Joins {
     * window-tie pick (no such ties exist in the shipped testdata —
     * TESTDATA.md — but the operator must not rely on that).
     */
-  def asofJoin(spark: SparkSession, dir: String): DataFrame = {
-    val tagged = Tables.events(spark, dir)
+  def asofJoin(spark: SparkSession, dir: String): DataFrame =
+    asofJoinOn(Tables.events(spark, dir))
+
+  /** The as-of join over an arbitrary events-shaped frame
+    * (user_id, ts timestamp, event_type, event_id, value) — the
+    * `dgimStitchedOn` pattern, so PropertySpec can drive the
+    * window/stitched pair with adversarial generated data (duplicate
+    * (user_id, ts) refs, single-key skew) that the parquet fixtures
+    * never contain. */
+  private[graft] def asofJoinOn(events: DataFrame): DataFrame = {
+    val tagged = events
       .filter(col("event_type").isin("click", "purchase"))
       .select(
         col("user_id"), col("ts"),
@@ -178,8 +187,13 @@ object Joins {
     * q13's DuckDB ASOF LEFT JOIN).
     */
   def asofJoinStitched(spark: SparkSession, dir: String,
-      maxRowsPerKey: Long = 1 << 20): DataFrame = {
-    val tagged = Tables.events(spark, dir)
+      maxRowsPerKey: Long = 1 << 20): DataFrame =
+    asofJoinStitchedOn(Tables.events(spark, dir), maxRowsPerKey)
+
+  /** See `asofJoinOn` — the stitched twin over an arbitrary frame. */
+  private[graft] def asofJoinStitchedOn(events: DataFrame,
+      maxRowsPerKey: Long): DataFrame = {
+    val tagged = events
       .filter(col("event_type").isin("click", "purchase"))
       .select(
         col("user_id"), unix_micros(col("ts")).as("ts_us"),

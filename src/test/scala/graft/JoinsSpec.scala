@@ -97,6 +97,43 @@ class JoinsSpec extends AnyFunSuite {
       "fixture no longer makes any probe's as-of ref fall in an earlier cap-4 chunk — stitch untested")
   }
 
+  test("window and stitched as-of agree with brute force on adversarial generated data") {
+    // the parquet fixtures contain no duplicate (user_id, ts) refs
+    // and no single-key skew — generate both: a giant key holding
+    // ~half the rows, ts drawn from only 20 distinct seconds (heavy
+    // collisions, incl. ref/ref and ref/probe ties), plus users with
+    // no refs at all. The deterministic tie rule (max event_id among
+    // equal-ts refs) must make window form, stitched form at tiny
+    // caps, and brute force agree exactly — seeded, so failures
+    // reproduce.
+    import spark.implicits._
+    for (seed <- Seq(11L, 22L, 33L, 44L, 55L)) {
+      val rnd = new scala.util.Random(seed)
+      val nUsers = 1 + rnd.nextInt(4)
+      val rows = (0 until 400).map { i =>
+        val user = if (rnd.nextDouble() < 0.5) 99L else 1L + rnd.nextInt(nUsers)
+        val tsSec = rnd.nextInt(20).toLong
+        (user, new java.sql.Timestamp(tsSec * 1000L),
+          if (rnd.nextBoolean()) "click" else "purchase",
+          i.toLong, rnd.nextDouble() * 100.0)
+      }
+      val refs = rows.filter(_._3 == "purchase").groupBy(_._1)
+      val want = rows.filter(_._3 == "click").map { case (u, ts, _, id, v) =>
+        val tsUs = ts.getTime * 1000L
+        val prior = refs.getOrElse(u, Seq.empty).filter(_._2.getTime * 1000L <= tsUs)
+        val best =
+          if (prior.isEmpty) None
+          else Some(prior.maxBy(r => (r._2.getTime, r._4))) // ts, then event_id
+        (id, u, tsUs, r4(v), best.map(_._2.getTime * 1000L), best.map(b => r4(b._5)))
+      }.toSet
+      val df = rows.toDF("user_id", "ts", "event_type", "event_id", "value")
+      assert(collectAsof(Joins.asofJoinOn(df)) == want, s"window form diverged, seed=$seed")
+      for (cap <- Seq(3L, 7L))
+        assert(collectAsof(Joins.asofJoinStitchedOn(df, cap)) == want,
+          s"stitched form diverged, cap=$cap seed=$seed")
+    }
+  }
+
   test("interval-overlap join matches brute force and the bin guard really deduplicates") {
     import org.apache.spark.sql.functions._
     val (binSec, pitchSec, winLenSec) = (600L, 21600L, 5400L)
