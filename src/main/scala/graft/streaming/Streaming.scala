@@ -169,6 +169,109 @@ object Streaming {
       }
   }
 
+  /** One enriched probe from `asofEnrich` — the same columns as the
+    * batch as-of join (Joins.asofJoin), so the two legs are directly
+    * comparable. */
+  case class AsofOut(event_id: Long, user_id: Long, ts_us: Long,
+                     click_value: Double,
+                     asof_ts_us: Option[Long], asof_value: Option[Double])
+
+  /** An event waiting in `asofEnrich` state: a ref not yet sealed by
+    * the watermark, or a probe not yet answerable. */
+  case class AsofPending(ts_us: Long, event_id: Long, value: Double)
+
+  /** Per-user `asofEnrich` state: the single compacted sealed ref
+    * (the latest purchase no admissible event can precede), plus the
+    * refs and probes still inside the watermark horizon. */
+  case class AsofState(sealedRef: Option[AsofPending],
+                       openRefs: Seq[AsofPending], openProbes: Seq[AsofPending])
+
+  /** The as-of join's streaming leg (J2+ / the reference's per-key
+    * latest-state probe, consumer.py:170-188, as continuous
+    * enrichment): every click is answered with the user's most
+    * recent purchase at-or-before it — EVENT-time correct, not
+    * arrival-order. A probe is buffered until the watermark passes
+    * its own event time, because only then can no admissible late
+    * purchase still slot between its current answer and itself; it
+    * is then emitted exactly once (Append), with the same tie rule
+    * as the batch operator (max event_id among equal-ts refs) and
+    * the same rounding, so the streaming output over a bounded feed
+    * equals `Joins.asofJoinOn` over the same admitted rows
+    * (StreamingSpec pins this).
+    *
+    * Scale shape: state per user = ONE compacted sealed ref (refs
+    * whose event-time millisecond the watermark has passed collapse
+    * to their max — any future admissible probe is no earlier than
+    * the watermark, so the latest sealed ref is a sufficient floor)
+    * plus the refs/probes still inside the lateness horizon — the
+    * O(horizon) bound any event-time-correct buffer pays, keyed and
+    * sharded by user_id like every stateful operator here. The
+    * timeout callback drives emission for idle keys (the same
+    * EventTimeTimeout pattern as `sessionsCustom`); after the last
+    * probe seals, an idle user holds exactly one row of state. */
+  def asofEnrich(events: DataFrame, lateness: String = "1 hour"): Dataset[AsofOut] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", lateness)
+      .filter(col("event_type").isin("click", "purchase"))
+      // the watermarked TIMESTAMP column must survive into the
+      // stateful operator (the event-time-timeout checker looks for
+      // it); micros conversion happens inside the fold
+      .select(col("user_id"), col("ts"),
+        when(col("event_type") === "click", 1).otherwise(0).as("side"),
+        col("event_id"), col("value"))
+      .as[(Long, java.sql.Timestamp, Int, Long, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[AsofState, AsofOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout()) {
+        (uid, rows, state) =>
+          val wmMs = state.getCurrentWatermarkMs
+          val st = state.getOption.getOrElse(AsofState(None, Nil, Nil))
+          var refs = st.openRefs
+          var probes = st.openProbes
+          rows.foreach { case (_, t, side, eid, v) =>
+            // unix_micros equivalent (getTime is ms-truncated)
+            val tsU = t.getTime * 1000L + (t.getNanos % 1000000L) / 1000L
+            if (side == 0) refs = AsofPending(tsU, eid, v) +: refs
+            else probes = AsofPending(tsU, eid, v) +: probes
+          }
+          // sealed = the event-time millisecond is strictly below the
+          // watermark, so no admissible row can still land at-or-
+          // before it (the engine admits raw ts >= wm; same ms-
+          // boundary reasoning as sessionsCustom's sealMs)
+          def isSealed(p: AsofPending): Boolean = p.ts_us / 1000L < wmMs
+          val (sealRefs, openRefs) = refs.partition(isSealed)
+          val (emitProbes, openProbes) = probes.partition(isSealed)
+          // probes are answered against the FULL pre-compaction ref
+          // set: a probe sealing in the same invocation as a LATER
+          // ref would otherwise see that ref's compaction swallow its
+          // true floor. Compaction is only sound for rows carried
+          // FORWARD: every still-open or future probe has ts >= wm,
+          // and every sealed ref has ts < wm, so the max sealed ref
+          // alone is a sufficient floor from here on.
+          val candidates = st.sealedRef.toSeq ++ refs
+          val sealedRef = (st.sealedRef.toSeq ++ sealRefs)
+            .sortBy(p => (p.ts_us, p.event_id)).lastOption
+          def r4(v: Double): Double =
+            BigDecimal.valueOf(v).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+          val out = emitProbes.sortBy(p => (p.ts_us, p.event_id)).map { p =>
+            val best = candidates.filter(_.ts_us <= p.ts_us)
+              .sortBy(r => (r.ts_us, r.event_id)).lastOption
+            AsofOut(p.event_id, uid, p.ts_us, r4(p.value),
+              best.map(_.ts_us), best.map(r => r4(r.value)))
+          }
+          if (sealedRef.nonEmpty || openRefs.nonEmpty || openProbes.nonEmpty) {
+            state.update(AsofState(sealedRef, openRefs, openProbes))
+            // wake when the earliest open row's ms seals (probes to
+            // emit; refs to compact); engine requires ts > watermark
+            val pendingMs = (openProbes ++ openRefs).map(_.ts_us / 1000L)
+            if (pendingMs.nonEmpty)
+              state.setTimeoutTimestamp(math.max(pendingMs.min, wmMs + 1))
+          } else state.remove()
+          out.iterator
+      }
+  }
+
   /** Typed document for streaming dedup tests/feeds. */
   case class Doc(doc_id: Long, ts: java.sql.Timestamp, text: String)
 

@@ -347,6 +347,103 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming as-of enrichment is event-time correct: late refs, ties, sealed-ref floor") {
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[Event]
+    val q = Streaming.asofEnrich(ms.toDF(), lateness = "1 hour")
+      .writeStream.format("memory").queryName("asof_enrich")
+      .outputMode("append").start()
+    def at(id: Long, user: Long, t: String, typ: String, v: Double) =
+      Event(id, ts(t), user, typ, v)
+    def us(s: String) = ts(s).getTime * 1000L
+    def rows() = spark.sql(
+      "SELECT event_id, user_id, ts_us, click_value, asof_ts_us, asof_value FROM asof_enrich")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        if (r.isNullAt(4)) None else Some(r.getLong(4)),
+        if (r.isNullAt(5)) None else Some(r.getDouble(5)))).toSet
+    try {
+      // batch 1: a purchase, then a click 5 min later; a ref-less
+      // user's click. Nothing seals (wm = 10:10 - 1 h)
+      ms.addData(
+        at(10, 1, "2024-01-01 10:00:00", "purchase", 5.0),
+        at(11, 1, "2024-01-01 10:05:00", "click", 1.0),
+        at(20, 2, "2024-01-01 10:10:00", "click", 1.0))
+      q.processAllAvailable()
+      assert(rows().isEmpty, "no probe may emit before its event time seals")
+      // batch 2: LATE purchases at 10:02 — admissible (1 h lateness),
+      // event-time EARLIER than the buffered click, including a same-
+      // ts tie the max-event_id rule must break. An arrival-order
+      // enrichment would miss these entirely.
+      ms.addData(
+        at(12, 1, "2024-01-01 10:02:00", "purchase", 7.0),
+        at(13, 1, "2024-01-01 10:02:00", "purchase", 9.0))
+      q.processAllAvailable()
+      assert(rows().isEmpty)
+      // batch 3: sentinel pushes the watermark to 11:00 — both probes
+      // seal. Click 11 must answer with the LATE tie-winning ref
+      // (10:02, id 13, 9.0), not the batch-1 ref; click 20 stays null
+      ms.addData(at(90, 99, "2024-01-01 12:00:00", "purchase", 0.0))
+      q.processAllAvailable()
+      assert(rows() == Set(
+        (11L, 1L, us("2024-01-01 10:05:00"), 1.0,
+          Some(us("2024-01-01 10:02:00")), Some(9.0)),
+        (20L, 2L, us("2024-01-01 10:10:00"), 1.0, None, None)),
+        s"sealed probes wrong: ${rows()}")
+      // batch 4: a much later click for user 1 — by now the 10:02
+      // refs are compacted into the single sealed ref, which must
+      // still answer as the floor
+      ms.addData(at(14, 1, "2024-01-01 11:30:00", "click", 2.0))
+      q.processAllAvailable()
+      ms.addData(at(91, 99, "2024-01-01 13:30:00", "purchase", 0.0))
+      q.processAllAvailable()
+      assert(rows().contains(
+        (14L, 1L, us("2024-01-01 11:30:00"), 2.0,
+          Some(us("2024-01-01 10:02:00")), Some(9.0))),
+        s"sealed-ref floor lost after compaction: ${rows()}")
+    } finally q.stop()
+  }
+
+  test("streaming as-of enrichment equals the batch as-of join over the same admitted rows") {
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[Event]
+    val q = Streaming.asofEnrich(ms.toDF(), lateness = "1 hour")
+      .writeStream.format("memory").queryName("asof_parity")
+      .outputMode("append").start()
+    def at(id: Long, user: Long, t: String, typ: String, v: Double) =
+      Event(id, ts(t), user, typ, v)
+    // three users, interleaved clicks/purchases, out-of-order within
+    // admissibility (≤ 30 min vs 1 h lateness), same-ts probe/ref
+    // pairs (inclusive <= must match), plus a value with a 4-decimal
+    // rounding tail
+    val feed = Seq(
+      Seq(at(1, 1, "2024-01-01 10:00:00", "purchase", 3.14159),
+          at(2, 2, "2024-01-01 10:01:00", "click", 1.0),
+          at(3, 1, "2024-01-01 10:02:00", "click", 2.71828)),
+      Seq(at(4, 2, "2024-01-01 10:01:00", "purchase", 8.0), // same ts as its click
+          at(5, 3, "2024-01-01 10:20:00", "click", 1.0),
+          at(6, 1, "2024-01-01 09:55:00", "purchase", 4.0)), // late, event-time first
+      Seq(at(7, 1, "2024-01-01 10:30:00", "click", 1.61803),
+          at(8, 2, "2024-01-01 10:25:00", "purchase", 6.0),
+          at(9, 2, "2024-01-01 10:40:00", "click", 5.0)))
+    try {
+      feed.foreach { b => ms.addData(b: _*); q.processAllAvailable() }
+      ms.addData(at(90, 99, "2024-01-01 13:00:00", "purchase", 0.0))
+      q.processAllAvailable()
+      val streamed = spark.sql(
+        "SELECT event_id, user_id, ts_us, click_value, asof_ts_us, asof_value FROM asof_parity")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+          if (r.isNullAt(4)) None else Some(r.getLong(4)),
+          if (r.isNullAt(5)) None else Some(r.getDouble(5)))).toSet
+      val batch = graft.operators.Joins.asofJoinOn(
+        (feed.flatten :+ at(90, 99, "2024-01-01 13:00:00", "purchase", 0.0)).toDF())
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+          if (r.isNullAt(4)) None else Some(r.getLong(4)),
+          if (r.isNullAt(5)) None else Some(r.getDouble(5)))).toSet
+      assert(streamed == batch,
+        s"streaming/batch divergence:\n  streamed $streamed\n  batch $batch")
+    } finally q.stop()
+  }
+
   test("custom-state sessionization merges across batches and expires by watermark (ST6 twin)") {
     implicit val sqlCtx = spark.sqlContext
     val ms = MemoryStream[Event]
