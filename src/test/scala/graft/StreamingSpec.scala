@@ -444,6 +444,83 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming as-of enrichment survives a checkpoint restart (buffered probe + sealed ref persist)") {
+    implicit val sqlCtx = spark.sqlContext
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_asof_ckpt").toString
+    val ms = MemoryStream[Event]
+    val out = Streaming.asofEnrich(ms.toDF(), lateness = "0 seconds")
+    val seen = java.util.Collections.synchronizedList(
+      new java.util.ArrayList[(Long, Option[Long], Option[Double])]())
+    def start() = out.writeStream.outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[Streaming.AsofOut], _: Long) =>
+        batch.collect().foreach(o => seen.add((o.event_id, o.asof_ts_us, o.asof_value)))
+      }.start()
+    def us(s: String) = ts(s).getTime * 1000L
+    val q1 = start()
+    try {
+      // a ref, then a probe at the stream head: the probe's ms equals
+      // the watermark, so it stays BUFFERED in state when we stop
+      ms.addData(Event(10, ts("2024-01-01 10:00:00"), 7, "purchase", 5.0),
+                 Event(11, ts("2024-01-01 10:05:00"), 7, "click", 1.0))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    assert(!seen.iterator().hasNext, "unsealed probe must not emit before restart")
+    // restart: the recovered state must hold BOTH the compacted/open
+    // ref and the buffered probe — advancing the watermark then emits
+    // the probe with the pre-restart ref. A lost store would emit
+    // None; a lost probe buffer would emit nothing.
+    val q2 = start()
+    try {
+      ms.addData(Event(90, ts("2024-01-01 12:00:00"), 99, "purchase", 0.0))
+      q2.processAllAvailable()
+      val got = seen.toArray(Array.empty[(Long, Option[Long], Option[Double])]).toSeq
+      assert(got == Seq((11L, Some(us("2024-01-01 10:00:00")), Some(5.0))),
+        s"restart lost as-of state: $got")
+    } finally q2.stop()
+  }
+
+  test("streaming as-of enrichment runs under the RocksDB state store (100 TB posture)") {
+    assume(scala.util.Try(Class.forName(
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")).isSuccess,
+      "RocksDB state store provider not on the classpath")
+    implicit val sqlCtx = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val ms = MemoryStream[Event]
+      val q = Streaming.asofEnrich(ms.toDF(), lateness = "0 seconds")
+        .writeStream.format("memory").queryName("rocksdb_asof")
+        .outputMode("append").start()
+      def us(s: String) = ts(s).getTime * 1000L
+      try {
+        ms.addData(Event(10, ts("2024-01-01 10:00:00"), 5, "purchase", 4.0),
+                   Event(11, ts("2024-01-01 10:05:00"), 5, "click", 1.0))
+        q.processAllAvailable()
+        ms.addData(Event(90, ts("2024-01-01 12:00:00"), 99, "purchase", 0.0))
+        q.processAllAvailable()
+        val rows = spark.sql(
+          "SELECT event_id, asof_ts_us, asof_value FROM rocksdb_asof WHERE user_id = 5")
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+        assert(rows == Set((11L, us("2024-01-01 10:00:00"), 4.0)),
+          s"as-of drifted under RocksDB state: $rows")
+        val sops = q.lastProgress.stateOperators
+        assert(sops.nonEmpty, "no state operator reported progress")
+        val metricNames = sops.flatMap(_.customMetrics.keySet.toArray(Array.empty[AnyRef]))
+          .map(_.toString.toLowerCase)
+        assert(metricNames.exists(_.contains("rocksdb")),
+          s"state ran on the default provider, not RocksDB: ${metricNames.take(8).mkString(",")}")
+      } finally q.stop()
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("custom-state sessionization merges across batches and expires by watermark (ST6 twin)") {
     implicit val sqlCtx = spark.sqlContext
     val ms = MemoryStream[Event]
