@@ -113,6 +113,7 @@ object SparkEntry {
     // production default the twin degenerates to single chunks
     "q15_asof_stitched"  -> ((s, d) => Joins.asofJoinStitched(s, d, maxRowsPerKey = 8L)),
     "q16_interval_join"  -> (Joins.intervalJoin _),
+    "q17_asof_forward"   -> (Joins.asofJoinForward _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1005,5 +1006,16 @@ object SparkEntry {
                 count(DISTINCT user_id) AS n_users
          FROM sess JOIN wins ON s_lo < w_hi AND w_lo <= s_hi
          GROUP BY 1, 2, 3""",
+    // forward as-of: DuckDB's ASOF with the comparison flipped picks
+    // the NEAREST ref at-or-after each probe
+    "q17_asof_forward" ->
+      """SELECT p.event_id, p.user_id, epoch_us(p.ts) AS ts_us,
+                round(p.value, 4) AS click_value,
+                epoch_us(r.ts) AS asof_ts_us, round(r.value, 4) AS asof_value
+         FROM (SELECT event_id, user_id, ts, value FROM events
+               WHERE event_type = 'click') p
+         ASOF LEFT JOIN (SELECT user_id, ts, value FROM events
+                         WHERE event_type = 'purchase') r
+           ON p.user_id = r.user_id AND p.ts <= r.ts""",
   )
 }

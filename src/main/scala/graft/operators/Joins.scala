@@ -123,21 +123,42 @@ object Joins {
   def asofJoin(spark: SparkSession, dir: String): DataFrame =
     asofJoinOn(Tables.events(spark, dir))
 
+  /** The forward direction (q17): for each click the user's NEXT
+    * purchase at-or-after it — the other direction every as-of
+    * implementation ships (kdb `aj` vs reverse lookup, pandas
+    * `merge_asof(direction=...)`). Same single-exchange union+window
+    * plan, mirrored. */
+  def asofJoinForward(spark: SparkSession, dir: String): DataFrame =
+    asofJoinOn(Tables.events(spark, dir), forward = true)
+
   /** The as-of join over an arbitrary events-shaped frame
     * (user_id, ts timestamp, event_type, event_id, value) — the
     * `dgimStitchedOn` pattern, so PropertySpec can drive the
     * window/stitched pair with adversarial generated data (duplicate
     * (user_id, ts) refs, single-key skew) that the parquet fixtures
-    * never contain. */
-  private[graft] def asofJoinOn(events: DataFrame): DataFrame = {
+    * never contain.
+    *
+    * `forward = false` (default): most recent ref at-or-before the
+    * probe; equal-ts ref ties break to MAX event_id. `forward =
+    * true`: nearest ref at-or-after; ties break to MIN event_id —
+    * the mirror ordering (ts desc, event_id desc) makes the same
+    * `last(ignoreNulls)` carry pick the earliest qualifying ref, so
+    * both directions stay one exchange + one window. Inclusive at
+    * equal ts either way (side asc keeps refs visible to same-ts
+    * probes). */
+  private[graft] def asofJoinOn(events: DataFrame, forward: Boolean = false): DataFrame = {
     val tagged = events
       .filter(col("event_type").isin("click", "purchase"))
       .select(
         col("user_id"), col("ts"),
         when(col("event_type") === "click", 1).otherwise(0).as("side"),
         col("event_id"), col("value"))
-    val w = Window.partitionBy(col("user_id"))
-      .orderBy(col("ts").asc, col("side").asc, col("event_id").asc)
+    val w = (if (forward)
+        Window.partitionBy(col("user_id"))
+          .orderBy(col("ts").desc, col("side").asc, col("event_id").desc)
+      else
+        Window.partitionBy(col("user_id"))
+          .orderBy(col("ts").asc, col("side").asc, col("event_id").asc))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     tagged
       .withColumn("asof_ts_us",

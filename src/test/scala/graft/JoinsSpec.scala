@@ -131,6 +131,17 @@ class JoinsSpec extends AnyFunSuite {
       for (cap <- Seq(3L, 7L))
         assert(collectAsof(Joins.asofJoinStitchedOn(df, cap)) == want,
           s"stitched form diverged, cap=$cap seed=$seed")
+      // forward direction on the same adversarial data: nearest ref
+      // at-or-after, ties to MIN event_id (the mirror rule)
+      val wantFwd = rows.filter(_._3 == "click").map { case (u, t, _, id, v) =>
+        val tsUs = t.getTime * 1000L
+        val next = refs.getOrElse(u, Seq.empty).filter(_._2.getTime * 1000L >= tsUs)
+        val best =
+          if (next.isEmpty) None else Some(next.minBy(r => (r._2.getTime, r._4)))
+        (id, u, tsUs, r4(v), best.map(_._2.getTime * 1000L), best.map(b => r4(b._5)))
+      }.toSet
+      assert(collectAsof(Joins.asofJoinOn(df, forward = true)) == wantFwd,
+        s"forward form diverged, seed=$seed")
     }
   }
 

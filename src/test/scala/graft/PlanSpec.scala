@@ -261,13 +261,15 @@ class PlanSpec extends AnyFunSuite {
     // blowup + re-aggregation: two shuffles); the union+window form
     // must plan as a single user_id exchange feeding a partitioned
     // window, with the two-type filter pushed to the scan
-    val p = plan("q13_asof_join")
-    assert(!p.contains("Join"), s"as-of must not plan a join operator:\n$p")
-    val exchanges = p.linesIterator.count(_.contains("Exchange hashpartitioning(user_id"))
-    assert(exchanges == 1, s"expected one user_id exchange, got $exchanges:\n$p")
-    assert(!p.contains("Exchange SinglePartition"), "as-of window must stay partitioned")
-    assert(p.contains("PushedFilters: [In(event_type"),
-      s"type filter must reach the parquet scan:\n$p")
+    for (q <- Seq("q13_asof_join", "q17_asof_forward")) {
+      val p = plan(q)
+      assert(!p.contains("Join"), s"$q must not plan a join operator:\n$p")
+      val exchanges = p.linesIterator.count(_.contains("Exchange hashpartitioning(user_id"))
+      assert(exchanges == 1, s"$q: expected one user_id exchange, got $exchanges:\n$p")
+      assert(!p.contains("Exchange SinglePartition"), s"$q window must stay partitioned")
+      assert(p.contains("PushedFilters: [In(event_type"),
+        s"$q: type filter must reach the parquet scan:\n$p")
+    }
   }
 
   test("stitched as-of partitions the data window by (user_id, sub) and stitches via broadcast") {
