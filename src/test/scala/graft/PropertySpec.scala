@@ -268,6 +268,28 @@ class PropertySpec extends AnyFunSuite {
     })
   }
 
+  test("range-join bin width bounds the exploded bin table for ANY interval set") {
+    // the claim chooseBinWidth's clamp makes (Joins.scala): for any
+    // non-degenerate interval table, the bin-exploded build side has
+    // at most 4096 + 2·|bands| rows, no matter how skewed the widths
+    // — each interval costs floor((hi-eps)/w) - floor(lo/w) + 1 bins
+    // (the exact explodedBins arithmetic), and w >= totalWidth/4096
+    val bandGen = for {
+      n <- Gen.choose(1, 50)
+      bands <- Gen.listOfN(n, for {
+        lo <- Gen.choose(-1e6, 1e6)
+        width <- Gen.oneOf(Gen.choose(0.001, 1.0), Gen.choose(1.0, 10000.0))
+      } yield (lo, lo + width))
+    } yield bands.zipWithIndex.map { case ((lo, hi), i) => (s"b$i", lo, hi) }
+    check(Prop.forAll(bandGen) { bands =>
+      val w = graft.operators.Joins.chooseBinWidth(bands)
+      val exploded = bands.map { case (_, lo, hi) =>
+        (math.floor((hi - 1e-9) / w) - math.floor(lo / w)).toLong + 1L
+      }.sum
+      w > 0 && exploded <= 4096L + 2L * bands.size && exploded >= bands.size
+    })
+  }
+
   test("band-hash kernel matches the seed-chained model for any signature length") {
     import org.apache.spark.sql.catalyst.expressions.XXH64
     check(Prop.forAll(Gen.listOf(Gen.long)) { sig =>
