@@ -128,8 +128,9 @@ object Bench {
     * pin the ladder without running a benchmark. */
   private[graft] def compactLine(names: Seq[String],
       wallMin: Map[String, Option[Double]], total: Double, cpuTotal: Double,
-      calibMax: Double, sf: String, failedJson: String,
+      calibMax: Double, sf: String, failed: Seq[String],
       throttled: Boolean = false): String = {
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     def num(x: Double, d: Int): String = {
       val s = s"%.${d}f".format(x)
       if (s.contains('.')) s.reverse.dropWhile(_ == '0').reverse.stripSuffix(".") else s
@@ -166,13 +167,23 @@ object Bench {
     val c0 = compactAt(1, diag = false)
     val v2 = qvAt(2, diag = true)
     val v1 = qvAt(1, diag = false)
+    def totalsOnly(ff: String): String =
+      f"""{"metric":"total","value":$total%.1f,"unit":"sec","sf":$sf""" +
+        s""","n_queries":${names.size},"queries_in_file_only":true$ff$throttledField}"""
+    val t = totalsOnly(failedField)
     if (c2.length <= 1850) c2
     else if (c1.length <= 1910) c1
     else if (c0.length <= 1910) c0
     else if (v2.length <= 1850) v2
     else if (v1.length <= 1910) v1
-    else f"""{"metric":"total","value":$total%.1f,"unit":"sec","sf":$sf""" +
-      s""","n_queries":${names.size},"queries_in_file_only":true$failedField$throttledField}"""
+    else if (t.length <= 1910) t
+    else {
+      // a mass failure's failed LIST itself outgrew the window
+      // (~105+ failing full names): keep a sorted sample and the
+      // count of the rest — the FILE record holds the complete list
+      val sample = failed.take(20).map("\"" + _ + "\"").mkString("[", ",", "]")
+      totalsOnly(s""","failed":$sample,"failed_dropped":${failed.size - 20}""")
+    }
   }
 
   /** Pure throttle adjudication over the windowed calibration record.
@@ -389,8 +400,8 @@ object Bench {
         s""","n_queries":${names.size},"runs_per_query":$sweeps,"agg":"min","sweep_interleaved":true""" +
         f""","cpu_sec_total":$cpuTotal%.4f,"queries_cpu_sec":${qsJson(cpuMin, 4)}""" +
         s""","calib_sec":$calibJson$throttleFields,"failed":$failedJson}"""
-    val compact = compactLine(names, wallMin, total, cpuTotal, calib.max, sf, failedJson,
-      throttled = throttledQs.nonEmpty)
+    val compact = compactLine(names, wallMin, total, cpuTotal, calib.max, sf,
+      failed.toSeq.sorted, throttled = throttledQs.nonEmpty)
     Files.writeString(Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")), full + "\n")
     // bench_out.json is gitignored (scratch); BENCH_FULL.json is the
     // TRACKED copy of the same record, so the full per-query wall +

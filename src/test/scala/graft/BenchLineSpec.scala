@@ -21,7 +21,7 @@ class BenchLineSpec extends AnyFunSuite {
     val names = (1 to n).map(i => f"llm_synthetic_query_name_$i%03d")
     val wall = names.map(nm => nm -> Some(12.3456)).toMap
     Bench.compactLine(names, wall, total = n * 12.3456, cpuTotal = n * 7.0,
-      calibMax = 0.31, sf = "0.1", failedJson = "[]")
+      calibMax = 0.31, sf = "0.1", failed = Nil)
   }
 
   /** Per-query wall values as carried by whichever rung the line
@@ -81,8 +81,7 @@ class BenchLineSpec extends AnyFunSuite {
   test("failed queries render as null values and survive every rung") {
     val names = (1 to 500).map(i => f"llm_synthetic_query_name_$i%03d")
     val wall = names.map(nm => nm -> (None: Option[Double])).toMap
-    val l = Bench.compactLine(names, wall, 0.0, 0.0, 0.31, "0.1",
-      names.take(3).map("\"" + _ + "\"").mkString("[", ",", "]"))
+    val l = Bench.compactLine(names, wall, 0.0, 0.0, 0.31, "0.1", names.take(3))
     assert(l.length <= 1910)
     val node = mapper.readTree(l)
     assert(node.get("failed").size == 3, "failed list must survive the totals-only fallback")
@@ -90,17 +89,43 @@ class BenchLineSpec extends AnyFunSuite {
     val names120 = names.take(120)
     val l120 = Bench.compactLine(names120,
       names120.map(nm => nm -> (None: Option[Double])).toMap, 0.0, 0.0, 0.31, "0.1",
-      names120.take(3).map("\"" + _ + "\"").mkString("[", ",", "]"))
+      names120.take(3))
     val node120 = mapper.readTree(l120)
     assert(node120.has("qv") && node120.get("qv").get(0).isNull,
       "a failed query must hold a null slot in the qv array")
     assert(node120.get("failed").size == 3)
   }
 
+  test("a mass failure's own failed list cannot overflow the window (sample + dropped count)") {
+    // the worst possible bench day: EVERY query fails. The failed
+    // list alone outgrows the tail window past ~105 full names; the
+    // line must degrade to a 20-name sample + count, never ship an
+    // unparseable (parsed:null) artifact on the run that most needs
+    // diagnosing
+    for (n <- Seq(120, 200, 500)) {
+      val names = (1 to n).map(i => f"llm_synthetic_query_name_$i%03d")
+      val wall = names.map(nm => nm -> (None: Option[Double])).toMap
+      val l = Bench.compactLine(names, wall, 0.0, 0.0, 0.31, "0.1", names)
+      assert(l.length <= 1910, s"$n all-failed: ${l.length} chars overflows the window")
+      val node = mapper.readTree(l)
+      assert(node.get("failed").size == 20, s"$n all-failed: expected the 20-name sample")
+      assert(node.get("failed_dropped").asInt == n - 20)
+      assert(node.get("n_queries").asInt == n)
+    }
+    // the real registry all-failed still fits with its full list today
+    val real = SparkEntry.queries.keys.toSeq.sorted
+    val lr = Bench.compactLine(real,
+      real.map(nm => nm -> (None: Option[Double])).toMap, 0.0, 0.0, 0.31, "0.1", real)
+    assert(lr.length <= 1910)
+    val noder = mapper.readTree(lr)
+    assert(noder.get("failed").size == real.size || noder.has("failed_dropped"),
+      "all-failed real registry must carry the full list or the sampled form")
+  }
+
   test("the real registry's line carries per-query data with its actual names") {
     val names = SparkEntry.queries.keys.toSeq.sorted
     val wall = names.map(nm => nm -> Some(3.21)).toMap
-    val l = Bench.compactLine(names, wall, 46.1, 82.7, 0.31, "0.1", "[]")
+    val l = Bench.compactLine(names, wall, 46.1, 82.7, 0.31, "0.1", Nil)
     assert(l.length <= 1910, s"real registry line is ${l.length} chars")
     val vals = perQuery(l, names)
     assert(vals.nonEmpty,
@@ -110,7 +135,7 @@ class BenchLineSpec extends AnyFunSuite {
     // worst case on the same registry: throttled flag + a failed list
     // must not push the line onto the totals-only rung either
     val lWorst = Bench.compactLine(names, wall, 46.1, 82.7, 0.92, "0.1",
-      names.take(3).map("\"" + _ + "\"").mkString("[", ",", "]"), throttled = true)
+      names.take(3), throttled = true)
     assert(lWorst.length <= 1910, s"worst-case real line is ${lWorst.length} chars")
     val worst = mapper.readTree(lWorst)
     assert(worst.get("throttled").asBoolean && worst.get("failed").size == 3)
@@ -169,7 +194,7 @@ class BenchLineSpec extends AnyFunSuite {
     assert(flagged.isEmpty)
     val names = (1 to 84).map(i => f"llm_synthetic_query_name_$i%03d")
     val wall = names.map(nm => nm -> Some(12.3456)).toMap
-    val clean = Bench.compactLine(names, wall, 100.0, 70.0, 0.31, "0.1", "[]")
+    val clean = Bench.compactLine(names, wall, 100.0, 70.0, 0.31, "0.1", Nil)
     assert(!clean.contains("throttled"), "healthy runs must not carry the field")
   }
 
@@ -177,7 +202,7 @@ class BenchLineSpec extends AnyFunSuite {
     for (n <- Seq(40, 84, 120)) {
       val names = (1 to n).map(i => f"llm_synthetic_query_name_$i%03d")
       val wall = names.map(nm => nm -> Some(12.3456)).toMap
-      val l = Bench.compactLine(names, wall, n * 12.3456, n * 7.0, 0.92, "0.1", "[]",
+      val l = Bench.compactLine(names, wall, n * 12.3456, n * 7.0, 0.92, "0.1", Nil,
         throttled = true)
       assert(l.length <= 1910, s"$n queries throttled: ${l.length} chars")
       val node = mapper.readTree(l)
