@@ -444,6 +444,47 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming as-of enrichment equals the batch join under arbitrary arrival order (property)") {
+    implicit val sqlCtx = spark.sqlContext
+    // lateness exceeding the event span makes every shuffled arrival
+    // order admissible — the buffered-probe state machine must then
+    // reproduce the batch as-of EXACTLY for any chunking, including
+    // duplicate-ts refs and ref-less users. Seeded so failures replay.
+    val rnd = new scala.util.Random(1234)
+    for (trial <- 1 to 2) {
+      val events = (1 to 90).map { i =>
+        val user = rnd.nextInt(4).toLong // user 3 gets no purchases
+        val typ = if (user != 3L && rnd.nextBoolean()) "purchase" else "click"
+        // 60 distinct seconds over 4 users → frequent ts collisions
+        val t = ts("2024-01-01 08:00:00").getTime + rnd.nextInt(60) * 60000L
+        Event(trial * 1000L + i, new Timestamp(t), user, typ, rnd.nextDouble() * 10)
+      }
+      val ms = MemoryStream[Event]
+      val q = Streaming.asofEnrich(ms.toDF(), lateness = "6 hours")
+        .writeStream.format("memory").queryName(s"prop_asof_$trial")
+        .outputMode("append").start()
+      try {
+        rnd.shuffle(events).grouped(13).foreach { chunk =>
+          ms.addData(chunk.toIndexedSeq: _*)
+          q.processAllAvailable()
+        }
+        // far-future sentinel seals every buffered probe
+        ms.addData(Event(-1L, ts("2024-02-01 00:00:00"), -999L, "purchase", 0.0))
+        q.processAllAvailable()
+        def six(df: Array[org.apache.spark.sql.Row]) = df.map(r =>
+          (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+            if (r.isNullAt(4)) None else Some(r.getLong(4)),
+            if (r.isNullAt(5)) None else Some(r.getDouble(5)))).toSet
+        val got = six(spark.sql(
+          s"SELECT event_id, user_id, ts_us, click_value, asof_ts_us, asof_value " +
+            s"FROM prop_asof_$trial WHERE user_id <> -999").collect())
+        val want = six(graft.operators.Joins.asofJoinOn(events.toDF()).collect())
+        assert(got == want,
+          s"trial $trial drifted: missing ${(want -- got).take(3)}, extra ${(got -- want).take(3)}")
+      } finally q.stop()
+    }
+  }
+
   test("streaming as-of enrichment survives a checkpoint restart (buffered probe + sealed ref persist)") {
     implicit val sqlCtx = spark.sqlContext
     val ckpt = java.nio.file.Files.createTempDirectory("graft_asof_ckpt").toString
