@@ -114,6 +114,9 @@ object SparkEntry {
     "q15_asof_stitched"  -> ((s, d) => Joins.asofJoinStitched(s, d, maxRowsPerKey = 8L)),
     "q16_interval_join"  -> (Joins.intervalJoin _),
     "q17_asof_forward"   -> (Joins.asofJoinForward _),
+    // bloom-prefiltered twin of llm_dedup_incremental: identical
+    // output, only maybe-dup rows reach the exact anti-join
+    "llm_dedup_bloom"    -> (Llm.dedupBloom _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1017,5 +1020,16 @@ object SparkEntry {
          ASOF LEFT JOIN (SELECT user_id, ts, value FROM events
                          WHERE event_type = 'purchase') r
            ON p.user_id = r.user_id AND p.ts <= r.ts""",
+    // the bloom prefilter changes data movement, never the answer —
+    // the oracle is llm_dedup_incremental's, verbatim
+    "llm_dedup_bloom" ->
+      """WITH d AS (SELECT doc_id, CAST(substr(source, 4, 10) AS INT) AS src_n,
+             md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS text_hash
+           FROM documents)
+         SELECT text_hash, min(doc_id) AS keep_doc_id,
+           CAST(count(*) AS BIGINT) AS n_dups_in_batch
+         FROM d WHERE src_n >= 10
+           AND text_hash NOT IN (SELECT text_hash FROM d WHERE src_n < 10)
+         GROUP BY 1""",
   )
 }

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.functions.SketchAggs
 import graft.operators.Ckpt.CkptOps
 import graft.sources.Tables
 
@@ -381,6 +382,56 @@ object Llm {
     val existing = d.filter(col("src_n") < 10).select(col("text_hash")).distinct()
     d.filter(col("src_n") >= 10)
       .join(existing, Seq("text_hash"), "left_anti")
+      .groupBy(col("text_hash"))
+      .agg(min(col("doc_id")).as("keep_doc_id"),
+           count(lit(1)).as("n_dups_in_batch"))
+  }
+
+  /** The Bloom-prefiltered twin of `dedupIncremental` — IDENTICAL
+    * output (same DuckDB oracle), different data movement: instead
+    * of anti-joining the whole new crawl against the existing-corpus
+    * hashes, build a Bloom over those hashes (a mergeable partial
+    * aggregation, ~1.2 MB per 10⁶ keys at 1% fpp), broadcast it, and
+    * let only the MAYBE-dup rows (true dups + ~fpp of the rest)
+    * reach the exact anti-join; bloom misses are DEFINITELY new
+    * (no false negatives) and bypass the join entirely.
+    *
+    * Exactness: a true dup always hits the bloom, so it always
+    * reaches the confirm join; a false positive reaches the join and
+    * is cleared by it. The sketch changes WHERE rows go, never the
+    * answer. At 100 TB this is the sketch-semi-join bandwidth trade:
+    * the anti-join's probe side shrinks from the full crawl to
+    * dups + fpp·crawl, and the corpus side ships as one broadcast
+    * sketch instead of a shuffled hash table — the same pattern
+    * Spark's own runtime-filter join pruning applies, made explicit
+    * and sized from a cheap distinct-count pre-pass. The bloom probe
+    * is a broadcast-reading Scala UDF (the same documented exception
+    * as `Sketches.bloomMembers`; it runs only on the new-batch
+    * filter, never inside a shuffle). */
+  def dedupBloom(spark: SparkSession, dir: String): DataFrame =
+    dedupBloomOn(Tables.documents(spark, dir))
+
+  private[graft] def dedupBloomOn(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.{functions => F, Encoders}
+    val d = widened(docs).select(col("doc_id"),
+      expr("cast(substring(source, 4, 10) as int)").as("src_n"),
+      md5(lower(trim(regexp_replace(col("text"), "\\s+", " ")))).as("text_hash"))
+    val existing = d.filter(col("src_n") < 10).select(col("text_hash")).distinct()
+    // size from a sketch pre-pass (undersizing only raises the fpp,
+    // which only costs extra confirm-join rows, never correctness)
+    val cap = math.max(64L,
+      existing.agg(approx_count_distinct(col("text_hash")).as("n"))
+        .head().getLong(0) * 3 / 2)
+    val bloomUdaf =
+      F.udaf(new SketchAggs.BloomAgg(expectedItems = cap, fpp = 0.01), Encoders.STRING)
+    val bloomBytes = existing.agg(bloomUdaf(col("text_hash"))).head().getAs[Array[Byte]](0)
+    val bloom = SketchAggs.deserializeBloom(bloomBytes)
+    val bc = docs.sparkSession.sparkContext.broadcast(bloom)
+    val mightBeDup = F.udf((h: String) => bc.value.mightContainString(h))
+    val fresh = d.filter(col("src_n") >= 10)
+    fresh.filter(mightBeDup(col("text_hash")))
+      .join(existing, Seq("text_hash"), "left_anti")
+      .unionByName(fresh.filter(!mightBeDup(col("text_hash"))))
       .groupBy(col("text_hash"))
       .agg(min(col("doc_id")).as("keep_doc_id"),
            count(lit(1)).as("n_dups_in_batch"))

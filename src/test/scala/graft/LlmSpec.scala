@@ -293,6 +293,39 @@ class LlmSpec extends AnyFunSuite {
     val out = Llm.dedupIncrementalOn(docs).collect()
       .map(r => r.getLong(1) -> r.getLong(2)).toMap
     assert(out == Map(11L -> 2L, 13L -> 1L), s"got $out")
+    // the bloom-prefiltered twin must produce the identical result on
+    // the same fixture (the dup-of-existing row MUST hit the bloom
+    // and die in the confirm join; the fresh rows survive either via
+    // bloom miss or as false positives cleared by the join)
+    val outB = Llm.dedupBloomOn(docs).collect()
+      .map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(outB == out, s"bloom twin diverged: $outB")
+  }
+
+  test("bloom incremental dedup is bit-equal to the exact form on the real corpus") {
+    val docs = graft.sources.Tables.documents(spark, TestSpark.sf)
+    def canon(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val exact = canon(Llm.dedupIncrementalOn(docs))
+    val bloom = canon(Llm.dedupBloomOn(docs))
+    assert(bloom == exact, "sketch prefilter must never change the answer")
+    // engagement: the real corpus at this SF has NO cross-batch dups
+    // (the confirm-join kill path is pinned by the synthetic fixture
+    // above instead); here assert the bypass path carries real
+    // volume — genuinely new texts that, at 1% fpp over hundreds of
+    // distinct hashes, overwhelmingly skip the join as bloom misses
+    // (P(all FP) ~ 0.01^distinct)
+    import org.apache.spark.sql.functions._
+    val d = docs.select(col("doc_id"),
+      expr("cast(substring(source, 4, 10) as int)").as("src_n"),
+      md5(lower(trim(regexp_replace(col("text"), "\\s+", " ")))).as("text_hash"))
+    val existingHashes = d.filter(col("src_n") < 10)
+      .select("text_hash").distinct().collect().map(_.getString(0)).toSet
+    val freshHashes = d.filter(col("src_n") >= 10)
+      .select("text_hash").collect().map(_.getString(0))
+    assert(freshHashes.nonEmpty && exact.nonEmpty)
+    assert(freshHashes.exists(h => !existingHashes.contains(h)),
+      "fixture no longer has new texts — bypass path untested")
   }
 
   test("PII scrub: counts each injected category, scrubbed text has no residual matches") {
