@@ -85,6 +85,12 @@ object Joins {
     * stays kilobytes no matter how skewed the interval widths are. */
   private[graft] def chooseBinWidth(bandTable: Seq[(String, Double, Double)]): Double = {
     require(bandTable.nonEmpty, "range join needs at least one band")
+    // zero/negative-width intervals would make explodedBins' hi-side
+    // floor land BELOW the lo-side floor, and Spark's sequence(start,
+    // stop) then counts DOWN — emitting spurious bins. Fail at
+    // plan-build instead of shipping a silently-degenerate explode.
+    bandTable.foreach { case (name, lo, hi) =>
+      require(hi > lo, s"band '$name' must have hi > lo (got [$lo, $hi))") }
     val widths = bandTable.map { case (_, lo, hi) => hi - lo }.sorted
     val median = widths(widths.size / 2)
     math.max(math.max(median, widths.map(identity).sum / 4096.0), 1e-9)

@@ -424,10 +424,15 @@ object Llm {
         .head().getLong(0) * 3 / 2)
     val bloomUdaf =
       F.udaf(new SketchAggs.BloomAgg(expectedItems = cap, fpp = 0.01), Encoders.STRING)
-    val bloomBytes = existing.agg(bloomUdaf(col("text_hash"))).head().getAs[Array[Byte]](0)
+    val bloomBytes = existing.filter(col("text_hash").isNotNull)
+      .agg(bloomUdaf(col("text_hash"))).head().getAs[Array[Byte]](0)
     val bloom = SketchAggs.deserializeBloom(bloomBytes)
     val bc = docs.sparkSession.sparkContext.broadcast(bloom)
-    val mightBeDup = F.udf((h: String) => bc.value.mightContainString(h))
+    // null text ⇒ null md5: route null-hash rows down the confirm-free
+    // branch (a null key never matches a left_anti build row, so the
+    // exact twin keeps them too — the twins stay bit-identical on
+    // null-text corpora instead of this one NPE-ing in the probe)
+    val mightBeDup = F.udf((h: String) => h != null && bc.value.mightContainString(h))
     val fresh = d.filter(col("src_n") >= 10)
     fresh.filter(mightBeDup(col("text_hash")))
       .join(existing, Seq("text_hash"), "left_anti")

@@ -58,8 +58,17 @@ object Tables {
     // by its zone offset. Same sticky-idempotent-set reasoning as
     // nanosAsLong above: the scan is lazy, so a scoped save/restore
     // would be unsound — the conf must still hold at action time.
-    if (s.conf.get("spark.sql.session.timeZone") != "UTC")
+    if (s.conf.get("spark.sql.session.timeZone") != "UTC") {
+      // Loud, not silent: a driver-owned non-UTC session is having a
+      // global conf rewritten under it — the alternative (a shifted
+      // ts column) is worse, but the owner must be able to see why
+      // their unrelated queries changed zone.
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        "graft: overriding spark.sql.session.timeZone={} -> UTC for the " +
+          "events scan's NTZ cast (sticky; the lazy scan needs it at action time)",
+        s.conf.get("spark.sql.session.timeZone"))
       s.conf.set("spark.sql.session.timeZone", "UTC")
+    }
     val raw = table(s, d, "events")
     raw.schema("ts").dataType match {
       case LongType         => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))

@@ -202,6 +202,17 @@ class JoinsSpec extends AnyFunSuite {
     assert(eu <= 2L * uniform.size, s"uniform bands exploded $eu rows at width $wu")
   }
 
+  test("range join rejects zero/negative-width bands at plan-build") {
+    // floor((hi-eps)/w) < floor(lo/w) on a degenerate interval makes
+    // sequence() count DOWN and emit spurious bins — chooseBinWidth
+    // must refuse the band table instead
+    val degenerate = Seq(("ok", 0.0, 10.0), ("point", 5.0, 5.0))
+    val e = intercept[IllegalArgumentException](Joins.chooseBinWidth(degenerate))
+    assert(e.getMessage.contains("point"))
+    val negative = Seq(("flipped", 10.0, 3.0))
+    intercept[IllegalArgumentException](Joins.chooseBinWidth(negative))
+  }
+
   test("range join matches the brute-force interval scan and covers every event") {
     import org.apache.spark.sql.functions._
     val values = graft.sources.Tables.events(spark, sf)

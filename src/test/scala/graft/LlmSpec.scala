@@ -302,6 +302,28 @@ class LlmSpec extends AnyFunSuite {
     assert(outB == out, s"bloom twin diverged: $outB")
   }
 
+  test("incremental dedup twins agree on null-text rows (no NPE in the bloom probe)") {
+    import spark.implicits._
+    // null text ⇒ null md5 hash. The exact twin keeps such rows (a
+    // null key never matches in left_anti); the bloom twin must route
+    // them down the bloom-miss branch instead of NPE-ing in the probe
+    // UDF, and both must group them under the null hash key.
+    val docs = Seq(
+      (1L, "alpha beta gamma", "src0"),
+      (2L, null.asInstanceOf[String], "src2"),   // null in the EXISTING side too
+      (10L, "alpha beta gamma", "src11"),        // dup of existing
+      (11L, null.asInstanceOf[String], "src12"), // null in the new batch
+      (12L, null.asInstanceOf[String], "src15"), // second null: same group
+      (13L, "entirely fresh content", "src19")
+    ).toDF("doc_id", "text", "source")
+    def canon(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getLong(1) -> r.getLong(2)).toMap
+    val exact = canon(Llm.dedupIncrementalOn(docs))
+    val bloom = canon(Llm.dedupBloomOn(docs))
+    assert(exact == Map(11L -> 2L, 13L -> 1L), s"exact twin got $exact")
+    assert(bloom == exact, s"bloom twin diverged on nulls: $bloom")
+  }
+
   test("bloom incremental dedup is bit-equal to the exact form on the real corpus") {
     val docs = graft.sources.Tables.documents(spark, TestSpark.sf)
     def canon(df: org.apache.spark.sql.DataFrame) = df.collect()
