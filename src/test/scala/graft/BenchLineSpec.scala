@@ -176,6 +176,28 @@ class BenchLineSpec extends AnyFunSuite {
     assert(factors2("q_hot") < 1.3)
   }
 
+  test("cpu attribution flags exactly the queries whose REPORTED sample had a timed-out drain") {
+    // sample lists are prepended per sweep, so index 0 = latest sweep;
+    // sus lists are index-aligned with cpu lists
+    val cpu = Map(
+      "q_clean"    -> List(2.0, 2.1),  // both settles clean
+      "q_inflated" -> List(20.5, 22.0),// min sample (idx 0) tainted → flag
+      "q_rescued"  -> List(6.5, 20.5), // min sample (idx 0) clean; the
+                                       // inflated sweep-1 sample lost the min
+      "q_failed"   -> Nil)             // no samples → nothing to flag
+    val sus = Map(
+      "q_clean"    -> List(false, false),
+      "q_inflated" -> List(true, true),
+      "q_rescued"  -> List(false, true),
+      "q_failed"   -> Nil)
+    val flagged = Bench.cpuSuspects(cpu, sus)
+    assert(flagged == Set("q_inflated"),
+      s"only the query whose reported min-CPU sample was tainted flags: $flagged")
+    // a query with samples but MISSING suspect bits (defensive) flags:
+    // absence of evidence of a clean settle is not evidence of one
+    assert(Bench.cpuSuspects(Map("q" -> List(1.0)), Map.empty) == Set("q"))
+  }
+
   test("a run throttled end-to-end still reads as throttled (healthy clamp)") {
     // every probe slow: min observed = 0.74, but the documented
     // healthy clamp keeps the reference honest
