@@ -137,48 +137,139 @@ object Joins {
   def asofJoinForward(spark: SparkSession, dir: String): DataFrame =
     asofJoinOn(Tables.events(spark, dir), forward = true)
 
+  // ---------------------------------------------------------------
+  // Shared as-of machinery (round-11 verdict item 3). Every as-of
+  // form — window or stitched, self-tagged events or two arbitrary
+  // tables — reduces to ONE internal "tagged" frame:
+  //   keys..., <tsCol>, __ts (numeric order/chunk key), __side
+  //   (0 = ref, 1 = probe), __tie (ref tie-break, null on probes),
+  //   probe pass-through columns (dropped/null on ref rows), and
+  //   __ref (struct of the ref's ts + payload, null on probes).
+  // Carrying ONE struct instead of per-column values gives row-level
+  // as-of semantics (a null field in the winning ref row stays null
+  // rather than falling back to an older ref's value) — exactly what
+  // DuckDB's ASOF LEFT JOIN produces.
+  // ---------------------------------------------------------------
+
+  /** Numeric ordering key for a ts column: injective for timestamps
+    * (unix_micros), identity for integral types — so ordering by
+    * `__ts` is ordering by the column itself, and the stitched form
+    * can do chunk arithmetic on it. */
+  private def tsOrd(df: DataFrame, tsCol: String) = {
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType, TimestampType}
+    df.schema(tsCol).dataType match {
+      case TimestampType => unix_micros(col(tsCol))
+      case LongType | IntegerType | ShortType | ByteType => col(tsCol).cast("long")
+      case _ => col(tsCol).cast("double")
+    }
+  }
+
+  /** The tagged union of two genuinely distinct frames. Both must
+    * carry `keys` and `tsCol` (same types); `payload` and `tieCol`
+    * name ref columns; every other probe column passes through. */
+  private def taggedFromTwo(probe: DataFrame, ref: DataFrame, keys: Seq[String],
+      tsCol: String, payload: Seq[String], tieCol: Option[String]): DataFrame = {
+    require(keys.nonEmpty, "as-of join needs at least one key column")
+    val passCols = probe.columns.toSeq.filterNot(c => keys.contains(c) || c == tsCol)
+    val r = ref.select(keys.map(col) ++ Seq(
+        col(tsCol), tsOrd(ref, tsCol).as("__ts"), lit(0).as("__side"),
+        tieCol.map(col).getOrElse(lit(0L)).as("__tie")) ++
+      passCols.map(c => lit(null).cast(probe.schema(c).dataType).as(c)) :+
+      struct((col(tsCol) +: payload.map(col)): _*).as("__ref"): _*)
+    val p = probe.select(keys.map(col) ++ Seq(
+        col(tsCol), tsOrd(probe, tsCol).as("__ts"), lit(1).as("__side"),
+        lit(null).cast(r.schema("__tie").dataType).as("__tie")) ++
+      passCols.map(col) :+
+      lit(null).cast(r.schema("__ref").dataType).as("__ref"): _*)
+    r.unionByName(p)
+  }
+
+  /** The registry events form's tagged frame — ONE scan (type filter
+    * pushed to parquet), rows tagged in place: the self-source
+    * specialization the two-table union can't express without
+    * scanning the table twice. */
+  private def taggedEvents(events: DataFrame): DataFrame =
+    events.filter(col("event_type").isin("click", "purchase")).select(
+      col("user_id"), col("ts"),
+      unix_micros(col("ts")).as("__ts"),
+      when(col("event_type") === "click", 1).otherwise(0).as("__side"),
+      when(col("event_type") === "purchase", col("event_id")).as("__tie"),
+      col("event_id"), col("value"),
+      when(col("event_type") === "purchase",
+        struct(col("ts"), col("value"))).as("__ref"))
+
+  /** Window carry core: one exchange on `keys`, no join operator.
+    * Backward (`forward = false`): most recent ref at-or-before the
+    * probe; equal-ts ref ties break to MAX __tie. Forward: nearest
+    * ref at-or-after; ties to MIN __tie — the mirror ordering
+    * (__ts desc, __tie desc) makes the same `last(ignoreNulls)` carry
+    * pick the earliest qualifying ref. Inclusive at equal ts either
+    * way (side asc keeps refs visible to same-ts probes). */
+  private def windowCarry(tagged: DataFrame, keys: Seq[String],
+      forward: Boolean): DataFrame = {
+    val w = (if (forward)
+        Window.partitionBy(keys.map(col): _*)
+          .orderBy(col("__ts").desc, col("__side").asc, col("__tie").desc)
+      else
+        Window.partitionBy(keys.map(col): _*)
+          .orderBy(col("__ts").asc, col("__side").asc, col("__tie").asc))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tagged
+      .withColumn("__carry", last(col("__ref"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+  }
+
+  /** Output shape of the public two-table forms: every probe column,
+    * then the matched ref's ts + payload as `asof_<name>` (null when
+    * no ref qualifies). */
+  private def selectAsof(out: DataFrame, probeCols: Seq[String],
+      tsCol: String, payload: Seq[String]): DataFrame =
+    out.select(probeCols.map(col) ++
+      (tsCol +: payload).map(c => col("__carry")(c).as("asof_" + c)): _*)
+
+  /** The general two-table as-of join (round-11 verdict item 3): for
+    * each `probe` row, the `ref` row with the greatest ts at-or-before
+    * it (or, `forward = true`, the least ts at-or-after it) matching
+    * on `keys` — pandas `merge_asof` / kdb `aj` / DuckDB `ASOF LEFT
+    * JOIN`, as one exchange + one window, no join operator (see the
+    * class doc for why this beats the range-predicate join plan).
+    *
+    * `payload`: the ref columns to attach (emitted as
+    * `asof_<tsCol>`, `asof_<payload>`, null when no ref qualifies).
+    * `tieCol`: deterministic tie-break among refs sharing (keys, ts)
+    * — MAX backward / MIN forward; pass None only when such ties are
+    * impossible or a nondeterministic pick is acceptable.
+    *
+    * The registry events forms (q13/q15/q17) are thin wrappers over
+    * the same carry cores, differing only in building their tagged
+    * frame from ONE self-tagged scan instead of a two-frame union —
+    * joining a table to itself through the public API would scan it
+    * twice for no reason. */
+  def asofJoin(probe: DataFrame, ref: DataFrame, keys: Seq[String], tsCol: String,
+      payload: Seq[String], tieCol: Option[String], forward: Boolean): DataFrame =
+    selectAsof(windowCarry(taggedFromTwo(probe, ref, keys, tsCol, payload, tieCol),
+        keys, forward),
+      probe.columns.toSeq, tsCol, payload)
+
   /** The as-of join over an arbitrary events-shaped frame
     * (user_id, ts timestamp, event_type, event_id, value) — the
     * `dgimStitchedOn` pattern, so PropertySpec can drive the
     * window/stitched pair with adversarial generated data (duplicate
     * (user_id, ts) refs, single-key skew) that the parquet fixtures
-    * never contain.
-    *
-    * `forward = false` (default): most recent ref at-or-before the
-    * probe; equal-ts ref ties break to MAX event_id. `forward =
-    * true`: nearest ref at-or-after; ties break to MIN event_id —
-    * the mirror ordering (ts desc, event_id desc) makes the same
-    * `last(ignoreNulls)` carry pick the earliest qualifying ref, so
-    * both directions stay one exchange + one window. Inclusive at
-    * equal ts either way (side asc keeps refs visible to same-ts
-    * probes). */
-  private[graft] def asofJoinOn(events: DataFrame, forward: Boolean = false): DataFrame = {
-    val tagged = events
-      .filter(col("event_type").isin("click", "purchase"))
-      .select(
-        col("user_id"), col("ts"),
-        when(col("event_type") === "click", 1).otherwise(0).as("side"),
-        col("event_id"), col("value"))
-    val w = (if (forward)
-        Window.partitionBy(col("user_id"))
-          .orderBy(col("ts").desc, col("side").asc, col("event_id").desc)
-      else
-        Window.partitionBy(col("user_id"))
-          .orderBy(col("ts").asc, col("side").asc, col("event_id").asc))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    tagged
-      .withColumn("asof_ts_us",
-        last(when(col("side") === 0, unix_micros(col("ts"))), ignoreNulls = true).over(w))
-      .withColumn("asof_value",
-        last(when(col("side") === 0, col("value")), ignoreNulls = true).over(w))
-      .filter(col("side") === 1)
-      .select(
-        col("event_id"), col("user_id"),
-        unix_micros(col("ts")).as("ts_us"),
-        round(col("value"), 4).as("click_value"),
-        col("asof_ts_us"),
-        round(col("asof_value"), 4).as("asof_value"))
-  }
+    * never contain. Tie rule: MAX event_id backward, MIN forward
+    * (see `windowCarry`). */
+  private[graft] def asofJoinOn(events: DataFrame, forward: Boolean = false): DataFrame =
+    finishEvents(windowCarry(taggedEvents(events), Seq("user_id"), forward))
+
+  /** The registry output shape shared by q13/q15/q17: micros + round4,
+    * column names matching the DuckDB oracle exactly. */
+  private def finishEvents(out: DataFrame): DataFrame =
+    out.select(
+      col("event_id"), col("user_id"),
+      col("__ts").as("ts_us"),
+      round(col("value"), 4).as("click_value"),
+      unix_micros(col("__carry")("ts")).as("asof_ts_us"),
+      round(col("__carry")("value"), 4).as("asof_value"))
 
   /** The skew-proof as-of twin (round-10 verdict item 5): bit-equal
     * output to `asofJoin`, but no single key's rows ever have to fit
@@ -219,68 +310,84 @@ object Joins {
 
   /** See `asofJoinOn` — the stitched twin over an arbitrary frame. */
   private[graft] def asofJoinStitchedOn(events: DataFrame,
-      maxRowsPerKey: Long): DataFrame = {
-    val tagged = events
-      .filter(col("event_type").isin("click", "purchase"))
-      .select(
-        col("user_id"), unix_micros(col("ts")).as("ts_us"),
-        when(col("event_type") === "click", 1).otherwise(0).as("side"),
-        col("event_id"), col("value"))
+      maxRowsPerKey: Long): DataFrame =
+    finishEvents(stitchedCarry(taggedEvents(events), Seq("user_id"), maxRowsPerKey))
 
+  /** The general two-table stitched as-of join — `asofJoin`'s
+    * skew-proof twin (backward direction; see `stitchedCarry` for the
+    * chunk/stitch plan). Same signature minus direction, same
+    * `asof_<name>` output contract, bit-equal to `asofJoin(...,
+    * forward = false)` on any input. */
+  def asofJoinStitched(probe: DataFrame, ref: DataFrame, keys: Seq[String],
+      tsCol: String, payload: Seq[String], tieCol: Option[String],
+      maxRowsPerKey: Long): DataFrame =
+    selectAsof(stitchedCarry(taggedFromTwo(probe, ref, keys, tsCol, payload, tieCol),
+        keys, maxRowsPerKey),
+      probe.columns.toSeq, tsCol, payload)
+
+  /** Stitched carry core (backward only): no single key's rows ever
+    * have to fit one window partition. Steps 1–4 as documented on
+    * `asofJoinStitched(spark, dir, ...)` above: bounded skew census,
+    * chunk assignment via broadcast left join, the one data exchange
+    * on (keys, __sub), boundary stitch through a chunks-sized
+    * broadcast carry table. Ordering inside chunks matches
+    * `windowCarry` exactly (__ts, __side, __tie), so the two cores
+    * agree bit-for-bit. */
+  private def stitchedCarry(tagged: DataFrame, keys: Seq[String],
+      maxRowsPerKey: Long): DataFrame = {
+    val skKeys = keys.map("__sk_" + _)
     // 1. skew census: only keys ABOVE the cap survive (bounded set)
-    val skew = tagged.groupBy("user_id")
-      .agg(count(lit(1)).as("n"), min("ts_us").as("lo"), max("ts_us").as("hi"))
-      .filter(col("n") > maxRowsPerKey)
-      .select(col("user_id").as("sk_user"), col("lo"),
+    val skew = tagged.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("__n"), min("__ts").as("__lo"), max("__ts").as("__hi"))
+      .filter(col("__n") > maxRowsPerKey)
+      .select(keys.map(k => col(k).as("__sk_" + k)) ++ Seq(col("__lo"),
         // chunk width: the key's ts span split into ceil(n/cap)
-        // chunks, floored at 1 µs (all-identical-ts keys collapse to
-        // one chunk — no narrower split is possible or needed)
-        greatest(ceil((col("hi") - col("lo") + 1).cast("double") /
-          ceil(col("n") / lit(maxRowsPerKey.toDouble))), lit(1.0)).cast("long").as("w"))
+        // chunks, floored at 1 unit (all-identical-ts keys collapse
+        // to one chunk — no narrower split is possible or needed)
+        greatest(ceil((col("__hi") - col("__lo") + 1).cast("double") /
+          ceil(col("__n") / lit(maxRowsPerKey.toDouble))), lit(1.0))
+          .cast("long").as("__w")): _*)
+    val skCond = keys.map(k => col(k) === col("__sk_" + k)).reduce(_ && _)
 
     // 2. chunk ids: non-skewed keys miss the broadcast join → sub 0
-    val chunked = tagged.join(broadcast(skew), col("user_id") === col("sk_user"), "left")
-      .withColumn("sub", coalesce(floor((col("ts_us") - col("lo")) / col("w")), lit(0L)))
-      .drop("sk_user", "lo", "w")
+    val chunked = tagged.join(broadcast(skew), skCond, "left")
+      .withColumn("__sub",
+        coalesce(floor((col("__ts") - col("__lo")) / col("__w")), lit(0L)))
+      .drop(skKeys :+ "__lo" :+ "__w": _*)
 
-    val w = Window.partitionBy(col("user_id"), col("sub"))
-      .orderBy(col("ts_us").asc, col("side").asc, col("event_id").asc)
+    val w = Window.partitionBy((keys :+ "__sub").map(col): _*)
+      .orderBy(col("__ts").asc, col("__side").asc, col("__tie").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val local = chunked
-      .withColumn("loc_ts",
-        last(when(col("side") === 0, col("ts_us")), ignoreNulls = true).over(w))
-      .withColumn("loc_v",
-        last(when(col("side") === 0, col("value")), ignoreNulls = true).over(w))
+      .withColumn("__loc", last(col("__ref"), ignoreNulls = true).over(w))
 
     // 3. the stitch table: each SKEWED key's chunks with their last
     // ref; ref-less chunks keep a null and the ignoreNulls window
     // carries past them. max_by's ordering key is null for probe
-    // rows, so only refs compete — ties on ts break by event_id,
-    // matching the window's (ts, side, event_id) order.
+    // rows, so only refs compete — ties on ts break by __tie,
+    // matching the window's (__ts, __side, __tie) order.
     val bounds = chunked
-      .join(broadcast(skew.select(col("sk_user"))),
-        col("user_id") === col("sk_user"), "leftsemi")
-      .groupBy(col("user_id"), col("sub"))
-      .agg(max_by(struct(col("ts_us"), col("value")),
-        when(col("side") === 0, struct(col("ts_us"), col("event_id")))).as("lastref"))
-    val carryW = Window.partitionBy(col("user_id")).orderBy(col("sub").asc)
+      .join(broadcast(skew.select(skKeys.map(col): _*)), skCond, "leftsemi")
+      .groupBy((keys :+ "__sub").map(col): _*)
+      .agg(max_by(col("__ref"),
+        when(col("__side") === 0, struct(col("__ts"), col("__tie")))).as("__lastref"))
+    val carryW = Window.partitionBy(keys.map(col): _*).orderBy(col("__sub").asc)
       .rowsBetween(Window.unboundedPreceding, -1)
+    val cKeys = keys.map("__c_" + _)
     val carry = bounds
-      .withColumn("carry", last(col("lastref"), ignoreNulls = true).over(carryW))
-      .filter(col("carry").isNotNull)
-      .select(col("user_id").as("c_user"), col("sub").as("c_sub"),
-        col("carry.ts_us").as("carry_ts"), col("carry.value").as("carry_v"))
+      .withColumn("__carryin", last(col("__lastref"), ignoreNulls = true).over(carryW))
+      .filter(col("__carryin").isNotNull)
+      .select(keys.map(k => col(k).as("__c_" + k)) ++
+        Seq(col("__sub").as("__c_sub"), col("__carryin")): _*)
+    val cCond = keys.map(k => col(k) === col("__c_" + k)).reduce(_ && _) &&
+      col("__sub") === col("__c_sub")
 
     // 4. stitch: local chunk carry wins (strictly newer by chunk
     // ordering); earlier-chunk carry-in fills the chunk's pre-ref gap
-    local.filter(col("side") === 1)
-      .join(broadcast(carry),
-        col("user_id") === col("c_user") && col("sub") === col("c_sub"), "left")
-      .select(
-        col("event_id"), col("user_id"), col("ts_us"),
-        round(col("value"), 4).as("click_value"),
-        coalesce(col("loc_ts"), col("carry_ts")).as("asof_ts_us"),
-        round(coalesce(col("loc_v"), col("carry_v")), 4).as("asof_value"))
+    local.filter(col("__side") === 1)
+      .join(broadcast(carry), cCond, "left")
+      .withColumn("__carry", coalesce(col("__loc"), col("__carryin")))
+      .drop(cKeys :+ "__c_sub" :+ "__carryin" :+ "__loc": _*)
   }
 
   /** Range join: classify every event's value into an irregular band

@@ -202,6 +202,63 @@ class JoinsSpec extends AnyFunSuite {
     assert(eu <= 2L * uniform.size, s"uniform bands exploded $eu rows at width $wu")
   }
 
+  test("two-table as-of join: distinct probe/ref schemas, both directions, stitched twin") {
+    // the public API (round-11 verdict item 3): a probe table and a
+    // reference table with their OWN schemas — page views asof-joined
+    // to price updates on uid/at. Brute force is the oracle; the
+    // stitched form at a tiny cap must agree exactly.
+    import spark.implicits._
+    val rnd = new scala.util.Random(7L)
+    val views = (0 until 120).map { i =>
+      (i.toLong, 1L + rnd.nextInt(3),
+        new java.sql.Timestamp(rnd.nextInt(30).toLong * 1000L), s"page${rnd.nextInt(5)}")
+    }
+    val updates = (0 until 60).map { j =>
+      (1L + rnd.nextInt(4), new java.sql.Timestamp(rnd.nextInt(30).toLong * 1000L),
+        rnd.nextDouble() * 10.0, 1000L + j)
+    }
+    val probe = views.toDF("view_id", "uid", "at", "page")
+    val ref = updates.toDF("uid", "at", "price", "upd_id")
+    def bf(forward: Boolean) = views.map { case (vid, uid, at, page) =>
+      val cand = updates.filter(r => r._1 == uid &&
+        (if (forward) r._2.getTime >= at.getTime else r._2.getTime <= at.getTime))
+      val best =
+        if (cand.isEmpty) None
+        else if (forward) Some(cand.minBy(r => (r._2.getTime, r._4)))
+        else Some(cand.maxBy(r => (r._2.getTime, r._4)))
+      (vid, uid, at.getTime, page, best.map(_._2.getTime), best.map(_._3))
+    }.toSet
+    def canon(df: org.apache.spark.sql.DataFrame) = df.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getTimestamp(2).getTime, r.getString(3),
+        Option(r.getTimestamp(4)).map(_.getTime),
+        Option(r.get(5)).map(_.asInstanceOf[Double]))).toSet
+    val keys = Seq("uid")
+    assert(canon(Joins.asofJoin(probe, ref, keys, "at", Seq("price"), Some("upd_id"),
+      forward = false)) == bf(false), "backward two-table as-of diverged from brute force")
+    assert(canon(Joins.asofJoin(probe, ref, keys, "at", Seq("price"), Some("upd_id"),
+      forward = true)) == bf(true), "forward two-table as-of diverged from brute force")
+    assert(canon(Joins.asofJoinStitched(probe, ref, keys, "at", Seq("price"),
+      Some("upd_id"), maxRowsPerKey = 5L)) == bf(false),
+      "stitched two-table as-of diverged at cap=5")
+  }
+
+  test("as-of carries the winning ref ROW: a null payload field stays null") {
+    // row-level semantics (what DuckDB ASOF produces): if the
+    // qualifying ref row's payload field is null, the output is null
+    // — NOT an older ref's non-null value. Also exercises a numeric
+    // (long) ts column through the public API.
+    import spark.implicits._
+    val probe = Seq((1L, 5L, 100L)).toDF("uid", "at", "pid")
+    val ref = Seq((1L, 1L, Option(10.0), 1L), (1L, 3L, Option.empty[Double], 2L))
+      .toDF("uid", "at", "price", "rid")
+    val out = Joins.asofJoin(probe, ref, Seq("uid"), "at", Seq("price"), Some("rid"),
+      forward = false).collect()
+    assert(out.length == 1)
+    assert(out(0).getLong(3) == 3L, s"must match the at=3 ref row: ${out(0)}")
+    assert(out(0).isNullAt(4),
+      s"null payload in the winning ref row must stay null: ${out(0)}")
+  }
+
   test("range join rejects zero/negative-width bands at plan-build") {
     // floor((hi-eps)/w) < floor(lo/w) on a degenerate interval makes
     // sequence() count DOWN and emit spurious bins — chooseBinWidth

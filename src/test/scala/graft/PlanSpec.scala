@@ -279,8 +279,8 @@ class PlanSpec extends AnyFunSuite {
     // carry table) broadcasts; nothing may degenerate to a nested
     // loop or pull the big side to one partition
     val p = plan("q15_asof_stitched")
-    assert(p.contains("Exchange hashpartitioning(user_id") && p.contains(", sub"),
-      s"stitched as-of window must partition by (user_id, sub):\n$p")
+    assert(p.contains("Exchange hashpartitioning(user_id") && p.contains("__sub"),
+      s"stitched as-of window must partition by (user_id, __sub):\n$p")
     assert(!p.contains("Exchange SinglePartition"), "stitched as-of must stay partitioned")
     assert(p.contains("BroadcastHashJoin"), s"stitch joins must broadcast:\n$p")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct") &&
