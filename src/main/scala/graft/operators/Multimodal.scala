@@ -11,15 +11,147 @@ import org.apache.spark.sql.functions._
   * 100 TB media table streams partition-by-partition through the
   * codec without ever materializing decoded frames in the plan.
   *
-  * The actual codecs (JPEG/PNG/PCM decoders) are NOT available in
-  * this environment, so `decodeFeatures` is a clearly-marked
-  * deterministic STUB: it derives a fixed-length feature vector from
-  * the payload bytes. Everything around it — the schema contract,
-  * the partition-streaming execution shape, the frame-sampling
-  * stride, the typed Dataset surface — is the real plumbing a codec
-  * drop-in would use, and is exercised by MultimodalSpec.
+  * Decode is REAL for the container formats that parse from raw
+  * bytes with zero dependencies (round-11 verdict item 4): binary
+  * PPM/PGM rasters (`P6`/`P5`), uncompressed 24-bit BMP, and RIFF
+  * WAV PCM (8/16-bit) — header parse → pixels/samples → the feature
+  * pipeline. Compressed codecs (JPEG/PNG/MP3/H.264) are NOT
+  * available in this environment, so unrecognized payloads fall back
+  * to the clearly-marked deterministic STUB `stubDecode`, preserving
+  * the original pipeline behavior byte-for-byte. Everything around
+  * the decoders — the schema contract, the partition-streaming
+  * execution shape, the frame-sampling stride, the typed Dataset
+  * surface — is shared between the real and stub paths and exercised
+  * by MultimodalSpec.
   */
 object Multimodal {
+
+  /** A decoded media payload: grayscale raster or PCM samples. */
+  sealed trait Decoded
+  final case class GrayRaster(w: Int, h: Int, pixels: Array[Byte]) extends Decoded
+  final case class PcmAudio(sampleRate: Int, channels: Int,
+                            samples: Array[Short]) extends Decoded
+
+  private def le32(b: Array[Byte], o: Int): Int =
+    (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8) | ((b(o + 2) & 0xff) << 16) | ((b(o + 3) & 0xff) << 24)
+  private def le16(b: Array[Byte], o: Int): Int =
+    (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
+
+  /** ITU-R 601 luma in integer arithmetic — the one grayscale rule
+    * both raster decoders share. */
+  @inline private def luma(r: Int, g: Int, b: Int): Byte =
+    ((r * 299 + g * 587 + b * 114) / 1000).toByte
+
+  /** Binary PPM (`P6`, RGB) / PGM (`P5`, gray) decode: netpbm header
+    * (magic, whitespace/comment-separated width height maxval, ONE
+    * whitespace byte, raster). Returns None on wrong magic, maxval
+    * > 255, or a truncated raster — never throws on corrupt bytes. */
+  private[graft] def decodePnm(b: Array[Byte]): Option[GrayRaster] = {
+    if (b.length < 2 || b(0) != 'P' || (b(1) != '5' && b(1) != '6')) return None
+    val isP6 = b(1) == '6'
+    var i = 2
+    def readInt(): Int = {
+      while (i < b.length &&
+          (Character.isWhitespace(b(i).toChar) || b(i) == '#')) {
+        if (b(i) == '#') { while (i < b.length && b(i) != '\n') i += 1 }
+        else i += 1
+      }
+      var v = -1
+      while (i < b.length && b(i) >= '0' && b(i) <= '9') {
+        v = math.max(v, 0) * 10 + (b(i) - '0'); i += 1
+      }
+      v
+    }
+    val w = readInt(); val h = readInt(); val maxv = readInt()
+    if (w <= 0 || h <= 0 || maxv <= 0 || maxv > 255) return None
+    i += 1 // the single whitespace byte separating header from raster
+    val n = w * h
+    if (i + (if (isP6) n * 3 else n).toLong > b.length) return None
+    val out = new Array[Byte](n)
+    if (isP6) {
+      var p = 0
+      while (p < n) {
+        out(p) = luma(b(i + p * 3) & 0xff, b(i + p * 3 + 1) & 0xff, b(i + p * 3 + 2) & 0xff)
+        p += 1
+      }
+    } else System.arraycopy(b, i, out, 0, n)
+    Some(GrayRaster(w, h, out))
+  }
+
+  /** Uncompressed 24-bit BMP decode: BITMAPFILEHEADER + BITMAPINFO
+    * (BI_RGB only), BGR pixel order, rows padded to 4 bytes, positive
+    * height = bottom-up. Returns None for any other BMP flavor or a
+    * truncated pixel array. */
+  private[graft] def decodeBmp(b: Array[Byte]): Option[GrayRaster] = {
+    if (b.length < 54 || b(0) != 'B' || b(1) != 'M') return None
+    val dataOff = le32(b, 10)
+    if (le32(b, 14) < 40) return None // DIB header too old/small
+    val w = le32(b, 18); val hRaw = le32(b, 22)
+    if (w <= 0 || hRaw == 0 || le16(b, 26) != 1 || le16(b, 28) != 24 ||
+      le32(b, 30) != 0) return None
+    val h = math.abs(hRaw)
+    val rowBytes = (w * 3 + 3) & ~3
+    if (dataOff < 54 || dataOff.toLong + rowBytes.toLong * h > b.length) return None
+    val out = new Array[Byte](w * h)
+    var y = 0
+    while (y < h) {
+      val src = dataOff + (if (hRaw > 0) h - 1 - y else y) * rowBytes
+      var x = 0
+      while (x < w) {
+        // BGR order on disk
+        out(y * w + x) = luma(b(src + x * 3 + 2) & 0xff, b(src + x * 3 + 1) & 0xff,
+          b(src + x * 3) & 0xff)
+        x += 1
+      }
+      y += 1
+    }
+    Some(GrayRaster(w, h, out))
+  }
+
+  /** RIFF WAV PCM decode: chunk walk for `fmt ` (format 1 = PCM,
+    * 8/16-bit) and `data`; 16-bit samples little-endian, 8-bit
+    * unsigned recentered to signed 16-bit. Returns None for
+    * compressed formats, truncated chunks, or missing fmt/data. */
+  private[graft] def decodeWav(b: Array[Byte]): Option[PcmAudio] = {
+    if (b.length < 44 || b(0) != 'R' || b(1) != 'I' || b(2) != 'F' || b(3) != 'F' ||
+      b(8) != 'W' || b(9) != 'A' || b(10) != 'V' || b(11) != 'E') return None
+    var i = 12
+    var fmt = Option.empty[(Int, Int, Int)] // channels, rate, bits
+    var data = Option.empty[(Int, Int)]     // offset, byte length
+    while (i + 8 <= b.length && (fmt.isEmpty || data.isEmpty)) {
+      val len = le32(b, i + 4)
+      if (len < 0 || i + 8 + len.toLong > b.length) return None
+      val id = new String(b, i, 4, "US-ASCII")
+      if (id == "fmt ") {
+        if (len < 16 || le16(b, i + 8) != 1) return None // PCM only
+        fmt = Some((le16(b, i + 10), le32(b, i + 12), le16(b, i + 22)))
+      } else if (id == "data") data = Some((i + 8, len))
+      i += 8 + len + (len & 1) // RIFF chunks are word-aligned
+    }
+    for ((ch, rate, bits) <- fmt; (off, len) <- data
+         if ch > 0 && rate > 0 && (bits == 16 || bits == 8)) yield {
+      if (bits == 16) {
+        val out = new Array[Short](len / 2)
+        var k = 0
+        while (k < out.length) {
+          out(k) = ((b(off + 2 * k) & 0xff) | (b(off + 2 * k + 1) << 8)).toShort
+          k += 1
+        }
+        PcmAudio(rate, ch, out)
+      } else {
+        val out = new Array[Short](len)
+        var k = 0
+        while (k < len) { out(k) = (((b(off + k) & 0xff) - 128) << 8).toShort; k += 1 }
+        PcmAudio(rate, ch, out)
+      }
+    }
+  }
+
+  /** Dispatch on magic bytes: each decoder rejects wrong magic in
+    * O(1), so trying them in sequence costs nothing. None = format
+    * needs a real codec → caller falls back to `stubDecode`. */
+  def decode(payload: Array[Byte]): Option[Decoded] =
+    decodePnm(payload).orElse(decodeBmp(payload)).orElse(decodeWav(payload))
 
   /** Typed row contract for a media table. */
   case class MediaRow(doc_id: Long, payload: Array[Byte], kind: String)
@@ -85,18 +217,60 @@ object Multimodal {
     out
   }
 
+  /** Raster features: 4×4 nearest-neighbor thumbnail (the existing
+    * resize kernel) scaled to [0,1] — a fixed-width, scale-invariant
+    * signature, constant memory regardless of image size. */
+  def rasterFeatures(r: GrayRaster): Array[Float] =
+    resizeRaster(r.pixels, r.w, r.h, 4, 4).map(p => (p & 0xff) / 255f)
+
+  /** Audio features: `FeatureDim`-segment RMS energy envelope in
+    * [0,1] — one pass over the samples, constant memory. */
+  def pcmFeatures(a: PcmAudio): Array[Float] = {
+    val acc = new Array[Float](FeatureDim)
+    val n = a.samples.length
+    if (n == 0) return acc
+    val seg = math.max(1, n / FeatureDim)
+    val cnt = new Array[Int](FeatureDim)
+    var k = 0
+    while (k < n) {
+      val b = math.min(k / seg, FeatureDim - 1)
+      val s = a.samples(k) / 32768f
+      acc(b) += s * s
+      cnt(b) += 1
+      k += 1
+    }
+    var j = 0
+    while (j < FeatureDim) {
+      if (cnt(j) > 0) acc(j) = math.sqrt(acc(j) / cnt(j)).toFloat
+      j += 1
+    }
+    acc
+  }
+
   /** Batched executor-side decode: one pass per partition, constant
     * memory per row, no decoded state in the shuffle. This is the
     * `mapPartitions` shape (SURVEY §2 "[C] last resort" is justified
     * here: codecs are imperative per-payload work no Catalyst
-    * expression expresses). */
+    * expression expresses). Recognized formats (PPM/PGM/BMP/WAV)
+    * decode for real: images report n_frames = 1 and the thumbnail
+    * signature, audio reports n_frames = sample count and the energy
+    * envelope. Anything else takes the original stub path unchanged
+    * (byte-stride frames + byte-histogram features). */
   def decodeFeatures(media: Dataset[MediaRow], frameStride: Int = 4): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
       rows.map { r =>
-        val frames = sampleFrames(r.payload, frameStride)
-        MediaFeatures(r.doc_id, r.kind, r.payload.length.toLong,
-          frames.length, stubDecode(frames))
+        decode(r.payload) match {
+          case Some(g: GrayRaster) =>
+            MediaFeatures(r.doc_id, r.kind, r.payload.length.toLong, 1, rasterFeatures(g))
+          case Some(a: PcmAudio) =>
+            MediaFeatures(r.doc_id, r.kind, r.payload.length.toLong,
+              a.samples.length, pcmFeatures(a))
+          case None =>
+            val frames = sampleFrames(r.payload, frameStride)
+            MediaFeatures(r.doc_id, r.kind, r.payload.length.toLong,
+              frames.length, stubDecode(frames))
+        }
       }
     }
   }

@@ -38,6 +38,127 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  // --- independent encoders (the decoders under test never see these) ---
+  private def p16(b: Array[Byte], o: Int, v: Int): Unit = {
+    b(o) = v.toByte; b(o + 1) = (v >> 8).toByte
+  }
+  private def p32(b: Array[Byte], o: Int, v: Int): Unit = {
+    b(o) = v.toByte; b(o + 1) = (v >> 8).toByte
+    b(o + 2) = (v >> 16).toByte; b(o + 3) = (v >> 24).toByte
+  }
+  private def pStr(b: Array[Byte], o: Int, s: String): Unit =
+    System.arraycopy(s.getBytes("US-ASCII"), 0, b, o, s.length)
+
+  private def ppm(w: Int, h: Int, rgb: Array[Byte], comment: Boolean = false): Array[Byte] = {
+    val hdr = if (comment) s"P6\n# generated fixture\n$w $h\n255\n" else s"P6 $w $h 255\n"
+    hdr.getBytes("US-ASCII") ++ rgb
+  }
+  private def pgm(w: Int, h: Int, gray: Array[Byte]): Array[Byte] =
+    s"P5\n$w $h\n255\n".getBytes("US-ASCII") ++ gray
+  private def bmp24(w: Int, h: Int, topDownRGB: Seq[(Int, Int, Int)]): Array[Byte] = {
+    val rowBytes = (w * 3 + 3) & ~3
+    val b = new Array[Byte](54 + rowBytes * h)
+    b(0) = 'B'; b(1) = 'M'; p32(b, 2, b.length); p32(b, 10, 54)
+    p32(b, 14, 40); p32(b, 18, w); p32(b, 22, h) // positive height = bottom-up
+    p16(b, 26, 1); p16(b, 28, 24); p32(b, 30, 0)
+    for (y <- 0 until h; x <- 0 until w) {
+      val (r, g, bl) = topDownRGB(y * w + x)
+      val row = 54 + (h - 1 - y) * rowBytes // stored bottom-up, BGR
+      b(row + x * 3) = bl.toByte; b(row + x * 3 + 1) = g.toByte; b(row + x * 3 + 2) = r.toByte
+    }
+    b
+  }
+  private def wav16(rate: Int, ch: Int, samples: Array[Short],
+      junkChunk: Boolean = false): Array[Byte] = {
+    val junk = if (junkChunk) 12 else 0
+    val dataLen = samples.length * 2
+    val b = new Array[Byte](44 + junk + dataLen)
+    pStr(b, 0, "RIFF"); p32(b, 4, b.length - 8); pStr(b, 8, "WAVE")
+    var o = 12
+    if (junkChunk) { pStr(b, o, "LIST"); p32(b, o + 4, 4); pStr(b, o + 8, "INFO"); o += 12 }
+    pStr(b, o, "fmt "); p32(b, o + 4, 16); p16(b, o + 8, 1); p16(b, o + 10, ch)
+    p32(b, o + 12, rate); p32(b, o + 16, rate * ch * 2); p16(b, o + 20, ch * 2)
+    p16(b, o + 22, 16)
+    pStr(b, o + 24, "data"); p32(b, o + 28, dataLen)
+    samples.zipWithIndex.foreach { case (s, i) =>
+      b(o + 32 + 2 * i) = s.toByte; b(o + 33 + 2 * i) = (s >> 8).toByte
+    }
+    b
+  }
+
+  test("PPM/PGM decode: header variants, comments, exact ITU-601 luma") {
+    // pure colors pin the luma formula: R=76, G=149, B=29, white=255
+    val rgb = Array(255, 0, 0, 0, 255, 0, 0, 0, 255, 255, 255, 255).map(_.toByte)
+    val Some(g) = Multimodal.decodePnm(ppm(2, 2, rgb, comment = true))
+    assert((g.w, g.h) == (2, 2))
+    assert(g.pixels.map(_ & 0xff).toSeq == Seq(76, 149, 29, 255))
+    // PGM passes gray bytes through untouched
+    val gray = Array(0, 7, 200, 255).map(_.toByte)
+    val Some(g5) = Multimodal.decodePnm(pgm(4, 1, gray))
+    assert((g5.w, g5.h) == (4, 1) && g5.pixels.sameElements(gray))
+    // corrupt inputs reject, never throw: truncated raster, bad magic,
+    // missing dims, oversized maxval
+    assert(Multimodal.decodePnm(ppm(100, 100, rgb)).isEmpty)
+    assert(Multimodal.decodePnm("P7 2 2 255 xxxx".getBytes).isEmpty)
+    assert(Multimodal.decodePnm("P6 hello".getBytes).isEmpty)
+    assert(Multimodal.decodePnm(("P5\n2 1\n65535\n" + "ab").getBytes).isEmpty)
+  }
+
+  test("BMP decode: bottom-up row flip, BGR order, row padding, strict flavor checks") {
+    // 3x2 image, w=3 -> 9 data bytes padded to 12 per row
+    val px = Seq((255, 0, 0), (0, 255, 0), (0, 0, 255), (10, 10, 10), (255, 255, 255), (0, 0, 0))
+    val Some(g) = Multimodal.decodeBmp(bmp24(3, 2, px))
+    assert((g.w, g.h) == (3, 2))
+    // output is top-down: row 0 = first three tuples
+    assert(g.pixels.map(_ & 0xff).toSeq == Seq(76, 149, 29, 10, 255, 0))
+    // non-24bpp / compressed / truncated flavors reject
+    val bad8 = bmp24(3, 2, px); p16(bad8, 28, 8)
+    assert(Multimodal.decodeBmp(bad8).isEmpty)
+    val badRle = bmp24(3, 2, px); p32(badRle, 30, 1)
+    assert(Multimodal.decodeBmp(badRle).isEmpty)
+    assert(Multimodal.decodeBmp(bmp24(3, 2, px).take(40)).isEmpty)
+  }
+
+  test("WAV decode: 16-bit PCM round-trip, chunk walking, 8-bit recentering") {
+    val samples = Array[Short](0, 16384, -32768, 32767, -1, 1)
+    val Some(a) = Multimodal.decodeWav(wav16(8000, 1, samples, junkChunk = true))
+    assert(a.sampleRate == 8000 && a.channels == 1)
+    assert(a.samples.sameElements(samples), "16-bit LE samples must round-trip exactly")
+    // 8-bit: unsigned recentered (128 -> 0, 0 -> -32768, 255 -> 32512)
+    val b8 = wav16(8000, 1, Array[Short](0))
+    p16(b8, 34, 8) // bits-per-sample -> 8; data stays 2 bytes
+    val Some(a8) = Multimodal.decodeWav(b8.updated(44, 128.toByte).updated(45, 0.toByte))
+    assert(a8.samples.sameElements(Array[Short](0, -32768)))
+    // non-PCM format code rejects
+    val bad = wav16(8000, 1, samples); p16(bad, 20, 2)
+    assert(Multimodal.decodeWav(bad).isEmpty)
+    assert(Multimodal.decodeWav("RIFFxxxxWAVE".getBytes).isEmpty)
+  }
+
+  test("real decoders ride the partition-streaming pipeline; unknown bytes keep the stub path") {
+    import spark.implicits._
+    val img = ppm(2, 2, Array(255, 0, 0, 0, 255, 0, 0, 0, 255, 255, 255, 255).map(_.toByte))
+    val snd = wav16(8000, 1, Array.fill[Short](100)(16384))
+    val blob = "just some opaque text payload".getBytes("UTF-8")
+    val media = Seq(
+      Multimodal.MediaRow(1L, img, "image/x-portable-pixmap"),
+      Multimodal.MediaRow(2L, snd, "audio/wav"),
+      Multimodal.MediaRow(3L, blob, "application/octet-stream")).toDS()
+    val out = Multimodal.decodeFeatures(media).collect().map(f => f.doc_id -> f).toMap
+    // image: one frame, 4x4 thumbnail of the decoded luma values
+    assert(out(1L).n_frames == 1)
+    val lumaSet = Set(76, 149, 29, 255).map(v => v / 255f)
+    assert(out(1L).features.forall(lumaSet.contains),
+      "thumbnail of a 2x2 image must replicate its four luma values")
+    // audio: frames = samples; constant amplitude -> every RMS bucket = 0.5
+    assert(out(2L).n_frames == 100)
+    out(2L).features.foreach(v => assert(math.abs(v - 0.5f) < 1e-3))
+    // unknown payload: byte-identical to the original stub behavior
+    val frames = Multimodal.sampleFrames(blob, 4)
+    assert(out(3L).n_frames == frames.length)
+    assert(out(3L).features.sameElements(Multimodal.stubDecode(frames)))
+  }
+
   test("decode pipeline streams a media table partition-wise") {
     val media = Multimodal.mediaFromDocuments(spark, TestSpark.sf)
     val feats = Multimodal.decodeFeatures(media, frameStride = 4).collect()
