@@ -331,6 +331,36 @@ object Streaming {
       .option("topic", topic)
       .option("checkpointLocation", checkpoint)
 
+  /** A1 consolidated multi-dimension stats — SURVEY §4's one
+    * deliberately-deferred physical choice ("four group-bys as one
+    * grouping-sets pass or four independent streams — decide by
+    * benchmark"), resolved in round 12: ONE pass computes every
+    * dimension's value counts via the explode-based grouping-sets
+    * form — each input row emits one (dim, value) pair per dimension,
+    * then a single groupBy over the pair (the reference's own
+    * MapReduce stats shape, mapreduce.py:5-96, generalized). `cube`/
+    * `rollup` would express this in batch but are unsupported on
+    * streaming frames; the explode form is streaming-safe and batch-
+    * identical.
+    *
+    * Measured against N independent per-dimension streaming queries
+    * (StreamingSpec pins both axes): the source is read ONCE instead
+    * of N times (numInputRows: rows vs N·rows — at 100 TB that is
+    * N-1 saved broker re-reads of the full topic), and one state
+    * store holds exactly the union of the N key sets (same total
+    * state rows, one checkpoint instead of N). The explode's row
+    * amplification is N·rows into a partial-aggregated shuffle whose
+    * output is bounded by the key-set size — the map-side combine
+    * absorbs it, same law as A12. Verdict recorded in SURVEY §8. */
+  def statsMultiDim(events: DataFrame, dims: Seq[String]): DataFrame = {
+    require(dims.nonEmpty, "need at least one stats dimension")
+    events.select(explode(array(dims.map(d =>
+        struct(lit(d).as("dim"), col(d).cast("string").as("dim_value"))): _*)).as("kv"))
+      .select(col("kv.dim").as("dim"), col("kv.dim_value").as("dim_value"))
+      .groupBy(col("dim"), col("dim_value"))
+      .agg(count(lit(1)).as("n"))
+  }
+
   /** S5 query serving: stream aggregates into an in-memory table
     * queryable with `spark.sql(...)` — replaces the reference's
     * pickle-over-Unix-socket RPC server (consumer.py:243-354). Reads

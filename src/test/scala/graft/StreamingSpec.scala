@@ -103,6 +103,54 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("grouping-sets stats: batch-parity per batch, one source read, union state (§4 decision)") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.{col, count, lit}
+    val dims = Seq("event_type", "user_id")
+    val ms = MemoryStream[Event]
+    val consolidated = Streaming.serveMemory(
+      Streaming.statsMultiDim(ms.toDF(), dims), "stats_multi", mode = "complete")
+    // the alternative physical choice: N independent per-dimension
+    // streaming queries over an identically-fed source
+    val msN = MemoryStream[Event]
+    val independents = dims.map(d => Streaming.serveMemory(
+      msN.toDF().groupBy(col(d).cast("string").as("dim_value"))
+        .agg(count(lit(1)).as("n")), s"stats_ind_$d", mode = "complete"))
+    try {
+      val batch1 = (1 to 40).map(i =>
+        ev(i, f"2024-01-01 10:${i % 50}%02d:00", if (i % 3 == 0) "click" else "purchase"))
+      val batch2 = (41 to 60).map(i => ev(i, "2024-01-01 11:00:00", "view"))
+      for (b <- Seq(batch1, batch2)) {
+        ms.addData(b: _*); msN.addData(b: _*)
+        consolidated.processAllAvailable()
+        independents.foreach(_.processAllAvailable())
+        for (d <- dims) {
+          val got = spark.sql(s"SELECT dim_value, n FROM stats_multi WHERE dim = '$d'")
+            .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+          val want = spark.sql(s"SELECT dim_value, n FROM stats_ind_$d")
+            .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+          assert(got == want, s"consolidated diverged from independent on dim $d")
+        }
+      }
+      // the two measured axes behind the SURVEY §4 -> §8 verdict:
+      // 1. source reads — the consolidated form reads each row once;
+      //    N independents read the whole source N times
+      val rows = (batch1.size + batch2.size).toLong
+      val consIn = consolidated.recentProgress.map(_.numInputRows).sum
+      val indepIn = independents.map(_.recentProgress.map(_.numInputRows).sum).sum
+      assert(consIn == rows, s"consolidated must read the source once, got $consIn")
+      assert(indepIn == rows * dims.size,
+        s"independents re-read the source per query, got $indepIn")
+      // 2. state — one store holding exactly the union of the N key
+      //    sets (no blowup from consolidation), one checkpoint not N
+      val consState = consolidated.lastProgress.stateOperators.map(_.numRowsTotal).sum
+      val indepState =
+        independents.map(_.lastProgress.stateOperators.map(_.numRowsTotal).sum).sum
+      assert(consState == indepState,
+        s"consolidated state ($consState) must equal the union of per-dim states ($indepState)")
+    } finally { consolidated.stop(); independents.foreach(_.stop()) }
+  }
+
   test("last-write-wins upsert: duplicate event ids emitted once") {
     implicit val sqlCtx = spark.sqlContext
     val ms = MemoryStream[Event]
