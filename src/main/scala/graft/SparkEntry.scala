@@ -119,6 +119,24 @@ object SparkEntry {
     "llm_dedup_bloom"    -> (Llm.dedupBloom _),
   )
 
+  /** The registry as a SQL surface (round-11 verdict item 8):
+    * registers every declared query as a named temp view over `dir`,
+    * so a downstream user can `spark.sql("SELECT * FROM
+    * q13_asof_join")` any declared query — the `eco_sql_stats`
+    * serving path, generalized from one hand-registered view to the
+    * whole registry. Registration is LAZY: a temp view stores the
+    * analyzed logical plan, nothing executes until the view is
+    * queried, so registering all ~90 costs milliseconds and each
+    * query still optimizes end-to-end (filters a user writes over
+    * the view push INTO the view's plan — it is one Catalyst tree,
+    * not a materialization boundary). Returns the registered names,
+    * sorted. */
+  def registerSqlSurface(spark: SparkSession, dir: String): Seq[String] = {
+    val names = queries.keys.toSeq.sorted
+    names.foreach(n => queries(n)(spark, dir).createOrReplaceTempView(n))
+    names
+  }
+
   def oracleSql: Map[String, String] = Map(
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
