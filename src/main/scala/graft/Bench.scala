@@ -325,7 +325,21 @@ object Bench {
     // healthy host) — under host throttle sweep 2 can't rescue the
     // min and the artifact reads as a phantom regression. A full warm
     // sweep makes every timed sample a warm sample.
-    for (w <- SparkEntry.queries.keys.toSeq.sorted)
+    //
+    // SPARK_GRAFT_BENCH_ONLY (comma-separated query names) restricts
+    // the run to a subset — for scale-ladder probes where some
+    // declared queries have an output contract that is itself
+    // superlinear in the generated corpus shape (tools/scale_probe.sh)
+    // and would dominate the record without measuring the engine.
+    // Official per-round artifacts never set it.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
+    only.foreach { o =>
+      val unknown = o -- SparkEntry.queries.keySet
+      require(unknown.isEmpty, s"BENCH_ONLY names not in registry: $unknown")
+    }
+    def selected(n: String): Boolean = only.forall(_.contains(n))
+    for (w <- SparkEntry.queries.keys.toSeq.sorted if selected(w))
       try materialize(w) catch { case _: Throwable => () }
 
     // Idle after warmup, before the first timed sweep: the host VM
@@ -337,7 +351,7 @@ object Bench {
     val settleMs = sys.env.getOrElse("SPARK_GRAFT_SETTLE_MS", "60000").toLong
     if (settleMs > 0) Thread.sleep(settleMs)
 
-    val names = SparkEntry.queries.keys.toSeq.sorted
+    val names = SparkEntry.queries.keys.toSeq.sorted.filter(selected)
     val sweeps = 2
     val wall = scala.collection.mutable.Map.empty[String, List[Double]].withDefaultValue(Nil)
     val cpu = scala.collection.mutable.Map.empty[String, List[Double]].withDefaultValue(Nil)
