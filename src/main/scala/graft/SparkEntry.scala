@@ -140,18 +140,22 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
-         round(sum(l_quantity), 4) AS sum_qty,
-         round(sum(l_extendedprice), 4) AS sum_base_price,
-         round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS sum_disc_price,
-         round(avg(l_quantity), 4) AS avg_qty,
-         round(avg(l_discount), 4) AS avg_disc,
+         CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                  * (CAST(1.00 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+           AS sum_disc_price,
+         round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*), 4) AS avg_qty,
+         round(CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / count(*), 4) AS avg_disc,
          count(*) AS count_order
          FROM lineitem GROUP BY l_returnflag, l_linestatus""",
     "q2_filter_project" ->
       """SELECT l_orderkey, l_partkey, l_linenumber, l_quantity, l_discount
          FROM lineitem WHERE l_quantity > 45.0 AND l_discount >= 0.05""",
     "q3_revenue_by_nation" ->
-      """SELECT n_name, round(sum(o_totalprice), 4) AS revenue, count(*) AS n_orders
+      """SELECT n_name,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+         count(*) AS n_orders
          FROM orders JOIN customer ON o_custkey = c_custkey
          JOIN nation ON c_nationkey = n_nationkey
          GROUP BY n_name""",
@@ -160,7 +164,9 @@ object SparkEntry {
          ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""",
     "q5_revenue_by_region" ->
       """SELECT r_name,
-         round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS revenue,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                  * (CAST(1.00 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+           AS revenue,
          count(*) AS n_items
          FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
          JOIN nation ON s_nationkey = n_nationkey
@@ -541,8 +547,11 @@ object SparkEntry {
          FROM range(0, 1000)""",
     "q11_parts_by_brand" ->
       """SELECT p_brand, count(*) AS n_items,
-           round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS revenue,
-           round(avg(p_retailprice), 4) AS avg_retail
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (CAST(1.00 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+             AS revenue,
+           round(CAST(sum(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) / count(*), 4)
+             AS avg_retail
          FROM lineitem JOIN part ON l_partkey = p_partkey
          GROUP BY p_brand""",
     "eco_sql_stats" ->

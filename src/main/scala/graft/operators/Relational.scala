@@ -26,18 +26,34 @@ import graft.sources.Tables
   */
 object Relational {
 
+  /** Monetary column as exact decimal. The shipped money columns are
+    * 2-decimal-clean (verified across SFs), so the cast recovers the
+    * intended cents exactly; summing DECIMAL is associative and
+    * commutative, which `sum(double)` is not — at ~1e11 magnitudes a
+    * partition-layout change moves the accumulation order and the
+    * last-ulp error (~1e-3, larger than any sane rounding grain)
+    * changes the answer. Caught by the sf3 cross-layout sweep
+    * (local[16] vs local[32] disagreed on q1's sums over 18M rows);
+    * decimal accumulation is layout-deterministic at any scale and is
+    * why TPC-H specifies DECIMAL for money. */
+  private def money(c: org.apache.spark.sql.Column) = c.cast("decimal(18,2)")
+
   /** TPC-H Q1-style pricing summary: partial-agg friendly, one shuffle
     * on the (tiny) group key. Cf. reference stats panel semantics
-    * (consumer.py:151-168) — multi-measure grouped aggregate. */
+    * (consumer.py:151-168) — multi-measure grouped aggregate. Sums
+    * accumulate in decimal (see [[money]]); averages divide the exact
+    * decimal sum as double by the group count — deterministic because
+    * both operands are. */
   def q1PricingSummary(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
-        round(sum(col("l_quantity")), 4).as("sum_qty"),
-        round(sum(col("l_extendedprice")), 4).as("sum_base_price"),
-        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4).as("sum_disc_price"),
-        round(avg(col("l_quantity")), 4).as("avg_qty"),
-        round(avg(col("l_discount")), 4).as("avg_disc"),
+        sum(money(col("l_quantity"))).cast("double").as("sum_qty"),
+        sum(money(col("l_extendedprice"))).cast("double").as("sum_base_price"),
+        sum(money(col("l_extendedprice")) * (lit(BigDecimal("1.00")) - money(col("l_discount"))))
+          .cast("double").as("sum_disc_price"),
+        round(sum(money(col("l_quantity"))).cast("double") / count(lit(1)), 4).as("avg_qty"),
+        round(sum(money(col("l_discount"))).cast("double") / count(lit(1)), 4).as("avg_disc"),
         count(lit(1)).as("count_order"))
 
   /** Selective filter + projection; predicate and column pruning reach
@@ -57,7 +73,7 @@ object Relational {
     o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
       .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
       .groupBy(col("n_name"))
-      .agg(round(sum(col("o_totalprice")), 4).as("revenue"),
+      .agg(sum(money(col("o_totalprice"))).cast("double").as("revenue"),
            count(lit(1)).as("n_orders"))
   }
 
@@ -80,7 +96,8 @@ object Relational {
       .join(broadcast(n), s("s_nationkey") === n("n_nationkey"))
       .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
       .groupBy(col("r_name"))
-      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4).as("revenue"),
+      .agg(sum(money(col("l_extendedprice")) * (lit(BigDecimal("1.00")) - money(col("l_discount"))))
+             .cast("double").as("revenue"),
            count(lit(1)).as("n_items"))
   }
 
@@ -155,8 +172,9 @@ object Relational {
     l.join(broadcast(p), l("l_partkey") === p("p_partkey"))
       .groupBy(col("p_brand"))
       .agg(count(lit(1)).as("n_items"),
-           round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4).as("revenue"),
-           round(avg(col("p_retailprice")), 4).as("avg_retail"))
+           sum(money(col("l_extendedprice")) * (lit(BigDecimal("1.00")) - money(col("l_discount"))))
+             .cast("double").as("revenue"),
+           round(sum(money(col("p_retailprice"))).cast("double") / count(lit(1)), 4).as("avg_retail"))
   }
 
   /** TPC-H Q12-style conditional aggregation over a fact-fact join:
