@@ -137,6 +137,24 @@ object Joins {
   def asofJoinForward(spark: SparkSession, dir: String): DataFrame =
     asofJoinOn(Tables.events(spark, dir), forward = true)
 
+  /** Default staleness bound for the q18 registry form: 6 hours in
+    * micros. Chosen against the shipped data so BOTH branches carry
+    * weight at oracle scale (sf0.01: 222 of 1,865 matched clicks keep
+    * their ref, the rest null out — TESTDATA.md). */
+  val ToleranceMicros6h: Long = 6L * 3600 * 1000000
+
+  /** The tolerance-bounded as-of join (q18): q13's match, but a ref
+    * older than `tolMicros` is no match at all — pandas
+    * `merge_asof(tolerance=...)` / kdb window-join semantics. Same
+    * single-exchange plan; the bound is a post-carry guard, not a
+    * join predicate (see `applyTolerance`). At 100 TB the tolerance
+    * is what makes streaming as-of state finite: a ref older than
+    * the bound can never match, so state eviction at `tolerance`
+    * is exact, not approximate. */
+  def asofJoinTolerance(spark: SparkSession, dir: String,
+      tolMicros: Long = ToleranceMicros6h): DataFrame =
+    asofJoinOn(Tables.events(spark, dir), tolerance = Some(tolMicros))
+
   // ---------------------------------------------------------------
   // Shared as-of machinery (round-11 verdict item 3). Every as-of
   // form — window or stitched, self-tagged events or two arbitrary
@@ -219,6 +237,30 @@ object Joins {
       .filter(col("__side") === 1)
   }
 
+  /** Tolerance guard, applied AFTER the carry (window or stitched —
+    * the cores stay tolerance-blind and bit-equal): null the carried
+    * ref when it is farther than `tol` ord-units from the probe
+    * (micros for timestamps, raw units for numeric ts). Correct
+    * because the carry is already the NEAREST qualifying ref in the
+    * join direction — any other ref is farther, so nulling the
+    * nearest nulls them all. A null carry passes through untouched
+    * (null distance ⇒ `when` yields null). */
+  private def applyTolerance(out: DataFrame, tsCol: String,
+      tsType: org.apache.spark.sql.types.DataType,
+      tolerance: Option[Long], forward: Boolean): DataFrame =
+    tolerance.fold(out) { tol =>
+      import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType, TimestampType}
+      require(tol >= 0, s"as-of tolerance must be >= 0, got $tol")
+      val refOrd = tsType match {
+        case TimestampType => unix_micros(col("__carry")(tsCol))
+        case LongType | IntegerType | ShortType | ByteType =>
+          col("__carry")(tsCol).cast("long")
+        case _ => col("__carry")(tsCol).cast("double")
+      }
+      val dist = if (forward) refOrd - col("__ts") else col("__ts") - refOrd
+      out.withColumn("__carry", when(dist <= lit(tol), col("__carry")))
+    }
+
   /** Output shape of the public two-table forms: every probe column,
     * then the matched ref's ts + payload as `asof_<name>` (null when
     * no ref qualifies). */
@@ -239,6 +281,9 @@ object Joins {
     * `tieCol`: deterministic tie-break among refs sharing (keys, ts)
     * — MAX backward / MIN forward; pass None only when such ties are
     * impossible or a nondeterministic pick is acceptable.
+    * `tolerance`: maximum probe→ref distance for a match (micros for
+    * timestamp ts, raw units for numeric ts) — a ref beyond it yields
+    * nulls, exactly pandas `merge_asof(tolerance=...)`.
     *
     * The registry events forms (q13/q15/q17) are thin wrappers over
     * the same carry cores, differing only in building their tagged
@@ -246,9 +291,12 @@ object Joins {
     * joining a table to itself through the public API would scan it
     * twice for no reason. */
   def asofJoin(probe: DataFrame, ref: DataFrame, keys: Seq[String], tsCol: String,
-      payload: Seq[String], tieCol: Option[String], forward: Boolean): DataFrame =
-    selectAsof(windowCarry(taggedFromTwo(probe, ref, keys, tsCol, payload, tieCol),
-        keys, forward),
+      payload: Seq[String], tieCol: Option[String], forward: Boolean,
+      tolerance: Option[Long] = None): DataFrame =
+    selectAsof(applyTolerance(
+        windowCarry(taggedFromTwo(probe, ref, keys, tsCol, payload, tieCol),
+          keys, forward),
+        tsCol, probe.schema(tsCol).dataType, tolerance, forward),
       probe.columns.toSeq, tsCol, payload)
 
   /** The as-of join over an arbitrary events-shaped frame
@@ -258,8 +306,11 @@ object Joins {
     * (user_id, ts) refs, single-key skew) that the parquet fixtures
     * never contain. Tie rule: MAX event_id backward, MIN forward
     * (see `windowCarry`). */
-  private[graft] def asofJoinOn(events: DataFrame, forward: Boolean = false): DataFrame =
-    finishEvents(windowCarry(taggedEvents(events), Seq("user_id"), forward))
+  private[graft] def asofJoinOn(events: DataFrame, forward: Boolean = false,
+      tolerance: Option[Long] = None): DataFrame =
+    finishEvents(applyTolerance(
+      windowCarry(taggedEvents(events), Seq("user_id"), forward),
+      "ts", org.apache.spark.sql.types.TimestampType, tolerance, forward))
 
   /** The registry output shape shared by q13/q15/q17: micros + round4,
     * column names matching the DuckDB oracle exactly. */
@@ -320,9 +371,11 @@ object Joins {
     * forward = false)` on any input. */
   def asofJoinStitched(probe: DataFrame, ref: DataFrame, keys: Seq[String],
       tsCol: String, payload: Seq[String], tieCol: Option[String],
-      maxRowsPerKey: Long): DataFrame =
-    selectAsof(stitchedCarry(taggedFromTwo(probe, ref, keys, tsCol, payload, tieCol),
-        keys, maxRowsPerKey),
+      maxRowsPerKey: Long, tolerance: Option[Long]): DataFrame =
+    selectAsof(applyTolerance(
+        stitchedCarry(taggedFromTwo(probe, ref, keys, tsCol, payload, tieCol),
+          keys, maxRowsPerKey),
+        tsCol, probe.schema(tsCol).dataType, tolerance, forward = false),
       probe.columns.toSeq, tsCol, payload)
 
   /** Stitched carry core (backward only): no single key's rows ever

@@ -208,8 +208,22 @@ object Streaming {
     * sharded by user_id like every stateful operator here. The
     * timeout callback drives emission for idle keys (the same
     * EventTimeTimeout pattern as `sessionsCustom`); after the last
-    * probe seals, an idle user holds exactly one row of state. */
-  def asofEnrich(events: DataFrame, lateness: String = "1 hour"): Dataset[AsofOut] = {
+    * probe seals, an idle user holds exactly one row of state.
+    *
+    * `tolerance` (micros, q18's bound — pandas `merge_asof
+    * (tolerance=...)`): a ref staler than the bound is no match, AND
+    * eviction becomes exact instead of amortized: once the watermark
+    * passes `ref.ts + tolerance`, no admissible probe — buffered OR
+    * future — can sit within the bound of that ref (any still-open
+    * probe has `ts_us >= wm_ms*1000`, so its distance to the ref
+    * already exceeds the bound), so the compacted sealed ref is
+    * DROPPED and an idle user holds ZERO rows of state. Unbounded
+    * as-of state is O(keys) forever; bounded as-of state is
+    * O(active keys in the last `tolerance`) — the difference between
+    * a state store that grows with the entity universe and one that
+    * tracks the working set. */
+  def asofEnrich(events: DataFrame, lateness: String = "1 hour",
+      tolerance: Option[Long] = None): Dataset[AsofOut] = {
     import events.sparkSession.implicits._
     events
       .withWatermark("ts", lateness)
@@ -255,16 +269,29 @@ object Streaming {
           def r4(v: Double): Double =
             BigDecimal.valueOf(v).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
           val out = emitProbes.sortBy(p => (p.ts_us, p.event_id)).map { p =>
-            val best = candidates.filter(_.ts_us <= p.ts_us)
+            val best = candidates.filter(r => r.ts_us <= p.ts_us &&
+                tolerance.forall(t => p.ts_us - r.ts_us <= t))
               .sortBy(r => (r.ts_us, r.event_id)).lastOption
             AsofOut(p.event_id, uid, p.ts_us, r4(p.value),
               best.map(_.ts_us), best.map(r => r4(r.value)))
           }
-          if (sealedRef.nonEmpty || openRefs.nonEmpty || openProbes.nonEmpty) {
-            state.update(AsofState(sealedRef, openRefs, openProbes))
+          // exact eviction under a tolerance: a sealed ref the
+          // watermark has outrun by more than the bound can never
+          // answer any admissible probe again (see Scaladoc) — only
+          // the carried-forward copy is dropped; this invocation's
+          // emissions above still saw it
+          val keptRef = sealedRef.filterNot(r =>
+            tolerance.exists(t => wmMs * 1000L - r.ts_us > t))
+          if (keptRef.nonEmpty || openRefs.nonEmpty || openProbes.nonEmpty) {
+            state.update(AsofState(keptRef, openRefs, openProbes))
             // wake when the earliest open row's ms seals (probes to
-            // emit; refs to compact); engine requires ts > watermark
-            val pendingMs = (openProbes ++ openRefs).map(_.ts_us / 1000L)
+            // emit; refs to compact), or — bounded as-of — when the
+            // kept ref ages out (ceil'd to the next ms past the
+            // bound, so the eviction predicate is true at the wake);
+            // engine requires ts > watermark
+            val pendingMs = (openProbes ++ openRefs).map(_.ts_us / 1000L) ++
+              keptRef.flatMap(r => tolerance.map(t =>
+                r.ts_us / 1000L + (t + 999L) / 1000L + 1L))
             if (pendingMs.nonEmpty)
               state.setTimeoutTimestamp(math.max(pendingMs.min, wmMs + 1))
           } else state.remove()

@@ -238,8 +238,82 @@ class JoinsSpec extends AnyFunSuite {
     assert(canon(Joins.asofJoin(probe, ref, keys, "at", Seq("price"), Some("upd_id"),
       forward = true)) == bf(true), "forward two-table as-of diverged from brute force")
     assert(canon(Joins.asofJoinStitched(probe, ref, keys, "at", Seq("price"),
-      Some("upd_id"), maxRowsPerKey = 5L)) == bf(false),
+      Some("upd_id"), maxRowsPerKey = 5L, tolerance = None)) == bf(false),
       "stitched two-table as-of diverged at cap=5")
+  }
+
+  test("tolerance-bounded as-of: beyond-tolerance refs null, both directions, stitched twin") {
+    // pandas merge_asof(tolerance=...) semantics through the public
+    // API: a qualifying ref farther than `tol` from the probe is NO
+    // match. Brute force with the distance cut is the oracle; the
+    // stitched form at a tiny cap must agree; a tolerance wider than
+    // the data span must reproduce the unbounded output exactly.
+    import spark.implicits._
+    val rnd = new scala.util.Random(11L)
+    val views = (0 until 120).map { i =>
+      (i.toLong, 1L + rnd.nextInt(3),
+        new java.sql.Timestamp(rnd.nextInt(30).toLong * 1000L), s"page${rnd.nextInt(5)}")
+    }
+    val updates = (0 until 60).map { j =>
+      (1L + rnd.nextInt(4), new java.sql.Timestamp(rnd.nextInt(30).toLong * 1000L),
+        rnd.nextDouble() * 10.0, 1000L + j)
+    }
+    val probe = views.toDF("view_id", "uid", "at", "page")
+    val ref = updates.toDF("uid", "at", "price", "upd_id")
+    val tolMs = 5000L // 5 s of the 30 s span — both branches populated
+    def bf(forward: Boolean, tolMs: Option[Long]) = views.map { case (vid, uid, at, page) =>
+      val cand = updates.filter { r =>
+        r._1 == uid &&
+        (if (forward) r._2.getTime >= at.getTime else r._2.getTime <= at.getTime) &&
+        tolMs.forall(t => math.abs(r._2.getTime - at.getTime) <= t)
+      }
+      val best =
+        if (cand.isEmpty) None
+        else if (forward) Some(cand.minBy(r => (r._2.getTime, r._4)))
+        else Some(cand.maxBy(r => (r._2.getTime, r._4)))
+      (vid, uid, at.getTime, page, best.map(_._2.getTime), best.map(_._3))
+    }.toSet
+    def canon(df: org.apache.spark.sql.DataFrame) = df.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getTimestamp(2).getTime, r.getString(3),
+        Option(r.getTimestamp(4)).map(_.getTime),
+        Option(r.get(5)).map(_.asInstanceOf[Double]))).toSet
+    val keys = Seq("uid")
+    val tolUs = Some(tolMs * 1000L) // timestamp ts ⇒ tolerance in micros
+    val back = canon(Joins.asofJoin(probe, ref, keys, "at", Seq("price"), Some("upd_id"),
+      forward = false, tolerance = tolUs))
+    assert(back == bf(false, Some(tolMs)), "backward tolerance as-of diverged")
+    assert(canon(Joins.asofJoin(probe, ref, keys, "at", Seq("price"), Some("upd_id"),
+      forward = true, tolerance = tolUs)) == bf(true, Some(tolMs)),
+      "forward tolerance as-of diverged")
+    assert(canon(Joins.asofJoinStitched(probe, ref, keys, "at", Seq("price"),
+      Some("upd_id"), maxRowsPerKey = 5L, tolerance = tolUs)) == bf(false, Some(tolMs)),
+      "stitched tolerance as-of diverged at cap=5")
+    // the guard must have BOTH kept and nulled formerly-matched rows,
+    // or the fixture stopped exercising the bound
+    val unbounded = bf(false, None)
+    assert(back.exists(_._5.nonEmpty) && back != unbounded,
+      "tolerance cut nothing — fixture no longer exercises the bound")
+    // a tolerance wider than the whole span is a no-op
+    assert(canon(Joins.asofJoin(probe, ref, keys, "at", Seq("price"), Some("upd_id"),
+      forward = false, tolerance = Some(3600L * 1000000))) == unbounded,
+      "over-wide tolerance must reproduce the unbounded as-of")
+  }
+
+  test("q18 events form: tolerance nulls exactly the stale q13 matches") {
+    // the registry query is q13 with the 6 h guard — every row must
+    // be q13's row with the asof fields kept iff ts_us - asof_ts_us
+    // fits the bound; recomputing per row pins the wrapper wiring
+    val tolUs = Joins.ToleranceMicros6h
+    val base = collectAsof(Joins.asofJoin(spark, sf))
+    val want = base.map { case (id, u, ts, v, rts, rv) =>
+      if (rts.exists(t => ts - t <= tolUs)) (id, u, ts, v, rts, rv)
+      else (id, u, ts, v, None, None)
+    }
+    val got = collectAsof(Joins.asofJoinTolerance(spark, sf))
+    assert(got == want)
+    // fixture must exercise both branches at sf0.001 (TESTDATA.md:
+    // 2 of 199 matches within 1 h, 13 within 6 h)
+    assert(got.exists(_._5.nonEmpty) && got != base)
   }
 
   test("as-of carries the winning ref ROW: a null payload field stays null") {

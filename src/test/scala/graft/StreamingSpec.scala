@@ -533,6 +533,70 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("tolerance-bounded streaming as-of: stale refs no match, idle state evicted to zero") {
+    // q18's bound on the streaming leg: (1) a probe farther than
+    // `tolerance` from its floor ref emits None, matching the batch
+    // tolerance leg; (2) eviction is EXACT — once the watermark
+    // outruns ref.ts + tolerance, the compacted sealed ref is
+    // dropped, so an idle user holds zero state rows (unbounded
+    // as-of would pin one row per user forever)
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[Event]
+    val tolUs = 10L * 60 * 1000000 // 10 min
+    val q = Streaming.asofEnrich(ms.toDF(), lateness = "0 seconds",
+        tolerance = Some(tolUs))
+      .writeStream.format("memory").queryName("asof_tol")
+      .outputMode("append").start()
+    def at(id: Long, user: Long, t: String, typ: String, v: Double) =
+      Event(id, ts(t), user, typ, v)
+    def us(s: String) = ts(s).getTime * 1000L
+    try {
+      // u5: ref at 10:00; a click 5 min later (inside the bound) and
+      // a click 1 h later (outside — must emit None, though the ref
+      // is still the floor an unbounded as-of would attach)
+      ms.addData(
+        at(10, 5, "2024-01-01 10:00:00", "purchase", 5.0),
+        at(11, 5, "2024-01-01 10:05:00", "click", 1.0),
+        at(12, 5, "2024-01-01 11:00:00", "click", 2.0))
+      q.processAllAvailable()
+      // sentinel ladder: each rung advances the watermark, sealing
+      // probes and aging refs past the bound
+      for (t <- Seq("13:00:00", "14:00:00", "16:00:00", "18:00:00")) {
+        ms.addData(at(900 + t.take(2).toLong, 99, s"2024-01-01 $t", "purchase", 0.0))
+        q.processAllAvailable()
+      }
+      val got = spark.sql(
+        "SELECT event_id, asof_ts_us, asof_value FROM asof_tol WHERE user_id = 5")
+        .collect().map(r => (r.getLong(0),
+          if (r.isNullAt(1)) None else Some(r.getLong(1)),
+          if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toSet
+      assert(got == Set(
+        (11L, Some(us("2024-01-01 10:00:00")), Some(5.0)),
+        (12L, None, None)),
+        s"tolerance leg drifted: $got")
+      // batch-leg parity on the same admitted rows
+      import spark.implicits._
+      val batch = graft.operators.Joins.asofJoinOn(
+        Seq(
+          (10L, ts("2024-01-01 10:00:00"), 5L, "purchase", 5.0),
+          (11L, ts("2024-01-01 10:05:00"), 5L, "click", 1.0),
+          (12L, ts("2024-01-01 11:00:00"), 5L, "click", 2.0))
+          .toDF("event_id", "ts", "user_id", "event_type", "value"),
+        tolerance = Some(tolUs))
+        .collect().map(r => (r.getLong(0),
+          if (r.isNullAt(4)) None else Some(r.getLong(4)),
+          if (r.isNullAt(5)) None else Some(r.getDouble(5)))).toSet
+      assert(batch == got, s"streaming/batch tolerance legs disagree: $batch vs $got")
+      // eviction: u5 emptied (probes emitted, ref aged out) and every
+      // aged sentinel ref dropped — the ONLY live row is the newest
+      // sentinel's own still-open ref. Unbounded as-of state here
+      // would be >= 2 (u5's pinned ref + u99's)
+      val stateRows = q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+      assert(stateRows == 1L,
+        s"expected exact eviction down to the one open sentinel ref, state holds $stateRows rows")
+    } finally q.stop()
+  }
+
   test("streaming as-of enrichment survives a checkpoint restart (buffered probe + sealed ref persist)") {
     implicit val sqlCtx = spark.sqlContext
     val ckpt = java.nio.file.Files.createTempDirectory("graft_asof_ckpt").toString

@@ -33,6 +33,7 @@ DIR=".scratch/$SF"
 
 LINEAR=(q1_pricing_summary eco_stats eco_distinct_users
   q13_asof_join q15_asof_stitched q16_interval_join q17_asof_forward
+  q18_asof_tolerance
   llm_dedup_exact llm_dedup_incremental llm_dedup_bloom
   llm_segment_dedup llm_fingerprint llm_contamination
   llm_inverted_index llm_knn_exact llm_dedup_embed)
