@@ -121,6 +121,9 @@ object SparkEntry {
     // staler than 6h are no match — both branches exercised at
     // oracle scale (sf0.01: 222 of 1,865 matches survive)
     "q18_asof_tolerance" -> ((s, d) => Joins.asofJoinTolerance(s, d)),
+    // incremental near-dup: new crawl probed against the existing
+    // corpus's LSH band index, cross-era pairs only, exact-verified
+    "llm_dedup_near_incr" -> (Llm.dedupNearIncremental _),
   )
 
   /** The registry as a SQL surface (round-11 verdict item 8):
@@ -1077,5 +1080,27 @@ object SparkEntry {
          ASOF LEFT JOIN (SELECT user_id, ts, value FROM events
                          WHERE event_type = 'purchase') r
            ON p.user_id = r.user_id AND p.ts >= r.ts""",
+    // cross-corpus all-pairs exact Jaccard (old = src0..src9, new =
+    // src10..src19) — llm_dedup_near's oracle restricted to
+    // cross-era pairs; the Spark side must find the same >= 0.8
+    // pairs by probing the old corpus's band index with new-batch
+    // signatures only
+    "llm_dedup_near_incr" ->
+      """WITH d AS (SELECT doc_id, text, CAST(substr(source, 4, 10) AS INT) AS src_n
+                    FROM documents),
+         toks AS (SELECT doc_id, src_n, string_split_regex(lower(trim(text)), '\s+') AS t
+                  FROM d),
+         sh AS (SELECT DISTINCT doc_id, src_n, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+                FROM toks, LATERAL (SELECT unnest(range(1, len(t)-1)) AS i)
+                WHERE len(t) >= 3),
+         sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+         i AS (SELECT a.doc_id AS old_id, b.doc_id AS new_id, count(*) AS n_common
+               FROM sh a JOIN sh b ON a.s = b.s AND a.src_n < 10 AND b.src_n >= 10
+               GROUP BY 1, 2),
+         j AS (SELECT old_id, new_id, n_common / (sa.n + sb.n - n_common) AS jac
+               FROM i JOIN sizes sa ON sa.doc_id = old_id
+                      JOIN sizes sb ON sb.doc_id = new_id)
+         SELECT new_id AS new_doc_id, old_id AS old_doc_id, round(jac, 6) AS jaccard
+         FROM j WHERE jac >= 0.8""",
   )
 }

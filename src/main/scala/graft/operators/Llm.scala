@@ -116,17 +116,23 @@ object Llm {
   /** Band join shared by both signature builds: 32 bands × 4 rows
     * per signature, groups sharing any (band, band_hash) bucket
     * become candidate pairs. Input: (key, n, sig[128]). */
-  private def bandJoin(sigs: DataFrame): DataFrame = {
-    // band hashes via the native kernel when available — the HOF
-    // lambda evaluates interpretively (Slice.nullSafeEval was a top
-    // frame in warm llm_curate profiles); the kernel is one primitive
-    // loop, bit-equal to the fold (pinned in LlmSpec)
+  /** (key, n, band, band_hash) — each signature exploded into its 32
+    * band hashes, the unit both band joins bucket on. Band hashes via
+    * the native kernel when available — the HOF lambda evaluates
+    * interpretively (Slice.nullSafeEval was a top frame in warm
+    * llm_curate profiles); the kernel is one primitive loop,
+    * bit-equal to the fold (pinned in LlmSpec). */
+  private def bandsOf(sigs: DataFrame): DataFrame = {
     val bandsExpr =
       if (kernelOn(sigs.sparkSession, "graft_band_hashes"))
         expr("graft_band_hashes(sig)")
       else expr("transform(sequence(0, 31), b -> xxhash64(b, slice(sig, b*4 + 1, 4)))")
-    val bands = sigs.select(col("key"), col("n"), posexplode(bandsExpr))
+    sigs.select(col("key"), col("n"), posexplode(bandsExpr))
       .toDF("key", "n", "band", "band_hash")
+  }
+
+  private def bandJoin(sigs: DataFrame): DataFrame = {
+    val bands = bandsOf(sigs)
     bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.band_hash") === col("y.band_hash") &&
           col("x.key") < col("y.key"))
@@ -135,53 +141,75 @@ object Llm {
       .distinct()
   }
 
-  private def candidatesOf(sh: DataFrame): DataFrame = {
-    // Kirsch-Mitzenmacher double hashing: two string hashes expand to
-    // 128 independent-enough functions (h1 + i*h2) mod 2^31 — 64x
-    // fewer string hash evaluations than 128 seeded xxhash64 calls
-    // per shingle (the 31-bit range keeps the mixing arithmetic,
-    // max h1 + 127*h2 < 2^38, overflow-free; slot collisions are
-    // ~n_shingles/2^31 ≈ 1e-7 — no recall impact).
-    //
-    // The per-group elementwise-min fold is a typed
-    // groupByKey.mapGroups — one primitive JVM loop per group. Both
-    // "idiomatic" alternatives lose badly at this width, measured by
-    // round-3 stack sampling: a udaf Aggregator pays interpreted
-    // SafeProjection buffer serde per merge row, and 128 separate
-    // min() aggregates make every task rebuild a megabyte of
-    // generated-source string just to look up the codegen cache.
-    // The raw (key, h1, h2) shuffle this costs is also SMALLER than
-    // the partial-agg alternative's buffers whenever groups are
-    // shingle-sized (128-slot partials ≈ 1 KB/group/partition vs
-    // ~50 B/shingle row).
+  /** Two-sided band join for the incremental near-dup: the EXISTING
+    * corpus's bands are the build/index side, the new batch's bands
+    * probe it — candidate pairs are (old group, new group) only;
+    * old×old and new×new bucket collisions never materialize. A
+    * group holding docs from both eras appears on both sides (keyed
+    * inequality keeps it from pairing with itself — the exact-dup
+    * path covers that at jaccard 1.0). */
+  private def bandJoinCross(index: DataFrame, probe: DataFrame): DataFrame =
+    bandsOf(index).as("x").join(bandsOf(probe).as("y"),
+        col("x.band") === col("y.band") && col("x.band_hash") === col("y.band_hash") &&
+          col("x.key") =!= col("y.key"))
+      .select(col("x.key").as("hash_a"), col("x.n").as("n_a"),
+              col("y.key").as("hash_b"), col("y.n").as("n_b"))
+      .distinct()
+
+  private def candidatesOf(sh: DataFrame): DataFrame =
+    bandJoin(sigsOfShingles(sh))
+
+  /** The no-kernel signature build: (key, n, sig[128]) per shingled
+    * group, bit-equal to the `graft_minhash_sig` kernel (LlmSpec's
+    * standing pin) — shared by `candidatesOf` and the incremental
+    * near-dup's fallback path.
+    *
+    * Kirsch-Mitzenmacher double hashing: two string hashes expand to
+    * 128 independent-enough functions (h1 + i*h2) mod 2^31 — 64x
+    * fewer string hash evaluations than 128 seeded xxhash64 calls
+    * per shingle (the 31-bit range keeps the mixing arithmetic,
+    * max h1 + 127*h2 < 2^38, overflow-free; slot collisions are
+    * ~n_shingles/2^31 ≈ 1e-7 — no recall impact).
+    *
+    * The per-group elementwise-min fold is a typed
+    * groupByKey.mapGroups — one primitive JVM loop per group. Both
+    * "idiomatic" alternatives lose badly at this width, measured by
+    * round-3 stack sampling: a udaf Aggregator pays interpreted
+    * SafeProjection buffer serde per merge row, and 128 separate
+    * min() aggregates make every task rebuild a megabyte of
+    * generated-source string just to look up the codegen cache.
+    * The raw (key, h1, h2) shuffle this costs is also SMALLER than
+    * the partial-agg alternative's buffers whenever groups are
+    * shingle-sized (128-slot partials ≈ 1 KB/group/partition vs
+    * ~50 B/shingle row). Shingle-set size rides along with the
+    * signature, and then through the band join — candidate pairs
+    * carry (n_a, n_b) so no separate size subquery rescans the
+    * corpus. */
+  private def sigsOfShingles(sh: DataFrame): DataFrame = {
     val M = 1L << 31
     import sh.sparkSession.implicits._
-    val hashed = sh.select(col("key"),
+    sh.select(col("key"),
         pmod(xxhash64(lit(1), col("shingle")), lit(M)).as("h1"),
         pmod(xxhash64(lit(2), col("shingle")), lit(M)).as("h2"))
       .as[(String, Long, Long)]
-    // shingle-set size rides along with the signature, and then
-    // through the band join — the candidate pairs carry (n_a, n_b)
-    // so no separate size subquery rescans the corpus.
-    val sigs = hashed.groupByKey(_._1).mapGroups { (k, rows) =>
-      val buf = Array.fill(128)(Long.MaxValue)
-      val mask = M - 1 // 2^31 is a power of two and h1,h2,i are non-
-      // negative, so `& mask` IS `% M` — without the integer divide,
-      // which round-4 stack sampling measured as THE hot instruction
-      // of the whole dedup pipeline (128 divides per shingle row)
-      var n = 0L
-      rows.foreach { case (_, h1, h2) =>
-        var i = 0
-        while (i < 128) {
-          val v = (h1 + i * h2) & mask
-          if (v < buf(i)) buf(i) = v
-          i += 1
+      .groupByKey(_._1).mapGroups { (k, rows) =>
+        val buf = Array.fill(128)(Long.MaxValue)
+        val mask = M - 1 // 2^31 is a power of two and h1,h2,i are non-
+        // negative, so `& mask` IS `% M` — without the integer
+        // divide, which round-4 stack sampling measured as THE hot
+        // instruction of the whole dedup pipeline
+        var n = 0L
+        rows.foreach { case (_, h1, h2) =>
+          var i = 0
+          while (i < 128) {
+            val v = (h1 + i * h2) & mask
+            if (v < buf(i)) buf(i) = v
+            i += 1
+          }
+          n += 1
         }
-        n += 1
-      }
-      (k, n, buf)
-    }.toDF("key", "n", "sig")
-    bandJoin(sigs)
+        (k, n, buf)
+      }.toDF("key", "n", "sig")
   }
 
   /** Near-dup detection via MinHash + LSH banding, exact-verified,
@@ -440,6 +468,90 @@ object Llm {
       .groupBy(col("text_hash"))
       .agg(min(col("doc_id")).as("keep_doc_id"),
            count(lit(1)).as("n_dups_in_batch"))
+  }
+
+  /** Incremental NEAR-dup dedup — `dedupIncremental`'s fuzzy twin,
+    * the crawl-cadence operator the dedup family was missing: every
+    * NEW-batch document (src10..src19) paired with every EXISTING-
+    * corpus document (src0..src9) whose word-3-gram Jaccard is
+    * >= 0.8 — boilerplate re-crawls and light edits that exact
+    * hashing can't catch. Output: (new_doc_id, old_doc_id, jaccard),
+    * the decision table "drop these new docs, here's why".
+    *
+    * Scale shape vs `dedupNear`: the existing corpus's 32-band LSH
+    * table is the BUILD/INDEX side — at a real cadence it is
+    * precomputed once per corpus generation, bucketed on
+    * (band, band_hash), and only the new batch computes signatures
+    * and probes it (`bandJoinCross`). Old×old and new×new bucket
+    * collisions never become candidate pairs, so per-crawl work is
+    * probe-sized: O(new-batch bands + matched buckets), never a
+    * full-corpus re-band. Candidates are exact-verified on shingles
+    * (same `verified` trunk, restricted to candidate keys); same-
+    * text cross-era pairs short-circuit the sketch entirely at
+    * jaccard 1.0 through the exact-hash path. The DuckDB oracle
+    * computes the cross-corpus pairs all-pairs — feasible at sf0.01,
+    * which is exactly why the indexed plan is the one that ships. */
+  def dedupNearIncremental(spark: SparkSession, dir: String): DataFrame =
+    dedupNearIncrementalOn(Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"), col("source")))
+
+  private[graft] def dedupNearIncrementalOn(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    val m = widened(docs).select(col("doc_id"), col("text"),
+        md5(lower(trim(regexp_replace(col("text"), "\\s+", " ")))).as("text_hash"),
+        (expr("cast(substring(source, 4, 10) as int)") < 10).as("is_old"))
+      .ckptLocal()
+    val members = m.select(col("doc_id"), col("text_hash"), col("is_old"))
+    // which exact-dup groups hold old docs / new docs (a group can
+    // hold both — it indexes AND probes, and its own cross-era
+    // member pairs are exact dups at jaccard 1.0)
+    val sides = members.groupBy(col("text_hash")).agg(
+      max(col("is_old")).as("has_old"), max(!col("is_old")).as("has_new"))
+    val oldKeys = sides.filter(col("has_old")).select(col("text_hash").as("key"))
+    val newKeys = sides.filter(col("has_new")).select(col("text_hash").as("key"))
+    // one signature per shingled group (>= 3 tokens — the near-dup
+    // domain, matching the oracle), kernel or KM-fold fallback
+    val repToks = repsOf(m)
+      .select(col("key"), split(lower(trim(col("text"))), "\\s+").as("toks"))
+      .filter(size(col("toks")) >= 3)
+      .repartition(spark.sparkContext.defaultParallelism)
+      .ckptLocal()
+    val sigs =
+      if (kernelOn(spark, "graft_minhash_sig"))
+        repToks.select(col("key"), expr("graft_minhash_sig(toks)").as("s"))
+          .select(col("key"), col("s.n").as("n"), col("s.sig").as("sig"))
+      else
+        sigsOfShingles(repToks.select(col("key"), explode(array_distinct(expr(
+          "transform(sequence(0, size(toks)-3), i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))")))
+          .as("shingle")))
+    val sigsC = sigs.ckptLocal()
+    // index side = old groups, probe side = new groups
+    val cand = bandJoinCross(
+      sigsC.join(oldKeys, Seq("key"), "left_semi"),
+      sigsC.join(newKeys, Seq("key"), "left_semi")).ckptLocal()
+    val candKeys = cand.select(col("hash_a").as("key"))
+      .unionByName(cand.select(col("hash_b").as("key"))).distinct()
+    val shCand = repToks.join(candKeys, Seq("key"), "left_semi")
+      .select(col("key"), explode(array_distinct(expr(
+        "transform(sequence(0, size(toks)-3), i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))")))
+        .as("shingle"))
+      .ckptLocal()
+    val pairs = verified(cand, shCand) // (hash_a = old group, hash_b = new group, jac)
+    val oldDocs = members.filter(col("is_old"))
+      .select(col("text_hash"), col("doc_id").as("old_doc_id"))
+    val newDocs = members.filter(!col("is_old"))
+      .select(col("text_hash"), col("doc_id").as("new_doc_id"))
+    // cross-group near pairs expand to (old member × new member)
+    val near = pairs
+      .join(oldDocs.withColumnRenamed("text_hash", "hash_a"), Seq("hash_a"))
+      .join(newDocs.withColumnRenamed("text_hash", "hash_b"), Seq("hash_b"))
+      .select(col("new_doc_id"), col("old_doc_id"), round(col("jac"), 6).as("jaccard"))
+    // same-group cross-era pairs are exact dups — jaccard 1.0 within
+    // the shingled domain (the oracle only sees >= 3-token docs)
+    val exact = oldDocs.join(newDocs, Seq("text_hash"))
+      .join(repToks.select(col("key").as("text_hash")), Seq("text_hash"), "left_semi")
+      .select(col("new_doc_id"), col("old_doc_id"), lit(1.0).as("jaccard"))
+    near.unionByName(exact)
   }
 
   /** 60-bit SimHash signatures per exact-duplicate GROUP over word

@@ -72,7 +72,7 @@ class KernelParitySpec extends AnyFunSuite {
     "llm_repetition", "llm_contamination", "llm_dedup_embed",
     "llm_fingerprint", "llm_knn_exact", "llm_ann_lsh",
     "llm_segment_dedup", "llm_unigram_logprob", "llm_inverted_index",
-    "llm_tfidf_terms", "llm_knn_quantized")
+    "llm_tfidf_terms", "llm_knn_quantized", "llm_dedup_near_incr")
 
   for (q <- covering)
     test(s"$q is identical with kernels disabled") {

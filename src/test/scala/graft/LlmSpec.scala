@@ -302,6 +302,36 @@ class LlmSpec extends AnyFunSuite {
     assert(outB == out, s"bloom twin diverged: $outB")
   }
 
+  test("incremental near-dup: cross-era pairs only, exact and fuzzy, thresholds honored") {
+    import spark.implicits._
+    // T1 = 12 distinct tokens -> 10 3-gram shingles; a one-token tail
+    // edit shares 9 of 11 union shingles = jaccard 9/11 ≈ 0.818182
+    val t1 = (1 to 12).map(i => s"t$i").mkString(" ")
+    def tailEdit(last: String) = ((1 to 11).map(i => s"t$i") :+ last).mkString(" ")
+    val midEdit = ((1 to 4).map(i => s"t$i") ++ Seq("a", "b", "c") ++
+      (8 to 12).map(i => s"t$i")).mkString(" ")  // 5 of 10 shingles differ -> 1/3
+    val docs = Seq(
+      (1L, t1, "src0"),                       // old: the anchor
+      (2L, "unrelated words entirely distinct corpus", "src3"), // old: no match
+      (3L, tailEdit("y12"), "src1"),          // old: near A1 (old x old must NOT emit)
+      (4L, "hi there", "src2"),               // old: short (< 3 tokens, out of domain)
+      (10L, t1.replace(" ", "  "), "src12"),  // new: exact dup of A1 (normalizes equal)
+      (11L, tailEdit("x12"), "src15"),        // new: near A1 and A3
+      (12L, midEdit, "src19"),                // new: jaccard 1/3 — below threshold
+      (13L, tailEdit("x12"), "src11"),        // new: exact copy of 11 (same group)
+      (14L, "hi there", "src17")              // new: short exact dup — out of domain
+    ).toDF("doc_id", "text", "source")
+    val got = Llm.dedupNearIncrementalOn(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val j = BigDecimal(9.0 / 11.0).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got == Set(
+      (10L, 1L, 1.0),       // same-group cross-era: exact path
+      (11L, 1L, j), (13L, 1L, j),   // probe group vs old anchor
+      (10L, 3L, j),                 // NEW member of the anchor group vs old near group
+      (11L, 3L, j), (13L, 3L, j)),
+      s"incremental near-dup drifted: $got")
+  }
+
   test("incremental dedup twins agree on null-text rows (no NPE in the bloom probe)") {
     import spark.implicits._
     // null text ⇒ null md5 hash. The exact twin keeps such rows (a

@@ -37,7 +37,7 @@ LINEAR=(q1_pricing_summary eco_stats eco_distinct_users
   llm_dedup_exact llm_dedup_incremental llm_dedup_bloom
   llm_segment_dedup llm_fingerprint llm_contamination
   llm_inverted_index llm_knn_exact llm_dedup_embed)
-PAIR=(llm_dedup_near llm_dedup_clusters llm_simhash_pairs llm_curate)
+PAIR=(llm_dedup_near llm_dedup_near_incr llm_dedup_clusters llm_simhash_pairs llm_curate)
 
 SUBSET=("${LINEAR[@]}")
 if [ "$FACTOR" -le 30 ]; then SUBSET+=("${PAIR[@]}"); fi
