@@ -261,7 +261,9 @@ class PlanSpec extends AnyFunSuite {
     // blowup + re-aggregation: two shuffles); the union+window form
     // must plan as a single user_id exchange feeding a partitioned
     // window, with the two-type filter pushed to the scan
-    for (q <- Seq("q13_asof_join", "q17_asof_forward")) {
+    // q18 = q13 + the tolerance guard, which must stay a post-carry
+    // projection — never a join predicate that would change the plan
+    for (q <- Seq("q13_asof_join", "q17_asof_forward", "q18_asof_tolerance")) {
       val p = plan(q)
       assert(!p.contains("Join"), s"$q must not plan a join operator:\n$p")
       val exchanges = p.linesIterator.count(_.contains("Exchange hashpartitioning(user_id"))
@@ -310,6 +312,16 @@ class PlanSpec extends AnyFunSuite {
       s"interval overlap degenerated to a nested loop:\n$p")
     assert(p.contains("Exchange hashpartitioning(user_id"),
       s"sessionization window must partition by user_id:\n$p")
+  }
+
+  test("incremental near-dup joins are all equi-keyed — never a nested loop") {
+    // the cross band join buckets on (band, band_hash) with a key
+    // inequality as residual; the verify and member-expansion joins
+    // are hash-keyed. Nothing in the pipeline may degenerate to an
+    // all-pairs scan — that's the operator's whole reason to exist
+    val p = plan("llm_dedup_near_incr")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"incremental near-dup degenerated to an all-pairs join:\n$p")
   }
 
   test("quantized kNN ranks on the dequantize-dot kernel, not an interpreted fold") {
