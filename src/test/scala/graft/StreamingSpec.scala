@@ -533,6 +533,55 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("tolerance-bounded streaming as-of equals the batch tolerance join under arbitrary arrival order (property)") {
+    implicit val sqlCtx = spark.sqlContext
+    // the unbounded property above, with a 2-min bound over minute-
+    // granularity events: plenty of floor refs sit farther than the
+    // bound, so the guard and the buffered-probe machine must agree
+    // with the batch tolerance leg for any chunking. Seeded so
+    // failures replay.
+    val rnd = new scala.util.Random(4321)
+    val tolUs = 2L * 60 * 1000000
+    for (trial <- 1 to 2) {
+      val events = (1 to 90).map { i =>
+        val user = rnd.nextInt(4).toLong
+        val typ = if (user != 3L && rnd.nextBoolean()) "purchase" else "click"
+        val t = ts("2024-01-01 08:00:00").getTime + rnd.nextInt(60) * 60000L
+        Event(trial * 1000L + i, new Timestamp(t), user, typ, rnd.nextDouble() * 10)
+      }
+      val ms = MemoryStream[Event]
+      val q = Streaming.asofEnrich(ms.toDF(), lateness = "6 hours",
+          tolerance = Some(tolUs))
+        .writeStream.format("memory").queryName(s"prop_asof_tol_$trial")
+        .outputMode("append").start()
+      try {
+        rnd.shuffle(events).grouped(13).foreach { chunk =>
+          ms.addData(chunk.toIndexedSeq: _*)
+          q.processAllAvailable()
+        }
+        ms.addData(Event(-1L, ts("2024-02-01 00:00:00"), -999L, "purchase", 0.0))
+        q.processAllAvailable()
+        def six(df: Array[org.apache.spark.sql.Row]) = df.map(r =>
+          (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+            if (r.isNullAt(4)) None else Some(r.getLong(4)),
+            if (r.isNullAt(5)) None else Some(r.getDouble(5)))).toSet
+        val got = six(spark.sql(
+          s"SELECT event_id, user_id, ts_us, click_value, asof_ts_us, asof_value " +
+            s"FROM prop_asof_tol_$trial WHERE user_id <> -999").collect())
+        val want = six(graft.operators.Joins.asofJoinOn(events.toDF(),
+          tolerance = Some(tolUs)).collect())
+        assert(got == want,
+          s"trial $trial drifted: missing ${(want -- got).take(3)}, extra ${(got -- want).take(3)}")
+        // the bound must really cut: fewer matches than the unbounded
+        // join but not zero, or the trial degenerated
+        val unbounded = six(graft.operators.Joins.asofJoinOn(events.toDF()).collect())
+        assert(want.exists(_._5.nonEmpty) &&
+          want.count(_._5.nonEmpty) < unbounded.count(_._5.nonEmpty),
+          s"trial $trial: tolerance cut nothing")
+      } finally q.stop()
+    }
+  }
+
   test("tolerance-bounded streaming as-of: stale refs no match, idle state evicted to zero") {
     // q18's bound on the streaming leg: (1) a probe farther than
     // `tolerance` from its floor ref emits None, matching the batch
