@@ -135,6 +135,118 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.decodeWav("RIFFxxxxWAVE".getBytes).isEmpty)
   }
 
+  // --- independent PNG encoder (real chunk CRCs, zlib deflate, the
+  // FORWARD row filters) so the decoder is tested against RFC 2083
+  // itself, not its own arithmetic ---
+  private def p32be(b: Array[Byte], o: Int, v: Int): Unit = {
+    b(o) = (v >>> 24).toByte; b(o + 1) = (v >>> 16).toByte
+    b(o + 2) = (v >>> 8).toByte; b(o + 3) = v.toByte
+  }
+  private def pngChunk(typ: String, data: Array[Byte]): Array[Byte] = {
+    val out = new Array[Byte](12 + data.length)
+    p32be(out, 0, data.length)
+    typ.getBytes("US-ASCII").copyToArray(out, 4)
+    data.copyToArray(out, 8)
+    val crc = new java.util.zip.CRC32()
+    crc.update(out, 4, 4 + data.length)
+    p32be(out, 8 + data.length, crc.getValue.toInt)
+    out
+  }
+  /** Encode (w × h × ch) raw samples; `filters(y % n)` picks each
+    * row's forward filter; `idatSplit` > 1 splits the zlib stream
+    * across that many IDAT chunks. */
+  private def png(w: Int, h: Int, ch: Int, raw: Array[Byte],
+      filters: Seq[Int] = Seq(0), idatSplit: Int = 1): Array[Byte] = {
+    require(raw.length == w * h * ch)
+    val rb = w * ch
+    val filtered = new Array[Byte]((rb + 1) * h)
+    for (y <- 0 until h) {
+      val ft = filters(y % filters.length)
+      filtered(y * (rb + 1)) = ft.toByte
+      for (x <- 0 until rb) {
+        val cur = raw(y * rb + x) & 0xff
+        val a = if (x >= ch) raw(y * rb + x - ch) & 0xff else 0
+        val up = if (y > 0) raw((y - 1) * rb + x) & 0xff else 0
+        val c = if (x >= ch && y > 0) raw((y - 1) * rb + x - ch) & 0xff else 0
+        val v = ft match {
+          case 0 => cur
+          case 1 => cur - a
+          case 2 => cur - up
+          case 3 => cur - ((a + up) >> 1)
+          case 4 =>
+            val p = a + up - c
+            val pa = math.abs(p - a); val pb = math.abs(p - up); val pc = math.abs(p - c)
+            cur - (if (pa <= pb && pa <= pc) a else if (pb <= pc) up else c)
+        }
+        filtered(y * (rb + 1) + 1 + x) = (v & 0xff).toByte
+      }
+    }
+    val defl = new java.util.zip.Deflater()
+    defl.setInput(filtered); defl.finish()
+    val zbuf = new java.io.ByteArrayOutputStream()
+    val tmp = new Array[Byte](256)
+    while (!defl.finished()) zbuf.write(tmp, 0, defl.deflate(tmp))
+    defl.end()
+    val z = zbuf.toByteArray
+    val ihdr = new Array[Byte](13)
+    p32be(ihdr, 0, w); p32be(ihdr, 4, h)
+    ihdr(8) = 8
+    ihdr(9) = (ch match { case 1 => 0; case 2 => 4; case 3 => 2; case 4 => 6 }).toByte
+    val idats = if (idatSplit <= 1) Seq(z)
+      else z.grouped(math.max(1, z.length / idatSplit)).toSeq
+    (Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte) ++
+      pngChunk("IHDR", ihdr) ++
+      idats.flatMap(pngChunk("IDAT", _)) ++
+      pngChunk("IEND", Array.emptyByteArray))
+  }
+  private def lumaOf(r: Int, g: Int, b: Int): Int = (r * 299 + g * 587 + b * 114) / 1000
+
+  test("PNG decode: all five filters, every supported color type, split IDAT, exact luma") {
+    val rnd = new scala.util.Random(99)
+    // RGB 5x7, one row per filter type (h=7 cycles 0..4,0,1) — a
+    // decoder with ANY filter wrong cannot reproduce the raw samples
+    val w = 5; val h = 7
+    val rgb = Array.fill(w * h * 3)(rnd.nextInt(256).toByte)
+    val wantRgb = (0 until w * h).map(p =>
+      lumaOf(rgb(p * 3) & 0xff, rgb(p * 3 + 1) & 0xff, rgb(p * 3 + 2) & 0xff))
+    val Some(g1) = Multimodal.decodePng(png(w, h, 3, rgb, filters = Seq(0, 1, 2, 3, 4)))
+    assert((g1.w, g1.h) == (w, h))
+    assert(g1.pixels.map(_ & 0xff).toSeq == wantRgb, "RGB filtered rows must reconstruct")
+    // grayscale passes through bit-exact; IDAT split across 3 chunks
+    // must concatenate into one zlib stream
+    val gray = Array.fill(6 * 4)(rnd.nextInt(256).toByte)
+    val Some(g2) = Multimodal.decodePng(png(6, 4, 1, gray, Seq(4, 3), idatSplit = 3))
+    assert(g2.pixels.sameElements(gray), "gray samples must pass through")
+    // RGBA: alpha ignored, luma of the RGB part; gray+alpha likewise
+    val rgba = Array.fill(3 * 3 * 4)(rnd.nextInt(256).toByte)
+    val wantRgba = (0 until 9).map(p =>
+      lumaOf(rgba(p * 4) & 0xff, rgba(p * 4 + 1) & 0xff, rgba(p * 4 + 2) & 0xff))
+    val Some(g3) = Multimodal.decodePng(png(3, 3, 4, rgba, Seq(1, 4)))
+    assert(g3.pixels.map(_ & 0xff).toSeq == wantRgba, "RGBA luma must ignore alpha")
+    val ga = Array.fill(4 * 2 * 2)(rnd.nextInt(256).toByte)
+    val Some(g4) = Multimodal.decodePng(png(4, 2, 2, ga, Seq(2)))
+    assert(g4.pixels.map(_ & 0xff).toSeq == (0 until 8).map(p => ga(p * 2) & 0xff),
+      "gray+alpha must take the gray channel")
+  }
+
+  test("PNG decode: malformed structures reject, never throw") {
+    val ok = png(3, 3, 3, Array.fill(27)(7.toByte))
+    assert(Multimodal.decodePng(ok).nonEmpty)
+    // truncated stream (IEND and half the IDAT gone)
+    assert(Multimodal.decodePng(ok.dropRight(20)).isEmpty)
+    // 16-bit depth / interlaced / palette color type all unsupported
+    def patched(off: Int, v: Byte) = { val b = ok.clone(); b(off) = v; b }
+    assert(Multimodal.decodePng(patched(8 + 8 + 8, 16.toByte)).isEmpty, "bit depth 16")
+    assert(Multimodal.decodePng(patched(8 + 8 + 12, 1.toByte)).isEmpty, "interlaced")
+    assert(Multimodal.decodePng(patched(8 + 8 + 9, 3.toByte)).isEmpty, "palette")
+    // a hostile header claiming a multi-GB raster takes the cap, not
+    // an allocation (w = h = 100000 ⇒ 30 GB of filtered rows)
+    val bomb = ok.clone(); p32be(bomb, 16, 100000); p32be(bomb, 20, 100000)
+    assert(Multimodal.decodePng(bomb).isEmpty)
+    // garbage that passes the signature but not the chunk walk
+    assert(Multimodal.decodePng(ok.take(8) ++ Array.fill(30)(0xab.toByte)).isEmpty)
+  }
+
   test("real decoders ride the partition-streaming pipeline; unknown bytes keep the stub path") {
     import spark.implicits._
     val img = ppm(2, 2, Array(255, 0, 0, 0, 255, 0, 0, 0, 255, 255, 255, 255).map(_.toByte))
