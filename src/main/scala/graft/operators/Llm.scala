@@ -495,63 +495,92 @@ object Llm {
     dedupNearIncrementalOn(Tables.documents(spark, dir)
       .select(col("doc_id"), col("text"), col("source")))
 
-  private[graft] def dedupNearIncrementalOn(docs: DataFrame): DataFrame = {
+  /** A PERSISTABLE near-dup corpus index — the artifact a crawl
+    * cadence saves once per corpus generation and probes every batch:
+    *  - `groups`: one row per shingled exact-dup group — key =
+    *    `dedupExact`'s text_hash, n = shingle-set size, sig = 128-slot
+    *    MinHash signature, toks = the representative's token array
+    *    (for exact verification of candidates; any member yields the
+    *    same array — `repsOf`'s invariant);
+    *  - `members`: (text_hash, doc_id) for every corpus document.
+    * Both are plain columnar frames: write to parquet, read back,
+    * probe — LlmSpec round-trips exactly that. At 100 TB `groups`
+    * would be written bucketed by key and its band explode
+    * pre-materialized sorted on (band, band_hash). */
+  final case class NearDupIndex(groups: DataFrame, members: DataFrame)
+
+  private def shinglesOfToks(repToks: DataFrame): DataFrame =
+    repToks.select(col("key"), explode(array_distinct(expr(
+      "transform(sequence(0, size(toks)-3), i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))")))
+      .as("shingle"))
+
+  /** Build the near-dup index of a corpus (`doc_id`, `text`): one
+    * scan → exact-dup collapse → one signature per shingled group
+    * (>= 3 tokens — the near-dup domain), kernel or KM-fold
+    * fallback (bit-equal signatures either way). */
+  def buildNearDupIndex(docs: DataFrame): NearDupIndex = {
     val spark = docs.sparkSession
-    val m = widened(docs).select(col("doc_id"), col("text"),
-        md5(lower(trim(regexp_replace(col("text"), "\\s+", " ")))).as("text_hash"),
-        (expr("cast(substring(source, 4, 10) as int)") < 10).as("is_old"))
-      .ckptLocal()
-    val members = m.select(col("doc_id"), col("text_hash"), col("is_old"))
-    // which exact-dup groups hold old docs / new docs (a group can
-    // hold both — it indexes AND probes, and its own cross-era
-    // member pairs are exact dups at jaccard 1.0)
-    val sides = members.groupBy(col("text_hash")).agg(
-      max(col("is_old")).as("has_old"), max(!col("is_old")).as("has_new"))
-    val oldKeys = sides.filter(col("has_old")).select(col("text_hash").as("key"))
-    val newKeys = sides.filter(col("has_new")).select(col("text_hash").as("key"))
-    // one signature per shingled group (>= 3 tokens — the near-dup
-    // domain, matching the oracle), kernel or KM-fold fallback
+    val m = normalized(widened(docs)).ckptLocal()
     val repToks = repsOf(m)
       .select(col("key"), split(lower(trim(col("text"))), "\\s+").as("toks"))
       .filter(size(col("toks")) >= 3)
       .repartition(spark.sparkContext.defaultParallelism)
       .ckptLocal()
-    val sigs =
+    val groups =
       if (kernelOn(spark, "graft_minhash_sig"))
-        repToks.select(col("key"), expr("graft_minhash_sig(toks)").as("s"))
-          .select(col("key"), col("s.n").as("n"), col("s.sig").as("sig"))
+        repToks.select(col("key"), expr("graft_minhash_sig(toks)").as("s"), col("toks"))
+          .select(col("key"), col("s.n").as("n"), col("s.sig").as("sig"), col("toks"))
       else
-        sigsOfShingles(repToks.select(col("key"), explode(array_distinct(expr(
-          "transform(sequence(0, size(toks)-3), i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))")))
-          .as("shingle")))
-    val sigsC = sigs.ckptLocal()
-    // index side = old groups, probe side = new groups
-    val cand = bandJoinCross(
-      sigsC.join(oldKeys, Seq("key"), "left_semi"),
-      sigsC.join(newKeys, Seq("key"), "left_semi")).ckptLocal()
+        sigsOfShingles(shinglesOfToks(repToks)).join(repToks, Seq("key"))
+    NearDupIndex(groups.ckptLocal(), m.select(col("text_hash"), col("doc_id")))
+  }
+
+  /** Probe a corpus index with a new batch: the index's bands are the
+    * build side, the batch's bands probe them (`bandJoinCross` — no
+    * index×index or batch×batch candidates ever materialize), exact
+    * Jaccard verification over candidate keys only, plus the
+    * exact-hash short-circuit for same-text cross-era pairs. Output:
+    * (new_doc_id, old_doc_id, jaccard) at >= 0.8. */
+  def probeNearDupIndex(index: NearDupIndex, newDocs: DataFrame): DataFrame = {
+    val probe = buildNearDupIndex(newDocs)
+    val cand = bandJoinCross(index.groups, probe.groups).ckptLocal()
     val candKeys = cand.select(col("hash_a").as("key"))
       .unionByName(cand.select(col("hash_b").as("key"))).distinct()
-    val shCand = repToks.join(candKeys, Seq("key"), "left_semi")
-      .select(col("key"), explode(array_distinct(expr(
-        "transform(sequence(0, size(toks)-3), i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))")))
-        .as("shingle"))
+    // a group on BOTH sides carries identical toks (same normalized
+    // text), so the key-dedup after the union is value-stable
+    val shCand = shinglesOfToks(
+      index.groups.select(col("key"), col("toks"))
+        .unionByName(probe.groups.select(col("key"), col("toks")))
+        .join(candKeys, Seq("key"), "left_semi")
+        .dropDuplicates("key"))
       .ckptLocal()
-    val pairs = verified(cand, shCand) // (hash_a = old group, hash_b = new group, jac)
-    val oldDocs = members.filter(col("is_old"))
-      .select(col("text_hash"), col("doc_id").as("old_doc_id"))
-    val newDocs = members.filter(!col("is_old"))
-      .select(col("text_hash"), col("doc_id").as("new_doc_id"))
-    // cross-group near pairs expand to (old member × new member)
+    val pairs = verified(cand, shCand) // (hash_a = index group, hash_b = batch group, jac)
+    val oldDocs = index.members.select(col("text_hash"), col("doc_id").as("old_doc_id"))
+    val newD = probe.members.select(col("text_hash"), col("doc_id").as("new_doc_id"))
+    // cross-group near pairs expand to (index member × batch member)
     val near = pairs
       .join(oldDocs.withColumnRenamed("text_hash", "hash_a"), Seq("hash_a"))
-      .join(newDocs.withColumnRenamed("text_hash", "hash_b"), Seq("hash_b"))
+      .join(newD.withColumnRenamed("text_hash", "hash_b"), Seq("hash_b"))
       .select(col("new_doc_id"), col("old_doc_id"), round(col("jac"), 6).as("jaccard"))
-    // same-group cross-era pairs are exact dups — jaccard 1.0 within
+    // same-hash cross-era pairs are exact dups — jaccard 1.0 within
     // the shingled domain (the oracle only sees >= 3-token docs)
-    val exact = oldDocs.join(newDocs, Seq("text_hash"))
-      .join(repToks.select(col("key").as("text_hash")), Seq("text_hash"), "left_semi")
+    val exact = oldDocs.join(newD, Seq("text_hash"))
+      .join(probe.groups.select(col("key").as("text_hash")), Seq("text_hash"), "left_semi")
       .select(col("new_doc_id"), col("old_doc_id"), lit(1.0).as("jaccard"))
     near.unionByName(exact)
+  }
+
+  private[graft] def dedupNearIncrementalOn(docs: DataFrame): DataFrame = {
+    // the registry form splits ONE documents table by source era; a
+    // real cadence passes two genuinely distinct tables (and reads
+    // the index from storage instead of rebuilding — see
+    // NearDupIndex). The era split costs a second scan here, which
+    // is the point: build and probe are independent pipelines.
+    val d = docs.select(col("doc_id"), col("text"),
+      (expr("cast(substring(source, 4, 10) as int)") < 10).as("is_old"))
+    probeNearDupIndex(
+      buildNearDupIndex(d.filter(col("is_old")).drop("is_old")),
+      d.filter(!col("is_old")).drop("is_old"))
   }
 
   /** 60-bit SimHash signatures per exact-duplicate GROUP over word

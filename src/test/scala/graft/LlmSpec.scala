@@ -332,6 +332,31 @@ class LlmSpec extends AnyFunSuite {
       s"incremental near-dup drifted: $got")
   }
 
+  test("near-dup index round-trips through parquet: probe(saved index) == probe(built index)") {
+    // the crawl-cadence contract: the index built at corpus time is a
+    // pair of plain columnar frames — persisting them and probing the
+    // RELOADED copy must give the identical pair list, or the 'index
+    // is precomputed, per-crawl cost is probe-sized' claim is prose
+    import org.apache.spark.sql.functions.{col, expr}
+    val docs = graft.sources.Tables.documents(spark, TestSpark.sf)
+      .select(col("doc_id"), col("text"),
+        (expr("cast(substring(source, 4, 10) as int)") < 10).as("is_old"))
+    val old = docs.filter(col("is_old")).drop("is_old")
+    val fresh = docs.filter(!col("is_old")).drop("is_old")
+    val built = Llm.buildNearDupIndex(old)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ndx").toString
+    built.groups.write.parquet(s"$dir/groups")
+    built.members.write.parquet(s"$dir/members")
+    val reloaded = Llm.NearDupIndex(
+      spark.read.parquet(s"$dir/groups"), spark.read.parquet(s"$dir/members"))
+    def canon(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val direct = canon(Llm.probeNearDupIndex(built, fresh))
+    val viaDisk = canon(Llm.probeNearDupIndex(reloaded, fresh))
+    assert(direct.nonEmpty, "no cross-era pairs at this SF — round-trip vacuous")
+    assert(viaDisk == direct, "reloaded index diverged from the built one")
+  }
+
   test("incremental dedup twins agree on null-text rows (no NPE in the bloom probe)") {
     import spark.implicits._
     // null text ⇒ null md5 hash. The exact twin keeps such rows (a
