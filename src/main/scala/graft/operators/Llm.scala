@@ -122,14 +122,16 @@ object Llm {
     * interpretively (Slice.nullSafeEval was a top frame in warm
     * llm_curate profiles); the kernel is one primitive loop,
     * bit-equal to the fold (pinned in LlmSpec). */
-  private def bandsOf(sigs: DataFrame): DataFrame = {
-    val bandsExpr =
-      if (kernelOn(sigs.sparkSession, "graft_band_hashes"))
-        expr("graft_band_hashes(sig)")
-      else expr("transform(sequence(0, 31), b -> xxhash64(b, slice(sig, b*4 + 1, 4)))")
-    sigs.select(col("key"), col("n"), posexplode(bandsExpr))
+  /** The band-hash expression over a `sig` column — kernel when the
+    * session has it, seed-chained xxhash64 fold otherwise (bit-equal;
+    * LlmSpec). Shared with the streaming suspects leg. */
+  private[graft] def bandHashesExpr(spark: SparkSession) =
+    if (kernelOn(spark, "graft_band_hashes")) expr("graft_band_hashes(sig)")
+    else expr("transform(sequence(0, 31), b -> xxhash64(b, slice(sig, b*4 + 1, 4)))")
+
+  private[graft] def bandsOf(sigs: DataFrame): DataFrame =
+    sigs.select(col("key"), col("n"), posexplode(bandHashesExpr(sigs.sparkSession)))
       .toDF("key", "n", "band", "band_hash")
-  }
 
   private def bandJoin(sigs: DataFrame): DataFrame = {
     val bands = bandsOf(sigs)
@@ -513,6 +515,20 @@ object Llm {
     repToks.select(col("key"), explode(array_distinct(expr(
       "transform(sequence(0, size(toks)-3), i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))")))
       .as("shingle"))
+
+  /** Per-ROW MinHash signature as a pure Catalyst expression over a
+    * distinct-shingle ARRAY column named `sh` — the streaming-safe
+    * fallback for `graft_minhash_sig` (the typed mapGroups fold in
+    * `sigsOfShingles` is a batch operator). Identical KM arithmetic
+    * — h1/h2 = pmod(xxhash64(seed, s), 2^31), slot i carries
+    * min (h1 + i·h2) mod 2^31 — so the signature is bit-equal to
+    * both batch builds (StreamingSpec pins it through the suspects
+    * leg under kernels-off). Interpreted HOF evaluation: fine as a
+    * correctness fallback, the kernel is the shipping path. */
+  private[graft] val rowSigSql: String =
+    "transform(sequence(0, 127), i -> aggregate(sh, bigint(9223372036854775807), " +
+      "(acc, s) -> least(acc, pmod(pmod(xxhash64(1, s), bigint(2147483648)) + " +
+      "i * pmod(xxhash64(2, s), bigint(2147483648)), bigint(2147483648)))))"
 
   /** Build the near-dup index of a corpus (`doc_id`, `text`): one
     * scan → exact-dup collapse → one signature per shingled group

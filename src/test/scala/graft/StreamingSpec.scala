@@ -646,6 +646,60 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming near-dup suspects equal the batch candidate set — kernels on AND off") {
+    // the near-dup family's online leg: a doc stream probed against a
+    // static corpus index. The suspect set must EQUAL the batch band
+    // arithmetic's candidate set over the same docs (same sigs, same
+    // band hashes) — including under the no-kernel per-row expression
+    // fallback, which pins rowSigSql bit-equal to the kernel build.
+    import graft.operators.Llm
+    import org.apache.spark.sql.functions.col
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val t1 = (1 to 12).map(i => s"t$i").mkString(" ")
+    def tailEdit(last: String) = ((1 to 11).map(i => s"t$i") :+ last).mkString(" ")
+    val idx = Llm.buildNearDupIndex(Seq(
+      (1L, t1), (2L, "wholly different reference corpus text body here"),
+      (3L, tailEdit("y12"))).toDF("doc_id", "text"))
+    val streamDocs = Seq(
+      Streaming.Doc(10L, ts("2024-01-01 10:00:00"), t1.replace(" ", "  ")), // exact dup
+      Streaming.Doc(11L, ts("2024-01-01 10:01:00"), tailEdit("x12")),       // near variant
+      Streaming.Doc(12L, ts("2024-01-01 10:02:00"),
+        "completely unrelated streaming content nothing shared at all"),
+      Streaming.Doc(13L, ts("2024-01-01 10:03:00"), "hi there"))            // short: no sig
+    // expected = the batch band collision set (no key inequality: a
+    // doc IS a suspect of its own exact group)
+    val probeGroups = Llm.buildNearDupIndex(
+      streamDocs.map(d => (d.doc_id, d.text)).toDF("doc_id", "text"))
+    val expected = Llm.bandsOf(idx.groups).select(col("key").as("ik"), col("band"), col("band_hash"))
+      .join(Llm.bandsOf(probeGroups.groups).select(col("key").as("pk"), col("band"), col("band_hash")),
+        Seq("band", "band_hash"))
+      .select(col("pk"), col("ik")).distinct()
+      .join(probeGroups.members.withColumnRenamed("text_hash", "pk"), Seq("pk"))
+      .select(col("doc_id"), col("ik")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(expected.exists(_._1 == 10L) && expected.exists(_._1 == 11L) &&
+      !expected.exists(p => p._1 == 12L || p._1 == 13L),
+      s"fixture degenerated: $expected")
+    def runStream(name: String): Set[(Long, String)] = {
+      val ms = MemoryStream[Streaming.Doc]
+      val q = Streaming.nearDupSuspects(ms.toDF(), idx, lateness = "0 seconds")
+        .writeStream.format("memory").queryName(name).outputMode("append").start()
+      try {
+        ms.addData(streamDocs: _*)
+        q.processAllAvailable()
+        spark.sql(s"SELECT doc_id, suspect_of FROM $name").collect()
+          .map(r => (r.getLong(0), r.getString(1))).toSet
+      } finally q.stop()
+    }
+    assert(runStream("ndx_suspects_on") == expected,
+      "kernel-path streaming suspects diverged from batch candidates")
+    spark.conf.set("spark.graft.kernels.enabled", "false")
+    try assert(runStream("ndx_suspects_off") == expected,
+      "fallback rowSigSql suspects diverged — per-row sig not bit-equal")
+    finally spark.conf.unset("spark.graft.kernels.enabled")
+  }
+
   test("streaming as-of enrichment survives a checkpoint restart (buffered probe + sealed ref persist)") {
     implicit val sqlCtx = spark.sqlContext
     val ckpt = java.nio.file.Files.createTempDirectory("graft_asof_ckpt").toString
