@@ -16,8 +16,9 @@ import org.apache.spark.sql.functions._
   * rasters (`P6`/`P5`), uncompressed 24-bit BMP, RIFF WAV PCM
   * (8/16-bit), and — round 12 — 8-bit non-interlaced PNG
   * (gray/RGB/gray-alpha/RGBA, all five row filters; zlib inflate is
-  * in the JDK) — header parse → pixels/samples → the feature
-  * pipeline. Codecs that genuinely need native libraries
+  * in the JDK) and GIF87a/89a (a full LZW decoder — variable-width
+  * codes, KwKwK, 4096-entry dictionary — plus palette mapping) —
+  * header parse → pixels/samples → the feature pipeline. Codecs that genuinely need native libraries
   * (JPEG/MP3/H.264) are NOT available in this environment, so
   * unrecognized payloads fall back to the clearly-marked
   * deterministic STUB `stubDecode`, preserving the original pipeline
@@ -265,12 +266,145 @@ object Multimodal {
     Some(GrayRaster(w, h, out))
   }
 
+  /** GIF's LZW stream decode (LSB-first variable-width codes, clear/
+    * end codes, dictionary to 4096 with the KwKwK self-reference
+    * case). Returns the first `maxPixels` index bytes, or None on a
+    * malformed stream. */
+  private def lzwDecode(data: Array[Byte], minCode: Int, maxPixels: Int): Option[Array[Byte]] = {
+    if (minCode < 2 || minCode > 8) return None
+    val clear = 1 << minCode; val end = clear + 1
+    var width = minCode + 1
+    var next = end + 1
+    val prefix = new Array[Int](4096)
+    val append = new Array[Byte](4096)
+    val out = new java.io.ByteArrayOutputStream(maxPixels)
+    val chainBuf = new Array[Byte](4096)
+    // expand code `c` into chainBuf, return (start offset, first byte)
+    def chain(c: Int): Int = {
+      var i = 4096; var cc = c
+      while (cc >= clear + 2) { i -= 1; chainBuf(i) = append(cc); cc = prefix(cc) }
+      i -= 1; chainBuf(i) = cc.toByte
+      i
+    }
+    var bitPos = 0L
+    val totalBits = data.length.toLong * 8
+    def read(): Int = {
+      if (bitPos + width > totalBits) return -1
+      var v = 0; var got = 0
+      while (got < width) {
+        val bp = bitPos + got
+        v |= ((data((bp >> 3).toInt) >> (bp & 7).toInt) & 1) << got
+        got += 1
+      }
+      bitPos += width
+      v
+    }
+    var prev = -1
+    var done = false
+    while (!done && out.size < maxPixels) {
+      val c = read()
+      if (c == -1) return None
+      else if (c == clear) { next = end + 1; width = minCode + 1; prev = -1 }
+      else if (c == end) done = true
+      else if (prev == -1) {
+        if (c >= clear) return None // first code after clear must be a literal
+        out.write(c); prev = c
+      } else {
+        val start =
+          if (c < next) chain(c)
+          else if (c == next) { // KwKwK: entry being defined right now
+            val s = chain(prev)
+            // prev's chain followed by its own first byte
+            System.arraycopy(chainBuf, s, chainBuf, s - 1, 4096 - s)
+            chainBuf(4095) = chainBuf(s - 1)
+            s - 1
+          } else return None
+        out.write(chainBuf, start, 4096 - start)
+        if (next < 4096) {
+          prefix(next) = prev; append(next) = chainBuf(start)
+          next += 1
+          if (next == (1 << width) && width < 12) width += 1
+        }
+        prev = c
+      }
+    }
+    Some(java.util.Arrays.copyOf(out.toByteArray, math.min(out.size, maxPixels)))
+  }
+
+  /** GIF87a/89a decode, pure JVM: logical screen + global/local color
+    * table, extension blocks skipped, first image descriptor's LZW
+    * stream decoded (see `lzwDecode`), palette indices mapped through
+    * the color table to luma. Non-interlaced only; animated GIFs
+    * yield their first frame. The same decompression-bomb cap as PNG
+    * bounds the raster. Defensive bounds-catch: GIF's offset chains
+    * are numerous enough that a residual slip returns None rather
+    * than throwing. */
+  private[graft] def decodeGif(b: Array[Byte]): Option[GrayRaster] =
+    try decodeGifUnsafe(b)
+    catch { case _: ArrayIndexOutOfBoundsException | _: NegativeArraySizeException => None }
+
+  private def decodeGifUnsafe(b: Array[Byte]): Option[GrayRaster] = {
+    if (b.length < 14) return None
+    val hdr = new String(b, 0, 6, "US-ASCII")
+    if (hdr != "GIF87a" && hdr != "GIF89a") return None
+    val packed = b(10) & 0xff
+    val gctOff = 13
+    val hasGct = (packed & 0x80) != 0
+    val gctLen = 2 << (packed & 7)
+    var i = gctOff + (if (hasGct) 3 * gctLen else 0)
+    while (i < b.length) {
+      (b(i) & 0xff) match {
+        case 0x21 => // extension: label byte, then sub-blocks to a 0
+          i += 2
+          while (i < b.length && b(i) != 0) i += 1 + (b(i) & 0xff)
+          i += 1
+        case 0x2c => // image descriptor
+          if (i + 10 > b.length) return None
+          val w = le16(b, i + 5); val h = le16(b, i + 7)
+          val ip = b(i + 9) & 0xff
+          if ((ip & 0x40) != 0) return None // interlaced: unsupported
+          i += 10
+          val (ctOff, ctLen) =
+            if ((ip & 0x80) != 0) { val o = i; i += 3 * (2 << (ip & 7)); (o, 2 << (ip & 7)) }
+            else if (hasGct) (gctOff, gctLen)
+            else return None
+          if (w <= 0 || h <= 0 || w.toLong * h > PngMaxRaw) return None
+          if (i >= b.length) return None
+          val minCode = b(i) & 0xff; i += 1
+          val data = new java.io.ByteArrayOutputStream()
+          while (i < b.length && b(i) != 0) {
+            val len = b(i) & 0xff
+            if (i + 1 + len > b.length) return None
+            data.write(b, i + 1, len); i += 1 + len
+          }
+          if (i >= b.length) return None // missing sub-block terminator
+          val px = lzwDecode(data.toByteArray, minCode, w * h) match {
+            case Some(p) if p.length == w * h => p
+            case _ => return None
+          }
+          val out = new Array[Byte](w * h)
+          var p = 0
+          while (p < out.length) {
+            val idx = px(p) & 0xff
+            if (idx >= ctLen) return None
+            val o = ctOff + idx * 3
+            out(p) = luma(b(o) & 0xff, b(o + 1) & 0xff, b(o + 2) & 0xff)
+            p += 1
+          }
+          return Some(GrayRaster(w, h, out))
+        case 0x3b => return None // trailer before any image
+        case _ => return None
+      }
+    }
+    None
+  }
+
   /** Dispatch on magic bytes: each decoder rejects wrong magic in
     * O(1), so trying them in sequence costs nothing. None = format
     * needs a real codec → caller falls back to `stubDecode`. */
   def decode(payload: Array[Byte]): Option[Decoded] =
     decodePnm(payload).orElse(decodeBmp(payload)).orElse(decodeWav(payload))
-      .orElse(decodePng(payload))
+      .orElse(decodePng(payload)).orElse(decodeGif(payload))
 
   /** Typed row contract for a media table. */
   case class MediaRow(doc_id: Long, payload: Array[Byte], kind: String)

@@ -247,6 +247,114 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.decodePng(ok.take(8) ++ Array.fill(30)(0xab.toByte)).isEmpty)
   }
 
+  // --- independent GIF encoder: a REAL LZW compressor (hash-map
+  // dictionary, variable code width, LSB-first bit packing) so the
+  // decoder's dictionary reconstruction — including KwKwK and width
+  // growth — is pinned against the algorithm, not itself ---
+  private def gifLzw(pixels: Array[Byte], minCode: Int): Array[Byte] = {
+    val clear = 1 << minCode; val end = clear + 1
+    var width = minCode + 1; var next = end + 1
+    val dict = scala.collection.mutable.HashMap.empty[(Int, Int), Int]
+    val bits = scala.collection.mutable.ArrayBuffer.empty[Boolean]
+    def put(code: Int): Unit = {
+      var k = 0; while (k < width) { bits += ((code >> k) & 1) == 1; k += 1 }
+    }
+    put(clear)
+    var prev = pixels(0) & 0xff
+    var pi = 1
+    while (pi < pixels.length) {
+      val k = pixels(pi) & 0xff
+      dict.get((prev, k)) match {
+        case Some(c) => prev = c
+        case None =>
+          put(prev)
+          if (next < 4096) {
+            dict((prev, k)) = next
+            next += 1
+            // the encoder bumps ONE code after the decoder's
+            // next == 2^width rule: emitted values stay <= next-1,
+            // while the reader's KwKwK ceiling is its own next —
+            // the famous LZW one-code lag
+            if (next == (1 << width) + 1 && width < 12) width += 1
+          }
+          prev = k
+      }
+      pi += 1
+    }
+    put(prev); put(end)
+    val out = new Array[Byte]((bits.length + 7) / 8)
+    for (j <- bits.indices if bits(j)) out(j >> 3) = (out(j >> 3) | (1 << (j & 7))).toByte
+    out
+  }
+  private def gif(w: Int, h: Int, px: Array[Byte], minCode: Int, sizeBits: Int,
+      pal: Int => (Int, Int, Int), withExt: Boolean = false): Array[Byte] = {
+    val bb = new java.io.ByteArrayOutputStream()
+    bb.write("GIF89a".getBytes("US-ASCII"))
+    bb.write(w & 0xff); bb.write(w >> 8); bb.write(h & 0xff); bb.write(h >> 8)
+    bb.write(0x80 | sizeBits); bb.write(0); bb.write(0) // GCT present
+    for (c <- 0 until (2 << sizeBits)) {
+      val (r, g, bl) = pal(c); bb.write(r); bb.write(g); bb.write(bl)
+    }
+    if (withExt) { // graphic control extension, must be skipped
+      bb.write(0x21); bb.write(0xf9); bb.write(4)
+      bb.write(0); bb.write(0); bb.write(0); bb.write(0); bb.write(0)
+    }
+    bb.write(0x2c)
+    bb.write(0); bb.write(0); bb.write(0); bb.write(0) // left, top
+    bb.write(w & 0xff); bb.write(w >> 8); bb.write(h & 0xff); bb.write(h >> 8)
+    bb.write(0) // no LCT, not interlaced
+    bb.write(minCode)
+    val z = gifLzw(px, minCode)
+    var o = 0
+    while (o < z.length) {
+      val n = math.min(255, z.length - o)
+      bb.write(n); bb.write(z, o, n); o += n
+    }
+    bb.write(0); bb.write(0x3b)
+    bb.toByteArray
+  }
+
+  test("GIF decode: real LZW reconstruction — width growth, KwKwK, palette luma") {
+    val rnd = new scala.util.Random(7)
+    // 256-color palette, random 20x13, extension block skipped
+    val pal256 = (i: Int) => (i, (i * 3) % 256, (i * 7) % 256)
+    val px1 = Array.fill(20 * 13)(rnd.nextInt(256).toByte)
+    val Some(g1) = Multimodal.decodeGif(gif(20, 13, px1, 8, 7, pal256, withExt = true))
+    assert((g1.w, g1.h) == (20, 13))
+    assert(g1.pixels.map(_ & 0xff).toSeq == px1.map(p => {
+      val (r, g, b) = pal256(p & 0xff); lumaOf(r, g, b)
+    }).toSeq, "256-color random image must reconstruct through the palette")
+    // constant image: the all-same-run stream is KwKwK back to back
+    val pal4 = (i: Int) => (i * 80, 255 - i * 80, i * 40)
+    val px2 = Array.fill(40 * 5)(3.toByte)
+    val Some(g2) = Multimodal.decodeGif(gif(40, 5, px2, 2, 1, pal4))
+    assert(g2.pixels.forall(p => (p & 0xff) == lumaOf(240, 15, 120)),
+      "constant image (KwKwK chain) must decode to one luma")
+    // long 4-symbol stream: the dictionary outgrows 8/16/32... codes,
+    // exercising every width increment the 12-bit space allows
+    val px3 = Array.tabulate(60 * 40)(i => ((i * i + i / 7) % 4).toByte)
+    val Some(g3) = Multimodal.decodeGif(gif(60, 40, px3, 2, 1, pal4))
+    assert(g3.pixels.map(_ & 0xff).toSeq == px3.map(p => {
+      val (r, g, b) = pal4(p & 0xff); lumaOf(r, g, b)
+    }).toSeq, "width-growth stream must reconstruct exactly")
+  }
+
+  test("GIF decode: malformed structures reject, never throw") {
+    val pal = (i: Int) => (i, i, i)
+    val ok = gif(6, 4, Array.fill(24)(1.toByte), 2, 1, pal)
+    assert(Multimodal.decodeGif(ok).nonEmpty)
+    assert(Multimodal.decodeGif(ok.dropRight(6)).isEmpty, "truncated stream")
+    // interlace flag on the image descriptor
+    val desc = ok.indexOf(0x2c.toByte)
+    val inter = ok.clone(); inter(desc + 9) = 0x40.toByte
+    assert(Multimodal.decodeGif(inter).isEmpty, "interlaced unsupported")
+    // no color table anywhere
+    val noGct = ok.clone(); noGct(10) = (noGct(10) & 0x7f).toByte
+    assert(Multimodal.decodeGif(noGct).isEmpty, "missing color table")
+    assert(Multimodal.decodeGif("GIF89a".getBytes).isEmpty)
+    assert(Multimodal.decodeGif(ok.take(6) ++ Array.fill(40)(0x55.toByte)).isEmpty)
+  }
+
   test("real decoders ride the partition-streaming pipeline; unknown bytes keep the stub path") {
     import spark.implicits._
     val img = ppm(2, 2, Array(255, 0, 0, 0, 255, 0, 0, 0, 255, 255, 255, 255).map(_.toByte))
