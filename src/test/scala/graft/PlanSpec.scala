@@ -314,6 +314,51 @@ class PlanSpec extends AnyFunSuite {
       s"sessionization window must partition by user_id:\n$p")
   }
 
+  test("AQE skew-join really engages on a hot key (the documented skew fallback)") {
+    // SURVEY §8's skew row claims AQE skew-join covers hot JOIN keys
+    // at runtime, so no hand-salting ships for joins. A claim about a
+    // runtime mechanism needs a runtime pin: build a join where one
+    // key owns ~98% of the left side, push the skew thresholds down
+    // to test scale, execute, and assert the FINAL adaptive plan
+    // carries the skew=true sort-merge join — plus that splitting the
+    // partition changed no row of the answer.
+    import org.apache.spark.sql.functions.{col, lit}
+    import spark.implicits._
+    val confs = Seq(
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "65536",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "65536",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      // 4k distinct cold keys + one hot key (7) holding half the rows
+      val left = spark.range(0, 200000)
+        .select(org.apache.spark.sql.functions.when(col("id") % 2 === 0, lit(7L))
+          .otherwise(col("id") % 4096 + 100L).as("k"), col("id").as("v"))
+      val right = spark.range(0, 8192).select((col("id") % 5000).as("k"),
+        (col("id") * 3).as("w"))
+      val joined = left.join(right, "k")
+      // execute the join's own query so ITS adaptive plan finalizes
+      // (a .count() would execute a different QueryExecution)
+      val n = joined.collect().length
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("isFinalPlan=true"), s"adaptive plan never finalized:\n$plan")
+      assert(plan.contains("skew=true"),
+        s"AQE did not mark the hot partition as skewed:\n$plan")
+      // correctness under the split: recompute with AQE off
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val nOff = left.join(right, "k").collect().length
+      assert(n == nOff, s"skew-split changed the join result: $n vs $nOff")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("incremental near-dup joins are all equi-keyed — never a nested loop") {
     // the cross band join buckets on (band, band_hash) with a key
     // inequality as residual; the verify and member-expansion joins
