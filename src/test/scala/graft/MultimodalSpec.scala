@@ -355,6 +355,43 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.decodeGif(ok.take(6) ++ Array.fill(40)(0x55.toByte)).isEmpty)
   }
 
+  test("compressed decoders round-trip arbitrary rasters (generative)") {
+    // 12 random trials each for PNG (random dims / color type /
+    // per-row filter choice) and GIF (random dims / palette /
+    // min-code) — the fixed-seed cases above pin known tricky spots,
+    // this sweeps the space. Seeded so failures replay.
+    val rnd = new scala.util.Random(2024)
+    for (trial <- 1 to 12) {
+      val w = 1 + rnd.nextInt(24); val h = 1 + rnd.nextInt(24)
+      val ch = Seq(1, 2, 3, 4)(rnd.nextInt(4))
+      val raw = Array.fill(w * h * ch)(rnd.nextInt(256).toByte)
+      val filters = Array.fill(1 + rnd.nextInt(7))(rnd.nextInt(5)).toSeq
+      val Some(g) = Multimodal.decodePng(png(w, h, ch, raw, filters,
+        idatSplit = 1 + rnd.nextInt(3)))
+      val want = (0 until w * h).map { p =>
+        ch match {
+          case 1 => raw(p) & 0xff
+          case 2 => raw(p * 2) & 0xff
+          case _ => lumaOf(raw(p * ch) & 0xff, raw(p * ch + 1) & 0xff, raw(p * ch + 2) & 0xff)
+        }
+      }
+      assert(g.pixels.map(_ & 0xff).toSeq == want,
+        s"PNG trial $trial drifted (w=$w h=$h ch=$ch filters=$filters)")
+    }
+    for (trial <- 1 to 12) {
+      val w = 1 + rnd.nextInt(40); val h = 1 + rnd.nextInt(20)
+      val minCode = 2 + rnd.nextInt(7)
+      val sizeBits = minCode - 1 // color table size 2^minCode
+      val pal = Array.fill(2 << sizeBits)((rnd.nextInt(256), rnd.nextInt(256), rnd.nextInt(256)))
+      val px = Array.fill(w * h)(rnd.nextInt(1 << minCode).toByte)
+      val Some(g) = Multimodal.decodeGif(gif(w, h, px, minCode, sizeBits, pal(_),
+        withExt = rnd.nextBoolean()))
+      val want = px.map { p => val (r, gg, b) = pal(p & 0xff); lumaOf(r, gg, b) }.toSeq
+      assert(g.pixels.map(_ & 0xff).toSeq == want,
+        s"GIF trial $trial drifted (w=$w h=$h minCode=$minCode)")
+    }
+  }
+
   test("real decoders ride the partition-streaming pipeline; unknown bytes keep the stub path") {
     import spark.implicits._
     val img = ppm(2, 2, Array(255, 0, 0, 0, 255, 0, 0, 0, 255, 255, 255, 255).map(_.toByte))
