@@ -17,12 +17,13 @@ import org.apache.spark.sql.functions._
   * (8/16-bit), and — round 12 — 8-bit non-interlaced PNG
   * (gray/RGB/gray-alpha/RGBA, all five row filters; zlib inflate is
   * in the JDK) and GIF87a/89a (a full LZW decoder — variable-width
-  * codes, KwKwK, 4096-entry dictionary — plus palette mapping) —
-  * header parse → pixels/samples → the feature pipeline. Codecs that genuinely need native libraries
-  * (JPEG/MP3/H.264) are NOT available in this environment, so
-  * unrecognized payloads fall back to the clearly-marked
-  * deterministic STUB `stubDecode`, preserving the original pipeline
-  * behavior byte-for-byte. Everything around
+  * codes, KwKwK, 4096-entry dictionary — plus palette mapping), and
+  * baseline JPEG (huffman entropy decode, dequant, IDCT — grayscale
+  * and 4:4:4; see `decodeJpeg` for scope) — header parse →
+  * pixels/samples → the feature pipeline. What remains codec-bound
+  * (progressive/subsampled JPEG, MP3, H.264) falls back to the
+  * clearly-marked deterministic STUB `stubDecode`, preserving the
+  * original pipeline behavior byte-for-byte. Everything around
   * the decoders — the schema contract, the partition-streaming
   * execution shape, the frame-sampling stride, the typed Dataset
   * surface — is shared between the real and stub paths and exercised
@@ -399,12 +400,238 @@ object Multimodal {
     None
   }
 
+  /** JPEG zigzag order: zigzag index → natural (row-major) block
+    * position. Shared with the in-test encoder. */
+  private[graft] val JpegZigzag: Array[Int] = Array(
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63)
+
+  /** A canonical JPEG huffman table (Annex C): mincode/maxcode/valptr
+    * per code length, decoded bit-serially. */
+  private final class JpegHuff(counts: Array[Int], vals: Array[Int]) {
+    val minCode = new Array[Int](17); val maxCode = new Array[Int](17)
+    val valPtr = new Array[Int](17)
+    locally {
+      var code = 0; var k = 0
+      for (l <- 1 to 16) {
+        valPtr(l) = k; minCode(l) = code
+        code += counts(l - 1); k += counts(l - 1)
+        maxCode(l) = code - 1
+        if (counts(l - 1) == 0) maxCode(l) = -1
+        code <<= 1
+      }
+    }
+    def value(len: Int, code: Int): Int = vals(valPtr(len) + code - minCode(len))
+  }
+
+  /** Baseline JPEG (SOF0) decode, pure JVM: marker walk, DQT/DHT/SOF0
+    * /SOS parse, MSB-first entropy decode with 0xFF00 unstuffing,
+    * per-block DC prediction + AC run-length, dequantization, a
+    * separable double-precision IDCT, level shift. Output is the Y
+    * channel (JPEG's Y IS the luma raster — chroma blocks are entropy-
+    * decoded to keep bit position, then discarded). Scope: 8-bit
+    * baseline sequential, no chroma subsampling (grayscale or 4:4:4 —
+    * every component 1×1 sampling), no restart intervals; progressive
+    * (SOF2), subsampled, or DRI streams return None and take the stub
+    * path. The IDCT is the textbook O(8·8·8) separable form —
+    * correctness-first; a production deployment swaps a SIMD codec
+    * behind the same dispatch. */
+  private[graft] def decodeJpeg(b: Array[Byte]): Option[GrayRaster] =
+    try decodeJpegUnsafe(b)
+    catch { case _: ArrayIndexOutOfBoundsException | _: NegativeArraySizeException => None }
+
+  private val idctCos: Array[Double] =
+    Array.tabulate(8, 8) { (x, u) => math.cos((2 * x + 1) * u * math.Pi / 16.0) }.flatten
+
+  private def decodeJpegUnsafe(b: Array[Byte]): Option[GrayRaster] = {
+    if (b.length < 4 || (b(0) & 0xff) != 0xff || (b(1) & 0xff) != 0xd8) return None
+    var i = 2
+    val quant = new Array[Array[Int]](4)
+    val huffDc = new Array[JpegHuff](4); val huffAc = new Array[JpegHuff](4)
+    var w = 0; var h = 0
+    var nComp = 0
+    val compQ = new Array[Int](4) // per component: quant table id
+    var sosAt = -1
+    val compDcT = new Array[Int](4); val compAcT = new Array[Int](4)
+    while (sosAt < 0) {
+      if ((b(i) & 0xff) != 0xff) return None
+      val m = b(i + 1) & 0xff
+      if (m == 0xd9) return None // EOI before SOS
+      val len = ((b(i + 2) & 0xff) << 8) | (b(i + 3) & 0xff)
+      val seg = i + 4
+      m match {
+        case 0xdb => // DQT: one or more tables
+          var p = seg
+          while (p < i + 2 + len) {
+            val pq = (b(p) & 0xf0) >> 4; val tq = b(p) & 0x0f
+            if (pq != 0 || tq > 3) return None // 8-bit tables only
+            quant(tq) = Array.tabulate(64)(k => b(p + 1 + k) & 0xff)
+            p += 65
+          }
+        case 0xc0 => // SOF0 baseline
+          if ((b(seg) & 0xff) != 8) return None // 8-bit precision
+          h = ((b(seg + 1) & 0xff) << 8) | (b(seg + 2) & 0xff)
+          w = ((b(seg + 3) & 0xff) << 8) | (b(seg + 4) & 0xff)
+          nComp = b(seg + 5) & 0xff
+          if (w <= 0 || h <= 0 || (nComp != 1 && nComp != 3) ||
+            w.toLong * h > PngMaxRaw) return None
+          for (c <- 0 until nComp) {
+            val o = seg + 6 + c * 3
+            if ((b(o + 1) & 0xff) != 0x11) return None // 1x1 sampling only
+            compQ(c) = b(o + 2) & 0x0f
+          }
+        case 0xc4 => // DHT: one or more tables
+          var p = seg
+          while (p < i + 2 + len) {
+            val tc = (b(p) & 0xf0) >> 4; val th = b(p) & 0x0f
+            if (tc > 1 || th > 3) return None
+            val counts = Array.tabulate(16)(k => b(p + 1 + k) & 0xff)
+            val n = counts.sum
+            val vals = Array.tabulate(n)(k => b(p + 17 + k) & 0xff)
+            val t = new JpegHuff(counts, vals)
+            if (tc == 0) huffDc(th) = t else huffAc(th) = t
+            p += 17 + n
+          }
+        case 0xc2 => return None // progressive: unsupported
+        case 0xdd => return None // restart intervals: unsupported
+        case 0xda => // SOS
+          val ns = b(seg) & 0xff
+          if (ns != nComp) return None
+          for (c <- 0 until ns) {
+            compDcT(c) = (b(seg + 2 + c * 2) & 0xf0) >> 4
+            compAcT(c) = b(seg + 2 + c * 2) & 0x0f
+          }
+          sosAt = i + 2 + len
+        case _ => () // APPn/COM/etc: skip
+      }
+      if (sosAt < 0) i += 2 + len
+    }
+    if (w == 0 || nComp == 0) return None
+    for (c <- 0 until nComp)
+      if (quant(compQ(c)) == null || huffDc(compDcT(c)) == null ||
+        huffAc(compAcT(c)) == null) return None
+
+    // --- entropy-coded segment: MSB-first bit reader with unstuffing
+    var bp = sosAt; var bitBuf = 0; var bitCnt = 0; var eos = false
+    def fill(): Unit = {
+      while (bitCnt <= 24 && !eos) {
+        if (bp >= b.length) { eos = true }
+        else {
+          val v = b(bp) & 0xff
+          if (v == 0xff) {
+            val nx = if (bp + 1 < b.length) b(bp + 1) & 0xff else 0xd9
+            if (nx == 0x00) { bitBuf |= 0xff << (24 - bitCnt); bitCnt += 8; bp += 2 }
+            else { eos = true } // EOI or another marker
+          } else { bitBuf |= v << (24 - bitCnt); bitCnt += 8; bp += 1 }
+        }
+      }
+    }
+    def bit(): Int = {
+      fill(); if (bitCnt <= 0) return -1
+      val v = (bitBuf >>> 31) & 1
+      bitBuf <<= 1; bitCnt -= 1
+      v
+    }
+    def bits(n: Int): Int = {
+      var v = 0; var k = 0
+      while (k < n) { val x = bit(); if (x < 0) return -1; v = (v << 1) | x; k += 1 }
+      v
+    }
+    def decodeHuff(t: JpegHuff): Int = {
+      var code = 0
+      var l = 1
+      while (l <= 16) {
+        val x = bit(); if (x < 0) return -1
+        code = (code << 1) | x
+        if (t.maxCode(l) >= 0 && code <= t.maxCode(l) && code >= t.minCode(l))
+          return t.value(l, code)
+        l += 1
+      }
+      -1
+    }
+    def extend(v: Int, s: Int): Int = if (s == 0) 0 else if (v < (1 << (s - 1))) v - (1 << s) + 1 else v
+
+    val bw = (w + 7) / 8; val bh = (h + 7) / 8
+    val y = new Array[Byte](w * h)
+    val dcPred = new Array[Int](4)
+    val coef = new Array[Double](64)
+    val tmp = new Array[Double](64)
+    var my = 0
+    while (my < bh) {
+      var mx = 0
+      while (mx < bw) {
+        var c = 0
+        while (c < nComp) {
+          java.util.Arrays.fill(coef, 0.0)
+          val q = quant(compQ(c))
+          val s0 = decodeHuff(huffDc(compDcT(c))); if (s0 < 0) return None
+          val d0 = if (s0 == 0) 0 else { val r = bits(s0); if (r < 0) return None; extend(r, s0) }
+          dcPred(c) += d0
+          coef(0) = dcPred(c).toDouble * q(0)
+          var k = 1
+          var done = false
+          while (!done && k < 64) {
+            val rs = decodeHuff(huffAc(compAcT(c))); if (rs < 0) return None
+            val r = rs >> 4; val s = rs & 15
+            if (s == 0) { if (r == 15) k += 16 else done = true }
+            else {
+              k += r
+              if (k > 63) return None
+              val v = bits(s); if (v < 0) return None
+              coef(JpegZigzag(k)) = extend(v, s).toDouble * q(k)
+              k += 1
+            }
+          }
+          if (c == 0) { // IDCT only for the luma component
+            // rows then columns, separable DCT-III with c(u) scaling
+            var r = 0
+            while (r < 8) {
+              var x = 0
+              while (x < 8) {
+                var acc = 0.0; var u = 0
+                while (u < 8) {
+                  val cu = if (u == 0) 0.70710678118654752 else 1.0
+                  acc += cu * coef(r * 8 + u) * idctCos(x * 8 + u); u += 1
+                }
+                tmp(r * 8 + x) = acc * 0.5; x += 1
+              }
+              r += 1
+            }
+            var xcol = 0
+            while (xcol < 8) {
+              var yy = 0
+              while (yy < 8) {
+                var acc = 0.0; var u = 0
+                while (u < 8) {
+                  val cu = if (u == 0) 0.70710678118654752 else 1.0
+                  acc += cu * tmp(u * 8 + xcol) * idctCos(yy * 8 + u); u += 1
+                }
+                val px = math.max(0, math.min(255, math.round(acc * 0.5 + 128.0).toInt))
+                val ox = mx * 8 + xcol; val oy = my * 8 + yy
+                if (ox < w && oy < h) y(oy * w + ox) = px.toByte
+                yy += 1
+              }
+              xcol += 1
+            }
+          }
+          c += 1
+        }
+        mx += 1
+      }
+      my += 1
+    }
+    Some(GrayRaster(w, h, y))
+  }
+
   /** Dispatch on magic bytes: each decoder rejects wrong magic in
     * O(1), so trying them in sequence costs nothing. None = format
     * needs a real codec → caller falls back to `stubDecode`. */
   def decode(payload: Array[Byte]): Option[Decoded] =
     decodePnm(payload).orElse(decodeBmp(payload)).orElse(decodeWav(payload))
       .orElse(decodePng(payload)).orElse(decodeGif(payload))
+      .orElse(decodeJpeg(payload))
 
   /** Typed row contract for a media table. */
   case class MediaRow(doc_id: Long, payload: Array[Byte], kind: String)

@@ -355,6 +355,176 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.decodeGif(ok.take(6) ++ Array.fill(40)(0x55.toByte)).isEmpty)
   }
 
+  // --- independent baseline JPEG encoder: forward DCT, configurable
+  // zigzag quant table, self-built canonical huffman tables (emitted
+  // in DHT, so the decoder's Annex-C table machinery is exercised on
+  // non-standard tables), MSB-first bit writer with FF-stuffing,
+  // grayscale or 4:4:4 multi-plane ---
+  private class JBits {
+    val out = new java.io.ByteArrayOutputStream()
+    private var cur = 0; private var n = 0
+    def put(code: Int, len: Int): Unit = {
+      var k = len - 1
+      while (k >= 0) {
+        cur = (cur << 1) | ((code >> k) & 1); n += 1
+        if (n == 8) { out.write(cur); if (cur == 0xff) out.write(0); cur = 0; n = 0 }
+        k -= 1
+      }
+    }
+    def finish(): Unit = while (n != 0) put(1, 1)
+  }
+  /** Canonical table over the used symbols: one 15-bit code, the rest
+    * 16-bit (1-bit when only one symbol) — valid, deliberately unlike
+    * the spec's Annex-K tables. Returns (symbol → (code, len), DHT
+    * table body). */
+  private def jHuff(symbols: Seq[Int]): (Map[Int, (Int, Int)], Array[Byte]) = {
+    val n = symbols.size
+    val counts = new Array[Int](16)
+    val enc = scala.collection.mutable.Map.empty[Int, (Int, Int)]
+    if (n == 1) { counts(0) = 1; enc(symbols.head) = (0, 1) }
+    else {
+      counts(14) = 1; counts(15) = n - 1
+      enc(symbols.head) = (0, 15)
+      for (k <- 1 until n) enc(symbols(k)) = (2 + (k - 1), 16)
+    }
+    (enc.toMap, counts.map(_.toByte) ++ symbols.map(_.toByte))
+  }
+  private def jSize(v: Int): Int = { var s = 0; var a = math.abs(v); while (a != 0) { s += 1; a >>= 1 }; s }
+  private val jCos = Array.tabulate(8, 8)((x, u) => math.cos((2 * x + 1) * u * math.Pi / 16.0))
+  /** Quantized zigzag coefficients of one 8x8 block (edge-replicated). */
+  private def jBlock(px: Array[Byte], w: Int, h: Int, mx: Int, my: Int,
+      q: Array[Int]): Array[Int] = {
+    val f = Array.tabulate(8, 8) { (yy, xx) =>
+      (px(math.min(h - 1, my * 8 + yy) * w + math.min(w - 1, mx * 8 + xx)) & 0xff) - 128.0
+    }
+    val coefN = Array.tabulate(8, 8) { (v, u) =>
+      var acc = 0.0
+      for (yy <- 0 until 8; xx <- 0 until 8) acc += f(yy)(xx) * jCos(xx)(u) * jCos(yy)(v)
+      val cu = if (u == 0) 1 / math.sqrt(2) else 1.0
+      val cv = if (v == 0) 1 / math.sqrt(2) else 1.0
+      0.25 * cu * cv * acc
+    }
+    Array.tabulate(64) { k =>
+      val nz = Multimodal.JpegZigzag(k)
+      math.round(coefN(nz / 8)(nz % 8) / q(k)).toInt
+    }
+  }
+  /** Encode planes (1 = gray, 3 = Y/Cb/Cr 4:4:4) at the given zigzag
+    * quant table. */
+  private def jpeg(w: Int, h: Int, planes: Seq[Array[Byte]], q: Array[Int]): Array[Byte] = {
+    val bw = (w + 7) / 8; val bh = (h + 7) / 8
+    val nc = planes.size
+    // pass 1: all blocks, in MCU order, per component
+    val zz = for (my <- 0 until bh; mx <- 0 until bw; c <- 0 until nc)
+      yield jBlock(planes(c), w, h, mx, my, q)
+    // symbol census (DC sizes per diff, AC run/size bytes)
+    val preds = new Array[Int](nc)
+    val dcSyms = scala.collection.mutable.LinkedHashSet.empty[Int]
+    val acSyms = scala.collection.mutable.LinkedHashSet.empty[Int]
+    def acStream(blk: Array[Int])(emit: (Int, Int, Int) => Unit): Unit = {
+      var run = 0
+      var last = 63
+      while (last >= 1 && blk(last) == 0) last -= 1
+      for (k <- 1 to last) {
+        if (blk(k) == 0) run += 1
+        else {
+          while (run > 15) { emit(0xf0, 0, 0); run -= 16 }
+          val s = jSize(blk(k))
+          val extra = if (blk(k) < 0) blk(k) + (1 << s) - 1 else blk(k)
+          emit((run << 4) | s, extra, s)
+          run = 0
+        }
+      }
+      if (last < 63) emit(0x00, 0, 0)
+    }
+    var bi = 0
+    for (_ <- 0 until bw * bh; c <- 0 until nc) {
+      val blk = zz(bi); bi += 1
+      val diff = blk(0) - preds(c); preds(c) = blk(0)
+      dcSyms += jSize(diff)
+      acStream(blk)((sym, _, _) => acSyms += sym)
+    }
+    val (dcEnc, dcSeg) = jHuff(dcSyms.toSeq)
+    val (acEnc, acSeg) = jHuff(acSyms.toSeq)
+    // pass 2: emit
+    val bits = new JBits
+    java.util.Arrays.fill(preds, 0)
+    bi = 0
+    for (_ <- 0 until bw * bh; c <- 0 until nc) {
+      val blk = zz(bi); bi += 1
+      val diff = blk(0) - preds(c); preds(c) = blk(0)
+      val s = jSize(diff)
+      val (dc, dl) = dcEnc(s); bits.put(dc, dl)
+      if (s > 0) bits.put(if (diff < 0) diff + (1 << s) - 1 else diff, s)
+      acStream(blk) { (sym, extra, es) =>
+        val (ac, al) = acEnc(sym); bits.put(ac, al)
+        if (es > 0) bits.put(extra, es)
+      }
+    }
+    bits.finish()
+    val bb = new java.io.ByteArrayOutputStream()
+    def seg(marker: Int, body: Array[Byte]): Unit = {
+      bb.write(0xff); bb.write(marker)
+      bb.write((body.length + 2) >> 8); bb.write((body.length + 2) & 0xff)
+      bb.write(body)
+    }
+    bb.write(0xff); bb.write(0xd8)
+    seg(0xdb, Array(0.toByte) ++ q.map(_.toByte))
+    seg(0xc0, Array(8, (h >> 8) & 0xff, h & 0xff, (w >> 8) & 0xff, w & 0xff, nc).map(_.toByte)
+      ++ (1 to nc).flatMap(c => Seq(c.toByte, 0x11.toByte, 0.toByte)))
+    seg(0xc4, Array(0x00.toByte) ++ dcSeg)
+    seg(0xc4, Array(0x10.toByte) ++ acSeg)
+    seg(0xda, Array(nc.toByte) ++ (1 to nc).flatMap(c => Seq(c.toByte, 0x00.toByte))
+      ++ Array(0.toByte, 63.toByte, 0.toByte))
+    bb.write(bits.out.toByteArray)
+    bb.write(0xff); bb.write(0xd9)
+    bb.toByteArray
+  }
+
+  test("JPEG decode: constant raster exact, random rasters within quantization error") {
+    val rnd = new scala.util.Random(31)
+    val q1 = Array.fill(64)(1)
+    // constant image: DC-only stream, exact through DCT+IDCT
+    val flat = Array.fill(20 * 12)(130.toByte)
+    val Some(g0) = Multimodal.decodeJpeg(jpeg(20, 12, Seq(flat), q1))
+    assert((g0.w, g0.h) == (20, 12))
+    assert(g0.pixels.sameElements(flat), "constant raster must decode exactly")
+    // random raster, q=1: error only from coefficient rounding
+    val px = Array.fill(24 * 17)(rnd.nextInt(256).toByte)
+    val Some(g1) = Multimodal.decodeJpeg(jpeg(24, 17, Seq(px), q1))
+    val maxErr = g1.pixels.zip(px).map { case (a, b) => math.abs((a & 0xff) - (b & 0xff)) }.max
+    assert(maxErr <= 4, s"q=1 round-trip error $maxErr exceeds the rounding bound")
+    // coarser table: error scales with q but stays bounded
+    val q4 = Array.fill(64)(4)
+    val Some(g4) = Multimodal.decodeJpeg(jpeg(24, 17, Seq(px), q4))
+    val maxErr4 = g4.pixels.zip(px).map { case (a, b) => math.abs((a & 0xff) - (b & 0xff)) }.max
+    assert(maxErr4 <= 16, s"q=4 round-trip error $maxErr4 out of bound")
+  }
+
+  test("JPEG decode: 4:4:4 color stream — chroma entropy-consumed, Y returned") {
+    val rnd = new scala.util.Random(77)
+    val w = 19; val h = 10
+    val yP = Array.fill(w * h)(rnd.nextInt(256).toByte)
+    val cb = Array.fill(w * h)((128 + rnd.nextInt(64) - 32).toByte)
+    val cr = Array.fill(w * h)((128 + rnd.nextInt(64) - 32).toByte)
+    val Some(g) = Multimodal.decodeJpeg(jpeg(w, h, Seq(yP, cb, cr), Array.fill(64)(1)))
+    val yOnly = Multimodal.decodeJpeg(jpeg(w, h, Seq(yP), Array.fill(64)(1))).get
+    assert(g.pixels.sameElements(yOnly.pixels),
+      "3-component decode must return the same Y raster as the grayscale stream")
+  }
+
+  test("JPEG decode: malformed structures reject, never throw") {
+    val ok = jpeg(16, 16, Seq(Array.fill(256)(99.toByte)), Array.fill(64)(1))
+    assert(Multimodal.decodeJpeg(ok).nonEmpty)
+    assert(Multimodal.decodeJpeg(ok.dropRight(30)).isEmpty, "truncated entropy stream")
+    // progressive: flip SOF0's marker byte to SOF2
+    val sof = ok.indexOfSlice(Seq(0xff.toByte, 0xc0.toByte))
+    val prog = ok.clone(); prog(sof + 1) = 0xc2.toByte
+    assert(Multimodal.decodeJpeg(prog).isEmpty, "progressive must take the stub path")
+    assert(Multimodal.decodeJpeg(Array(0xff, 0xd8, 0xff, 0xd9).map(_.toByte)).isEmpty)
+    assert(Multimodal.decodeJpeg(ok.take(2) ++ Array.fill(60)(0x11.toByte)).isEmpty)
+  }
+
   test("compressed decoders round-trip arbitrary rasters (generative)") {
     // 12 random trials each for PNG (random dims / color type /
     // per-row filter choice) and GIF (random dims / palette /
