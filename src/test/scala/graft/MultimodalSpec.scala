@@ -567,10 +567,18 @@ class MultimodalSpec extends AnyFunSuite {
     val img = ppm(2, 2, Array(255, 0, 0, 0, 255, 0, 0, 0, 255, 255, 255, 255).map(_.toByte))
     val snd = wav16(8000, 1, Array.fill[Short](100)(16384))
     val blob = "just some opaque text payload".getBytes("UTF-8")
+    // the compressed formats too: each must dispatch to its real
+    // decoder inside the executor-side mapPartitions pass
+    val flat = Array.fill(16 * 16)(130.toByte)
     val media = Seq(
       Multimodal.MediaRow(1L, img, "image/x-portable-pixmap"),
       Multimodal.MediaRow(2L, snd, "audio/wav"),
-      Multimodal.MediaRow(3L, blob, "application/octet-stream")).toDS()
+      Multimodal.MediaRow(3L, blob, "application/octet-stream"),
+      Multimodal.MediaRow(4L, png(16, 16, 1, flat), "image/png"),
+      Multimodal.MediaRow(5L, gif(16, 16, Array.fill(256)(1.toByte), 2, 1,
+        i => (i * 60, i * 60, i * 60)), "image/gif"),
+      Multimodal.MediaRow(6L, jpeg(16, 16, Seq(flat), Array.fill(64)(1)),
+        "image/jpeg")).toDS()
     val out = Multimodal.decodeFeatures(media).collect().map(f => f.doc_id -> f).toMap
     // image: one frame, 4x4 thumbnail of the decoded luma values
     assert(out(1L).n_frames == 1)
@@ -584,6 +592,15 @@ class MultimodalSpec extends AnyFunSuite {
     val frames = Multimodal.sampleFrames(blob, 4)
     assert(out(3L).n_frames == frames.length)
     assert(out(3L).features.sameElements(Multimodal.stubDecode(frames)))
+    // PNG/JPEG flat-130 rasters and a constant-60 GIF: real decode
+    // (n_frames == 1), thumbnails at the known constant values
+    for (id <- Seq(4L, 6L)) {
+      assert(out(id).n_frames == 1, s"doc $id fell to the stub path")
+      out(id).features.foreach(v => assert(math.abs(v - 130 / 255f) < 1e-3,
+        s"doc $id thumbnail drifted: $v"))
+    }
+    assert(out(5L).n_frames == 1, "GIF fell to the stub path")
+    out(5L).features.foreach(v => assert(math.abs(v - 60 / 255f) < 1e-3))
   }
 
   test("decode pipeline streams a media table partition-wise") {
