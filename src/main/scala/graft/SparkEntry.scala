@@ -124,6 +124,9 @@ object SparkEntry {
     // incremental near-dup: new crawl probed against the existing
     // corpus's LSH band index, cross-era pairs only, exact-verified
     "llm_dedup_near_incr" -> (Llm.dedupNearIncremental _),
+    // the typed media pipeline's oracled leg: per-doc decode metadata
+    // through the REAL executor-side mapPartitions pass
+    "llm_media_frames"   -> (graft.operators.Multimodal.mediaFrames _),
   )
 
   /** The registry as a SQL surface (round-11 verdict item 8):
@@ -1102,5 +1105,14 @@ object SparkEntry {
                       JOIN sizes sb ON sb.doc_id = new_id)
          SELECT new_id AS new_doc_id, old_id AS old_doc_id, round(jac, 6) AS jaccard
          FROM j WHERE jac >= 0.8""",
+    // the typed decode pipeline's metadata is deterministic for stub
+    // (text) payloads: n_bytes = UTF-8 byte length, n_frames =
+    // ceil(n_bytes / 4) at the default stride — the oracle recomputes
+    // both from documents, so the row only matches if the real
+    // mapPartitions pipeline ran over every non-null-text row
+    "llm_media_frames" ->
+      """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+                CAST((octet_length(encode(text)) + 3) // 4 AS BIGINT) AS n_frames
+         FROM documents WHERE text IS NOT NULL""",
   )
 }

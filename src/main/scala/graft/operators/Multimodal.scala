@@ -757,12 +757,31 @@ object Multimodal {
 
   /** Build a typed media table from `documents` (text bytes standing
     * in for media payloads — the container has no binary media
-    * testdata; schema and lineage are what matter). */
+    * testdata; schema and lineage are what matter). Null-text rows
+    * are dropped: a media table's payload column is non-null by
+    * contract. */
   def mediaFromDocuments(spark: SparkSession, dir: String): Dataset[MediaRow] = {
     import spark.implicits._
     graft.sources.Tables.documents(spark, dir)
+      .filter(col("text").isNotNull)
       .select(col("doc_id"), col("text").cast("binary").as("payload"),
         lit("text/plain").as("kind"))
       .as[MediaRow]
   }
+
+  /** The registry's oracled leg THROUGH the typed decode pipeline
+    * (`llm_media_frames`): every document's payload ridden through
+    * the executor-side `decodeFeatures` pass, emitting the
+    * deterministic decode metadata (byte count, frame count at the
+    * default stride). Text payloads take the stub path by design, so
+    * the DuckDB oracle states the same quantities from `documents`
+    * directly (`octet_length`, ceil-division) — what the oracle
+    * checks is that the REAL mapPartitions pipeline executed over
+    * every row with the declared batching semantics, not a shortcut
+    * projection. The feature vectors themselves are pinned by
+    * MultimodalSpec (stub identity + real-decoder dispatch). */
+  def mediaFrames(spark: SparkSession, dir: String): DataFrame =
+    decodeFeatures(mediaFromDocuments(spark, dir))
+      .select(col("doc_id"), col("n_bytes"),
+        col("n_frames").cast("long").as("n_frames"))
 }
