@@ -525,6 +525,30 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.decodeJpeg(ok.take(2) ++ Array.fill(60)(0x11.toByte)).isEmpty)
   }
 
+  test("JPEG round-trips arbitrary rasters within the quantization bound (generative)") {
+    // 10 random trials over dims / grayscale-vs-4:4:4 / quant scale —
+    // the fixed cases pin known spots; this sweeps the space. The
+    // error bound is the per-coefficient rounding bound: q/2 per
+    // coefficient through an orthonormal-scaled basis stays within
+    // ~4q per pixel in practice. Seeded so failures replay.
+    val rnd = new scala.util.Random(8842)
+    for (trial <- 1 to 10) {
+      val w = 3 + rnd.nextInt(30); val h = 3 + rnd.nextInt(22)
+      val qv = 1 + rnd.nextInt(4)
+      val q = Array.fill(64)(qv)
+      val yP = Array.fill(w * h)(rnd.nextInt(256).toByte)
+      val planes =
+        if (rnd.nextBoolean()) Seq(yP)
+        else Seq(yP, Array.fill(w * h)(128.toByte), Array.fill(w * h)(128.toByte))
+      val Some(g) = Multimodal.decodeJpeg(jpeg(w, h, planes, q))
+      assert((g.w, g.h) == (w, h), s"trial $trial dims drifted")
+      val maxErr = g.pixels.zip(yP).map { case (a, b) =>
+        math.abs((a & 0xff) - (b & 0xff)) }.max
+      assert(maxErr <= 4 * qv,
+        s"trial $trial (w=$w h=$h q=$qv nc=${planes.size}): error $maxErr > ${4 * qv}")
+    }
+  }
+
   test("compressed decoders round-trip arbitrary rasters (generative)") {
     // 12 random trials each for PNG (random dims / color type /
     // per-row filter choice) and GIF (random dims / palette /
