@@ -355,8 +355,15 @@ object Joins {
     * bit-for-bit (JoinsSpec pins equality; the q15 oracle row reuses
     * q13's DuckDB ASOF LEFT JOIN).
     */
+  def asofJoinStitched(spark: SparkSession, dir: String): DataFrame =
+    asofJoinStitched(spark, dir, 1L << 20)
+
+  // explicit overload rather than a default: Scala allows defaults on
+  // only ONE alternative of an overloaded method, and the general
+  // two-table form below is the one that needs them (tolerance = None
+  // to match asofJoin's signature)
   def asofJoinStitched(spark: SparkSession, dir: String,
-      maxRowsPerKey: Long = 1 << 20): DataFrame =
+      maxRowsPerKey: Long): DataFrame =
     asofJoinStitchedOn(Tables.events(spark, dir), maxRowsPerKey)
 
   /** See `asofJoinOn` — the stitched twin over an arbitrary frame. */
@@ -371,7 +378,7 @@ object Joins {
     * forward = false)` on any input. */
   def asofJoinStitched(probe: DataFrame, ref: DataFrame, keys: Seq[String],
       tsCol: String, payload: Seq[String], tieCol: Option[String],
-      maxRowsPerKey: Long, tolerance: Option[Long]): DataFrame =
+      maxRowsPerKey: Long = 1 << 20, tolerance: Option[Long] = None): DataFrame =
     selectAsof(applyTolerance(
         stitchedCarry(taggedFromTwo(probe, ref, keys, tsCol, payload, tieCol),
           keys, maxRowsPerKey),

@@ -426,18 +426,23 @@ object Multimodal {
     def value(len: Int, code: Int): Int = vals(valPtr(len) + code - minCode(len))
   }
 
-  /** Baseline JPEG (SOF0) decode, pure JVM: marker walk, DQT/DHT/SOF0
-    * /SOS parse, MSB-first entropy decode with 0xFF00 unstuffing,
-    * per-block DC prediction + AC run-length, dequantization, a
-    * separable double-precision IDCT, level shift. Output is the Y
-    * channel (JPEG's Y IS the luma raster — chroma blocks are entropy-
-    * decoded to keep bit position, then discarded). Scope: 8-bit
-    * baseline sequential, no chroma subsampling (grayscale or 4:4:4 —
-    * every component 1×1 sampling), no restart intervals; progressive
-    * (SOF2), subsampled, or DRI streams return None and take the stub
-    * path. The IDCT is the textbook O(8·8·8) separable form —
-    * correctness-first; a production deployment swaps a SIMD codec
-    * behind the same dispatch. */
+  /** Baseline JPEG (SOF0) decode, pure JVM: marker walk (0xFF fill
+    * bytes skipped, standalone TEM/RSTn markers handled length-less),
+    * DQT/DHT/SOF0/DRI/SOS parse, MSB-first entropy decode with 0xFF00
+    * unstuffing and restart-marker bit-reader resets, per-MCU
+    * interleaved block order with arbitrary sampling factors (4:2:0,
+    * 4:2:2, 4:4:0, 4:4:4 — Y must be the full-resolution component,
+    * true of every real-world subsampled JPEG), per-block DC
+    * prediction + AC run-length, dequantization, a separable
+    * double-precision IDCT, level shift. Output is the Y channel
+    * (JPEG's Y IS the luma raster — chroma blocks are entropy-decoded
+    * to keep bit position, then discarded, so subsampling support is
+    * MCU geometry, not an upsampler). Scope: 8-bit baseline
+    * sequential; progressive (SOF2) streams and corrupt entropy data
+    * (DC size > 11 / AC size > 10 — the spec limits) return None and
+    * take the stub path. The IDCT is the textbook O(8·8·8) separable
+    * form — correctness-first; a production deployment swaps a SIMD
+    * codec behind the same dispatch. */
   private[graft] def decodeJpeg(b: Array[Byte]): Option[GrayRaster] =
     try decodeJpegUnsafe(b)
     catch { case _: ArrayIndexOutOfBoundsException | _: NegativeArraySizeException => None }
@@ -453,12 +458,20 @@ object Multimodal {
     var w = 0; var h = 0
     var nComp = 0
     val compQ = new Array[Int](4) // per component: quant table id
+    val compH = new Array[Int](4); val compV = new Array[Int](4)
+    var ri = 0 // restart interval in MCUs (0 = none)
     var sosAt = -1
     val compDcT = new Array[Int](4); val compAcT = new Array[Int](4)
     while (sosAt < 0) {
       if ((b(i) & 0xff) != 0xff) return None
+      // spec B.1.1.2: any number of 0xFF fill bytes may precede a
+      // marker byte — skip them instead of misreading 0xFF as a marker
+      while ((b(i + 1) & 0xff) == 0xff) i += 1
       val m = b(i + 1) & 0xff
       if (m == 0xd9) return None // EOI before SOS
+      if (m == 0x01 || (m >= 0xd0 && m <= 0xd7)) {
+        i += 2 // TEM / stray RSTn: standalone markers, no length field
+      } else {
       val len = ((b(i + 2) & 0xff) << 8) | (b(i + 3) & 0xff)
       val seg = i + 4
       m match {
@@ -479,7 +492,10 @@ object Multimodal {
             w.toLong * h > PngMaxRaw) return None
           for (c <- 0 until nComp) {
             val o = seg + 6 + c * 3
-            if ((b(o + 1) & 0xff) != 0x11) return None // 1x1 sampling only
+            val hv = b(o + 1) & 0xff
+            compH(c) = (hv >> 4) & 0x0f; compV(c) = hv & 0x0f
+            if (compH(c) < 1 || compH(c) > 4 ||
+              compV(c) < 1 || compV(c) > 4) return None
             compQ(c) = b(o + 2) & 0x0f
           }
         case 0xc4 => // DHT: one or more tables
@@ -495,7 +511,9 @@ object Multimodal {
             p += 17 + n
           }
         case 0xc2 => return None // progressive: unsupported
-        case 0xdd => return None // restart intervals: unsupported
+        case 0xdd => // DRI: restart interval in MCUs
+          if (len != 4) return None
+          ri = ((b(seg) & 0xff) << 8) | (b(seg + 1) & 0xff)
         case 0xda => // SOS
           val ns = b(seg) & 0xff
           if (ns != nComp) return None
@@ -507,11 +525,23 @@ object Multimodal {
         case _ => () // APPn/COM/etc: skip
       }
       if (sosAt < 0) i += 2 + len
+      }
     }
     if (w == 0 || nComp == 0) return None
     for (c <- 0 until nComp)
       if (quant(compQ(c)) == null || huffDc(compDcT(c)) == null ||
         huffAc(compAcT(c)) == null) return None
+    // spec A.2.3: a single-component scan is never interleaved — its
+    // block layout ignores the declared sampling factors
+    if (nComp == 1) { compH(0) = 1; compV(0) = 1 }
+    val hmax = (0 until nComp).map(compH).max
+    val vmax = (0 until nComp).map(compV).max
+    // Y must be the full-resolution component (every real-world
+    // subsampled JPEG subsamples chroma, not luma) — the luma raster
+    // then needs no upsampling, only MCU block placement
+    if (compH(0) != hmax || compV(0) != vmax) return None
+    if ((0 until nComp).map(c => compH(c) * compV(c)).sum > 10)
+      return None // B.2.3: at most 10 data units per MCU
 
     // --- entropy-coded segment: MSB-first bit reader with unstuffing
     var bp = sosAt; var bitBuf = 0; var bitCnt = 0; var eos = false
@@ -553,71 +583,116 @@ object Multimodal {
     }
     def extend(v: Int, s: Int): Int = if (s == 0) 0 else if (v < (1 << (s - 1))) v - (1 << s) + 1 else v
 
-    val bw = (w + 7) / 8; val bh = (h + 7) / 8
     val y = new Array[Byte](w * h)
     val dcPred = new Array[Int](4)
     val coef = new Array[Double](64)
     val tmp = new Array[Double](64)
+
+    // RSTn handling: drop buffered (padding) bits, byte-align on the
+    // expected marker, reset the DC predictors (spec E.2.4). All
+    // entropy bytes of the interval are already consumed into the bit
+    // buffer, so the skip loop normally advances 0 bytes — it only
+    // tolerates optional 0xFF fill before the marker.
+    def restart(n: Int): Boolean = {
+      bitBuf = 0; bitCnt = 0; eos = false
+      while (bp + 1 < b.length &&
+        !((b(bp) & 0xff) == 0xff && (b(bp + 1) & 0xff) >= 0xd0 &&
+          (b(bp + 1) & 0xff) <= 0xd7)) bp += 1
+      if (bp + 1 >= b.length) return false
+      if ((b(bp + 1) & 0xff) != 0xd0 + (n & 7)) return false
+      bp += 2
+      java.util.Arrays.fill(dcPred, 0)
+      true
+    }
+
+    // one entropy-coded data unit for component c; IDCT + placement
+    // only for luma (ox0/oy0 = the block's top-left pixel)
+    def decodeBlock(c: Int, ox0: Int, oy0: Int): Boolean = {
+      java.util.Arrays.fill(coef, 0.0)
+      val q = quant(compQ(c))
+      val s0 = decodeHuff(huffDc(compDcT(c)))
+      if (s0 < 0 || s0 > 11) return false // spec F.1.2.1: DC size <= 11
+      val d0 = if (s0 == 0) 0 else { val r = bits(s0); if (r < 0) return false; extend(r, s0) }
+      dcPred(c) += d0
+      coef(0) = dcPred(c).toDouble * q(0)
+      var k = 1
+      var done = false
+      while (!done && k < 64) {
+        val rs = decodeHuff(huffAc(compAcT(c))); if (rs < 0) return false
+        val r = rs >> 4; val s = rs & 15
+        if (s == 0) { if (r == 15) k += 16 else done = true }
+        else {
+          if (s > 10) return false // spec F.1.2.2.1: AC size <= 10
+          k += r
+          if (k > 63) return false
+          val v = bits(s); if (v < 0) return false
+          coef(JpegZigzag(k)) = extend(v, s).toDouble * q(k)
+          k += 1
+        }
+      }
+      if (c == 0) { // IDCT only for the luma component
+        // rows then columns, separable DCT-III with c(u) scaling
+        var r = 0
+        while (r < 8) {
+          var x = 0
+          while (x < 8) {
+            var acc = 0.0; var u = 0
+            while (u < 8) {
+              val cu = if (u == 0) 0.70710678118654752 else 1.0
+              acc += cu * coef(r * 8 + u) * idctCos(x * 8 + u); u += 1
+            }
+            tmp(r * 8 + x) = acc * 0.5; x += 1
+          }
+          r += 1
+        }
+        var xcol = 0
+        while (xcol < 8) {
+          var yy = 0
+          while (yy < 8) {
+            var acc = 0.0; var u = 0
+            while (u < 8) {
+              val cu = if (u == 0) 0.70710678118654752 else 1.0
+              acc += cu * tmp(u * 8 + xcol) * idctCos(yy * 8 + u); u += 1
+            }
+            val px = math.max(0, math.min(255, math.round(acc * 0.5 + 128.0).toInt))
+            val ox = ox0 + xcol; val oy = oy0 + yy
+            if (ox < w && oy < h) y(oy * w + ox) = px.toByte
+            yy += 1
+          }
+          xcol += 1
+        }
+      }
+      true
+    }
+
+    // interleaved MCU order (spec A.2.3): within an MCU each
+    // component contributes compH(c)×compV(c) blocks in raster order;
+    // luma is full-resolution (checked above), so its block (bx, by)
+    // of MCU (mx, my) lands at pixel ((mx·hmax+bx)·8, (my·vmax+by)·8)
+    val mcX = (w + 8 * hmax - 1) / (8 * hmax)
+    val mcY = (h + 8 * vmax - 1) / (8 * vmax)
+    var mcu = 0
     var my = 0
-    while (my < bh) {
+    while (my < mcY) {
       var mx = 0
-      while (mx < bw) {
+      while (mx < mcX) {
+        if (ri > 0 && mcu > 0 && mcu % ri == 0 &&
+          !restart((mcu / ri - 1) & 7)) return None
         var c = 0
         while (c < nComp) {
-          java.util.Arrays.fill(coef, 0.0)
-          val q = quant(compQ(c))
-          val s0 = decodeHuff(huffDc(compDcT(c))); if (s0 < 0) return None
-          val d0 = if (s0 == 0) 0 else { val r = bits(s0); if (r < 0) return None; extend(r, s0) }
-          dcPred(c) += d0
-          coef(0) = dcPred(c).toDouble * q(0)
-          var k = 1
-          var done = false
-          while (!done && k < 64) {
-            val rs = decodeHuff(huffAc(compAcT(c))); if (rs < 0) return None
-            val r = rs >> 4; val s = rs & 15
-            if (s == 0) { if (r == 15) k += 16 else done = true }
-            else {
-              k += r
-              if (k > 63) return None
-              val v = bits(s); if (v < 0) return None
-              coef(JpegZigzag(k)) = extend(v, s).toDouble * q(k)
-              k += 1
+          var by = 0
+          while (by < compV(c)) {
+            var bx = 0
+            while (bx < compH(c)) {
+              if (!decodeBlock(c, (mx * hmax + bx) * 8, (my * vmax + by) * 8))
+                return None
+              bx += 1
             }
-          }
-          if (c == 0) { // IDCT only for the luma component
-            // rows then columns, separable DCT-III with c(u) scaling
-            var r = 0
-            while (r < 8) {
-              var x = 0
-              while (x < 8) {
-                var acc = 0.0; var u = 0
-                while (u < 8) {
-                  val cu = if (u == 0) 0.70710678118654752 else 1.0
-                  acc += cu * coef(r * 8 + u) * idctCos(x * 8 + u); u += 1
-                }
-                tmp(r * 8 + x) = acc * 0.5; x += 1
-              }
-              r += 1
-            }
-            var xcol = 0
-            while (xcol < 8) {
-              var yy = 0
-              while (yy < 8) {
-                var acc = 0.0; var u = 0
-                while (u < 8) {
-                  val cu = if (u == 0) 0.70710678118654752 else 1.0
-                  acc += cu * tmp(u * 8 + xcol) * idctCos(yy * 8 + u); u += 1
-                }
-                val px = math.max(0, math.min(255, math.round(acc * 0.5 + 128.0).toInt))
-                val ox = mx * 8 + xcol; val oy = my * 8 + yy
-                if (ox < w && oy < h) y(oy * w + ox) = px.toByte
-                yy += 1
-              }
-              xcol += 1
-            }
+            by += 1
           }
           c += 1
         }
+        mcu += 1
         mx += 1
       }
       my += 1
@@ -740,7 +815,15 @@ object Multimodal {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
       rows.map { r =>
-        decode(r.payload) match {
+        // A declared text payload NEVER dispatches to the binary
+        // decoders: the kind tag is authoritative. This also makes
+        // the llm_media_frames oracle structurally safe — a fixture
+        // text that happens to start with a decoder magic (e.g.
+        // "P6 12…") must still take the stub path the oracle models.
+        val decoded =
+          if (r.kind != null && r.kind.startsWith("text/")) None
+          else decode(r.payload)
+        decoded match {
           case Some(g: GrayRaster) =>
             MediaFeatures(r.doc_id, r.kind, r.payload.length.toLong, 1, rasterFeatures(g))
           case Some(a: PcmAudio) =>

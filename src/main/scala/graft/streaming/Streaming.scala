@@ -290,8 +290,16 @@ object Streaming {
             // bound, so the eviction predicate is true at the wake);
             // engine requires ts > watermark
             val pendingMs = (openProbes ++ openRefs).map(_.ts_us / 1000L) ++
-              keptRef.flatMap(r => tolerance.map(t =>
-                r.ts_us / 1000L + (t + 999L) / 1000L + 1L))
+              keptRef.flatMap(r => tolerance.map { t =>
+                // ms/1000 each BEFORE adding: (t + 999L) would overflow
+                // near Long.MaxValue into a negative wake (clamped to
+                // wmMs+1 → every batch re-wakes the key). The +2 covers
+                // both floor-division remainders, so the eviction
+                // predicate is true at the wake; saturate if the sum
+                // itself overflows (a tolerance that large never evicts).
+                val wake = r.ts_us / 1000L + t / 1000L + 2L
+                if (wake < r.ts_us / 1000L) Long.MaxValue else wake
+              })
             if (pendingMs.nonEmpty)
               state.setTimeoutTimestamp(math.max(pendingMs.min, wmMs + 1))
           } else state.remove()

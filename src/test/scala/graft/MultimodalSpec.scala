@@ -411,16 +411,29 @@ class MultimodalSpec extends AnyFunSuite {
   }
   /** Encode planes (1 = gray, 3 = Y/Cb/Cr 4:4:4) at the given zigzag
     * quant table. */
-  private def jpeg(w: Int, h: Int, planes: Seq[Array[Byte]], q: Array[Int]): Array[Byte] = {
-    val bw = (w + 7) / 8; val bh = (h + 7) / 8
+  private def jpeg(w: Int, h: Int, planes: Seq[Array[Byte]], q: Array[Int]): Array[Byte] =
+    jpegG(w, h, planes, Seq.fill(planes.size)((1, 1)), q)
+
+  /** General baseline encoder: per-component sampling factors (MCU-
+    * interleaved block order, spec A.2.3 — plane c is sized
+    * ceil(w·hc/hmax) × ceil(h·vc/vmax)) and an optional restart
+    * interval (DRI segment + byte-aligned RSTn every `dri` MCUs with
+    * DC predictor resets, spec E.2.4). */
+  private def jpegG(w: Int, h: Int, planes: Seq[Array[Byte]],
+      samp: Seq[(Int, Int)], q: Array[Int], dri: Int = 0): Array[Byte] = {
     val nc = planes.size
-    // pass 1: all blocks, in MCU order, per component
-    val zz = for (my <- 0 until bh; mx <- 0 until bw; c <- 0 until nc)
-      yield jBlock(planes(c), w, h, mx, my, q)
-    // symbol census (DC sizes per diff, AC run/size bytes)
-    val preds = new Array[Int](nc)
-    val dcSyms = scala.collection.mutable.LinkedHashSet.empty[Int]
-    val acSyms = scala.collection.mutable.LinkedHashSet.empty[Int]
+    val hmax = samp.map(_._1).max; val vmax = samp.map(_._2).max
+    val cw = Array.tabulate(nc)(c => (w * samp(c)._1 + hmax - 1) / hmax)
+    val chh = Array.tabulate(nc)(c => (h * samp(c)._2 + vmax - 1) / vmax)
+    val mcX = (w + 8 * hmax - 1) / (8 * hmax)
+    val mcY = (h + 8 * vmax - 1) / (8 * vmax)
+    // all blocks in MCU-interleaved order: (mcu index, component, zigzag)
+    val zz = for {
+      my <- 0 until mcY; mx <- 0 until mcX; c <- 0 until nc
+      byy <- 0 until samp(c)._2; bxx <- 0 until samp(c)._1
+    } yield (my * mcX + mx, c,
+      jBlock(planes(c), cw(c), chh(c),
+        mx * samp(c)._1 + bxx, my * samp(c)._2 + byy, q))
     def acStream(blk: Array[Int])(emit: (Int, Int, Int) => Unit): Unit = {
       var run = 0
       var last = 63
@@ -437,30 +450,47 @@ class MultimodalSpec extends AnyFunSuite {
       }
       if (last < 63) emit(0x00, 0, 0)
     }
-    var bi = 0
-    for (_ <- 0 until bw * bh; c <- 0 until nc) {
-      val blk = zz(bi); bi += 1
-      val diff = blk(0) - preds(c); preds(c) = blk(0)
-      dcSyms += jSize(diff)
-      acStream(blk)((sym, _, _) => acSyms += sym)
+    val preds = new Array[Int](nc)
+    // one walk over the block stream, shared by census and emit —
+    // restart boundaries reset the predictors in BOTH passes
+    def walk(emitDc: Int => Unit, emitAc: (Int, Int, Int) => Unit,
+        onRestart: Int => Unit): Unit = {
+      java.util.Arrays.fill(preds, 0)
+      var prev = 0
+      for ((mcu, c, blk) <- zz) {
+        if (mcu != prev) {
+          if (dri > 0 && mcu % dri == 0) {
+            onRestart(mcu / dri - 1); java.util.Arrays.fill(preds, 0)
+          }
+          prev = mcu
+        }
+        val diff = blk(0) - preds(c); preds(c) = blk(0)
+        emitDc(diff)
+        acStream(blk)(emitAc)
+      }
     }
+    // pass 1: symbol census (DC sizes per diff, AC run/size bytes)
+    val dcSyms = scala.collection.mutable.LinkedHashSet.empty[Int]
+    val acSyms = scala.collection.mutable.LinkedHashSet.empty[Int]
+    walk(diff => dcSyms += jSize(diff), (sym, _, _) => acSyms += sym, _ => ())
     val (dcEnc, dcSeg) = jHuff(dcSyms.toSeq)
     val (acEnc, acSeg) = jHuff(acSyms.toSeq)
     // pass 2: emit
     val bits = new JBits
-    java.util.Arrays.fill(preds, 0)
-    bi = 0
-    for (_ <- 0 until bw * bh; c <- 0 until nc) {
-      val blk = zz(bi); bi += 1
-      val diff = blk(0) - preds(c); preds(c) = blk(0)
-      val s = jSize(diff)
-      val (dc, dl) = dcEnc(s); bits.put(dc, dl)
-      if (s > 0) bits.put(if (diff < 0) diff + (1 << s) - 1 else diff, s)
-      acStream(blk) { (sym, extra, es) =>
+    walk(
+      diff => {
+        val s = jSize(diff)
+        val (dc, dl) = dcEnc(s); bits.put(dc, dl)
+        if (s > 0) bits.put(if (diff < 0) diff + (1 << s) - 1 else diff, s)
+      },
+      (sym, extra, es) => {
         val (ac, al) = acEnc(sym); bits.put(ac, al)
         if (es > 0) bits.put(extra, es)
-      }
-    }
+      },
+      n => {
+        bits.finish() // pad to byte boundary with 1-bits
+        bits.out.write(0xff); bits.out.write(0xd0 + (n & 7))
+      })
     bits.finish()
     val bb = new java.io.ByteArrayOutputStream()
     def seg(marker: Int, body: Array[Byte]): Unit = {
@@ -471,7 +501,9 @@ class MultimodalSpec extends AnyFunSuite {
     bb.write(0xff); bb.write(0xd8)
     seg(0xdb, Array(0.toByte) ++ q.map(_.toByte))
     seg(0xc0, Array(8, (h >> 8) & 0xff, h & 0xff, (w >> 8) & 0xff, w & 0xff, nc).map(_.toByte)
-      ++ (1 to nc).flatMap(c => Seq(c.toByte, 0x11.toByte, 0.toByte)))
+      ++ (1 to nc).flatMap(c => Seq(c.toByte,
+        ((samp(c - 1)._1 << 4) | samp(c - 1)._2).toByte, 0.toByte)))
+    if (dri > 0) seg(0xdd, Array(((dri >> 8) & 0xff).toByte, (dri & 0xff).toByte))
     seg(0xc4, Array(0x00.toByte) ++ dcSeg)
     seg(0xc4, Array(0x10.toByte) ++ acSeg)
     seg(0xda, Array(nc.toByte) ++ (1 to nc).flatMap(c => Seq(c.toByte, 0x00.toByte))
@@ -511,6 +543,87 @@ class MultimodalSpec extends AnyFunSuite {
     val yOnly = Multimodal.decodeJpeg(jpeg(w, h, Seq(yP), Array.fill(64)(1))).get
     assert(g.pixels.sameElements(yOnly.pixels),
       "3-component decode must return the same Y raster as the grayscale stream")
+  }
+
+  test("JPEG decode: 4:2:0 / 4:2:2 / 4:4:0 subsampled streams — Y bit-exact") {
+    // Y full-resolution, chroma stored at half resolution: the decoded
+    // luma must equal the GRAYSCALE stream's decode bit-for-bit (same
+    // quant table, same Y blocks — subsampling only changes MCU
+    // geometry and the chroma entropy data the decoder must consume
+    // to keep bit position)
+    val rnd = new scala.util.Random(4200)
+    for ((sy, name) <- Seq(((2, 2), "4:2:0"), ((2, 1), "4:2:2"), ((1, 2), "4:4:0"))) {
+      val w = 21; val h = 13
+      val q = Array.fill(64)(2)
+      val yP = Array.fill(w * h)(rnd.nextInt(256).toByte)
+      val cwc = (w + sy._1 - 1) / sy._1; val chc = (h + sy._2 - 1) / sy._2
+      val cb = Array.fill(cwc * chc)((128 + rnd.nextInt(64) - 32).toByte)
+      val cr = Array.fill(cwc * chc)((128 + rnd.nextInt(64) - 32).toByte)
+      val sub = jpegG(w, h, Seq(yP, cb, cr), Seq(sy, (1, 1), (1, 1)), q)
+      val Some(g) = Multimodal.decodeJpeg(sub)
+      assert((g.w, g.h) == (w, h), s"$name dims drifted")
+      val gray = Multimodal.decodeJpeg(jpeg(w, h, Seq(yP), q)).get
+      assert(g.pixels.sameElements(gray.pixels),
+        s"$name luma must match the grayscale stream bit-for-bit")
+    }
+  }
+
+  test("JPEG decode: restart intervals (DRI + RSTn) — bit-exact vs no-DRI stream") {
+    val rnd = new scala.util.Random(777)
+    val w = 35; val h = 19 // 5x3 = 15 MCUs at 1x1
+    val q = Array.fill(64)(1)
+    val yP = Array.fill(w * h)(rnd.nextInt(256).toByte)
+    for (dri <- Seq(1, 2, 7)) {
+      val Some(g) = Multimodal.decodeJpeg(jpegG(w, h, Seq(yP), Seq((1, 1)), q, dri = dri))
+      val plain = Multimodal.decodeJpeg(jpeg(w, h, Seq(yP), q)).get
+      assert(g.pixels.sameElements(plain.pixels), s"dri=$dri raster drifted")
+    }
+    // 4:2:0 + DRI together: restart counts MCUs, not blocks
+    val cb = Array.fill(18 * 10)(128.toByte); val cr = Array.fill(18 * 10)(140.toByte)
+    val Some(g420) = Multimodal.decodeJpeg(
+      jpegG(w, h, Seq(yP, cb, cr), Seq((2, 2), (1, 1), (1, 1)), q, dri = 3))
+    val gray = Multimodal.decodeJpeg(jpeg(w, h, Seq(yP), q)).get
+    assert(g420.pixels.sameElements(gray.pixels), "4:2:0 + DRI raster drifted")
+    // wrong restart-marker sequence number must reject, not mis-decode
+    val withDri = jpegG(w, h, Seq(yP), Seq((1, 1)), q, dri = 2)
+    val rstAt = { // first RST0 in the entropy stream (after SOS)
+      val sos = withDri.indexOfSlice(Seq(0xff.toByte, 0xda.toByte))
+      var p = sos + 2; while (!((withDri(p) & 0xff) == 0xff && (withDri(p + 1) & 0xff) == 0xd0)) p += 1; p
+    }
+    val bad = withDri.clone(); bad(rstAt + 1) = 0xd5.toByte
+    assert(Multimodal.decodeJpeg(bad).isEmpty, "out-of-sequence RST must reject")
+  }
+
+  test("JPEG decode: fill bytes and standalone markers in the header walk") {
+    val ok = jpeg(16, 16, Seq(Array.fill(256)(77.toByte)), Array.fill(64)(1))
+    val want = Multimodal.decodeJpeg(ok).get
+    // 0xFF fill bytes before a marker (spec B.1.1.2) must be skipped
+    val sof = ok.indexOfSlice(Seq(0xff.toByte, 0xc0.toByte))
+    val filled = ok.take(sof) ++ Array.fill(3)(0xff.toByte) ++ ok.drop(sof)
+    val Some(gFill) = Multimodal.decodeJpeg(filled)
+    assert(gFill.pixels.sameElements(want.pixels), "fill bytes must be transparent")
+    // a standalone TEM (0x01) marker between segments: length-less
+    val tem = ok.take(sof) ++ Array(0xff.toByte, 0x01.toByte) ++ ok.drop(sof)
+    val Some(gTem) = Multimodal.decodeJpeg(tem)
+    assert(gTem.pixels.sameElements(want.pixels), "TEM must be skipped length-less")
+  }
+
+  test("JPEG decode: corrupt DHT symbols beyond spec limits reject, never mis-decode") {
+    val ok = jpeg(16, 16, Seq(Array.fill(256)(50.toByte)), Array.fill(64)(1))
+    // DC table: patch a value byte to 12 (> spec max 11) — the stream
+    // still huffman-decodes, but extend() would shift out of range;
+    // the decoder must return None, not a silently wrong raster
+    val dht = ok.indexOfSlice(Seq(0xff.toByte, 0xc4.toByte))
+    // DHT body: len(2) tc/th(1) counts(16) values(n) — constant image
+    // has exactly one DC symbol; patch it above the limit
+    val valAt = dht + 4 + 1 + 16
+    val badDc = ok.clone(); badDc(valAt) = 12.toByte
+    assert(Multimodal.decodeJpeg(badDc).isEmpty, "DC size 12 must reject")
+    // AC table: same patch on the first AC value (second DHT segment)
+    val dht2 = ok.indexOfSlice(Seq(0xff.toByte, 0xc4.toByte), dht + 2)
+    val acVal = dht2 + 4 + 1 + 16
+    val badAc = ok.clone(); badAc(acVal) = 0x0b.toByte // run 0, size 11 > 10
+    assert(Multimodal.decodeJpeg(badAc).isEmpty, "AC size 11 must reject")
   }
 
   test("JPEG decode: malformed structures reject, never throw") {
