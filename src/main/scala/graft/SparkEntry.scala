@@ -18,6 +18,7 @@ object SparkEntry {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_pricing_summary" -> (Relational.q1PricingSummary _),
+
     "q2_filter_project"  -> (Relational.q2FilterProject _),
     "q3_revenue_by_nation" -> (Relational.q3RevenueByNation _),
     "q4_top_orders"      -> (Relational.q4TopOrders _),
@@ -191,7 +192,7 @@ object SparkEntry {
            WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 450000.0)""",
     "q8_cube" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n,
-         round(sum(l_quantity), 4) AS sum_qty
+         round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 4) AS sum_qty
          FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""",
     "q9_top_per_customer" ->
       """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (

@@ -465,14 +465,17 @@ object Joins {
     val binWidth = chooseBinWidth(bandTable)
     val bandBins = explodedBins(spark, bandTable, binWidth)
     val e = Tables.events(spark, dir)
-      .select(col("value"), floor(col("value") / binWidth).cast("int").as("bin"))
+      .select(col("value"), floor(col("value") / binWidth).cast("int").as("bin"),
+        graft.functions.Money.moneyUnits(col("value")).as("value_c"))
     e.join(broadcast(bandBins),
         e("bin") === bandBins("bin") &&
         e("value") >= bandBins("lo") && e("value") < bandBins("hi"))
       .groupBy(col("band"), col("lo"), col("hi"))
       .agg(
         count(lit(1)).as("n_events"),
-        round(sum(col("value").cast("decimal(18,2)")).cast("double"), 4).as("sum_value"))
+        // exact split-long accumulation, bit-equal to the decimal
+        // formulation (events.value is 2-decimal-clean; MoneySumSpec)
+        round(graft.functions.Money.splitSum("value_c", 100L), 4).as("sum_value"))
   }
 
   /** The declared q14 query: the range join over the fixed band set. */

@@ -38,6 +38,11 @@ object Relational {
     * why TPC-H specifies DECIMAL for money. */
   private def money(c: org.apache.spark.sql.Column) = c.cast("decimal(18,2)")
 
+  /** Money-sum fast path: see [[graft.functions.Money]] — exact
+    * split-long accumulation, bit-identical to the DECIMAL form
+    * (MoneySumSpec) at ~2.3× less agg CPU (SURVEY §8). */
+  import graft.functions.Money.{moneyUnits, splitSum}
+
   /** TPC-H Q1-style pricing summary: partial-agg friendly, one shuffle
     * on the (tiny) group key. Cf. reference stats panel semantics
     * (consumer.py:151-168) — multi-measure grouped aggregate. Sums
@@ -45,6 +50,27 @@ object Relational {
     * decimal sum as double by the group count — deterministic because
     * both operands are. */
   def q1PricingSummary(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .select(col("l_returnflag"), col("l_linestatus"),
+        moneyUnits(col("l_quantity")).as("qty_c"),
+        moneyUnits(col("l_extendedprice")).as("price_c"),
+        moneyUnits(col("l_discount")).as("disc_c"))
+      // price·(1-disc) exactly, in 1e-4-dollar units: cents × cents-of-(1-disc)
+      .withColumn("disc_price_u", col("price_c") * (lit(100L) - col("disc_c")))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        splitSum("qty_c", 100L).as("sum_qty"),
+        splitSum("price_c", 100L).as("sum_base_price"),
+        splitSum("disc_price_u", 10000L).as("sum_disc_price"),
+        round(splitSum("qty_c", 100L) / count(lit(1)), 4).as("avg_qty"),
+        round(splitSum("disc_c", 100L) / count(lit(1)), 4).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+
+  /** The DECIMAL(18,2) formulation of q1 — the semantics anchor the
+    * split-long form above must match bit-for-bit (RelationalSpec
+    * parity test; also the oracle's own formulation). Kept as the
+    * readable statement of intent and the A/B baseline. */
+  private[graft] def q1PricingSummaryDecimal(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
@@ -68,12 +94,13 @@ object Relational {
     * orders is the only large input, never shuffled. */
   def q3RevenueByNation(spark: SparkSession, dir: String): DataFrame = {
     val o = Tables.orders(spark, dir)
+      .select(col("o_custkey"), moneyUnits(col("o_totalprice")).as("price_c"))
     val c = Tables.customer(spark, dir)
     val n = Tables.nation(spark, dir)
     o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
       .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
       .groupBy(col("n_name"))
-      .agg(sum(money(col("o_totalprice"))).cast("double").as("revenue"),
+      .agg(splitSum("price_c", 100L).as("revenue"),
            count(lit(1)).as("n_orders"))
   }
 
@@ -89,6 +116,9 @@ object Relational {
     * broadcast; single aggregation shuffle on r_name. */
   def q5RevenueByRegion(spark: SparkSession, dir: String): DataFrame = {
     val l = Tables.lineitem(spark, dir)
+      .select(col("l_suppkey"),
+        (moneyUnits(col("l_extendedprice")) * (lit(100L) - moneyUnits(col("l_discount"))))
+          .as("disc_price_u"))
     val s = Tables.supplier(spark, dir)
     val n = Tables.nation(spark, dir)
     val r = Tables.region(spark, dir)
@@ -96,8 +126,7 @@ object Relational {
       .join(broadcast(n), s("s_nationkey") === n("n_nationkey"))
       .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
       .groupBy(col("r_name"))
-      .agg(sum(money(col("l_extendedprice")) * (lit(BigDecimal("1.00")) - money(col("l_discount"))))
-             .cast("double").as("revenue"),
+      .agg(splitSum("disc_price_u", 10000L).as("revenue"),
            count(lit(1)).as("n_items"))
   }
 
@@ -125,8 +154,14 @@ object Relational {
     * (SURVEY.md §4's grouping-sets optimization), here as a cube. */
   def q8Cube(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
+      .select(col("l_returnflag"), col("l_linestatus"),
+        moneyUnits(col("l_quantity")).as("qty_c"))
       .cube(col("l_returnflag"), col("l_linestatus"))
-      .agg(count(lit(1)).as("n"), round(sum(col("l_quantity")), 4).as("sum_qty"))
+      // exact split-long sum: the raw sum(double) here was the same
+      // layout-dependent class the sf3 sweep caught on q1 — the cube's
+      // grand-total row aggregates EVERY lineitem, where double ulp
+      // noise crosses the round-4 quantum first
+      .agg(count(lit(1)).as("n"), round(splitSum("qty_c", 100L), 4).as("sum_qty"))
 
   /** Ranking window function: top-3 orders per customer, partitioned
     * window (scales horizontally — no global sort). */
@@ -168,13 +203,17 @@ object Relational {
     * write time (co-located join, no exchange at read time). */
   def q11PartsByBrand(spark: SparkSession, dir: String): DataFrame = {
     val l = Tables.lineitem(spark, dir)
+      .select(col("l_partkey"),
+        (moneyUnits(col("l_extendedprice")) * (lit(100L) - moneyUnits(col("l_discount"))))
+          .as("disc_price_u"))
     val p = Tables.part(spark, dir)
+      .select(col("p_partkey"), col("p_brand"),
+        moneyUnits(col("p_retailprice")).as("retail_c"))
     l.join(broadcast(p), l("l_partkey") === p("p_partkey"))
       .groupBy(col("p_brand"))
       .agg(count(lit(1)).as("n_items"),
-           sum(money(col("l_extendedprice")) * (lit(BigDecimal("1.00")) - money(col("l_discount"))))
-             .cast("double").as("revenue"),
-           round(sum(money(col("p_retailprice"))).cast("double") / count(lit(1)), 4).as("avg_retail"))
+           splitSum("disc_price_u", 10000L).as("revenue"),
+           round(splitSum("retail_c", 100L) / count(lit(1)), 4).as("avg_retail"))
   }
 
   /** TPC-H Q12-style conditional aggregation over a fact-fact join:
@@ -186,16 +225,18 @@ object Relational {
   def q12Priority(spark: SparkSession, dir: String): DataFrame = {
     val l = Tables.lineitem(spark, dir).filter(col("l_quantity") > 25.0)
     val o = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        moneyUnits(col("o_totalprice")).as("price_c"))
     l.join(o, l("l_orderkey") === o("o_orderkey"))
       .groupBy(col("l_linestatus"))
       .agg(
         sum(when(col("o_orderstatus") === "F", 1L).otherwise(0L)).as("n_finished"),
         sum(when(col("o_orderstatus") =!= "F", 1L).otherwise(0L)).as("n_other"),
-        // sum in exact decimal, not double: at ~1e10 magnitude the
+        // exact accumulation, not double: at ~1e10 magnitude the
         // double partial-sum order noise (~1e-4) exceeds the round-4
         // quantum and flips digits between engines (seen at sf0.1);
-        // the decimal sum is order-independent, so the single cast to
-        // double is identical everywhere.
-        round(sum(col("o_totalprice").cast("decimal(18,2)")).cast("double"), 4).as("sum_price"))
+        // the split-long sum is order-independent and bit-equal to
+        // the decimal formulation (MoneySumSpec).
+        round(splitSum("price_c", 100L), 4).as("sum_price"))
   }
 }
