@@ -14,14 +14,16 @@ import org.apache.spark.sql.functions._
   * Decode is REAL for the formats that parse from raw bytes with
   * zero dependencies (round-11 verdict item 4): binary PPM/PGM
   * rasters (`P6`/`P5`), uncompressed 24-bit BMP, RIFF WAV PCM
-  * (8/16-bit), and — round 12 — 8-bit non-interlaced PNG
-  * (gray/RGB/gray-alpha/RGBA, all five row filters; zlib inflate is
-  * in the JDK) and GIF87a/89a (a full LZW decoder — variable-width
-  * codes, KwKwK, 4096-entry dictionary — plus palette mapping), and
-  * baseline JPEG (huffman entropy decode, dequant, IDCT — grayscale
-  * and 4:4:4; see `decodeJpeg` for scope) — header parse →
+  * (8/16-bit), and — rounds 12-13 — 8-bit non-interlaced PNG
+  * (gray/RGB/gray-alpha/RGBA/indexed-PLTE, all five row filters;
+  * zlib inflate is in the JDK), GIF87a/89a (a full LZW decoder —
+  * variable-width codes, KwKwK, 4096-entry dictionary — palette
+  * mapping and interlaced first frames), and baseline JPEG (huffman
+  * entropy decode, dequant, IDCT — grayscale, 4:4:4 and the
+  * subsampled 4:2:0/4:2:2/4:4:0 layouts, restart intervals; see
+  * `decodeJpeg` for scope) — header parse →
   * pixels/samples → the feature pipeline. What remains codec-bound
-  * (progressive/subsampled JPEG, MP3, H.264) falls back to the
+  * (progressive JPEG, Adam7 PNG, MP3, H.264) falls back to the
   * clearly-marked deterministic STUB `stubDecode`, preserving the
   * original pipeline behavior byte-for-byte. Everything around
   * the decoders — the schema contract, the partition-streaming
@@ -168,18 +170,20 @@ object Multimodal {
   private val PngMaxRaw = 1 << 26
 
   /** PNG decode, pure JVM (zlib via `java.util.zip.Inflater`):
-    * 8-bit-depth, non-interlaced grayscale / RGB / gray+alpha / RGBA,
-    * all five row filters (None/Sub/Up/Average/Paeth, RFC 2083 §6).
-    * IDAT chunks concatenate into one zlib stream; alpha is ignored
-    * for the luma raster (features are content signatures, not
-    * compositing). Lenient on chunk CRCs (the inflate itself
-    * validates the data's adler32); returns None for palette or
-    * 16-bit images, interlacing, truncated streams, or any malformed
-    * structure — never throws on corrupt bytes. */
+    * 8-bit-depth, non-interlaced grayscale / RGB / gray+alpha / RGBA
+    * / indexed (PLTE 1-256 RGB entries; out-of-range index = error,
+    * per spec), all five row filters (None/Sub/Up/Average/Paeth,
+    * RFC 2083 §6). IDAT chunks concatenate into one zlib stream;
+    * alpha is ignored for the luma raster (features are content
+    * signatures, not compositing). Lenient on chunk CRCs (the
+    * inflate itself validates the data's adler32); returns None for
+    * 16-bit images, Adam7 interlacing, truncated streams, or any
+    * malformed structure — never throws on corrupt bytes. */
   private[graft] def decodePng(b: Array[Byte]): Option[GrayRaster] = {
     if (b.length < 8 + 25 || !PngSig.indices.forall(i => b(i) == PngSig(i))) return None
     var i = 8
     var w = 0; var h = 0; var colorType = -1; var seenIhdr = false
+    var plte: Array[Byte] = null
     val idat = new java.io.ByteArrayOutputStream()
     var ended = false
     while (!ended && i + 12 <= b.length) {
@@ -195,6 +199,10 @@ object Multimodal {
           if ((b(i + 16) & 0xff) != 8 || b(i + 18) != 0 || b(i + 19) != 0 ||
             b(i + 20) != 0) return None
           seenIhdr = true
+        case "PLTE" =>
+          // 1-256 RGB triples (spec 11.2.3); a bad length is an error
+          if (len == 0 || len % 3 != 0 || len > 768 || plte != null) return None
+          plte = java.util.Arrays.copyOfRange(b, i + 8, i + 8 + len)
         case "IDAT" => idat.write(b, i + 8, len)
         case "IEND" => ended = true
         case _ => () // ancillary chunks skipped
@@ -203,7 +211,8 @@ object Multimodal {
     }
     val ch = colorType match {
       case 0 => 1; case 2 => 3; case 4 => 2; case 6 => 4
-      case _ => return None // palette (3) needs PLTE handling; others invalid
+      case 3 => if (plte == null) return None else 1 // indexed: PLTE required
+      case _ => return None
     }
     if (!seenIhdr || !ended || w <= 0 || h <= 0) return None
     val rowBytes = w.toLong * ch
@@ -257,11 +266,16 @@ object Multimodal {
     val out = new Array[Byte](w * h)
     var p = 0
     while (p < w * h) {
-      out(p) = ch match {
-        case 1 => img(p)
-        case 2 => img(p * 2) // gray, alpha ignored
-        case _ => luma(img(p * ch) & 0xff, img(p * ch + 1) & 0xff, img(p * ch + 2) & 0xff)
-      }
+      out(p) =
+        if (colorType == 3) { // indexed: palette lookup, then luma
+          val idx = img(p) & 0xff
+          if (idx * 3 + 2 >= plte.length) return None // out-of-range index (spec: error)
+          luma(plte(idx * 3) & 0xff, plte(idx * 3 + 1) & 0xff, plte(idx * 3 + 2) & 0xff)
+        } else ch match {
+          case 1 => img(p)
+          case 2 => img(p * 2) // gray, alpha ignored
+          case _ => luma(img(p * ch) & 0xff, img(p * ch + 1) & 0xff, img(p * ch + 2) & 0xff)
+        }
       p += 1
     }
     Some(GrayRaster(w, h, out))
@@ -335,8 +349,8 @@ object Multimodal {
   /** GIF87a/89a decode, pure JVM: logical screen + global/local color
     * table, extension blocks skipped, first image descriptor's LZW
     * stream decoded (see `lzwDecode`), palette indices mapped through
-    * the color table to luma. Non-interlaced only; animated GIFs
-    * yield their first frame. The same decompression-bomb cap as PNG
+    * the color table to luma; interlaced images deinterlaced by the
+    * four-pass row reorder. Animated GIFs yield their first frame. The same decompression-bomb cap as PNG
     * bounds the raster. Defensive bounds-catch: GIF's offset chains
     * are numerous enough that a residual slip returns None rather
     * than throwing. */
@@ -363,7 +377,7 @@ object Multimodal {
           if (i + 10 > b.length) return None
           val w = le16(b, i + 5); val h = le16(b, i + 7)
           val ip = b(i + 9) & 0xff
-          if ((ip & 0x40) != 0) return None // interlaced: unsupported
+          val interlaced = (ip & 0x40) != 0
           i += 10
           val (ctOff, ctLen) =
             if ((ip & 0x80) != 0) { val o = i; i += 3 * (2 << (ip & 7)); (o, 2 << (ip & 7)) }
@@ -379,10 +393,27 @@ object Multimodal {
             data.write(b, i + 1, len); i += 1 + len
           }
           if (i >= b.length) return None // missing sub-block terminator
-          val px = lzwDecode(data.toByteArray, minCode, w * h) match {
+          val pxRaw = lzwDecode(data.toByteArray, minCode, w * h) match {
             case Some(p) if p.length == w * h => p
             case _ => return None
           }
+          // interlaced image: the LZW stream carries rows in the four
+          // GIF passes (8k, 8k+4, 4k+2, 2k+1) — deinterlace is a pure
+          // row reorder
+          val px =
+            if (!interlaced) pxRaw
+            else {
+              val out = new Array[Byte](w * h)
+              var src = 0
+              for ((start, step) <- Seq((0, 8), (4, 8), (2, 4), (1, 2))) {
+                var y = start
+                while (y < h) {
+                  System.arraycopy(pxRaw, src * w, out, y * w, w)
+                  src += 1; y += step
+                }
+              }
+              out
+            }
           val out = new Array[Byte](w * h)
           var p = 0
           while (p < out.length) {

@@ -156,8 +156,10 @@ class MultimodalSpec extends AnyFunSuite {
     * row's forward filter; `idatSplit` > 1 splits the zlib stream
     * across that many IDAT chunks. */
   private def png(w: Int, h: Int, ch: Int, raw: Array[Byte],
-      filters: Seq[Int] = Seq(0), idatSplit: Int = 1): Array[Byte] = {
+      filters: Seq[Int] = Seq(0), idatSplit: Int = 1,
+      palette: Array[Byte] = null): Array[Byte] = {
     require(raw.length == w * h * ch)
+    require(palette == null || ch == 1, "indexed PNG is one byte per pixel")
     val rb = w * ch
     val filtered = new Array[Byte]((rb + 1) * h)
     for (y <- 0 until h) {
@@ -191,11 +193,13 @@ class MultimodalSpec extends AnyFunSuite {
     val ihdr = new Array[Byte](13)
     p32be(ihdr, 0, w); p32be(ihdr, 4, h)
     ihdr(8) = 8
-    ihdr(9) = (ch match { case 1 => 0; case 2 => 4; case 3 => 2; case 4 => 6 }).toByte
+    ihdr(9) = (if (palette != null) 3
+      else ch match { case 1 => 0; case 2 => 4; case 3 => 2; case 4 => 6 }).toByte
     val idats = if (idatSplit <= 1) Seq(z)
       else z.grouped(math.max(1, z.length / idatSplit)).toSeq
     (Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte) ++
       pngChunk("IHDR", ihdr) ++
+      (if (palette != null) pngChunk("PLTE", palette) else Array.emptyByteArray) ++
       idats.flatMap(pngChunk("IDAT", _)) ++
       pngChunk("IEND", Array.emptyByteArray))
   }
@@ -238,7 +242,8 @@ class MultimodalSpec extends AnyFunSuite {
     def patched(off: Int, v: Byte) = { val b = ok.clone(); b(off) = v; b }
     assert(Multimodal.decodePng(patched(8 + 8 + 8, 16.toByte)).isEmpty, "bit depth 16")
     assert(Multimodal.decodePng(patched(8 + 8 + 12, 1.toByte)).isEmpty, "interlaced")
-    assert(Multimodal.decodePng(patched(8 + 8 + 9, 3.toByte)).isEmpty, "palette")
+    assert(Multimodal.decodePng(patched(8 + 8 + 9, 3.toByte)).isEmpty,
+      "palette color type without a PLTE chunk must reject")
     // a hostile header claiming a multi-GB raster takes the cap, not
     // an allocation (w = h = 100000 ⇒ 30 GB of filtered rows)
     val bomb = ok.clone(); p32be(bomb, 16, 100000); p32be(bomb, 20, 100000)
@@ -286,8 +291,12 @@ class MultimodalSpec extends AnyFunSuite {
     for (j <- bits.indices if bits(j)) out(j >> 3) = (out(j >> 3) | (1 << (j & 7))).toByte
     out
   }
+  /** GIF pass order for interlaced images: rows 8k, 8k+4, 4k+2, 2k+1. */
+  private def gifPassRows(h: Int): Seq[Int] =
+    (0 until h by 8) ++ (4 until h by 8) ++ (2 until h by 4) ++ (1 until h by 2)
   private def gif(w: Int, h: Int, px: Array[Byte], minCode: Int, sizeBits: Int,
-      pal: Int => (Int, Int, Int), withExt: Boolean = false): Array[Byte] = {
+      pal: Int => (Int, Int, Int), withExt: Boolean = false,
+      interlaced: Boolean = false): Array[Byte] = {
     val bb = new java.io.ByteArrayOutputStream()
     bb.write("GIF89a".getBytes("US-ASCII"))
     bb.write(w & 0xff); bb.write(w >> 8); bb.write(h & 0xff); bb.write(h >> 8)
@@ -302,9 +311,12 @@ class MultimodalSpec extends AnyFunSuite {
     bb.write(0x2c)
     bb.write(0); bb.write(0); bb.write(0); bb.write(0) // left, top
     bb.write(w & 0xff); bb.write(w >> 8); bb.write(h & 0xff); bb.write(h >> 8)
-    bb.write(0) // no LCT, not interlaced
+    bb.write(if (interlaced) 0x40 else 0) // no LCT; maybe interlaced
     bb.write(minCode)
-    val z = gifLzw(px, minCode)
+    val stored =
+      if (!interlaced) px
+      else gifPassRows(h).flatMap(y => px.slice(y * w, (y + 1) * w)).toArray
+    val z = gifLzw(stored, minCode)
     var o = 0
     while (o < z.length) {
       val n = math.min(255, z.length - o)
@@ -339,15 +351,53 @@ class MultimodalSpec extends AnyFunSuite {
     }).toSeq, "width-growth stream must reconstruct exactly")
   }
 
+  test("PNG decode: indexed (PLTE) images — palette luma, filters, bad index rejects") {
+    val rnd = new scala.util.Random(353)
+    val w = 9; val h = 6
+    val pal = Array.fill(256 * 3)(rnd.nextInt(256).toByte)
+    val idx = Array.fill(w * h)(rnd.nextInt(256).toByte)
+    val Some(g) = Multimodal.decodePng(png(w, h, 1, idx, Seq(0, 1, 2, 3, 4), palette = pal))
+    val want = idx.map { i =>
+      val o = (i & 0xff) * 3
+      lumaOf(pal(o) & 0xff, pal(o + 1) & 0xff, pal(o + 2) & 0xff)
+    }.toSeq
+    assert(g.pixels.map(_ & 0xff).toSeq == want, "indexed image must map through PLTE")
+    // small palette + in-range indices works; an out-of-range index is
+    // an error per spec, not a silent clamp
+    val pal4 = Array.fill(4 * 3)(rnd.nextInt(256).toByte)
+    val idx4 = Array.fill(w * h)(rnd.nextInt(4).toByte)
+    assert(Multimodal.decodePng(png(w, h, 1, idx4, palette = pal4)).nonEmpty)
+    val idxBad = idx4.clone(); idxBad(5) = 200.toByte
+    assert(Multimodal.decodePng(png(w, h, 1, idxBad, palette = pal4)).isEmpty,
+      "index beyond the palette must reject")
+    // malformed PLTE lengths reject
+    assert(Multimodal.decodePng(png(w, h, 1, idx4, palette = pal4.take(7))).isEmpty,
+      "PLTE length not a multiple of 3 must reject")
+  }
+
+  test("GIF decode: interlaced first frame — pass rows reorder to the raster") {
+    val rnd = new scala.util.Random(808)
+    val pal256 = (i: Int) => (i, (i * 5) % 256, (255 - i) % 256)
+    for ((w, h) <- Seq((17, 11), (8, 1), (5, 4), (30, 23))) {
+      val px = Array.fill(w * h)(rnd.nextInt(256).toByte)
+      val Some(g) = Multimodal.decodeGif(gif(w, h, px, 8, 7, pal256, interlaced = true))
+      assert((g.w, g.h) == (w, h), s"${w}x$h dims drifted")
+      val want = px.map { p =>
+        val (r, gg, b) = pal256(p & 0xff); lumaOf(r, gg, b)
+      }.toSeq
+      assert(g.pixels.map(_ & 0xff).toSeq == want,
+        s"${w}x$h interlaced rows must deinterlace to the original raster")
+      // and the same pixels as the non-interlaced encoding of the image
+      val plain = Multimodal.decodeGif(gif(w, h, px, 8, 7, pal256)).get
+      assert(g.pixels.sameElements(plain.pixels), s"${w}x$h interlace parity")
+    }
+  }
+
   test("GIF decode: malformed structures reject, never throw") {
     val pal = (i: Int) => (i, i, i)
     val ok = gif(6, 4, Array.fill(24)(1.toByte), 2, 1, pal)
     assert(Multimodal.decodeGif(ok).nonEmpty)
     assert(Multimodal.decodeGif(ok.dropRight(6)).isEmpty, "truncated stream")
-    // interlace flag on the image descriptor
-    val desc = ok.indexOf(0x2c.toByte)
-    val inter = ok.clone(); inter(desc + 9) = 0x40.toByte
-    assert(Multimodal.decodeGif(inter).isEmpty, "interlaced unsupported")
     // no color table anywhere
     val noGct = ok.clone(); noGct(10) = (noGct(10) & 0x7f).toByte
     assert(Multimodal.decodeGif(noGct).isEmpty, "missing color table")
