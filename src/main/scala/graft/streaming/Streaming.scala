@@ -346,7 +346,16 @@ object Streaming {
     * false negatives have the banding miss probability
     * ((1-j⁴)³² ≈ 3e-7 at j = 0.9). Per-row cost is O(shingles +
     * 32 bands) with no per-key state — the online filter a 100 TB/day
-    * ingest can actually afford. */
+    * ingest can actually afford.
+    *
+    * Index REFRESH (crawl-generation swap): stop the query, rebuild or
+    * reload the index, restart from the SAME checkpoint with the new
+    * index. The stream-static join is stateless so the swap is legal;
+    * the collision-dedup state carries over (no re-emission of pairs
+    * already flagged), and docs consumed before the swap are NOT
+    * re-evaluated — the refresh applies forward, the batch compactor
+    * owns back-fill. StreamingSpec's "index refresh" test pins all
+    * three properties; TESTDATA.md carries the runbook. */
   def nearDupSuspects(docs: DataFrame, index: graft.operators.Llm.NearDupIndex,
       lateness: String = "1 hour"): DataFrame = {
     import graft.operators.Llm

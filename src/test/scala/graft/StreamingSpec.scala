@@ -700,6 +700,71 @@ class StreamingSpec extends AnyFunSuite {
     finally spark.conf.unset("spark.graft.kernels.enabled")
   }
 
+  test("near-dup suspects index refresh: stop, rebuild, restart swaps the static side; dedup state carries over") {
+    // The operational leg of nearDupSuspects a real crawl cadence
+    // needs: the corpus index is a STATIC snapshot, so a refresh is
+    // stop-query → rebuild/reload index → restart from the SAME
+    // checkpoint with the new index. Stream-static joins are
+    // stateless (the static side is re-resolved at restart), so the
+    // swap is legal; the only stateful operator is the
+    // (doc_id, suspect_of) collision dedup, whose state carries over
+    // — a pair already emitted under generation A must NOT re-emit
+    // under generation B. Docs consumed before the swap are NOT
+    // re-evaluated against the new index (their offsets are
+    // committed): the refresh applies from the swap point forward,
+    // the batch compactor owns the old range — the TESTDATA.md
+    // runbook states exactly that contract.
+    import graft.operators.Llm
+    import org.apache.spark.sql.functions.col
+    implicit val sqlCtx = spark.sqlContext
+    val tA = (1 to 12).map(i => s"t$i").mkString(" ")
+    val tB = (1 to 12).map(i => s"u$i").mkString(" ")
+    val idxA = Llm.buildNearDupIndex(Seq((1L, tA)).toDF("doc_id", "text"))
+    val idxB = Llm.buildNearDupIndex(Seq((1L, tA), (2L, tB)).toDF("doc_id", "text"))
+    def keyOf(idx: Llm.NearDupIndex, docId: Long): String =
+      idx.members.filter(col("doc_id") === docId).select("text_hash").head().getString(0)
+    val keyA = keyOf(idxA, 1L)
+    val keyB = keyOf(idxB, 2L)
+    assert(keyOf(idxB, 1L) == keyA, "same text must key the same group in both generations")
+
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ndx_refresh_ckpt").toString
+    val ms = MemoryStream[Streaming.Doc]
+    val seen = java.util.Collections.synchronizedList(new java.util.ArrayList[(Long, String)]())
+    def start(idx: Llm.NearDupIndex) =
+      Streaming.nearDupSuspects(ms.toDF(), idx, lateness = "1 hour")
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          batch.select("doc_id", "suspect_of").collect()
+            .foreach(r => seen.add((r.getLong(0), r.getString(1))))
+        }.start()
+
+    // generation A: exact copies collide deterministically (identical
+    // signature ⇒ identical band hashes); tB is unknown to idxA
+    val q1 = start(idxA)
+    try {
+      ms.addData(
+        Streaming.Doc(10L, ts("2024-01-01 10:00:00"), tA.replace(" ", "  ")),
+        Streaming.Doc(11L, ts("2024-01-01 10:01:00"), tB))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    assert(seen.toArray(Array.empty[(Long, String)]).toSet == Set((10L, keyA)),
+      "generation A must flag only the tA copy")
+
+    // swap: restart from the same checkpoint with generation B
+    val q2 = start(idxB)
+    try {
+      ms.addData(
+        Streaming.Doc(12L, ts("2024-01-01 10:02:00"), tB.replace(" ", "  ")), // new family hits
+        Streaming.Doc(20L, ts("2024-01-01 10:03:00"), tA),                    // old family still hits
+        Streaming.Doc(10L, ts("2024-01-01 10:04:00"), tA))                    // carried state suppresses
+      q2.processAllAvailable()
+    } finally q2.stop()
+    val all = seen.toArray(Array.empty[(Long, String)]).toSet
+    assert(all == Set((10L, keyA), (12L, keyB), (20L, keyA)),
+      s"after swap: expected new-family + old-family hits, carried dedup, no retroactive re-eval — got $all")
+  }
+
   test("streaming as-of enrichment survives a checkpoint restart (buffered probe + sealed ref persist)") {
     implicit val sqlCtx = spark.sqlContext
     val ckpt = java.nio.file.Files.createTempDirectory("graft_asof_ckpt").toString
