@@ -29,7 +29,19 @@ import org.apache.spark.sql.functions._
   *    measure NOTHING at the larger SF. The tag makes replicas of one
   *    doc near-dups of each other — a crawl-with-boilerplate-deltas
   *    corpus — so the LSH band join, verify explode and cluster CC
-  *    all carry `factor`× real work;
+  *    all carry `factor`× real work. By default EVERY replica joins
+  *    the clique, so pair output grows as C(factor, 2) per source doc
+  *    — deliberate adversarial stress at ≤30×, but past that it
+  *    measures the generator's quadratic contract, not the engine. An
+  *    optional `cliqueCap` bounds it: replicas `i < cliqueCap` keep
+  *    the tag scheme (cliques of exactly `cliqueCap`), replicas
+  *    `i >= cliqueCap` become SINGLETONS — every token gap is salted
+  *    with a (doc, replica)-unique token, so no 3-shingle of the
+  *    source (or of any other doc) survives and the doc near-dups
+  *    nothing.
+  *    That is the statistically-bounded cluster width a real crawl
+  *    has, and it makes the pair family's output LINEAR in factor —
+  *    the regime where the pair-linear scaling claim is testable;
   *  - embeddings get component 0 shifted by `i * 0.001f` (replica 0
   *    verbatim): distinct vectors, stable norms, so brute-force kNN,
   *    SRP buckets and IVF training see `factor`× distinct points
@@ -39,16 +51,19 @@ import org.apache.spark.sql.functions._
   * is the realistic densification, and windowed-agg key counts then
   * scale via the user/order dimension, not the calendar.
   *
-  * Usage: ScaleGen <srcSfDir> <outDir> <factor>
+  * Usage: ScaleGen <srcSfDir> <outDir> <factor> [cliqueCap]
   */
 object ScaleGen {
   private val Stride = 1000000L
 
   def main(args: Array[String]): Unit = {
-    require(args.length == 3, "usage: ScaleGen <srcSfDir> <outDir> <factor>")
-    val Array(src, out, factorS) = args
-    val factor = factorS.toInt
+    require(args.length == 3 || args.length == 4,
+      "usage: ScaleGen <srcSfDir> <outDir> <factor> [cliqueCap]")
+    val src = args(0); val out = args(1)
+    val factor = args(2).toInt
+    val cliqueCap = if (args.length == 4) args(3).toInt else 0
     require(factor >= 1, s"factor must be >= 1, got $factor")
+    require(cliqueCap >= 0, s"cliqueCap must be >= 0, got $cliqueCap")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -58,11 +73,12 @@ object ScaleGen {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    run(spark, src, out, factor)
+    run(spark, src, out, factor, cliqueCap)
     spark.stop()
   }
 
-  private[graft] def run(spark: SparkSession, src: String, out: String, factor: Int): Unit = {
+  private[graft] def run(spark: SparkSession, src: String, out: String, factor: Int,
+      cliqueCap: Int = 0): Unit = {
     def read(name: String): DataFrame = spark.read.parquet(s"$src/$name.parquet")
     def write(name: String, df: DataFrame): Unit = {
       df.write.mode("overwrite").parquet(s"$out/$name.parquet")
@@ -104,12 +120,26 @@ object ScaleGen {
     write("events", replicated("events", Seq("event_id", "user_id"))())
     write("documents", replicated("documents", Seq("doc_id")) { (d, i) =>
       if (i == 0) d
-      else {
+      else if (cliqueCap <= 0 || i < cliqueCap) {
         // short enough to leave quality/language stats essentially
         // unchanged, long enough to alter shingles near the tail
         val tag = s" #r$i"
         d.withColumn("text", concat(col("text"), lit(tag)))
           .withColumn("n_chars", col("n_chars") + lit(tag.length.toLong))
+      } else {
+        // singleton replica: salt EVERY token gap with a token unique
+        // to THIS (doc, replica) — the shifted doc_id is globally
+        // unique, so every 3-shingle of the salted text contains a
+        // token no other document anywhere has, making its shingle
+        // set fully disjoint from its source family AND from every
+        // other salted doc (a per-replica-only salt would leak
+        // (salt, tok, salt) shingles shared by any two docs with a
+        // common token — spurious candidate mass). The near-dup trunk
+        // sees fresh corpus, not clique growth. Deterministic: pure
+        // function of (source row, i).
+        d.withColumn("text", regexp_replace(col("text"), lit(" "),
+            concat(lit(s" q${i}d"), col("doc_id"), lit("z "))))
+          .withColumn("n_chars", length(col("text")).cast("long"))
       }
     })
     write("embeddings", replicated("embeddings", Seq("vec_id")) { (d, i) =>

@@ -148,6 +148,110 @@ object SparkEntry {
     names
   }
 
+  /** Registry documentation: query name → (operator family, entry
+    * point). Colocated with `queries` and pinned to its key set by
+    * RegistryDocSpec, so adding a query without documenting it fails
+    * the build; the verification STATUS is derived, not declared —
+    * a name present in `oracleSql` is DuckDB-oracle-checked, one
+    * absent is `no_oracle` by design and pinned by an sbt test
+    * (sketch estimates / seeded walks / ANN recall). `RegistryDoc`
+    * renders this as README.md's query index. */
+  def queryDoc: Map[String, (String, String)] = Map(
+    "eco_bloom_members" -> ("sketch", "Sketches.bloomMembers"),
+    "eco_bloom_params" -> ("sketch", "Sketches.bloomParams"),
+    "eco_dgim_exact" -> ("sketch", "Ecosystem.dgimExact"),
+    "eco_dgim_stitched" -> ("sketch", "Sketches.dgimStitched"),
+    "eco_dgim_true" -> ("sketch", "Sketches.dgimTrue"),
+    "eco_distinct_users" -> ("eco-aggregate", "Ecosystem.distinctUsers"),
+    "eco_graph_components" -> ("graph", "Graph.graphComponents"),
+    "eco_graph_edges" -> ("graph", "Graph.graphEdges"),
+    "eco_graph_nodes" -> ("graph", "Graph.graphNodes"),
+    "eco_hll_faithful" -> ("sketch", "Sketches.hllFaithful"),
+    "eco_hll_users" -> ("sketch", "Ecosystem.approxDistinctUsers"),
+    "eco_hopping_counts" -> ("eco-aggregate", "Ecosystem.hoppingCounts"),
+    "eco_importance" -> ("eco-aggregate", "Ecosystem.importance"),
+    "eco_jaccard_exact" -> ("sketch", "Sketches.jaccardExact"),
+    "eco_json_guard" -> ("parse-generate", "Ecosystem.jsonGuard"),
+    "eco_mapreduce" -> ("eco-aggregate", "Ecosystem.mapReduceCounts"),
+    "eco_markov_classes" -> ("graph", "Graph.markovClasses"),
+    "eco_minhash_jaccard" -> ("sketch", "Sketches.minhashJaccard"),
+    "eco_minhash_sample" -> ("sketch", "Sketches.minhashSample"),
+    "eco_nested_struct" -> ("parse-generate", "Ecosystem.nestedStruct"),
+    "eco_recent" -> ("eco-aggregate", "Ecosystem.recent"),
+    "eco_sessions" -> ("eco-aggregate", "Ecosystem.sessions"),
+    "eco_sql_stats" -> ("eco-aggregate", "Ecosystem.sqlStats"),
+    "eco_stats" -> ("eco-aggregate", "Ecosystem.stats"),
+    "eco_transition_matrix" -> ("graph", "Graph.transitionMatrix"),
+    "eco_transitions" -> ("graph", "Ecosystem.transitions"),
+    "eco_trends" -> ("eco-aggregate", "Ecosystem.trends"),
+    "eco_ts_roundtrip" -> ("parse-generate", "Ecosystem.tsRoundtrip"),
+    "eco_walk_freq" -> ("graph", "Graph.walkFreq"),
+    "eco_window_counts" -> ("eco-aggregate", "Ecosystem.windowCounts"),
+    "eco_window_events" -> ("eco-aggregate", "Ecosystem.windowEvents"),
+    "gen_events" -> ("parse-generate", "Ecosystem.genEvents"),
+    "llm_ann_ivf" -> ("llm-similarity", "Llm.annIvf"),
+    "llm_ann_lsh" -> ("llm-similarity", "Llm.annLsh"),
+    "llm_char_entropy" -> ("llm-text", "Llm.charEntropy"),
+    "llm_contamination" -> ("llm-dedup", "Llm.contamination"),
+    "llm_curate" -> ("llm-corpus", "Llm.curate"),
+    "llm_dedup_bloom" -> ("llm-dedup", "Llm.dedupBloom"),
+    "llm_dedup_clusters" -> ("llm-dedup", "Llm.dedupClusters"),
+    "llm_dedup_embed" -> ("llm-dedup", "Llm.dedupEmbed"),
+    "llm_dedup_exact" -> ("llm-dedup", "Llm.dedupExact"),
+    "llm_dedup_incremental" -> ("llm-dedup", "Llm.dedupIncremental"),
+    "llm_dedup_near" -> ("llm-dedup", "Llm.dedupNear"),
+    "llm_dedup_near_incr" -> ("llm-dedup", "Llm.dedupNearIncremental"),
+    "llm_embed_quantize" -> ("llm-similarity", "Llm.embedQuantize"),
+    "llm_fingerprint" -> ("llm-dedup", "Llm.fingerprint"),
+    "llm_heavy_hitters" -> ("llm-text", "Llm.heavyHitters"),
+    "llm_inverted_index" -> ("llm-text", "Llm.invertedIndex"),
+    "llm_knn_exact" -> ("llm-similarity", "Llm.knnExact"),
+    "llm_knn_quantized" -> ("llm-similarity", "Llm.knnQuantized"),
+    "llm_lang_id" -> ("llm-text", "Llm.langId"),
+    "llm_length_quantiles" -> ("llm-text", "Llm.lengthQuantiles"),
+    "llm_media_frames" -> ("multimodal", "Multimodal.mediaFrames"),
+    "llm_media_meta" -> ("multimodal", "Llm.mediaMeta"),
+    "llm_mix_weighted" -> ("llm-corpus", "Llm.mixWeighted"),
+    "llm_ngram_jaccard" -> ("llm-dedup", "Llm.ngramJaccard"),
+    "llm_pii_scrub" -> ("llm-text", "Llm.piiScrub"),
+    "llm_quality" -> ("llm-text", "Llm.quality"),
+    "llm_repetition" -> ("llm-text", "Llm.repetition"),
+    "llm_sample_stratified" -> ("llm-corpus", "Llm.sampleStratified"),
+    "llm_sample_weighted" -> ("llm-corpus", "Llm.sampleWeighted"),
+    "llm_segment_dedup" -> ("llm-dedup", "Llm.segmentDedup"),
+    "llm_simhash" -> ("llm-dedup", "Llm.simhash"),
+    "llm_simhash_pairs" -> ("llm-dedup", "Llm.simhashPairs"),
+    "llm_split" -> ("llm-corpus", "Llm.splitFolds"),
+    "llm_text_stats" -> ("llm-text", "Llm.textStats"),
+    "llm_tfidf_terms" -> ("llm-text", "Llm.tfidfTerms"),
+    "llm_token_count" -> ("llm-text", "Llm.tokenCount"),
+    "llm_unigram_logprob" -> ("llm-text", "Llm.unigramLogprob"),
+    "llm_vocab_topk" -> ("llm-text", "Llm.vocabTopK"),
+    "q10_set_ops" -> ("relational", "Relational.q10SetOps"),
+    "q11_parts_by_brand" -> ("relational", "Relational.q11PartsByBrand"),
+    "q12_priority" -> ("relational", "Relational.q12Priority"),
+    "q13_asof_join" -> ("temporal-join", "Joins.asofJoin"),
+    "q14_range_join" -> ("temporal-join", "Joins.rangeJoinBands"),
+    "q15_asof_stitched" -> ("temporal-join", "Joins.asofJoinStitched"),
+    "q16_interval_join" -> ("temporal-join", "Joins.intervalJoin"),
+    "q17_asof_forward" -> ("temporal-join", "Joins.asofJoinForward"),
+    "q18_asof_tolerance" -> ("temporal-join", "Joins.asofJoinTolerance"),
+    "q1_pricing_summary" -> ("relational", "Relational.q1PricingSummary"),
+    "q2_filter_project" -> ("relational", "Relational.q2FilterProject"),
+    "q3_revenue_by_nation" -> ("relational", "Relational.q3RevenueByNation"),
+    "q4_top_orders" -> ("relational", "Relational.q4TopOrders"),
+    "q5_revenue_by_region" -> ("relational", "Relational.q5RevenueByRegion"),
+    "q6_semi_join" -> ("relational", "Relational.q6SemiJoin"),
+    "q7_anti_join" -> ("relational", "Relational.q7AntiJoin"),
+    "q8_cube" -> ("relational", "Relational.q8Cube"),
+    "q9_top_per_customer" -> ("relational", "Relational.q9TopPerCustomer"),
+    "sink_bucketed" -> ("sink-layout", "Sinks.bucketedRoundTrip"),
+    "sink_csv" -> ("sink-layout", "Sinks.csvRoundTrip"),
+    "sink_jsonl" -> ("sink-layout", "Sinks.jsonlRoundTrip"),
+    "sink_orc" -> ("sink-layout", "Sinks.orcRoundTrip"),
+    "sink_partitioned" -> ("sink-layout", "Sinks.partitionedRoundTrip"),
+  )
+
   def oracleSql: Map[String, String] = Map(
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,

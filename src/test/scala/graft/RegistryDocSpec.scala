@@ -1,0 +1,28 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins the registry index: `queryDoc` documents exactly the declared
+  * registry (no missing, no stale entries), and README.md's generated
+  * section equals `RegistryDoc.table` — adding a query without
+  * documenting it, or documenting without regenerating the README,
+  * fails here with the one command that fixes it. */
+class RegistryDocSpec extends AnyFunSuite {
+
+  test("queryDoc covers the registry exactly") {
+    val q = SparkEntry.queries.keySet
+    val d = SparkEntry.queryDoc.keySet
+    assert((q -- d).isEmpty, s"queries missing from queryDoc: ${(q -- d).toSeq.sorted}")
+    assert((d -- q).isEmpty, s"stale queryDoc entries: ${(d -- q).toSeq.sorted}")
+  }
+
+  test("README query index matches the generated table") {
+    val readme = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("README.md")), "UTF-8")
+    val b = readme.indexOf(RegistryDoc.Begin); val e = readme.indexOf(RegistryDoc.End)
+    assert(b >= 0 && e > b, "README.md lacks the registry:begin/end markers")
+    val section = readme.substring(b + RegistryDoc.Begin.length, e).trim
+    assert(section == RegistryDoc.table.trim,
+      "README registry index is stale — run: sbt \"runMain graft.RegistryDoc\"")
+  }
+}

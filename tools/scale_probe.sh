@@ -9,6 +9,10 @@
 # Usage:   tools/scale_probe.sh 30     # sf3  (~18M lineitem / 150k docs)
 #          tools/scale_probe.sh 100    # sf10 (~60M lineitem / 500k docs)
 #          SCALE_SKIP_BENCH=1 tools/scale_probe.sh 30   # parity only
+#          SCALE_CLIQUE_CAP=8 tools/scale_probe.sh 100  # bounded-clique
+#            corpus (sfNc8 dir): near-dup cliques capped at 8 replicas,
+#            the rest (doc,replica)-salted singletons — pair output is
+#            LINEAR in factor, so the PAIR set runs at ANY factor
 # Results: record the outcome in TESTDATA.md's scale-ladder section.
 #
 # Subset adjudication (why not the full 90-query surface):
@@ -28,7 +32,9 @@ set -euo pipefail
 cd "$(dirname "$0")/.."
 
 FACTOR="${1:?usage: scale_probe.sh <factor (e.g. 30 or 100)>}"
+CAP="${SCALE_CLIQUE_CAP:-0}"
 SF="sf$((FACTOR / 10))"
+if [ "$CAP" -gt 0 ]; then SF="${SF}c${CAP}"; fi
 DIR=".scratch/$SF"
 
 LINEAR=(q1_pricing_summary eco_stats eco_distinct_users
@@ -40,11 +46,18 @@ LINEAR=(q1_pricing_summary eco_stats eco_distinct_users
 PAIR=(llm_dedup_near llm_dedup_near_incr llm_dedup_clusters llm_simhash_pairs llm_curate)
 
 SUBSET=("${LINEAR[@]}")
-if [ "$FACTOR" -le 30 ]; then SUBSET+=("${PAIR[@]}"); fi
+# unbounded cliques: pair output is quadratic in factor above 30x
+# (generator contract, not engine) — capped corpora are pair-linear,
+# so the PAIR set runs at any factor
+if [ "$FACTOR" -le 30 ] || [ "$CAP" -gt 0 ]; then SUBSET+=("${PAIR[@]}"); fi
 
 if [ ! -d "$DIR" ]; then
-  echo "== generating $DIR (deterministic ${FACTOR}x of sf0.1) =="
-  SPARK_DRIVER_MEM=24g sbt -batch "runMain graft.ScaleGen /root/testdata/sf0.1 $DIR $FACTOR"
+  echo "== generating $DIR (deterministic ${FACTOR}x of sf0.1, cliqueCap=$CAP) =="
+  if [ "$CAP" -gt 0 ]; then
+    SPARK_DRIVER_MEM=24g sbt -batch "runMain graft.ScaleGen /root/testdata/sf0.1 $DIR $FACTOR $CAP"
+  else
+    SPARK_DRIVER_MEM=24g sbt -batch "runMain graft.ScaleGen /root/testdata/sf0.1 $DIR $FACTOR"
+  fi
 fi
 
 echo "== Verify leg A: local[16], ${#SUBSET[@]} queries =="
