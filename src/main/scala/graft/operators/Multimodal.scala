@@ -14,16 +14,17 @@ import org.apache.spark.sql.functions._
   * Decode is REAL for the formats that parse from raw bytes with
   * zero dependencies (round-11 verdict item 4): binary PPM/PGM
   * rasters (`P6`/`P5`), uncompressed 24-bit BMP, RIFF WAV PCM
-  * (8/16-bit), and — rounds 12-13 — 8-bit non-interlaced PNG
-  * (gray/RGB/gray-alpha/RGBA/indexed-PLTE, all five row filters;
-  * zlib inflate is in the JDK), GIF87a/89a (a full LZW decoder —
+  * (8/16-bit), and — rounds 12-13 — PNG at every legal bit depth
+  * (1/2/4/8/16; gray/RGB/gray-alpha/RGBA/indexed-PLTE, all five row
+  * filters, Adam7 interlace; zlib inflate is in the JDK), GIF87a/89a
+  * (a full LZW decoder —
   * variable-width codes, KwKwK, 4096-entry dictionary — palette
   * mapping and interlaced first frames), and baseline JPEG (huffman
   * entropy decode, dequant, IDCT — grayscale, 4:4:4 and the
   * subsampled 4:2:0/4:2:2/4:4:0 layouts, restart intervals; see
   * `decodeJpeg` for scope) — header parse →
   * pixels/samples → the feature pipeline. What remains codec-bound
-  * (progressive JPEG, Adam7 PNG, MP3, H.264) falls back to the
+  * (progressive JPEG, MP3, H.264) falls back to the
   * clearly-marked deterministic STUB `stubDecode`, preserving the
   * original pipeline behavior byte-for-byte. Everything around
   * the decoders — the schema contract, the partition-streaming
@@ -170,19 +171,24 @@ object Multimodal {
   private val PngMaxRaw = 1 << 26
 
   /** PNG decode, pure JVM (zlib via `java.util.zip.Inflater`):
-    * 8-bit-depth, non-interlaced grayscale / RGB / gray+alpha / RGBA
-    * / indexed (PLTE 1-256 RGB entries; out-of-range index = error,
-    * per spec), all five row filters (None/Sub/Up/Average/Paeth,
-    * RFC 2083 §6). IDAT chunks concatenate into one zlib stream;
+    * grayscale / RGB / gray+alpha / RGBA / indexed (PLTE 1-256 RGB
+    * entries; out-of-range index = error, per spec) at every legal
+    * bit depth — 8/16 for all types (16-bit keeps the high byte, the
+    * standard reduction), 1/2/4 for grayscale (scaled 255/(2^d−1))
+    * and palette (indices unscaled) — with all five row filters
+    * (None/Sub/Up/Average/Paeth, RFC 2083 §6) and Adam7 interlace
+    * (seven sub-images, each filtered independently, scattered to
+    * the raster). IDAT chunks concatenate into one zlib stream;
     * alpha is ignored for the luma raster (features are content
     * signatures, not compositing). Lenient on chunk CRCs (the
     * inflate itself validates the data's adler32); returns None for
-    * 16-bit images, Adam7 interlacing, truncated streams, or any
-    * malformed structure — never throws on corrupt bytes. */
+    * truncated streams or any malformed structure — never throws on
+    * corrupt bytes. */
   private[graft] def decodePng(b: Array[Byte]): Option[GrayRaster] = {
     if (b.length < 8 + 25 || !PngSig.indices.forall(i => b(i) == PngSig(i))) return None
     var i = 8
-    var w = 0; var h = 0; var colorType = -1; var seenIhdr = false
+    var w = 0; var h = 0; var colorType = -1; var depth = 0
+    var interlace = 0; var seenIhdr = false
     var plte: Array[Byte] = null
     val idat = new java.io.ByteArrayOutputStream()
     var ended = false
@@ -194,10 +200,11 @@ object Multimodal {
         case "IHDR" =>
           if (len < 13 || seenIhdr) return None
           w = be32(b, i + 8); h = be32(b, i + 12)
+          depth = b(i + 16) & 0xff
           colorType = b(i + 17) & 0xff
-          // bit depth 8; compression 0, filter 0, interlace 0 only
-          if ((b(i + 16) & 0xff) != 8 || b(i + 18) != 0 || b(i + 19) != 0 ||
-            b(i + 20) != 0) return None
+          interlace = b(i + 20) & 0xff
+          // compression 0, filter 0; interlace 0 (none) or 1 (Adam7)
+          if (b(i + 18) != 0 || b(i + 19) != 0 || interlace > 1) return None
           seenIhdr = true
         case "PLTE" =>
           // 1-256 RGB triples (spec 11.2.3); a bad length is an error
@@ -209,15 +216,38 @@ object Multimodal {
       }
       i += 12 + len
     }
+    // legal (colorType, depth) pairs per spec 11.2.2: truecolor and
+    // alpha types are 8/16-bit; grayscale adds 1/2/4; indexed is
+    // 1/2/4/8 and requires PLTE
     val ch = colorType match {
-      case 0 => 1; case 2 => 3; case 4 => 2; case 6 => 4
-      case 3 => if (plte == null) return None else 1 // indexed: PLTE required
+      case 0 => if (!Set(1, 2, 4, 8, 16)(depth)) return None else 1
+      case 2 => if (depth != 8 && depth != 16) return None else 3
+      case 3 => if (plte == null || !Set(1, 2, 4, 8)(depth)) return None else 1
+      case 4 => if (depth != 8 && depth != 16) return None else 2
+      case 6 => if (depth != 8 && depth != 16) return None else 4
       case _ => return None
     }
     if (!seenIhdr || !ended || w <= 0 || h <= 0) return None
-    val rowBytes = w.toLong * ch
-    val need = (rowBytes + 1) * h
-    if (rowBytes + 1 > Int.MaxValue / h || need > PngMaxRaw) return None
+    val bitsPerPx = ch * depth
+    // filter arithmetic works on bytes `bpp` back (1 for sub-byte)
+    val bpp = math.max(1, bitsPerPx / 8)
+    def rowBytesOf(wp: Int): Long = (wp.toLong * bitsPerPx + 7) / 8
+    // Adam7 passes as (x0, y0, dx, dy); non-interlaced = one full pass
+    val passes =
+      if (interlace == 0) Seq((0, 0, 1, 1))
+      else Seq((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+        (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+    def passDims(p: (Int, Int, Int, Int)): (Int, Int) = {
+      val (x0, y0, dx, dy) = p
+      (if (w > x0) (w - x0 + dx - 1) / dx else 0,
+       if (h > y0) (h - y0 + dy - 1) / dy else 0)
+    }
+    val need = passes.map { p =>
+      val (wp, hp) = passDims(p)
+      if (wp == 0 || hp == 0) 0L else (rowBytesOf(wp) + 1) * hp
+    }.sum
+    val imgBytes = w.toLong * h * ch
+    if (need <= 0 || need > PngMaxRaw || imgBytes > PngMaxRaw) return None
     val raw = new Array[Byte](need.toInt)
     val inf = new java.util.zip.Inflater()
     try {
@@ -232,36 +262,75 @@ object Multimodal {
     } catch {
       case _: java.util.zip.DataFormatException => return None
     } finally inf.end()
-    // unfilter row by row (each row: 1 filter byte + w*ch samples);
-    // recon buffer holds the defiltered samples the filters reference
-    val rb = rowBytes.toInt
-    val img = new Array[Byte](rb * h)
-    var y = 0
-    while (y < h) {
-      val ft = raw(y * (rb + 1)) & 0xff
-      if (ft > 4) return None
-      val src = y * (rb + 1) + 1
-      val dst = y * rb
-      var x = 0
-      while (x < rb) {
-        val cur = raw(src + x) & 0xff
-        val a = if (x >= ch) img(dst + x - ch) & 0xff else 0
-        val up = if (y > 0) img(dst - rb + x) & 0xff else 0
-        val c = if (x >= ch && y > 0) img(dst - rb + x - ch) & 0xff else 0
-        val v = ft match {
-          case 0 => cur
-          case 1 => cur + a
-          case 2 => cur + up
-          case 3 => cur + ((a + up) >> 1)
-          case 4 =>
-            val p = a + up - c
-            val pa = math.abs(p - a); val pb = math.abs(p - up); val pc = math.abs(p - c)
-            cur + (if (pa <= pb && pa <= pc) a else if (pb <= pc) up else c)
+    // img: the full image as 8-bit samples (w*h*ch). Each pass is
+    // unfiltered INDEPENDENTLY (its own previous-row context — Adam7
+    // passes are separate sub-images, spec 8.2), then its pixels
+    // scatter to (x0 + i·dx, y0 + j·dy). 16-bit samples keep the high
+    // byte (the standard 16→8 reduction); 1/2/4-bit grayscale scales
+    // by 255/(2^d−1); 1/2/4-bit palette indices map unscaled.
+    val img = new Array[Byte](imgBytes.toInt)
+    var off = 0
+    for (pass <- passes) {
+      val (x0, y0, dx, dy) = pass
+      val (wp, hp) = passDims(pass)
+      if (wp > 0 && hp > 0) {
+        val rb = rowBytesOf(wp).toInt
+        val rec = new Array[Byte](rb * hp)
+        var y = 0
+        while (y < hp) {
+          val ft = raw(off + y * (rb + 1)) & 0xff
+          if (ft > 4) return None
+          val src = off + y * (rb + 1) + 1
+          val dst = y * rb
+          var x = 0
+          while (x < rb) {
+            val cur = raw(src + x) & 0xff
+            val a = if (x >= bpp) rec(dst + x - bpp) & 0xff else 0
+            val up = if (y > 0) rec(dst - rb + x) & 0xff else 0
+            val c = if (x >= bpp && y > 0) rec(dst - rb + x - bpp) & 0xff else 0
+            val v = ft match {
+              case 0 => cur
+              case 1 => cur + a
+              case 2 => cur + up
+              case 3 => cur + ((a + up) >> 1)
+              case 4 =>
+                val p = a + up - c
+                val pa = math.abs(p - a); val pb = math.abs(p - up); val pc = math.abs(p - c)
+                cur + (if (pa <= pb && pa <= pc) a else if (pb <= pc) up else c)
+            }
+            rec(dst + x) = (v & 0xff).toByte
+            x += 1
+          }
+          y += 1
         }
-        img(dst + x) = (v & 0xff).toByte
-        x += 1
+        // scatter the pass's samples into the full 8-bit image
+        val bytesPerSample = depth / 8 // 0 for sub-byte depths
+        var j = 0
+        while (j < hp) {
+          var ii = 0
+          while (ii < wp) {
+            val outBase = ((y0 + j * dy) * w + (x0 + ii * dx)) * ch
+            var cidx = 0
+            while (cidx < ch) {
+              val s8: Int =
+                if (depth >= 8)
+                  rec(j * rb + (ii * ch + cidx) * bytesPerSample) & 0xff
+                else {
+                  val bitPos = ii * depth // ch == 1 for sub-byte depths
+                  val byteV = rec(j * rb + (bitPos >> 3)) & 0xff
+                  val v = (byteV >> (8 - depth - (bitPos & 7))) & ((1 << depth) - 1)
+                  if (colorType == 3) v // palette index: unscaled
+                  else v * 255 / ((1 << depth) - 1)
+                }
+              img(outBase + cidx) = s8.toByte
+              cidx += 1
+            }
+            ii += 1
+          }
+          j += 1
+        }
+        off += (rb + 1) * hp
       }
-      y += 1
     }
     val out = new Array[Byte](w * h)
     var p = 0

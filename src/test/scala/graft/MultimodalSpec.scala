@@ -152,39 +152,70 @@ class MultimodalSpec extends AnyFunSuite {
     p32be(out, 8 + data.length, crc.getValue.toInt)
     out
   }
-  /** Encode (w × h × ch) raw samples; `filters(y % n)` picks each
-    * row's forward filter; `idatSplit` > 1 splits the zlib stream
-    * across that many IDAT chunks. */
+  private val Adam7 = Seq((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+  /** Encode (w × h × ch) raw 8-bit samples; `filters(y % n)` picks
+    * each row's forward filter; `idatSplit` > 1 splits the zlib
+    * stream across that many IDAT chunks. `depth` 16 widens each
+    * sample to (s << 8 | 0x5A) — the junk low byte proves the decoder
+    * keeps the high byte; depth 1/2/4 (ch == 1) packs values
+    * MSB-first (caller passes values that fit). `adam7` stores the
+    * seven interlace passes, each filtered independently. */
   private def png(w: Int, h: Int, ch: Int, raw: Array[Byte],
       filters: Seq[Int] = Seq(0), idatSplit: Int = 1,
-      palette: Array[Byte] = null): Array[Byte] = {
+      palette: Array[Byte] = null, depth: Int = 8,
+      adam7: Boolean = false): Array[Byte] = {
     require(raw.length == w * h * ch)
     require(palette == null || ch == 1, "indexed PNG is one byte per pixel")
-    val rb = w * ch
-    val filtered = new Array[Byte]((rb + 1) * h)
-    for (y <- 0 until h) {
-      val ft = filters(y % filters.length)
-      filtered(y * (rb + 1)) = ft.toByte
-      for (x <- 0 until rb) {
-        val cur = raw(y * rb + x) & 0xff
-        val a = if (x >= ch) raw(y * rb + x - ch) & 0xff else 0
-        val up = if (y > 0) raw((y - 1) * rb + x) & 0xff else 0
-        val c = if (x >= ch && y > 0) raw((y - 1) * rb + x - ch) & 0xff else 0
-        val v = ft match {
-          case 0 => cur
-          case 1 => cur - a
-          case 2 => cur - up
-          case 3 => cur - ((a + up) >> 1)
-          case 4 =>
-            val p = a + up - c
-            val pa = math.abs(p - a); val pb = math.abs(p - up); val pc = math.abs(p - c)
-            cur - (if (pa <= pb && pa <= pc) a else if (pb <= pc) up else c)
+    require(depth == 8 || depth == 16 || ((depth == 1 || depth == 2 || depth == 4) && ch == 1))
+    val bitsPerPx = ch * depth
+    val bpp = math.max(1, bitsPerPx / 8)
+    val passes = if (adam7) Adam7 else Seq((0, 0, 1, 1))
+    val filtered = new java.io.ByteArrayOutputStream()
+    for ((x0, y0, dx, dy) <- passes) {
+      val wp = if (w > x0) (w - x0 + dx - 1) / dx else 0
+      val hp = if (h > y0) (h - y0 + dy - 1) / dy else 0
+      if (wp > 0 && hp > 0) {
+        val rb = (wp * bitsPerPx + 7) / 8
+        val rows = Array.ofDim[Byte](hp, rb)
+        for (j <- 0 until hp; ii <- 0 until wp; c <- 0 until ch) {
+          val s = raw(((y0 + j * dy) * w + (x0 + ii * dx)) * ch + c) & 0xff
+          depth match {
+            case 16 =>
+              rows(j)((ii * ch + c) * 2) = s.toByte
+              rows(j)((ii * ch + c) * 2 + 1) = 0x5a.toByte
+            case 8 => rows(j)(ii * ch + c) = s.toByte
+            case d =>
+              val bitPos = ii * d
+              rows(j)(bitPos >> 3) =
+                (rows(j)(bitPos >> 3) | (s << (8 - d - (bitPos & 7)))).toByte
+          }
         }
-        filtered(y * (rb + 1) + 1 + x) = (v & 0xff).toByte
+        for (j <- 0 until hp) {
+          val ft = filters(j % filters.length)
+          filtered.write(ft)
+          for (x <- 0 until rb) {
+            val cur = rows(j)(x) & 0xff
+            val a = if (x >= bpp) rows(j)(x - bpp) & 0xff else 0
+            val up = if (j > 0) rows(j - 1)(x) & 0xff else 0
+            val c = if (x >= bpp && j > 0) rows(j - 1)(x - bpp) & 0xff else 0
+            val v = ft match {
+              case 0 => cur
+              case 1 => cur - a
+              case 2 => cur - up
+              case 3 => cur - ((a + up) >> 1)
+              case 4 =>
+                val p = a + up - c
+                val pa = math.abs(p - a); val pb = math.abs(p - up); val pc = math.abs(p - c)
+                cur - (if (pa <= pb && pa <= pc) a else if (pb <= pc) up else c)
+            }
+            filtered.write(v & 0xff)
+          }
+        }
       }
     }
     val defl = new java.util.zip.Deflater()
-    defl.setInput(filtered); defl.finish()
+    defl.setInput(filtered.toByteArray); defl.finish()
     val zbuf = new java.io.ByteArrayOutputStream()
     val tmp = new Array[Byte](256)
     while (!defl.finished()) zbuf.write(tmp, 0, defl.deflate(tmp))
@@ -192,9 +223,10 @@ class MultimodalSpec extends AnyFunSuite {
     val z = zbuf.toByteArray
     val ihdr = new Array[Byte](13)
     p32be(ihdr, 0, w); p32be(ihdr, 4, h)
-    ihdr(8) = 8
+    ihdr(8) = depth.toByte
     ihdr(9) = (if (palette != null) 3
       else ch match { case 1 => 0; case 2 => 4; case 3 => 2; case 4 => 6 }).toByte
+    ihdr(12) = (if (adam7) 1 else 0).toByte
     val idats = if (idatSplit <= 1) Seq(z)
       else z.grouped(math.max(1, z.length / idatSplit)).toSeq
     (Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte) ++
@@ -240,8 +272,10 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.decodePng(ok.dropRight(20)).isEmpty)
     // 16-bit depth / interlaced / palette color type all unsupported
     def patched(off: Int, v: Byte) = { val b = ok.clone(); b(off) = v; b }
-    assert(Multimodal.decodePng(patched(8 + 8 + 8, 16.toByte)).isEmpty, "bit depth 16")
-    assert(Multimodal.decodePng(patched(8 + 8 + 12, 1.toByte)).isEmpty, "interlaced")
+    assert(Multimodal.decodePng(patched(8 + 8 + 8, 3.toByte)).isEmpty, "bit depth 3 (illegal)")
+    assert(Multimodal.decodePng(patched(8 + 8 + 12, 1.toByte)).isEmpty,
+      "non-interlaced bytes under an Adam7 flag mis-size the stream: reject")
+    assert(Multimodal.decodePng(patched(8 + 8 + 12, 2.toByte)).isEmpty, "interlace method 2")
     assert(Multimodal.decodePng(patched(8 + 8 + 9, 3.toByte)).isEmpty,
       "palette color type without a PLTE chunk must reject")
     // a hostile header claiming a multi-GB raster takes the cap, not
@@ -373,6 +407,69 @@ class MultimodalSpec extends AnyFunSuite {
     // malformed PLTE lengths reject
     assert(Multimodal.decodePng(png(w, h, 1, idx4, palette = pal4.take(7))).isEmpty,
       "PLTE length not a multiple of 3 must reject")
+  }
+
+  test("PNG decode: Adam7 interlace — seven passes, independent filters, scatter to raster") {
+    val rnd = new scala.util.Random(4747)
+    // dims chosen to exercise empty passes (w or h < pass origin) and
+    // ragged pass widths; every color type; mixed per-row filters
+    for ((w, h, ch) <- Seq((17, 11, 3), (8, 8, 1), (3, 3, 4), (1, 1, 1), (20, 2, 2), (5, 9, 3))) {
+      val raw = Array.fill(w * h * ch)(rnd.nextInt(256).toByte)
+      val Some(g) = Multimodal.decodePng(
+        png(w, h, ch, raw, filters = Seq(0, 1, 2, 3, 4), adam7 = true))
+      val want = (0 until w * h).map { p =>
+        ch match {
+          case 1 => raw(p) & 0xff
+          case 2 => raw(p * 2) & 0xff
+          case _ => lumaOf(raw(p * ch) & 0xff, raw(p * ch + 1) & 0xff, raw(p * ch + 2) & 0xff)
+        }
+      }
+      assert(g.pixels.map(_ & 0xff).toSeq == want, s"Adam7 ${w}x$h ch=$ch drifted")
+      // parity with the non-interlaced encoding of the same samples
+      val plain = Multimodal.decodePng(png(w, h, ch, raw)).get
+      assert(g.pixels.sameElements(plain.pixels), s"Adam7 ${w}x$h ch=$ch parity")
+    }
+    // interlaced + palette
+    val pal = Array.fill(16 * 3)(rnd.nextInt(256).toByte)
+    val idx = Array.fill(10 * 7)(rnd.nextInt(16).toByte)
+    val Some(gp) = Multimodal.decodePng(png(10, 7, 1, idx, Seq(1, 4), palette = pal, adam7 = true))
+    val plainP = Multimodal.decodePng(png(10, 7, 1, idx, palette = pal)).get
+    assert(gp.pixels.sameElements(plainP.pixels), "Adam7 palette parity")
+  }
+
+  test("PNG decode: 16-bit and 1/2/4-bit depths") {
+    val rnd = new scala.util.Random(1616)
+    // 16-bit gray and RGB: high byte kept, junk low byte ignored
+    for (ch <- Seq(1, 3, 4)) {
+      val w = 7; val h = 5
+      val raw = Array.fill(w * h * ch)(rnd.nextInt(256).toByte)
+      val Some(g16) = Multimodal.decodePng(png(w, h, ch, raw, Seq(0, 2, 4), depth = 16))
+      val plain = Multimodal.decodePng(png(w, h, ch, raw)).get
+      assert(g16.pixels.sameElements(plain.pixels), s"16-bit ch=$ch must reduce to the high byte")
+    }
+    // sub-byte grayscale: packed samples scale by 255/(2^d-1)
+    for (d <- Seq(1, 2, 4)) {
+      val w = 11; val h = 3 // w chosen so rows end mid-byte
+      val maxV = (1 << d) - 1
+      val vals = Array.fill(w * h)(rnd.nextInt(maxV + 1).toByte)
+      val Some(g) = Multimodal.decodePng(png(w, h, 1, vals, Seq(0, 1), depth = d))
+      assert(g.pixels.map(_ & 0xff).toSeq == vals.map(v => (v & 0xff) * 255 / maxV).toSeq,
+        s"depth-$d gray must scale to 8-bit")
+    }
+    // sub-byte palette: indices map unscaled
+    val pal = Array.fill(4 * 3)(rnd.nextInt(256).toByte)
+    val idx = Array.fill(9 * 4)(rnd.nextInt(4).toByte)
+    val Some(gp) = Multimodal.decodePng(png(9, 4, 1, idx, Seq(0), palette = pal, depth = 2))
+    val want = idx.map { i =>
+      val o = (i & 0xff) * 3
+      lumaOf(pal(o) & 0xff, pal(o + 1) & 0xff, pal(o + 2) & 0xff)
+    }.toSeq
+    assert(gp.pixels.map(_ & 0xff).toSeq == want, "2-bit palette indices must map unscaled")
+    // 16-bit Adam7 together
+    val raw = Array.fill(13 * 6 * 3)(rnd.nextInt(256).toByte)
+    val Some(gA) = Multimodal.decodePng(png(13, 6, 3, raw, Seq(3, 4), depth = 16, adam7 = true))
+    val plain = Multimodal.decodePng(png(13, 6, 3, raw)).get
+    assert(gA.pixels.sameElements(plain.pixels), "16-bit Adam7 parity")
   }
 
   test("GIF decode: interlaced first frame — pass rows reorder to the raster") {
