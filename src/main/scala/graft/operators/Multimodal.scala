@@ -21,10 +21,11 @@ import org.apache.spark.sql.functions._
   * variable-width codes, KwKwK, 4096-entry dictionary — palette
   * mapping and interlaced first frames), and baseline JPEG (huffman
   * entropy decode, dequant, IDCT — grayscale, 4:4:4 and the
-  * subsampled 4:2:0/4:2:2/4:4:0 layouts, restart intervals; see
-  * `decodeJpeg` for scope) — header parse →
+  * subsampled 4:2:0/4:2:2/4:4:0 layouts, restart intervals) AND
+  * progressive JPEG (SOF2 multi-scan spectral selection + successive
+  * approximation; see `decodeJpegProgUnsafe`) — header parse →
   * pixels/samples → the feature pipeline. What remains codec-bound
-  * (progressive JPEG, MP3, H.264) falls back to the
+  * (MP3, H.264 — real DSP/codec territory) falls back to the
   * clearly-marked deterministic STUB `stubDecode`, preserving the
   * original pipeline behavior byte-for-byte. Everything around
   * the decoders — the schema contract, the partition-streaming
@@ -538,17 +539,79 @@ object Multimodal {
     * (JPEG's Y IS the luma raster — chroma blocks are entropy-decoded
     * to keep bit position, then discarded, so subsampling support is
     * MCU geometry, not an upsampler). Scope: 8-bit baseline
-    * sequential; progressive (SOF2) streams and corrupt entropy data
-    * (DC size > 11 / AC size > 10 — the spec limits) return None and
-    * take the stub path. The IDCT is the textbook O(8·8·8) separable
+    * sequential here; progressive (SOF2) streams dispatch to
+    * `decodeJpegProgUnsafe`; corrupt entropy data
+    * (DC size > 11 / AC size > 10 — the spec limits) returns None and
+    * takes the stub path. The IDCT is the textbook O(8·8·8) separable
     * form — correctness-first; a production deployment swaps a SIMD
     * codec behind the same dispatch. */
   private[graft] def decodeJpeg(b: Array[Byte]): Option[GrayRaster] =
-    try decodeJpegUnsafe(b)
-    catch { case _: ArrayIndexOutOfBoundsException | _: NegativeArraySizeException => None }
+    try {
+      if (jpegSofMarker(b) == 0xc2) decodeJpegProgUnsafe(b)
+      else decodeJpegUnsafe(b)
+    } catch { case _: ArrayIndexOutOfBoundsException | _: NegativeArraySizeException => None }
+
+  /** Header pre-scan: the frame's SOFn marker byte (0xc0 baseline,
+    * 0xc2 progressive, ...), or -1 if none before SOS/EOI/corruption.
+    * Walks segment lengths only — no entropy decode. */
+  private def jpegSofMarker(b: Array[Byte]): Int = {
+    if (b.length < 4 || (b(0) & 0xff) != 0xff || (b(1) & 0xff) != 0xd8) return -1
+    var i = 2
+    while (i + 3 < b.length) {
+      if ((b(i) & 0xff) != 0xff) return -1
+      while (i + 1 < b.length && (b(i + 1) & 0xff) == 0xff) i += 1
+      if (i + 3 >= b.length) return -1
+      val m = b(i + 1) & 0xff
+      if (m == 0xd9 || m == 0xda) return -1
+      if (m == 0x01 || (m >= 0xd0 && m <= 0xd7)) { i += 2 }
+      else {
+        if ((m >= 0xc0 && m <= 0xcf) && m != 0xc4 && m != 0xc8 && m != 0xcc)
+          return m
+        i += 2 + (((b(i + 2) & 0xff) << 8) | (b(i + 3) & 0xff))
+      }
+    }
+    -1
+  }
 
   private val idctCos: Array[Double] =
     Array.tabulate(8, 8) { (x, u) => math.cos((2 * x + 1) * u * math.Pi / 16.0) }.flatten
+
+  /** Separable 8×8 DCT-III with c(u) scaling + level shift, placed at
+    * (ox0, oy0) of the w×h raster `out` with edge clipping. `coef` is
+    * the DEQUANTIZED coefficient block in natural order; `tmp` is a
+    * caller-provided 64-slot scratch (hot loop — no allocation). */
+  private def idctPlace(coef: Array[Double], tmp: Array[Double],
+      out: Array[Byte], w: Int, h: Int, ox0: Int, oy0: Int): Unit = {
+    var r = 0
+    while (r < 8) {
+      var x = 0
+      while (x < 8) {
+        var acc = 0.0; var u = 0
+        while (u < 8) {
+          val cu = if (u == 0) 0.70710678118654752 else 1.0
+          acc += cu * coef(r * 8 + u) * idctCos(x * 8 + u); u += 1
+        }
+        tmp(r * 8 + x) = acc * 0.5; x += 1
+      }
+      r += 1
+    }
+    var xcol = 0
+    while (xcol < 8) {
+      var yy = 0
+      while (yy < 8) {
+        var acc = 0.0; var u = 0
+        while (u < 8) {
+          val cu = if (u == 0) 0.70710678118654752 else 1.0
+          acc += cu * tmp(u * 8 + xcol) * idctCos(yy * 8 + u); u += 1
+        }
+        val px = math.max(0, math.min(255, math.round(acc * 0.5 + 128.0).toInt))
+        val ox = ox0 + xcol; val oy = oy0 + yy
+        if (ox < w && oy < h) out(oy * w + ox) = px.toByte
+        yy += 1
+      }
+      xcol += 1
+    }
+  }
 
   private def decodeJpegUnsafe(b: Array[Byte]): Option[GrayRaster] = {
     if (b.length < 4 || (b(0) & 0xff) != 0xff || (b(1) & 0xff) != 0xd8) return None
@@ -730,38 +793,7 @@ object Multimodal {
           k += 1
         }
       }
-      if (c == 0) { // IDCT only for the luma component
-        // rows then columns, separable DCT-III with c(u) scaling
-        var r = 0
-        while (r < 8) {
-          var x = 0
-          while (x < 8) {
-            var acc = 0.0; var u = 0
-            while (u < 8) {
-              val cu = if (u == 0) 0.70710678118654752 else 1.0
-              acc += cu * coef(r * 8 + u) * idctCos(x * 8 + u); u += 1
-            }
-            tmp(r * 8 + x) = acc * 0.5; x += 1
-          }
-          r += 1
-        }
-        var xcol = 0
-        while (xcol < 8) {
-          var yy = 0
-          while (yy < 8) {
-            var acc = 0.0; var u = 0
-            while (u < 8) {
-              val cu = if (u == 0) 0.70710678118654752 else 1.0
-              acc += cu * tmp(u * 8 + xcol) * idctCos(yy * 8 + u); u += 1
-            }
-            val px = math.max(0, math.min(255, math.round(acc * 0.5 + 128.0).toInt))
-            val ox = ox0 + xcol; val oy = oy0 + yy
-            if (ox < w && oy < h) y(oy * w + ox) = px.toByte
-            yy += 1
-          }
-          xcol += 1
-        }
-      }
+      if (c == 0) idctPlace(coef, tmp, y, w, h, ox0, oy0) // luma only
       true
     }
 
@@ -796,6 +828,415 @@ object Multimodal {
         mx += 1
       }
       my += 1
+    }
+    Some(GrayRaster(w, h, y))
+  }
+
+  /** Progressive-raster cap: unlike baseline's block-streaming
+    * decode, progressive must buffer every luma coefficient across
+    * scans — 4 bytes per pixel. 2^22 pixels (2048×2048, 16 MB of
+    * coefficients) bounds per-row memory in the batched decode pass;
+    * larger progressive claims take the stub path. */
+  private val JpegProgMaxPixels = 1 << 22
+
+  /** Progressive JPEG (SOF2) decode, pure JVM. Multi-scan spectral
+    * selection + successive approximation (spec G): DC first scans
+    * (point-transformed diffs, interleaved or single-component), DC
+    * refinement scans (one raw bit per block), AC first scans
+    * (per-band run-length with EOBn end-of-band runs), and AC
+    * refinement scans (correction bits over nonzero history, G.1.2.3)
+    * — restart intervals reset predictors, EOB run and the bit reader
+    * in every scan kind. Only LUMA coefficients are stored (output is
+    * the Y raster): chroma blocks in interleaved DC scans are
+    * entropy-consumed to keep bit position, and single-component
+    * chroma scans are skipped wholesale by jumping to the next marker
+    * — legal because every scan is marker-delimited and DC prediction
+    * resets per scan, so no decoder state crosses a skipped scan.
+    * Tables (DHT/DQT/DRI) may be redefined between scans. After EOI,
+    * one dequantize + IDCT pass over the unpadded luma grid emits the
+    * raster. Same spec limits as baseline: DC size <= 11, AC size
+    * <= 10, first-scan AC bands single-component only. */
+  private def decodeJpegProgUnsafe(b: Array[Byte]): Option[GrayRaster] = {
+    if (b.length < 4 || (b(0) & 0xff) != 0xff || (b(1) & 0xff) != 0xd8) return None
+    var i = 2
+    val quant = new Array[Array[Int]](4)
+    val huffDc = new Array[JpegHuff](4); val huffAc = new Array[JpegHuff](4)
+    var w = 0; var h = 0; var nComp = 0
+    val compQ = new Array[Int](4)
+    val compH = new Array[Int](4); val compV = new Array[Int](4)
+    var ri = 0
+    var hmax = 1; var vmax = 1
+    var mcX = 0; var mcY = 0
+    var bwPad = 0 // padded luma block grid (interleaved MCU layout)
+    var bw = 0; var bh = 0 // unpadded luma block grid
+    var yCoef: Array[Int] = null // bwPad * (mcY*compV(0)) blocks × 64, natural order
+    val dcPred = new Array[Int](4)
+    var eobrun = 0
+
+    // --- bit reader over one scan's entropy-coded segment ---
+    var bp = 0; var bitBuf = 0; var bitCnt = 0; var eos = false
+    def fill(): Unit = {
+      while (bitCnt <= 24 && !eos) {
+        if (bp >= b.length) { eos = true }
+        else {
+          val v = b(bp) & 0xff
+          if (v == 0xff) {
+            val nx = if (bp + 1 < b.length) b(bp + 1) & 0xff else 0xd9
+            if (nx == 0x00) { bitBuf |= 0xff << (24 - bitCnt); bitCnt += 8; bp += 2 }
+            else { eos = true }
+          } else { bitBuf |= v << (24 - bitCnt); bitCnt += 8; bp += 1 }
+        }
+      }
+    }
+    def bit(): Int = {
+      fill(); if (bitCnt <= 0) return -1
+      val v = (bitBuf >>> 31) & 1
+      bitBuf <<= 1; bitCnt -= 1
+      v
+    }
+    def bits(n: Int): Int = {
+      var v = 0; var k = 0
+      while (k < n) { val x = bit(); if (x < 0) return -1; v = (v << 1) | x; k += 1 }
+      v
+    }
+    def decodeHuff(t: JpegHuff): Int = {
+      if (t == null) return -1
+      var code = 0; var l = 1
+      while (l <= 16) {
+        val x = bit(); if (x < 0) return -1
+        code = (code << 1) | x
+        if (t.maxCode(l) >= 0 && code <= t.maxCode(l) && code >= t.minCode(l))
+          return t.value(l, code)
+        l += 1
+      }
+      -1
+    }
+    def extend(v: Int, s: Int): Int =
+      if (s == 0) 0 else if (v < (1 << (s - 1))) v - (1 << s) + 1 else v
+    def restart(n: Int): Boolean = {
+      bitBuf = 0; bitCnt = 0; eos = false
+      while (bp + 1 < b.length &&
+        !((b(bp) & 0xff) == 0xff && (b(bp + 1) & 0xff) >= 0xd0 &&
+          (b(bp + 1) & 0xff) <= 0xd7)) bp += 1
+      if (bp + 1 >= b.length) return false
+      if ((b(bp + 1) & 0xff) != 0xd0 + (n & 7)) return false
+      bp += 2
+      java.util.Arrays.fill(dcPred, 0)
+      eobrun = 0
+      true
+    }
+    // position of the next marker at/after `from` (0xFF + non-fill,
+    // non-stuffed, non-RST byte) — scan delimiter
+    def nextMarker(from: Int): Int = {
+      var p = from
+      while (p + 1 < b.length) {
+        if ((b(p) & 0xff) == 0xff) {
+          val nx = b(p + 1) & 0xff
+          if (nx == 0x00) p += 2
+          else if (nx == 0xff) p += 1
+          else if (nx >= 0xd0 && nx <= 0xd7) p += 2
+          else return p
+        } else p += 1
+      }
+      -1
+    }
+
+    // --- one scan's entropy decode; returns false on corruption ---
+    // scanComp: component indices in scan order; Ss/Se/Ah/Al per header
+    def decodeScan(scanComp: Array[Int], scanDcT: Array[Int], scanAcT: Array[Int],
+        ss: Int, se: Int, ah: Int, al: Int, dataStart: Int): Boolean = {
+      bp = dataStart; bitBuf = 0; bitCnt = 0; eos = false
+      java.util.Arrays.fill(dcPred, 0)
+      eobrun = 0
+      val ns = scanComp.length
+      // luma coefficient slot for padded-grid block (bxP, byP)
+      def yBlock(bxP: Int, byP: Int): Int = (byP * bwPad + bxP) * 64
+
+      if (ss == 0) { // DC scan (first or refinement)
+        def dcBlock(si: Int, c: Int, coefBase: Int): Boolean = {
+          if (ah == 0) {
+            val t = huffDc(scanDcT(si))
+            val s0 = decodeHuff(t); if (s0 < 0 || s0 > 11) return false
+            val d0 = if (s0 == 0) 0 else { val r = bits(s0); if (r < 0) return false; extend(r, s0) }
+            dcPred(c) += d0
+            if (c == 0) yCoef(coefBase) = dcPred(c) << al
+          } else {
+            val x = bit(); if (x < 0) return false
+            if (c == 0 && x == 1) yCoef(coefBase) |= 1 << al
+          }
+          true
+        }
+        if (ns > 1) { // interleaved MCU order
+          var mcu = 0
+          var my = 0
+          while (my < mcY) {
+            var mx = 0
+            while (mx < mcX) {
+              if (ri > 0 && mcu > 0 && mcu % ri == 0 && !restart(mcu / ri - 1)) return false
+              var si = 0
+              while (si < ns) {
+                val c = scanComp(si)
+                var by = 0
+                while (by < compV(c)) {
+                  var bx = 0
+                  while (bx < compH(c)) {
+                    val base = if (c == 0) yBlock(mx * compH(0) + bx, my * compV(0) + by) else 0
+                    if (!dcBlock(si, c, base)) return false
+                    bx += 1
+                  }
+                  by += 1
+                }
+                si += 1
+              }
+              mcu += 1
+              mx += 1
+            }
+            my += 1
+          }
+        } else { // single-component DC scan: unpadded component grid
+          val c = scanComp(0)
+          val cw = (w * compH(c) + hmax - 1) / hmax
+          val chh = (h * compV(c) + vmax - 1) / vmax
+          val cbw = (cw + 7) / 8; val cbh = (chh + 7) / 8
+          var blk = 0
+          var by = 0
+          while (by < cbh) {
+            var bx = 0
+            while (bx < cbw) {
+              if (ri > 0 && blk > 0 && blk % ri == 0 && !restart(blk / ri - 1)) return false
+              val base = if (c == 0) yBlock(bx, by) else 0
+              if (!dcBlock(0, c, base)) return false
+              blk += 1
+              bx += 1
+            }
+            by += 1
+          }
+        }
+      } else { // AC scan: single luma component (chroma is skipped upstream)
+        if (ns != 1 || scanComp(0) != 0) return false
+        val t = huffAc(scanAcT(0))
+        val p1 = 1 << al; val m1 = -1 << al
+        var blk = 0
+        var by = 0
+        while (by < bh) {
+          var bx = 0
+          while (bx < bw) {
+            if (ri > 0 && blk > 0 && blk % ri == 0 && !restart(blk / ri - 1)) return false
+            val base = yBlock(bx, by)
+            if (ah == 0) { // first scan for this band
+              if (eobrun > 0) eobrun -= 1
+              else {
+                var k = ss
+                var done = false
+                while (!done && k <= se) {
+                  val rs = decodeHuff(t); if (rs < 0) return false
+                  val r = rs >> 4; val s = rs & 15
+                  if (s == 0) {
+                    if (r == 15) k += 16
+                    else {
+                      eobrun = (1 << r) - 1
+                      if (r > 0) { val x = bits(r); if (x < 0) return false; eobrun += x }
+                      done = true
+                    }
+                  } else {
+                    if (s > 10) return false
+                    k += r
+                    if (k > se) return false
+                    val v = bits(s); if (v < 0) return false
+                    yCoef(base + JpegZigzag(k)) = extend(v, s) << al
+                    k += 1
+                  }
+                }
+              }
+            } else { // refinement scan (G.1.2.3)
+              var k = ss
+              if (eobrun == 0) {
+                var done = false
+                while (!done && k <= se) {
+                  val rs = decodeHuff(t); if (rs < 0) return false
+                  var r = rs >> 4; val s = rs & 15
+                  var newval = 0
+                  if (s == 0) {
+                    if (r < 15) {
+                      eobrun = 1 << r
+                      if (r > 0) { val x = bits(r); if (x < 0) return false; eobrun += x }
+                      done = true
+                    }
+                    // r == 15: run of 16 zero-history positions
+                  } else {
+                    if (s != 1) return false // refinement sends size-1 only
+                    val sb = bit(); if (sb < 0) return false
+                    newval = if (sb == 1) p1 else m1
+                  }
+                  if (!done) {
+                    var placed = false
+                    while (!placed && k <= se) {
+                      val z = base + JpegZigzag(k)
+                      if (yCoef(z) != 0) {
+                        val cb = bit(); if (cb < 0) return false
+                        if (cb == 1 && (yCoef(z) & p1) == 0)
+                          yCoef(z) += (if (yCoef(z) >= 0) p1 else m1)
+                      } else {
+                        if (r == 0) { if (newval != 0) yCoef(z) = newval; placed = true }
+                        else r -= 1
+                      }
+                      k += 1
+                    }
+                    if (!placed && s != 0) return false
+                  }
+                }
+              }
+              if (eobrun > 0) { // correction bits through the band tail
+                while (k <= se) {
+                  val z = base + JpegZigzag(k)
+                  if (yCoef(z) != 0) {
+                    val cb = bit(); if (cb < 0) return false
+                    if (cb == 1 && (yCoef(z) & p1) == 0)
+                      yCoef(z) += (if (yCoef(z) >= 0) p1 else m1)
+                  }
+                  k += 1
+                }
+                eobrun -= 1
+              }
+            }
+            blk += 1
+            bx += 1
+          }
+          by += 1
+        }
+      }
+      true
+    }
+
+    // --- marker loop over the whole stream ---
+    var done = false
+    while (!done) {
+      if (i + 1 >= b.length || (b(i) & 0xff) != 0xff) return None
+      while (i + 1 < b.length && (b(i + 1) & 0xff) == 0xff) i += 1
+      if (i + 1 >= b.length) return None
+      val m = b(i + 1) & 0xff
+      if (m == 0xd9) { done = true } // EOI
+      else if (m == 0x01 || (m >= 0xd0 && m <= 0xd7)) { i += 2 }
+      else {
+        if (i + 3 >= b.length) return None
+        val len = ((b(i + 2) & 0xff) << 8) | (b(i + 3) & 0xff)
+        val seg = i + 4
+        if (i + 2 + len > b.length) return None
+        m match {
+          case 0xdb =>
+            var p = seg
+            while (p < i + 2 + len) {
+              val pq = (b(p) & 0xf0) >> 4; val tq = b(p) & 0x0f
+              if (pq != 0 || tq > 3) return None
+              quant(tq) = Array.tabulate(64)(k => b(p + 1 + k) & 0xff)
+              p += 65
+            }
+          case 0xc4 =>
+            var p = seg
+            while (p < i + 2 + len) {
+              val tc = (b(p) & 0xf0) >> 4; val th = b(p) & 0x0f
+              if (tc > 1 || th > 3) return None
+              val counts = Array.tabulate(16)(k => b(p + 1 + k) & 0xff)
+              val n = counts.sum
+              val vals = Array.tabulate(n)(k => b(p + 17 + k) & 0xff)
+              val tt = new JpegHuff(counts, vals)
+              if (tc == 0) huffDc(th) = tt else huffAc(th) = tt
+              p += 17 + n
+            }
+          case 0xdd =>
+            if (len != 4) return None
+            ri = ((b(seg) & 0xff) << 8) | (b(seg + 1) & 0xff)
+          case 0xc2 =>
+            if (yCoef != null) return None // one frame only
+            if ((b(seg) & 0xff) != 8) return None
+            h = ((b(seg + 1) & 0xff) << 8) | (b(seg + 2) & 0xff)
+            w = ((b(seg + 3) & 0xff) << 8) | (b(seg + 4) & 0xff)
+            nComp = b(seg + 5) & 0xff
+            if (w <= 0 || h <= 0 || (nComp != 1 && nComp != 3) ||
+              w.toLong * h > JpegProgMaxPixels) return None
+            for (c <- 0 until nComp) {
+              val o = seg + 6 + c * 3
+              val hv = b(o + 1) & 0xff
+              compH(c) = (hv >> 4) & 0x0f; compV(c) = hv & 0x0f
+              if (compH(c) < 1 || compH(c) > 4 ||
+                compV(c) < 1 || compV(c) > 4) return None
+              compQ(c) = b(o + 2) & 0x0f
+            }
+            if (nComp == 1) { compH(0) = 1; compV(0) = 1 }
+            hmax = (0 until nComp).map(compH).max
+            vmax = (0 until nComp).map(compV).max
+            if (compH(0) != hmax || compV(0) != vmax) return None
+            if ((0 until nComp).map(c => compH(c) * compV(c)).sum > 10) return None
+            mcX = (w + 8 * hmax - 1) / (8 * hmax)
+            mcY = (h + 8 * vmax - 1) / (8 * vmax)
+            bwPad = mcX * compH(0)
+            bw = ((w + 7) / 8); bh = ((h + 7) / 8)
+            yCoef = new Array[Int](bwPad * (mcY * compV(0)) * 64)
+          case 0xc0 | 0xc1 | 0xc3 | 0xc5 | 0xc6 | 0xc7 |
+               0xc9 | 0xca | 0xcb | 0xcd | 0xce | 0xcf =>
+            return None // only one SOF, and it must be SOF2 here
+          case 0xda =>
+            if (yCoef == null) return None // SOS before SOF2
+            val ns = b(seg) & 0xff
+            if (ns < 1 || ns > 4) return None
+            val scanComp = new Array[Int](ns)
+            val scanDcT = new Array[Int](ns); val scanAcT = new Array[Int](ns)
+            for (si <- 0 until ns) {
+              val cid = b(seg + 1 + si * 2) & 0xff
+              // component ids are 1-based in our encoder and libjpeg;
+              // match against SOF order (ids are frame-scoped labels)
+              val c = (0 until nComp).indexWhere(k => k + 1 == cid)
+              if (c < 0) return None
+              scanComp(si) = c
+              scanDcT(si) = (b(seg + 2 + si * 2) & 0xf0) >> 4
+              scanAcT(si) = b(seg + 2 + si * 2) & 0x0f
+            }
+            val ss = b(seg + 1 + ns * 2) & 0xff
+            val se = b(seg + 2 + ns * 2) & 0xff
+            val aa = b(seg + 3 + ns * 2) & 0xff
+            val ah = (aa >> 4) & 0x0f; val al = aa & 0x0f
+            if (ss > 63 || se > 63 || se < ss) return None
+            if (ss > 0 && ns != 1) return None // AC scans are single-component
+            val dataStart = i + 2 + len
+            if (ss > 0 && scanComp(0) != 0) {
+              // chroma AC scan: skip wholesale to the next marker
+              val nm = nextMarker(dataStart)
+              if (nm < 0) return None
+              i = nm
+            } else {
+              if (!decodeScan(scanComp, scanDcT, scanAcT, ss, se, ah, al, dataStart))
+                return None
+              val nm = nextMarker(bp)
+              i = if (nm < 0) { // EOI possibly swallowed at buffer end
+                return None
+              } else nm
+            }
+          case _ => ()
+        }
+        if (m != 0xda) i += 2 + len
+      }
+    }
+    if (yCoef == null || quant(compQ(0)) == null) return None
+    // --- dequantize + IDCT the unpadded luma grid ---
+    val q = quant(compQ(0))
+    val y = new Array[Byte](w * h)
+    val coef = new Array[Double](64)
+    val tmp = new Array[Double](64)
+    var by = 0
+    while (by < bh) {
+      var bx = 0
+      while (bx < bw) {
+        val base = (by * bwPad + bx) * 64
+        var k = 0
+        while (k < 64) {
+          // q is in zigzag order (DQT layout); yCoef in natural order
+          coef(JpegZigzag(k)) = yCoef(base + JpegZigzag(k)).toDouble * q(k)
+          k += 1
+        }
+        idctPlace(coef, tmp, y, w, h, bx * 8, by * 8)
+        bx += 1
+      }
+      by += 1
     }
     Some(GrayRaster(w, h, y))
   }

@@ -660,6 +660,187 @@ class MultimodalSpec extends AnyFunSuite {
     bb.toByteArray
   }
 
+  /** Independent PROGRESSIVE JPEG encoder (SOF2): spectral selection
+    * + successive approximation. Script: DC first (Al=1, interleaved;
+    * ns=1 for grayscale), Y AC first bands 1-5 and 6-63 at Al=1,
+    * chroma AC first full-band (exercises the decoder's skip path),
+    * Y AC refinement per band at Al=0 (correction bits emitted in
+    * exactly the order figure G.7's walk consumes them), DC
+    * refinement (one raw bit per block). Each scan carries its own
+    * DHT; per-block EOBs (run 1). */
+  private def jpegProg(w: Int, h: Int, planes: Seq[Array[Byte]], q: Array[Int],
+      samp: Seq[(Int, Int)] = null): Array[Byte] = {
+    val nc = planes.size
+    val sampF = if (samp == null) Seq.fill(nc)((1, 1)) else samp
+    val hmax = sampF.map(_._1).max; val vmax = sampF.map(_._2).max
+    val mcX = (w + 8 * hmax - 1) / (8 * hmax)
+    val mcY = (h + 8 * vmax - 1) / (8 * vmax)
+    val cw = Array.tabulate(nc)(c => (w * sampF(c)._1 + hmax - 1) / hmax)
+    val chh = Array.tabulate(nc)(c => (h * sampF(c)._2 + vmax - 1) / vmax)
+    val cbw = Array.tabulate(nc)(c => (cw(c) + 7) / 8)
+    val cbh = Array.tabulate(nc)(c => (chh(c) + 7) / 8)
+    val cbwPad = Array.tabulate(nc)(c => mcX * sampF(c)._1)
+    val cbhPad = Array.tabulate(nc)(c => mcY * sampF(c)._2)
+    // quantized zigzag blocks on the PADDED grids (interleaved DC
+    // order); AC scans use the unpadded prefix
+    val blocks = Array.tabulate(nc)(c =>
+      Array.tabulate(cbhPad(c), cbwPad(c))((my, mx) =>
+        jBlock(planes(c), cw(c), chh(c), mx, my, q)))
+
+    // a scan = two passes over one symbol/bit stream: census then emit
+    trait Sink {
+      def sym(s: Int): Unit          // huffman symbol
+      def rawBits(v: Int, n: Int): Unit
+    }
+    class Census extends Sink {
+      val syms = scala.collection.mutable.LinkedHashSet.empty[Int]
+      def sym(s: Int): Unit = syms += s
+      def rawBits(v: Int, n: Int): Unit = ()
+    }
+    class Emit(enc: Map[Int, (Int, Int)], bits: JBits) extends Sink {
+      def sym(s: Int): Unit = { val (c, l) = enc(s); bits.put(c, l) }
+      def rawBits(v: Int, n: Int): Unit = if (n > 0) bits.put(v, n)
+    }
+
+    def dcFirst(sink: Sink, al: Int): Unit = {
+      val preds = new Array[Int](nc)
+      def one(c: Int, blk: Array[Int]): Unit = {
+        val pt = blk(0) >> al // DC point transform: arithmetic shift
+        val diff = pt - preds(c); preds(c) = pt
+        val s = jSize(diff)
+        sink.sym(s)
+        if (s > 0) sink.rawBits(if (diff < 0) diff + (1 << s) - 1 else diff, s)
+      }
+      if (nc > 1)
+        for (my <- 0 until mcY; mx <- 0 until mcX; c <- 0 until nc;
+             by <- 0 until sampF(c)._2; bx <- 0 until sampF(c)._1)
+          one(c, blocks(c)(my * sampF(c)._2 + by)(mx * sampF(c)._1 + bx))
+      else
+        for (by <- 0 until cbh(0); bx <- 0 until cbw(0))
+          one(0, blocks(0)(by)(bx))
+    }
+    def dcRefine(sink: Sink, al: Int): Unit = {
+      def one(blk: Array[Int]): Unit = sink.rawBits((blk(0) >> al) & 1, 1)
+      if (nc > 1)
+        for (my <- 0 until mcY; mx <- 0 until mcX; c <- 0 until nc;
+             by <- 0 until sampF(c)._2; bx <- 0 until sampF(c)._1)
+          one(blocks(c)(my * sampF(c)._2 + by)(mx * sampF(c)._1 + bx))
+      else
+        for (by <- 0 until cbh(0); bx <- 0 until cbw(0)) one(blocks(0)(by)(bx))
+    }
+    def acFirst(sink: Sink, c: Int, ss: Int, se: Int, al: Int): Unit =
+      for (by <- 0 until cbh(c); bx <- 0 until cbw(c)) {
+        val blk = blocks(c)(by)(bx)
+        var r = 0
+        var k = ss
+        while (k <= se) {
+          val v = blk(k)
+          val m = math.abs(v) >> al
+          if (m == 0) r += 1
+          else {
+            while (r > 15) { sink.sym(0xf0); r -= 16 }
+            val s = jSize(m)
+            val x = if (v < 0) -m else m
+            sink.sym((r << 4) | s)
+            sink.rawBits(if (x < 0) x + (1 << s) - 1 else x, s)
+            r = 0
+          }
+          k += 1
+        }
+        if (r > 0) sink.sym(0x00) // per-block EOB (run 1, no extra bits)
+      }
+    def acRefine(sink: Sink, c: Int, ss: Int, se: Int, al: Int): Unit =
+      for (by <- 0 until cbh(c); bx <- 0 until cbw(c)) {
+        val blk = blocks(c)(by)(bx)
+        def temp(k: Int) = math.abs(blk(k)) >> al
+        // mirror of the decoder's figure-G.7 walk: emit symbol, then
+        // the correction bits in exactly the order its walk reads them
+        var k = ss
+        var more = true
+        while (more && k <= se) {
+          // next newly-significant position at >= k
+          var pNew = -1
+          var j = k
+          while (pNew < 0 && j <= se) { if (temp(j) == 1) pNew = j; j += 1 }
+          if (pNew < 0) {
+            // no more placements: EOB unless the band ended exactly at
+            // the previous placement, then tail correction bits
+            if (k <= se) {
+              sink.sym(0x00)
+              var t = k
+              while (t <= se) { if (temp(t) > 1) sink.rawBits(temp(t) & 1, 1); t += 1 }
+            }
+            more = false
+          } else {
+            var r = 0
+            var t = k
+            while (t < pNew) { if (temp(t) == 0) r += 1; t += 1 }
+            if (r > 15) {
+              // ZRL: decoder consumes 16 zeros + bits at nonzeros
+              // before the 16th zero (inclusive of consuming it)
+              sink.sym(0xf0)
+              var zeros = 0
+              var u = k
+              var stop = -1
+              while (stop < 0) {
+                if (temp(u) == 0) { zeros += 1; if (zeros == 16) stop = u }
+                else sink.rawBits(temp(u) & 1, 1)
+                u += 1
+              }
+              k = stop + 1
+            } else {
+              sink.sym((r << 4) | 1)
+              sink.rawBits(if (blk(pNew) > 0) 1 else 0, 1) // sign of new coef
+              var u = k
+              while (u < pNew) { if (temp(u) > 1) sink.rawBits(temp(u) & 1, 1); u += 1 }
+              k = pNew + 1
+            }
+          }
+        }
+      }
+
+    // assemble: census → tables → emit, per scan
+    val bb = new java.io.ByteArrayOutputStream()
+    def seg(marker: Int, body: Array[Byte]): Unit = {
+      bb.write(0xff); bb.write(marker)
+      bb.write((body.length + 2) >> 8); bb.write((body.length + 2) & 0xff)
+      bb.write(body)
+    }
+    bb.write(0xff); bb.write(0xd8)
+    seg(0xdb, Array(0.toByte) ++ q.map(_.toByte))
+    seg(0xc2, Array(8, (h >> 8) & 0xff, h & 0xff, (w >> 8) & 0xff, w & 0xff, nc).map(_.toByte)
+      ++ (1 to nc).flatMap(c => Seq(c.toByte,
+        ((sampF(c - 1)._1 << 4) | sampF(c - 1)._2).toByte, 0.toByte)))
+    def scan(run: Sink => Unit, comps: Seq[Int], ss: Int, se: Int,
+        ah: Int, al: Int, tableClass: Int): Unit = {
+      val census = new Census
+      run(census)
+      val useTable = census.syms.nonEmpty
+      val enc: Map[Int, (Int, Int)] =
+        if (useTable) {
+          val (e, body) = jHuff(census.syms.toSeq)
+          seg(0xc4, Array(((tableClass << 4) | 0).toByte) ++ body)
+          e
+        } else Map.empty
+      seg(0xda, Array(comps.size.toByte) ++
+        comps.flatMap(c => Seq((c + 1).toByte, 0x00.toByte)) ++
+        Array(ss.toByte, se.toByte, (((ah << 4) | al)).toByte))
+      val bits = new JBits
+      run(new Emit(enc, bits))
+      bits.finish()
+      bb.write(bits.out.toByteArray)
+    }
+    scan(dcFirst(_, 1), 0 until nc, 0, 0, 0, 1, 0)
+    scan(acFirst(_, 0, 1, 5, 1), Seq(0), 1, 5, 0, 1, 1)
+    scan(acFirst(_, 0, 6, 63, 1), Seq(0), 6, 63, 0, 1, 1)
+    for (c <- 1 until nc) scan(acFirst(_, c, 1, 63, 0), Seq(c), 1, 63, 0, 0, 1)
+    scan(acRefine(_, 0, 1, 5, 0), Seq(0), 1, 5, 1, 0, 1)
+    scan(acRefine(_, 0, 6, 63, 0), Seq(0), 6, 63, 1, 0, 1)
+    scan(dcRefine(_, 0), 0 until nc, 0, 0, 1, 0, 0)
+    bb.write(0xff); bb.write(0xd9)
+    bb.toByteArray
+  }
+
   test("JPEG decode: constant raster exact, random rasters within quantization error") {
     val rnd = new scala.util.Random(31)
     val q1 = Array.fill(64)(1)
@@ -739,6 +920,53 @@ class MultimodalSpec extends AnyFunSuite {
     }
     val bad = withDri.clone(); bad(rstAt + 1) = 0xd5.toByte
     assert(Multimodal.decodeJpeg(bad).isEmpty, "out-of-sequence RST must reject")
+  }
+
+  test("JPEG decode: progressive (SOF2) — bit-exact vs the baseline stream") {
+    // The multi-scan reconstruction (DC successive approximation,
+    // spectral-band AC first scans, AC refinement correction bits,
+    // chroma-scan skipping) must rebuild the EXACT quantized
+    // coefficients, so the final dequant+IDCT pixels equal the
+    // baseline encoding of the same planes bit-for-bit.
+    val rnd = new scala.util.Random(2026)
+    for ((w, h) <- Seq((16, 16), (21, 13), (8, 8), (3, 3), (24, 17))) {
+      val q = Array.fill(64)(1 + rnd.nextInt(3))
+      val yP = Array.fill(w * h)(rnd.nextInt(256).toByte)
+      // grayscale: single-component DC scan path
+      val Some(gProg) = Multimodal.decodeJpeg(jpegProg(w, h, Seq(yP), q))
+      val gBase = Multimodal.decodeJpeg(jpeg(w, h, Seq(yP), q)).get
+      assert(gProg.pixels.sameElements(gBase.pixels), s"gray ${w}x$h progressive drifted")
+      // 4:4:4 color: interleaved DC + skipped chroma AC scans
+      val cb = Array.fill(w * h)((128 + rnd.nextInt(64) - 32).toByte)
+      val cr = Array.fill(w * h)((128 + rnd.nextInt(64) - 32).toByte)
+      val Some(cProg) = Multimodal.decodeJpeg(jpegProg(w, h, Seq(yP, cb, cr), q))
+      assert(cProg.pixels.sameElements(gBase.pixels), s"4:4:4 ${w}x$h progressive drifted")
+    }
+    // 4:2:0: padded interleaved DC grid vs unpadded AC grid mapping
+    val w = 21; val h = 13
+    val q = Array.fill(64)(2)
+    val yP = Array.fill(w * h)(rnd.nextInt(256).toByte)
+    val cwc = 11; val chc = 7
+    val cb = Array.fill(cwc * chc)(128.toByte); val cr = Array.fill(cwc * chc)(140.toByte)
+    val Some(sProg) = Multimodal.decodeJpeg(
+      jpegProg(w, h, Seq(yP, cb, cr), q, samp = Seq((2, 2), (1, 1), (1, 1))))
+    val sBase = Multimodal.decodeJpeg(jpeg(w, h, Seq(yP), q)).get
+    assert(sProg.pixels.sameElements(sBase.pixels), "4:2:0 progressive drifted")
+    // constant image: the all-EOB degenerate stream
+    val flat = Array.fill(20 * 12)(130.toByte)
+    val Some(gFlat) = Multimodal.decodeJpeg(jpegProg(20, 12, Seq(flat), Array.fill(64)(1)))
+    assert(gFlat.pixels.sameElements(flat), "constant progressive must be exact")
+    // sparse image at a coarse table: isolated quantized coefs leave
+    // >15-zero runs — the ZRL paths in first AND refinement scans
+    val sp = Array.fill(32 * 24)(100.toByte)
+    sp(5 * 32 + 7) = 220.toByte; sp(20 * 32 + 30) = 0.toByte
+    val qs = Array.fill(64)(8)
+    val Some(gSp) = Multimodal.decodeJpeg(jpegProg(32, 24, Seq(sp), qs))
+    val bSp = Multimodal.decodeJpeg(jpeg(32, 24, Seq(sp), qs)).get
+    assert(gSp.pixels.sameElements(bSp.pixels), "sparse progressive (ZRL) drifted")
+    // truncated progressive rejects, never throws
+    val ok = jpegProg(16, 16, Seq(Array.fill(256)(99.toByte)), Array.fill(64)(1))
+    assert(Multimodal.decodeJpeg(ok.dropRight(25)).isEmpty, "truncated progressive")
   }
 
   test("JPEG decode: fill bytes and standalone markers in the header walk") {
