@@ -13,8 +13,9 @@ import org.apache.spark.sql.functions._
   *
   * Decode is REAL for the formats that parse from raw bytes with
   * zero dependencies (round-11 verdict item 4): binary PPM/PGM
-  * rasters (`P6`/`P5`), uncompressed 24-bit BMP, RIFF WAV PCM
-  * (8/16-bit), and — rounds 12-13 — PNG at every legal bit depth
+  * rasters (`P6`/`P5`), uncompressed BMP (24/32-bit BGR(X) and 8-bit
+  * palette), RIFF WAV (8/16-bit integer PCM and 32-bit IEEE float),
+  * and — rounds 12-13 — PNG at every legal bit depth
   * (1/2/4/8/16; gray/RGB/gray-alpha/RGBA/indexed-PLTE, all five row
   * filters, Adam7 interlace; zlib inflate is in the JDK), GIF87a/89a
   * (a full LZW decoder —
@@ -87,29 +88,51 @@ object Multimodal {
     Some(GrayRaster(w, h, out))
   }
 
-  /** Uncompressed 24-bit BMP decode: BITMAPFILEHEADER + BITMAPINFO
-    * (BI_RGB only), BGR pixel order, rows padded to 4 bytes, positive
-    * height = bottom-up. Returns None for any other BMP flavor or a
-    * truncated pixel array. */
+  /** Uncompressed BMP decode: BITMAPFILEHEADER + BITMAPINFO (BI_RGB
+    * only) at 24 bpp (BGR), 32 bpp (BGRX — padding byte ignored), or
+    * 8 bpp indexed (BGRX palette after the DIB header; biClrUsed = 0
+    * means a full 256-entry table). Rows padded to 4 bytes, positive
+    * height = bottom-up. Returns None for compressed or other-depth
+    * flavors, out-of-range palette indices, or a truncated pixel
+    * array. */
   private[graft] def decodeBmp(b: Array[Byte]): Option[GrayRaster] = {
     if (b.length < 54 || b(0) != 'B' || b(1) != 'M') return None
     val dataOff = le32(b, 10)
-    if (le32(b, 14) < 40) return None // DIB header too old/small
+    val hdrSize = le32(b, 14)
+    if (hdrSize < 40) return None // DIB header too old/small
     val w = le32(b, 18); val hRaw = le32(b, 22)
-    if (w <= 0 || hRaw == 0 || le16(b, 26) != 1 || le16(b, 28) != 24 ||
-      le32(b, 30) != 0) return None
+    val bpp = le16(b, 28)
+    if (w <= 0 || hRaw == 0 || le16(b, 26) != 1 ||
+      (bpp != 24 && bpp != 32 && bpp != 8) || le32(b, 30) != 0) return None
     val h = math.abs(hRaw)
-    val rowBytes = (w * 3 + 3) & ~3
+    if (w.toLong * h > PngMaxRaw) return None
+    val bytesPerPx = bpp / 8
+    val rowBytes = (w * bytesPerPx + 3) & ~3
     if (dataOff < 54 || dataOff.toLong + rowBytes.toLong * h > b.length) return None
+    // 8-bit: palette of BGRX entries between the DIB header and pixels
+    var palOff = 0; var palN = 0
+    if (bpp == 8) {
+      palOff = 14 + hdrSize
+      val used = le32(b, 46)
+      palN = if (used == 0) 256 else used
+      if (palN < 1 || palN > 256 || palOff + 4L * palN > dataOff) return None
+    }
     val out = new Array[Byte](w * h)
     var y = 0
     while (y < h) {
       val src = dataOff + (if (hRaw > 0) h - 1 - y else y) * rowBytes
       var x = 0
       while (x < w) {
-        // BGR order on disk
-        out(y * w + x) = luma(b(src + x * 3 + 2) & 0xff, b(src + x * 3 + 1) & 0xff,
-          b(src + x * 3) & 0xff)
+        out(y * w + x) =
+          if (bpp == 8) {
+            val idx = b(src + x) & 0xff
+            if (idx >= palN) return None
+            val o = palOff + idx * 4
+            luma(b(o + 2) & 0xff, b(o + 1) & 0xff, b(o) & 0xff)
+          } else {
+            val o = src + x * bytesPerPx // BGR(X) order on disk
+            luma(b(o + 2) & 0xff, b(o + 1) & 0xff, b(o) & 0xff)
+          }
         x += 1
       }
       y += 1
@@ -117,29 +140,44 @@ object Multimodal {
     Some(GrayRaster(w, h, out))
   }
 
-  /** RIFF WAV PCM decode: chunk walk for `fmt ` (format 1 = PCM,
-    * 8/16-bit) and `data`; 16-bit samples little-endian, 8-bit
-    * unsigned recentered to signed 16-bit. Returns None for
-    * compressed formats, truncated chunks, or missing fmt/data. */
+  /** RIFF WAV decode: chunk walk for `fmt ` and `data`. Format 1
+    * (integer PCM, 8/16-bit: 16-bit little-endian signed; 8-bit
+    * unsigned recentered to signed 16-bit) and format 3 (IEEE float,
+    * 32-bit: scaled to 16-bit with clamping — floats nominally span
+    * [-1, 1] but out-of-range values exist in the wild). Returns None
+    * for compressed formats, truncated chunks, or missing
+    * fmt/data. */
   private[graft] def decodeWav(b: Array[Byte]): Option[PcmAudio] = {
     if (b.length < 44 || b(0) != 'R' || b(1) != 'I' || b(2) != 'F' || b(3) != 'F' ||
       b(8) != 'W' || b(9) != 'A' || b(10) != 'V' || b(11) != 'E') return None
     var i = 12
-    var fmt = Option.empty[(Int, Int, Int)] // channels, rate, bits
-    var data = Option.empty[(Int, Int)]     // offset, byte length
+    var fmt = Option.empty[(Int, Int, Int, Int)] // code, channels, rate, bits
+    var data = Option.empty[(Int, Int)]          // offset, byte length
     while (i + 8 <= b.length && (fmt.isEmpty || data.isEmpty)) {
       val len = le32(b, i + 4)
       if (len < 0 || i + 8 + len.toLong > b.length) return None
       val id = new String(b, i, 4, "US-ASCII")
       if (id == "fmt ") {
-        if (len < 16 || le16(b, i + 8) != 1) return None // PCM only
-        fmt = Some((le16(b, i + 10), le32(b, i + 12), le16(b, i + 22)))
+        val code = le16(b, i + 8)
+        if (len < 16 || (code != 1 && code != 3)) return None // PCM or IEEE float
+        fmt = Some((code, le16(b, i + 10), le32(b, i + 12), le16(b, i + 22)))
       } else if (id == "data") data = Some((i + 8, len))
       i += 8 + len + (len & 1) // RIFF chunks are word-aligned
     }
-    for ((ch, rate, bits) <- fmt; (off, len) <- data
-         if ch > 0 && rate > 0 && (bits == 16 || bits == 8)) yield {
-      if (bits == 16) {
+    for ((code, ch, rate, bits) <- fmt; (off, len) <- data
+         if ch > 0 && rate > 0 &&
+           ((code == 1 && (bits == 16 || bits == 8)) || (code == 3 && bits == 32))) yield {
+      if (code == 3) {
+        val out = new Array[Short](len / 4)
+        var k = 0
+        while (k < out.length) {
+          val f = java.lang.Float.intBitsToFloat(le32(b, off + 4 * k))
+          val v = math.round(f * 32767.0f)
+          out(k) = math.max(-32768, math.min(32767, v)).toShort
+          k += 1
+        }
+        PcmAudio(rate, ch, out)
+      } else if (bits == 16) {
         val out = new Array[Short](len / 2)
         var k = 0
         while (k < out.length) {

@@ -310,6 +310,17 @@ object Streaming {
   /** Typed document for streaming dedup tests/feeds. */
   case class Doc(doc_id: Long, ts: java.sql.Timestamp, text: String)
 
+  /** The multimodal family's streaming leg: the typed decode pipeline
+    * applied per micro-batch. `decodeFeatures` is a map-only
+    * `mapPartitions` transform — no state, no shuffle, no watermark —
+    * so it lifts to streams unchanged; a 100 TB/day media ingest
+    * decodes inline at whatever parallelism the source provides.
+    * Batch parity is structural (same function), pinned by
+    * MultimodalSpec's streaming test over real PNG/WAV payloads. */
+  def mediaFeatures(media: org.apache.spark.sql.Dataset[graft.operators.Multimodal.MediaRow],
+      frameStride: Int = 4): org.apache.spark.sql.Dataset[graft.operators.Multimodal.MediaFeatures] =
+    graft.operators.Multimodal.decodeFeatures(media, frameStride)
+
   /** The dedup family's streaming leg: exact dedup of an incoming
     * document stream — the first document per normalized-text hash
     * passes, later copies are dropped — with state bounded by the

@@ -119,6 +119,84 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.decodeBmp(bmp24(3, 2, px).take(40)).isEmpty)
   }
 
+  private def bmpN(w: Int, h: Int, bpp: Int, topDownRGB: Seq[(Int, Int, Int)],
+      palette: Seq[(Int, Int, Int)] = Nil, indices: Array[Byte] = null,
+      clrUsed: Int = 0): Array[Byte] = {
+    val bytesPerPx = bpp / 8
+    val rowBytes = (w * bytesPerPx + 3) & ~3
+    val palBytes = palette.size * 4
+    val dataOff = 54 + palBytes
+    val b = new Array[Byte](dataOff + rowBytes * h)
+    b(0) = 'B'; b(1) = 'M'; p32(b, 2, b.length); p32(b, 10, dataOff)
+    p32(b, 14, 40); p32(b, 18, w); p32(b, 22, h)
+    p16(b, 26, 1); p16(b, 28, bpp); p32(b, 30, 0); p32(b, 46, clrUsed)
+    for (((r, g, bl), k) <- palette.zipWithIndex) {
+      b(54 + k * 4) = bl.toByte; b(54 + k * 4 + 1) = g.toByte; b(54 + k * 4 + 2) = r.toByte
+      b(54 + k * 4 + 3) = 0x77.toByte // reserved byte: junk, must be ignored
+    }
+    for (y <- 0 until h; x <- 0 until w) {
+      val row = dataOff + (h - 1 - y) * rowBytes // bottom-up
+      if (bpp == 8) b(row + x) = indices(y * w + x)
+      else {
+        val (r, g, bl) = topDownRGB(y * w + x)
+        val o = row + x * bytesPerPx
+        b(o) = bl.toByte; b(o + 1) = g.toByte; b(o + 2) = r.toByte
+        if (bpp == 32) b(o + 3) = 0x5a.toByte // X byte: junk, ignored
+      }
+    }
+    b
+  }
+
+  test("BMP decode: 32-bit BGRX and 8-bit palette flavors") {
+    val rnd = new scala.util.Random(3232)
+    val px = Seq.fill(5 * 3)((rnd.nextInt(256), rnd.nextInt(256), rnd.nextInt(256)))
+    val want = px.map { case (r, g, b) => lumaOf(r, g, b) }
+    // 32 bpp: same pixels as 24 bpp, X byte ignored
+    val Some(g32) = Multimodal.decodeBmp(bmpN(5, 3, 32, px))
+    assert(g32.pixels.map(_ & 0xff).toSeq == want, "32bpp BGRX drifted")
+    val g24 = Multimodal.decodeBmp(bmp24(5, 3, px)).get
+    assert(g32.pixels.sameElements(g24.pixels), "32bpp vs 24bpp parity")
+    // 8 bpp indexed: full 256-entry table (biClrUsed = 0)
+    val pal = Seq.fill(256)((rnd.nextInt(256), rnd.nextInt(256), rnd.nextInt(256)))
+    val idx = Array.fill(7 * 4)(rnd.nextInt(256).toByte)
+    val Some(g8) = Multimodal.decodeBmp(bmpN(7, 4, 8, Nil, pal, idx))
+    assert(g8.pixels.map(_ & 0xff).toSeq ==
+      idx.map(i => { val (r, g, b) = pal(i & 0xff); lumaOf(r, g, b) }).toSeq,
+      "8bpp palette mapping drifted")
+    // truncated table (biClrUsed = 4): in-range decodes, out-of-range rejects
+    val pal4 = pal.take(4)
+    val idx4 = Array.fill(6 * 2)(rnd.nextInt(4).toByte)
+    assert(Multimodal.decodeBmp(bmpN(6, 2, 8, Nil, pal4, idx4, clrUsed = 4)).nonEmpty)
+    val idxBad = idx4.clone(); idxBad(3) = 9.toByte
+    assert(Multimodal.decodeBmp(bmpN(6, 2, 8, Nil, pal4, idxBad, clrUsed = 4)).isEmpty,
+      "palette index beyond biClrUsed must reject")
+  }
+
+  private def wavF32(rate: Int, ch: Int, samples: Array[Float]): Array[Byte] = {
+    val dataLen = samples.length * 4
+    val b = new Array[Byte](44 + dataLen)
+    pStr(b, 0, "RIFF"); p32(b, 4, b.length - 8); pStr(b, 8, "WAVE")
+    pStr(b, 12, "fmt "); p32(b, 16, 16); p16(b, 20, 3); p16(b, 22, ch)
+    p32(b, 24, rate); p32(b, 28, rate * ch * 4); p16(b, 32, ch * 4)
+    p16(b, 34, 32)
+    pStr(b, 36, "data"); p32(b, 40, dataLen)
+    samples.zipWithIndex.foreach { case (f, i) =>
+      p32(b, 44 + 4 * i, java.lang.Float.floatToIntBits(f))
+    }
+    b
+  }
+
+  test("WAV decode: IEEE float (format 3) scales and clamps to 16-bit") {
+    val fs = Array(0.0f, 0.5f, -0.5f, 1.0f, -1.0f, 1.5f, -2.0f, 1.0f / 32767.0f)
+    val Some(a) = Multimodal.decodeWav(wavF32(16000, 1, fs))
+    assert(a.sampleRate == 16000 && a.channels == 1)
+    assert(a.samples.toSeq == Seq[Short](0, 16384, -16383, 32767, -32767, 32767, -32768, 1),
+      s"float scaling drifted: ${a.samples.toSeq}")
+    // float fmt with wrong bit width rejects
+    val bad = wavF32(16000, 1, fs); p16(bad, 34, 64)
+    assert(Multimodal.decodeWav(bad).isEmpty, "float64 unsupported")
+  }
+
   test("WAV decode: 16-bit PCM round-trip, chunk walking, 8-bit recentering") {
     val samples = Array[Short](0, 16384, -32768, 32767, -1, 1)
     val Some(a) = Multimodal.decodeWav(wav16(8000, 1, samples, junkChunk = true))
@@ -1125,5 +1203,38 @@ class MultimodalSpec extends AnyFunSuite {
       assert(f.n_frames == (f.n_bytes + 3) / 4)
       assert(f.kind == "text/plain")
     }
+  }
+
+  test("streaming media decode equals the batch pipeline per micro-batch") {
+    // the multimodal streaming leg: decodeFeatures is map-only, so it
+    // lifts to a stream unchanged — features for real PNG/WAV/stub
+    // payloads arriving over two micro-batches must equal the batch
+    // pass over the same rows
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val rnd = new scala.util.Random(99123)
+    val img = png(9, 6, 3, Array.fill(9 * 6 * 3)(rnd.nextInt(256).toByte), Seq(0, 4))
+    val snd = wav16(8000, 1, Array.fill(40)(rnd.nextInt(65536).toShort))
+    val blob = Array.fill(64)(rnd.nextInt(256).toByte)
+    val rows = Seq(
+      Multimodal.MediaRow(1L, img, "image/png"),
+      Multimodal.MediaRow(2L, snd, "audio/wav"),
+      Multimodal.MediaRow(3L, blob, "application/octet-stream"))
+    val want = Multimodal.decodeFeatures(rows.toDS()).collect()
+      .map(f => f.doc_id -> (f.n_bytes, f.n_frames, f.features.toSeq)).toMap
+    val ms = MemoryStream[Multimodal.MediaRow]
+    val q = graft.streaming.Streaming.mediaFeatures(ms.toDS())
+      .writeStream.format("memory").queryName("media_feats").outputMode("append").start()
+    try {
+      ms.addData(rows(0))
+      q.processAllAvailable()
+      ms.addData(rows(1), rows(2))
+      q.processAllAvailable()
+      val got = spark.sql("SELECT doc_id, n_bytes, n_frames, features FROM media_feats")
+        .collect().map(r => r.getLong(0) ->
+          (r.getLong(1), r.getInt(2), r.getSeq[Float](3))).toMap
+      assert(got == want, "streaming features diverged from the batch pipeline")
+    } finally q.stop()
   }
 }
