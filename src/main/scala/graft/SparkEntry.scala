@@ -314,7 +314,8 @@ object SparkEntry {
             INTERSECT SELECT l_linestatus AS status FROM lineitem) b""",
     "eco_stats" ->
       """WITH g AS (SELECT event_type, count(*) AS n,
-           round(sum(value), 4) AS sum_value, round(avg(value), 4) AS avg_value
+           round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 4) AS sum_value,
+           round(avg(value), 4) AS avg_value
            FROM events GROUP BY event_type)
          SELECT event_type, n, sum_value, avg_value,
            round(n / CAST(sum(n) OVER () AS DOUBLE), 6) AS share FROM g""",
@@ -670,7 +671,8 @@ object SparkEntry {
          FROM lineitem JOIN part ON l_partkey = p_partkey
          GROUP BY p_brand""",
     "eco_sql_stats" ->
-      """SELECT event_type, user_id, count(*) AS n, round(sum(value), 4) AS sum_value
+      """SELECT event_type, user_id, count(*) AS n,
+         round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 4) AS sum_value
          FROM events GROUP BY event_type, user_id""",
     "q12_priority" ->
       """SELECT l_linestatus,

@@ -41,9 +41,18 @@ object Ecosystem {
     * no second scan of the fact table. */
   def stats(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.events(spark, dir)
-    val grouped = e.groupBy(col("event_type"))
+    // sum_value accumulates exactly (split-long cents — value is
+    // 2-decimal-clean): a raw sum(double) over a 5-group key is the
+    // layout-sensitive class the sf3 sweep caught on q1 — the per-
+    // group row count grows with volume until ulp noise crosses the
+    // round-4 quantum. avg is safe as-is (normalized by n, relative
+    // error stays at ulp scale).
+    val grouped = e
+      .select(col("event_type"), col("value"),
+        graft.functions.Money.moneyUnits(col("value")).as("value_c"))
+      .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"),
-           round(sum(col("value")), 4).as("sum_value"),
+           round(graft.functions.Money.splitSum("value_c", 100L), 4).as("sum_value"),
            round(avg(col("value")), 4).as("avg_value"))
       .ckptLocal()
     grouped
@@ -314,9 +323,12 @@ object Ecosystem {
     // sum, not avg: source values carry two decimals, so rounded sums
     // sit far from any .00005 boundary; a per-group avg can land on
     // one and flip differently across engines' last-ulp partial-sum
-    // orders (observed once in 750 groups).
+    // orders (observed once in 750 groups). The sum itself is exact
+    // DECIMAL on both sides (order-independent — same reasoning as
+    // functions/Money, expressed in plain SQL for the SQL surface).
     spark.sql(
-      """SELECT event_type, user_id, count(*) AS n, round(sum(value), 4) AS sum_value
+      """SELECT event_type, user_id, count(*) AS n,
+         round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 4) AS sum_value
          FROM graft_events
          GROUP BY event_type, user_id""")
   }
