@@ -30,7 +30,8 @@ class MoneySumSpec extends AnyFunSuite {
 
   test("split-long money sums are partition-layout independent (q1/q3/q5/q11)") {
     for (q <- Seq("q1_pricing_summary", "q3_revenue_by_nation",
-        "q5_revenue_by_region", "q11_parts_by_brand")) {
+        "q5_revenue_by_region", "q8_cube", "q11_parts_by_brand",
+        "q12_priority", "q14_range_join", "eco_stats")) {
       val base = canon(SparkEntry.queries(q)(spark, TestSpark.sf).collect())
       val relaid = canon(
         SparkEntry.queries(q)(spark, TestSpark.sf).repartition(7).collect())
