@@ -128,6 +128,9 @@ object SparkEntry {
     // the typed media pipeline's oracled leg: per-doc decode metadata
     // through the REAL executor-side mapPartitions pass
     "llm_media_frames"   -> (graft.operators.Multimodal.mediaFrames _),
+    // the REAL-decoder oracle: synthesized PGM payloads decoded
+    // executor-side, pixel-sum checksum recomputed by DuckDB
+    "llm_media_decode"   -> (graft.operators.Multimodal.mediaDecodeChecksum _),
   )
 
   /** The registry as a SQL surface (round-11 verdict item 8):
@@ -210,6 +213,7 @@ object SparkEntry {
     "llm_lang_id" -> ("llm-text", "Llm.langId"),
     "llm_length_quantiles" -> ("llm-text", "Llm.lengthQuantiles"),
     "llm_media_frames" -> ("multimodal", "Multimodal.mediaFrames"),
+    "llm_media_decode" -> ("multimodal", "Multimodal.mediaDecodeChecksum"),
     "llm_media_meta" -> ("multimodal", "Llm.mediaMeta"),
     "llm_mix_weighted" -> ("llm-corpus", "Llm.mixWeighted"),
     "llm_ngram_jaccard" -> ("llm-dedup", "Llm.ngramJaccard"),
@@ -1221,5 +1225,13 @@ object SparkEntry {
       """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
                 CAST((octet_length(encode(text)) + 3) // 4 AS BIGINT) AS n_frames
          FROM documents WHERE text IS NOT NULL""",
+    // real-decoder oracle: the 32x1 PGM's pixels ARE the ASCII bytes
+    // of md5(text), so the checksum is recomputable engine-free
+    "llm_media_decode" ->
+      """SELECT doc_id, 32 AS w, 1 AS h,
+                CAST(SUM(ord(substr(md5(text), i, 1))) AS BIGINT) AS px_sum
+         FROM (SELECT doc_id, text FROM documents WHERE text IS NOT NULL),
+              LATERAL (SELECT unnest(range(1, 33)) AS i)
+         GROUP BY doc_id""",
   )
 }

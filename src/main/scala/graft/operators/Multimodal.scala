@@ -1442,6 +1442,38 @@ object Multimodal {
     * every row with the declared batching semantics, not a shortcut
     * projection. The feature vectors themselves are pinned by
     * MultimodalSpec (stub identity + real-decoder dispatch). */
+  /** The ORACLED leg through a REAL decoder (`llm_media_decode`):
+    * every document gets a deterministic 32×1 PGM payload whose
+    * pixels are the ASCII bytes of `md5(text)` (hex chars are ASCII,
+    * so the UTF-8 cast is byte-exact and DuckDB can model the same
+    * construction), the payload rides the executor-side decode, and
+    * the query emits the decoded geometry plus the pixel-sum
+    * checksum. The oracle recomputes the checksum from `md5(text)`
+    * directly — the row only matches if the REAL netpbm decode ran
+    * per-row and returned the exact raster, distributed. Unlike
+    * `llm_media_frames` (which oracles the stub path's metadata),
+    * this pins the real-decoder path through the correctness gate,
+    * not just through unit tests. */
+  def mediaDecodeChecksum(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val rows = graft.sources.Tables.documents(spark, dir)
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        concat(lit("P5 32 1 255\n").cast("binary"), md5(col("text")).cast("binary"))
+          .as("payload"),
+        lit("image/x-portable-graymap").as("kind"))
+      .as[MediaRow]
+    rows.mapPartitions { it =>
+      it.map { r =>
+        decode(r.payload) match {
+          case Some(g: GrayRaster) =>
+            (r.doc_id, g.w, g.h, g.pixels.foldLeft(0L)((a, p) => a + (p & 0xff)))
+          case _ => (r.doc_id, -1, -1, -1L) // decode failure is a visible row
+        }
+      }
+    }.toDF("doc_id", "w", "h", "px_sum")
+  }
+
   def mediaFrames(spark: SparkSession, dir: String): DataFrame =
     decodeFeatures(mediaFromDocuments(spark, dir))
       .select(col("doc_id"), col("n_bytes"),
