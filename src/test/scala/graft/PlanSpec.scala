@@ -32,6 +32,21 @@ class PlanSpec extends AnyFunSuite {
       "scan reads columns the query never uses")
   }
 
+  test("money-sum queries keep one shuffle and no per-row decimal cast (q1/q5/q11)") {
+    // the split-long money conversion must be a pure arithmetic
+    // substitution: the same single partial-agged hash exchange, and
+    // the per-row DECIMAL(18,2) cast gone from the hot path — the
+    // only decimal left is the per-GROUP finisher
+    for (q <- Seq("q1_pricing_summary", "q5_revenue_by_region", "q11_parts_by_brand")) {
+      val p = plan(q)
+      val shuffles = "Exchange hashpartitioning".r.findAllMatchIn(p).size
+      assert(shuffles == 1, s"$q must have exactly one shuffle exchange, saw $shuffles:\n$p")
+      assert(p.contains("HashAggregate"), s"$q lost hash aggregation")
+      assert(!p.contains("as decimal(18,2)"),
+        s"$q has a per-row decimal cast back in the hot path")
+    }
+  }
+
   test("dimension joins are broadcast, not shuffled (q5)") {
     val p = plan("q5_revenue_by_region")
     assert(p.contains("BroadcastHashJoin"), "dim joins must broadcast")
