@@ -1091,6 +1091,28 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.decodeJpeg(ok.take(2) ++ Array.fill(60)(0x11.toByte)).isEmpty)
   }
 
+  test("JPEG progressive equals baseline on arbitrary rasters (generative)") {
+    // 8 random trials over dims / grayscale-vs-4:4:4 / quant scale:
+    // the progressive reconstruction rebuilds the exact quantized
+    // coefficients, so its pixels must equal the baseline stream's
+    // decode bit-for-bit on ANY input. Seeded so failures replay.
+    val rnd = new scala.util.Random(90210)
+    for (trial <- 1 to 8) {
+      val w = 3 + rnd.nextInt(30); val h = 3 + rnd.nextInt(22)
+      val qv = 1 + rnd.nextInt(4)
+      val q = Array.fill(64)(qv)
+      val yP = Array.fill(w * h)(rnd.nextInt(256).toByte)
+      val planes =
+        if (rnd.nextBoolean()) Seq(yP)
+        else Seq(yP, Array.fill(w * h)((128 + rnd.nextInt(32)).toByte),
+          Array.fill(w * h)((128 - rnd.nextInt(32)).toByte))
+      val Some(prog) = Multimodal.decodeJpeg(jpegProg(w, h, planes, q))
+      val base = Multimodal.decodeJpeg(jpeg(w, h, Seq(yP), q)).get
+      assert(prog.pixels.sameElements(base.pixels),
+        s"trial $trial (w=$w h=$h q=$qv nc=${planes.size}): progressive != baseline")
+    }
+  }
+
   test("JPEG round-trips arbitrary rasters within the quantization bound (generative)") {
     // 10 random trials over dims / grayscale-vs-4:4:4 / quant scale —
     // the fixed cases pin known spots; this sweeps the space. The
