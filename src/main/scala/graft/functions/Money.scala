@@ -21,7 +21,9 @@ import org.apache.spark.sql.functions._
   * |sum(v % M)| < M·N ≈ 6e17 and |sum(v DIV M)| ≤ maxUnits/M·N ≈
   * 6e14 at 100 TB — both within long with >10× headroom, and the
   * identity v = (v DIV M)·M + (v % M) (Java truncating division)
-  * recombines them exactly per GROUP. The recombined total converts
+  * recombines them exactly per GROUP — in decimal(38,0) arithmetic,
+  * because sum(hi)·M is the full units total and would wrap a long at
+  * the same threshold the naive sum does. The recombined total converts
   * through an exact decimal division (result scale ≥ 6 holds the 2–4
   * fractional digits exactly), so the final double is bit-identical
   * to the DECIMAL(18,2) formulation the DuckDB oracle runs — pinned
@@ -38,12 +40,38 @@ object Money {
   def moneyUnits(c: Column, unitsPerOne: Long = 100L): Column =
     round(c * unitsPerOne.toDouble).cast("long")
 
+  /** moneyUnits with the 2-decimal contract enforced per row: any
+    * value whose scaled form is not within 1e-6 of an integer (i.e.
+    * carries a third meaningful decimal) raises a runtime error
+    * instead of silently rounding. The 1e-6 tolerance covers the
+    * double-representation ulp of clean values up to ~1e9 scaled
+    * units — far above any per-row money amount. Use this form when
+    * wiring a NEW column into the split-long path; the shipped hot
+    * paths keep the unchecked form on columns already verified clean
+    * (the guard costs one extra round + compare per row). */
+  def moneyUnitsChecked(c: Column, unitsPerOne: Long = 100L): Column = {
+    val scaled = c * unitsPerOne.toDouble
+    val guard = assert_true(
+      abs(scaled - round(scaled)) <= lit(1e-6),
+      concat(lit("moneyUnits contract: >2 meaningful decimals in "), c.cast("string")))
+    when(guard.isNull, round(scaled)).cast("long")
+  }
+
   /** Split-accumulated exact sum of a long units column, recombined
-    * and scaled back to a double equal to the DECIMAL sum's cast. */
+    * and scaled back to a double equal to the DECIMAL sum's cast.
+    * The PARTIAL sums stay long (that is the whole CPU win — every
+    * per-row add is a codegen'd primitive), but the per-group
+    * recombination happens in decimal(38,0): `sum(hi)·M + sum(lo)`
+    * in long would itself wrap past 2^63 at roughly the same scale
+    * the naive sum fails (sum(hi)·M ≈ total units), defeating the
+    * split. Casting each partial to decimal FIRST makes the multiply
+    * and add exact at any SF — decimal(38,0) holds ~1e38, vs the
+    * ~6e17 worst-case partials — and it costs one decimal op per
+    * GROUP, not per row. */
   def splitSum(unitsCol: String, unitsPerOne: Long): Column = {
-    val total = sum(expr(s"$unitsCol DIV $SplitM")) * SplitM +
-      sum(expr(s"$unitsCol % $SplitM"))
-    (total.cast("decimal(38,0)") / lit(unitsPerOne).cast("decimal(10,0)"))
-      .cast("double")
+    val hi = sum(expr(s"$unitsCol DIV $SplitM")).cast("decimal(38,0)")
+    val lo = sum(expr(s"$unitsCol % $SplitM")).cast("decimal(38,0)")
+    val total = hi * lit(SplitM).cast("decimal(10,0)") + lo
+    (total / lit(unitsPerOne).cast("decimal(10,0)")).cast("double")
   }
 }

@@ -1903,14 +1903,14 @@ object Llm {
     * data-deterministic order → bit-reproducible codebooks on any
     * input split; only m×16×8 doubles cross to the driver per
     * round). Encode is one map-only pass. The ADC scan ranks by
-    * approximate inner product, the top-30 candidates re-join the
+    * approximate inner product, the top-50 candidates re-join the
     * float vectors for an exact cosine re-rank (ids-only until then)
     * — the same two-stage contract as SQ8, pinned by LlmSpec's
     * recall floor vs `knnExact`. At 100 TB the ADC stage reads
-    * 8 B/vector instead of 512: the scan is memory-bandwidth-bound
-    * on a table 64× smaller, and the table lookups per row are m
-    * adds. Probe tables ride as literal columns of a 10-row
-    * broadcast frame. */
+    * m bytes/vector (16 B at the default m=16) instead of 512: the
+    * scan is memory-bandwidth-bound on a table 32× smaller, and the
+    * table lookups per row are m adds. Probe tables ride as literal
+    * columns of a 10-row broadcast frame. */
   def annPq(spark: SparkSession, dir: String, m: Int = 16, ks: Int = 16,
       iters: Int = 3): DataFrame = {
     import spark.implicits._
@@ -1976,7 +1976,7 @@ object Llm {
       books = Array.tabulate(m, ks)((j, c) => merged.getOrElse((j, c), books(j)(c)))
     }
 
-    // encode: one map-only pass — 8 codes per vector plus the
+    // encode: one map-only pass — m (default 16) codes per vector plus the
     // RECONSTRUCTED norm |x̂| (known exactly at encode time), so the
     // ADC scan can rank by approximate COSINE (adc / |x̂|; the probe
     // norm is constant per probe) instead of raw inner product —

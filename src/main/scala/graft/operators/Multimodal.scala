@@ -112,10 +112,14 @@ object Multimodal {
     // 8-bit: palette of BGRX entries between the DIB header and pixels
     var palOff = 0; var palN = 0
     if (bpp == 8) {
-      palOff = 14 + hdrSize
+      // Long arithmetic: a corrupt hdrSize near Int.MaxValue would wrap
+      // `14 + hdrSize` negative in Int, slip past the range guard, and
+      // AIOOBE at the palette read instead of taking the None path.
+      val palOffL = 14L + hdrSize
       val used = le32(b, 46)
       palN = if (used == 0) 256 else used
-      if (palN < 1 || palN > 256 || palOff + 4L * palN > dataOff) return None
+      if (palN < 1 || palN > 256 || palOffL + 4L * palN > dataOff) return None
+      palOff = palOffL.toInt // ≤ dataOff ≤ b.length, so Int-safe
     }
     val out = new Array[Byte](w * h)
     var y = 0

@@ -47,4 +47,37 @@ class MoneySumSpec extends AnyFunSuite {
       assert(base == relaid, s"$q unstable under result repartition")
     }
   }
+
+  test("splitSum recombination is exact past 2^63 total units") {
+    // The split protects the PARTIAL long sums; the recombination
+    // sum(hi)·M + sum(lo) must happen in decimal — in long it would
+    // wrap at the same ~9.2e18-unit threshold the naive sum does.
+    // Four rows of 2.5e18 units total 1e19 > Long.MaxValue: a long
+    // recombination goes negative, the decimal one is exact.
+    import spark.implicits._
+    import graft.functions.Money
+    val units = 2500000000000000000L // 2.5e18
+    val df = Seq.fill(4)(units).toDF("u")
+    val got = df.agg(Money.splitSum("u", 100L).as("s")).head().getDouble(0)
+    val want = (BigDecimal(units) * 4 / 100).toDouble
+    assert(got == want, s"recombination wrapped: got $got want $want")
+    assert(got > 0, "recombination went negative — long wrap")
+  }
+
+  test("moneyUnitsChecked trips on a 3-decimal column, passes clean ones") {
+    import spark.implicits._
+    import graft.functions.Money
+    val clean = Seq(1.25, -17.10, 99999.99, 0.0).toDF("c")
+    val cleanUnits = clean.select(Money.moneyUnitsChecked($"c").as("u"))
+      .as[Long].collect().sorted
+    assert(cleanUnits.toSeq == Seq(-1710L, 0L, 125L, 9999999L))
+    val dirty = Seq(1.25, 3.141).toDF("c")
+    val ex = intercept[Exception] {
+      dirty.select(Money.moneyUnitsChecked($"c").as("u")).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(ex).exists(_.contains("moneyUnits contract")),
+      s"expected the contract guard to trip, got: ${msgs(ex)}")
+  }
 }

@@ -170,6 +170,14 @@ class MultimodalSpec extends AnyFunSuite {
     val idxBad = idx4.clone(); idxBad(3) = 9.toByte
     assert(Multimodal.decodeBmp(bmpN(6, 2, 8, Nil, pal4, idxBad, clrUsed = 4)).isEmpty,
       "palette index beyond biClrUsed must reject")
+    // corrupt hdrSize near Int.MaxValue: `14 + hdrSize` would wrap
+    // negative in Int arithmetic, slip past the palette-range guard
+    // (negative < dataOff) and AIOOBE at the palette read — must take
+    // the None path instead (the never-throw contract)
+    val hugeHdr = bmpN(6, 2, 8, Nil, pal4, idx4, clrUsed = 4)
+    p32(hugeHdr, 14, 0x7ffffff0)
+    assert(Multimodal.decodeBmp(hugeHdr).isEmpty,
+      "Int-wrapping hdrSize must reject, not throw")
   }
 
   private def wavF32(rate: Int, ch: Int, samples: Array[Float]): Array[Byte] = {
