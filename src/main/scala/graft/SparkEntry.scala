@@ -107,6 +107,9 @@ object SparkEntry {
     // no_oracle: PQ-ADC first stage is approximate — recall floor +
     // run-to-run determinism pinned in LlmSpec
     "llm_ann_pq"         -> ((s, d) => Llm.annPq(s, d)),
+    // no_oracle: IVFADC composition (coarse cells + residual PQ) —
+    // recall floor + determinism + pruning pinned in LlmSpec
+    "llm_ann_ivfpq"      -> ((s, d) => Llm.annIvfPq(s, d)),
     "llm_sample_weighted" -> ((s, d) => Llm.sampleWeighted(s, d)),
     "llm_inverted_index" -> (Llm.invertedIndex _),
     "q13_asof_join"      -> (Joins.asofJoin _),
@@ -134,6 +137,10 @@ object SparkEntry {
     // the REAL-decoder oracle: synthesized PGM payloads decoded
     // executor-side, pixel-sum checksum recomputed by DuckDB
     "llm_media_decode"   -> (graft.operators.Multimodal.mediaDecodeChecksum _),
+    // same construction for the audio branch: synthesized 8-bit PCM
+    // WAV payloads ride the real RIFF decode, sample-sum checksum
+    // recomputed by DuckDB
+    "llm_media_wav"      -> (graft.operators.Multimodal.mediaWavChecksum _),
   )
 
   /** The registry as a SQL surface (round-11 verdict item 8):
@@ -197,6 +204,7 @@ object SparkEntry {
     "gen_events" -> ("parse-generate", "Ecosystem.genEvents"),
     "llm_ann_ivf" -> ("llm-similarity", "Llm.annIvf"),
     "llm_ann_lsh" -> ("llm-similarity", "Llm.annLsh"),
+    "llm_ann_ivfpq" -> ("llm-similarity", "Llm.annIvfPq"),
     "llm_ann_pq" -> ("llm-similarity", "Llm.annPq"),
     "llm_char_entropy" -> ("llm-text", "Llm.charEntropy"),
     "llm_contamination" -> ("llm-dedup", "Llm.contamination"),
@@ -219,6 +227,7 @@ object SparkEntry {
     "llm_media_frames" -> ("multimodal", "Multimodal.mediaFrames"),
     "llm_media_decode" -> ("multimodal", "Multimodal.mediaDecodeChecksum"),
     "llm_media_meta" -> ("multimodal", "Llm.mediaMeta"),
+    "llm_media_wav" -> ("multimodal", "Multimodal.mediaWavChecksum"),
     "llm_mix_weighted" -> ("llm-corpus", "Llm.mixWeighted"),
     "llm_ngram_jaccard" -> ("llm-dedup", "Llm.ngramJaccard"),
     "llm_pii_scrub" -> ("llm-text", "Llm.piiScrub"),
@@ -1234,6 +1243,15 @@ object SparkEntry {
     "llm_media_decode" ->
       """SELECT doc_id, 32 AS w, 1 AS h,
                 CAST(SUM(ord(substr(md5(text), i, 1))) AS BIGINT) AS px_sum
+         FROM (SELECT doc_id, text FROM documents WHERE text IS NOT NULL),
+              LATERAL (SELECT unnest(range(1, 33)) AS i)
+         GROUP BY doc_id""",
+    // real audio-decoder oracle: the WAV's 32 data bytes ARE the
+    // ASCII chars of md5(text); 8-bit PCM recenters each byte to
+    // (b - 128) * 256, so the sample sum is recomputable engine-free
+    "llm_media_wav" ->
+      """SELECT doc_id, 8000 AS sample_rate, 1 AS channels,
+                CAST(SUM((ord(substr(md5(text), i, 1)) - 128) * 256) AS BIGINT) AS smp_sum
          FROM (SELECT doc_id, text FROM documents WHERE text IS NOT NULL),
               LATERAL (SELECT unnest(range(1, 33)) AS i)
          GROUP BY doc_id""",

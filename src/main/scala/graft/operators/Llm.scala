@@ -2041,6 +2041,258 @@ object Llm {
       .select(col("probe_id"), col("vec_id"), col("sim"), col("rn"))
   }
 
+  /** IVF-PQ composed kNN (`llm_ann_ivfpq`) — the production 100 TB
+    * ANN layout (FAISS IVFADC, Jégou et al., PAPERS.md), composing
+    * the two existing halves: `annIvf`'s coarse cells prune WHICH
+    * vectors a probe scans, and `annPq`'s codes shrink WHAT the scan
+    * reads — but instead of quantizing the raw vector, PQ here
+    * quantizes the RESIDUAL x − centroid(cell(x)). Residuals have a
+    * fraction of the raw vectors' spread (the coarse quantizer has
+    * already explained the cell-level structure), so the same
+    * m×ks code budget lands on a tighter distribution and carries
+    * more precision per byte — the reason every production IVFADC
+    * deployment quantizes residuals. The ADC identity:
+    * dot(p, x̂) = dot(p, centroid_cell) + Σⱼ T[j][codeⱼ] where T is
+    * the probe's residual inner-product table (shared across cells —
+    * one codebook, trained on pooled residuals), and dot(p, centroid)
+    * is one scalar per (probe, probed cell). Ranking divides by the
+    * reconstructed |x̂| (exact at encode time) for approximate
+    * cosine, exactly like `annPq`.
+    *
+    * Spark shape: coarse Lloyd and residual-PQ Lloyd both run on the
+    * pinned layout (hash-partition on vec_id + in-partition sort →
+    * bit-reproducible codebooks on any input split); encode is one
+    * map-only pass emitting (cell, m codes, |x̂|); the probe side is
+    * a 10×nprobe-row broadcast of (cell, cellDot, ADC table); the
+    * candidate scan is `codes ⋈ probedCells on cell` — partition-
+    * pruned, never a cross join; top-`rerankKeep` ids re-join float
+    * vectors for the exact re-rank. At 100 TB: write the corpus
+    * bucketed by cell id, train both codebooks on a sample, and the
+    * per-probe cost is (nprobe/k of the corpus) × m byte-lookups.
+    *
+    * Default nprobe: the synthetic corpus is near-orthogonal noise
+    * (see `annLsh`), so cell membership is barely correlated with
+    * the cosine ranking and cell recall ≈ nprobe/k — the default
+    * probes 28/32 cells to clear the plain-PQ 0.75 recall floor at
+    * equal code budget. On a real clustered corpus neighbors share
+    * the probe's cells and nprobe ≪ k holds the same recall; the
+    * LlmSpec pruning pin runs at nprobe=4, k=16 to exercise that
+    * regime. no_oracle by design; LlmSpec pins recall vs `knnExact`
+    * and run-to-run determinism. */
+  def annIvfPq(spark: SparkSession, dir: String, k: Int = 32, nprobe: Int = 28,
+      m: Int = 16, ks: Int = 16, coarseIters: Int = 2, pqIters: Int = 3,
+      rerankKeep: Int = 100): DataFrame = {
+    import spark.implicits._
+    val all = vecs(spark, dir)
+    val typed = Tables.pinnedLayout(all.select(col("vec_id"), col("v")), 64, "vec_id")
+      .as[(Long, Seq[Double])]
+    val dim = all.select(size(col("v"))).head().getInt(0)
+    require(dim % m == 0, s"PQ needs dim % m == 0, got $dim % $m")
+    val sub = dim / m
+
+    def centroidNorms(cs: Array[Array[Double]]): Array[Double] =
+      cs.map { c =>
+        var nc = 0.0; var i = 0
+        while (i < c.length) { nc += c(i) * c(i); i += 1 }
+        math.sqrt(nc)
+      }
+    def nearest(v: Seq[Double], cs: Array[Array[Double]],
+                norms: Array[Double], n: Int): Array[Int] = {
+      var nv = 0.0
+      var i = 0
+      while (i < v.length) { nv += v(i) * v(i); i += 1 }
+      val vNorm = math.sqrt(nv)
+      val sims = new Array[Double](cs.length)
+      var c = 0
+      while (c < cs.length) {
+        val cc = cs(c)
+        var dot = 0.0
+        i = 0
+        while (i < v.length) { dot += v(i) * cc(i); i += 1 }
+        sims(c) = dot / (vNorm * norms(c))
+        c += 1
+      }
+      sims.zipWithIndex.sortBy(-_._1).take(n).map(_._2)
+    }
+
+    // 1. coarse centroids: deterministic seeds + Lloyd, exactly the
+    //    annIvf recipe (same arithmetic order → same codebook)
+    var centroids: Array[Array[Double]] = all
+      .select(col("vec_id"), col("v"), xxhash64(col("vec_id")).as("hk"))
+      .orderBy(col("hk")).limit(k)
+      .select(col("v")).as[Seq[Double]].collect().map(_.toArray)
+    for (_ <- 0 until coarseIters) {
+      val bc = spark.sparkContext.broadcast(centroids)
+      val sums = typed.mapPartitions { rows =>
+        val cs = bc.value
+        val norms = centroidNorms(cs)
+        val acc = Array.fill(cs.length)(new Array[Double](cs(0).length))
+        val cnt = new Array[Long](cs.length)
+        rows.foreach { case (_, v) =>
+          val c = nearest(v, cs, norms, 1)(0)
+          var i = 0
+          while (i < v.length) { acc(c)(i) += v(i); i += 1 }
+          cnt(c) += 1
+        }
+        acc.indices.iterator.filter(cnt(_) > 0).map(c => (c, acc(c), cnt(c)))
+      }.collect()
+      val merged = sums.groupBy(_._1).map { case (c, parts) =>
+        val s = new Array[Double](centroids(0).length)
+        var n = 0L
+        parts.foreach { case (_, a, cn) => var i = 0; while (i < s.length) { s(i) += a(i); i += 1 }; n += cn }
+        c -> s.map(_ / n)
+      }
+      centroids = centroids.indices.map(c => merged.getOrElse(c, centroids(c))).toArray
+    }
+    val cNorms = centroidNorms(centroids)
+    val bcCent = spark.sparkContext.broadcast(centroids)
+
+    // residuals in the pinned layout, materialized ONCE (localCheckpoint
+    // keeps partitioning and within-partition order, so the PQ Lloyd
+    // partial sums below stay data-deterministic) — without the
+    // checkpoint each Lloyd round plus the encode would re-run the
+    // assignment scan
+    val residuals = typed.mapPartitions { rows =>
+      val cs = bcCent.value
+      val norms = centroidNorms(cs)
+      rows.map { case (id, v) =>
+        val c = nearest(v, cs, norms, 1)(0)
+        val r = new Array[Double](v.length)
+        var i = 0
+        while (i < v.length) { r(i) = v(i) - cs(c)(i); i += 1 }
+        (id, c, r.toSeq)
+      }
+    }.toDF("vec_id", "cell", "r").ckptLocal().as[(Long, Int, Seq[Double])]
+
+    def nearestSub(v: Seq[Double], off: Int, bk: Array[Array[Double]]): Int = {
+      var best = 0; var bestD = Double.MaxValue
+      var c = 0
+      while (c < bk.length) {
+        val cc = bk(c)
+        var d = 0.0; var i = 0
+        while (i < cc.length) { val t = v(off + i) - cc(i); d += t * t; i += 1 }
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      best
+    }
+
+    // 2. residual PQ codebooks: seeds are the ks hash-ordered
+    //    vectors' RESIDUALS (driver-computed — ks rows), refined by
+    //    the same per-subspace Lloyd as annPq over pooled residuals
+    val seedVecs = all
+      .select(col("vec_id"), col("v"), xxhash64(col("vec_id")).as("hk"))
+      .orderBy(col("hk")).limit(ks)
+      .select(col("v")).as[Seq[Double]].collect()
+    val seedRes = seedVecs.map { v =>
+      val c = nearest(v, centroids, cNorms, 1)(0)
+      Array.tabulate(v.length)(i => v(i) - centroids(c)(i))
+    }
+    var books: Array[Array[Array[Double]]] = Array.tabulate(m)(j =>
+      seedRes.map(_.slice(j * sub, (j + 1) * sub)))
+    for (_ <- 0 until pqIters) {
+      val bc = spark.sparkContext.broadcast(books)
+      val sums = residuals.mapPartitions { rows =>
+        val bks = bc.value
+        val acc = Array.tabulate(m, ks)((_, _) => new Array[Double](sub))
+        val cnt = Array.ofDim[Long](m, ks)
+        rows.foreach { case (_, _, r) =>
+          var j = 0
+          while (j < m) {
+            val c = nearestSub(r, j * sub, bks(j))
+            var i = 0
+            while (i < sub) { acc(j)(c)(i) += r(j * sub + i); i += 1 }
+            cnt(j)(c) += 1
+            j += 1
+          }
+        }
+        for (j <- (0 until m).iterator; c <- (0 until ks).iterator if cnt(j)(c) > 0)
+          yield (j, c, acc(j)(c), cnt(j)(c))
+      }.collect()
+      val merged = sums.groupBy(t => (t._1, t._2)).map { case ((j, c), parts) =>
+        val s = new Array[Double](sub)
+        var n = 0L
+        parts.foreach { case (_, _, a, cn) =>
+          var i = 0; while (i < sub) { s(i) += a(i); i += 1 }; n += cn
+        }
+        (j, c) -> s.map(_ / n)
+      }
+      books = Array.tabulate(m, ks)((j, c) => merged.getOrElse((j, c), books(j)(c)))
+    }
+
+    // 3. encode: one map-only pass — cell id, m residual codes, and
+    //    the reconstructed norm |x̂| = |centroid + r̂| (exact at
+    //    encode time) so the ADC scan ranks by approximate cosine
+    val bcB = spark.sparkContext.broadcast(books)
+    val codes = residuals.mapPartitions { rows =>
+      val cs = bcCent.value
+      val bks = bcB.value
+      rows.map { case (id, cell, r) =>
+        val code = new Array[Int](m)
+        var n2 = 0.0
+        var j = 0
+        while (j < m) {
+          val c = nearestSub(r, j * sub, bks(j))
+          code(j) = c
+          val cc = bks(j)(c)
+          var i = 0
+          while (i < sub) {
+            val xi = cs(cell)(j * sub + i) + cc(i)
+            n2 += xi * xi
+            i += 1
+          }
+          j += 1
+        }
+        (id, cell, code, math.sqrt(n2))
+      }
+    }.toDF("vec_id", "cluster", "code", "qn").ckptLocal()
+
+    // 4. probe side (10 probes — driver-tiny): nprobe closest cells
+    //    per probe; per (probe, cell) one scalar dot(p, centroid);
+    //    per probe ONE residual ADC table (codebook shared across
+    //    cells): T[j*ks + c] = dot(p subvector j, books(j)(c))
+    val probeRows = all.filter(col("vec_id") < 10)
+      .select(col("vec_id"), col("v")).as[(Long, Seq[Double])].collect()
+    val probeCells = probeRows.toSeq.flatMap { case (pid, pv) =>
+      val t = new Array[Double](m * ks)
+      for (j <- 0 until m; c <- 0 until ks) {
+        var d = 0.0; var i = 0
+        while (i < sub) { d += pv(j * sub + i) * books(j)(c)(i); i += 1 }
+        t(j * ks + c) = d
+      }
+      nearest(pv, centroids, cNorms, nprobe).map { cell =>
+        var cd = 0.0; var i = 0
+        while (i < dim) { cd += pv(i) * centroids(cell)(i); i += 1 }
+        (pid, cell, cd, t.toSeq)
+      }.toSeq
+    }.toDF("probe_id", "cluster", "cell_dot", "ptab")
+
+    // 5. ADC scan over probed cells only: the join on cluster IS the
+    //    prune (at 100 TB: a partition-pruned read of nprobe/k of
+    //    the corpus); approx dot = cell_dot + m table lookups
+    val adc = expr(
+      s"""aggregate(transform(sequence(0, ${m - 1}),
+          j -> element_at(ptab, j * $ks + element_at(code, j + 1) + 1)),
+          cast(0.0 as double), (a, x) -> a + x)""")
+    val wq = Window.partitionBy(col("probe_id")).orderBy(col("simq").desc, col("vec_id").asc)
+    val cand = codes.join(broadcast(probeCells), Seq("cluster"))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .withColumn("simq", (col("cell_dot") + adc) / greatest(col("qn"), lit(1e-12)))
+      .withColumn("rnq", row_number().over(wq))
+      .filter(col("rnq") <= rerankKeep)
+      .select(col("probe_id"), col("vec_id"))
+    // 6. exact re-rank: ids-only candidates re-join the float vectors
+    val probes = all.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("probe_id"), col("v").as("pv"), col("nrm").as("pn"))
+    val w = Window.partitionBy(col("probe_id")).orderBy(col("sim").desc, col("vec_id").asc)
+    cand.join(all, Seq("vec_id"))
+      .join(broadcast(probes), Seq("probe_id"))
+      .withColumn("sim", round(cosineSim(spark), 6))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 10)
+      .select(col("probe_id"), col("vec_id"), col("sim"), col("rn"))
+  }
+
   def knnQuantized(spark: SparkSession, dir: String): DataFrame = {
     val all = vecs(spark, dir)
     val codes = all

@@ -1478,6 +1478,47 @@ object Multimodal {
     }.toDF("doc_id", "w", "h", "px_sum")
   }
 
+  /** The ORACLED leg through the REAL audio decoder
+    * (`llm_media_wav`) — the same construction as
+    * `mediaDecodeChecksum` for the PcmAudio branch, which was the one
+    * decoder family still verified only by unit tests: every document
+    * gets a canonical 44-byte-header 8-bit mono PCM WAV whose 32 data
+    * bytes are the ASCII chars of `md5(text)` (all hex chars are
+    * ASCII, so DuckDB can model the byte stream), the payload rides
+    * the executor-side RIFF chunk walk + 8-bit recenter
+    * (sample = (byte − 128) · 256), and the query emits the decoded
+    * format fields plus the sample-sum checksum. The oracle
+    * recomputes the sum from `md5(text)` directly — a row matches
+    * only if the real `decodeWav` ran per-row, distributed. */
+  def mediaWavChecksum(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    // canonical header: RIFF(68) WAVE, fmt(16): PCM ch=1 rate=8000
+    // byteRate=8000 align=1 bits=8, data(32)
+    def le32b(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte, (v >> 16).toByte, (v >> 24).toByte)
+    def le16b(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte)
+    val header: Array[Byte] =
+      "RIFF".getBytes("US-ASCII") ++ le32b(68) ++ "WAVE".getBytes("US-ASCII") ++
+      "fmt ".getBytes("US-ASCII") ++ le32b(16) ++ le16b(1) ++ le16b(1) ++
+      le32b(8000) ++ le32b(8000) ++ le16b(1) ++ le16b(8) ++
+      "data".getBytes("US-ASCII") ++ le32b(32)
+    val rows = graft.sources.Tables.documents(spark, dir)
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        concat(lit(header), md5(col("text")).cast("binary")).as("payload"),
+        lit("audio/wav").as("kind"))
+      .as[MediaRow]
+    rows.mapPartitions { it =>
+      it.map { r =>
+        decode(r.payload) match {
+          case Some(a: PcmAudio) =>
+            (r.doc_id, a.sampleRate, a.channels,
+              a.samples.foldLeft(0L)((acc, s) => acc + s))
+          case _ => (r.doc_id, -1, -1, 0L) // decode failure is a visible row
+        }
+      }
+    }.toDF("doc_id", "sample_rate", "channels", "smp_sum")
+  }
+
   def mediaFrames(spark: SparkSession, dir: String): DataFrame =
     decodeFeatures(mediaFromDocuments(spark, dir))
       .select(col("doc_id"), col("n_bytes"),

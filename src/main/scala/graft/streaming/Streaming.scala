@@ -477,6 +477,34 @@ object Streaming {
   def consoleSink(df: DataFrame): DataStreamWriter[Row] =
     df.writeStream.format("console").option("truncate", "false")
 
+  /** The per-batch idempotent write behind `idempotentBatchSink`:
+    * OVERWRITE the batchId-keyed partition directory instead of
+    * appending. Structured Streaming's contract is that a batch
+    * replayed after a crash carries the SAME deterministic batchId,
+    * so a replay lands on the same directory and the store converges
+    * to exactly-once CONTENT even though foreachBatch itself is
+    * at-least-once EXECUTION — the standard recipe for sinks without
+    * transactions (parquet/files/JDBC upsert). Exposed separately so
+    * tests can compose it with a crash injected between the write
+    * and the checkpoint commit. */
+  def idempotentParquetWriter(outDir: String): (DataFrame, Long) => Unit =
+    (batch, batchId) =>
+      batch.write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
+
+  /** ST8 delivery-semantics leg: exactly-once sink for a
+    * non-transactional store via batchId-keyed idempotent overwrite
+    * (see `idempotentParquetWriter`). Read the result back with
+    * `spark.read.parquet(outDir)` — the batch_id=N directories
+    * surface as a partition column. StreamingSpec kills a query
+    * between the sink write and the offset commit and proves the
+    * replayed batch deduplicates. */
+  def idempotentBatchSink(df: DataFrame, outDir: String,
+                          checkpointDir: String): StreamingQuery =
+    df.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch(idempotentParquetWriter(outDir))
+      .start()
+
   /** Per-batch DGIM update for `dgimCounts`: the trailing-window
     * estimate after folding the batch into the key's sketch, plus the
     * sketch size (the O(log² W) memory claim, observable per key). */

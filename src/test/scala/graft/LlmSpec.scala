@@ -630,15 +630,41 @@ class LlmSpec extends AnyFunSuite {
     val pq = Llm.annPq(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall = (exact & pq).size.toDouble / exact.size
-    // 8 bytes/vector is a much coarser sketch than SQ8's 64 — the
-    // exact re-rank of the ADC top-30 still recovers most of the
-    // exact top-10 (measured 0.93 at sf0.001; floor set with margin)
+    // 16 bytes/vector is a much coarser sketch than SQ8's 64 — the
+    // exact re-rank of the ADC top-50 still recovers most of the
+    // exact top-10 (measured 0.84 at sf0.001; floor set with margin)
     info(s"PQ recall vs exact: $recall")
     assert(recall >= 0.75, s"PQ recall $recall < 0.75 (${exact.size} exact pairs)")
     // run-to-run determinism: pinned-layout Lloyd → identical output
     val pq2 = Llm.annPq(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pq == pq2, "PQ result must be run-to-run identical")
+  }
+
+  test("IVF-PQ kNN: residual-ADC recall floor, determinism, and the pruning regime") {
+    val dir = TestSpark.sf
+    val exact = Llm.knnExact(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivfpq = Llm.annIvfPq(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & ivfpq).size.toDouble / exact.size
+    info(s"IVFPQ recall vs exact: $recall")
+    // equal code budget as plain PQ (m=16, ks=16); the default nprobe
+    // is sized for this noise corpus (see annIvfPq doc) so the
+    // composition must clear the same 0.75 floor
+    assert(recall >= 0.75, s"IVFPQ recall $recall < 0.75 (${exact.size} exact pairs)")
+    // run-to-run determinism: both Lloyd loops are pinned-layout
+    val again = Llm.annIvfPq(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ivfpq == again, "IVFPQ result must be run-to-run identical")
+    // the pruning regime (the real-corpus operating point): scan only
+    // nprobe/k = 1/4 of the cells — recall must still beat the ~0.25
+    // random-selection baseline, like the plain-IVF pin
+    val pruned = Llm.annIvfPq(spark, dir, k = 16, nprobe = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val prunedRecall = (exact & pruned).size.toDouble / exact.size
+    info(s"IVFPQ pruned (nprobe=4/k=16) recall: $prunedRecall")
+    assert(prunedRecall >= 0.3, s"pruned IVFPQ recall $prunedRecall below floor")
   }
 
   test("quantized kNN: top-10 after exact re-rank matches exact kNN almost everywhere") {

@@ -25,4 +25,11 @@ class RegistryDocSpec extends AnyFunSuite {
     assert(section == RegistryDoc.table.trim,
       "README registry index is stale — run: sbt \"runMain graft.RegistryDoc\"")
   }
+
+  test("ORACLES.md matches the generated oracle-SQL dump") {
+    val oracles = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("ORACLES.md")), "UTF-8")
+    assert(oracles == RegistryDoc.oracles,
+      "ORACLES.md is stale — run: sbt \"runMain graft.RegistryDoc\"")
+  }
 }

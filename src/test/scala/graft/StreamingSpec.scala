@@ -198,6 +198,48 @@ class StreamingSpec extends AnyFunSuite {
     } finally q2.stop()
   }
 
+  test("idempotent batch sink: crash between sink write and commit replays without duplicates (ST8 delivery)") {
+    implicit val sqlCtx = spark.sqlContext
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_eo_ckpt").toString
+    val out = java.nio.file.Files.createTempDirectory("graft_eo_out").toString
+    val ms = MemoryStream[Event]
+    val writer = Streaming.idempotentParquetWriter(out)
+    val attempts = new java.util.concurrent.ConcurrentHashMap[Long, Integer]()
+    val crashOnce = new java.util.concurrent.atomic.AtomicBoolean(true)
+    // the crash window under test: the sink write has completed (data
+    // is on disk) but the exception prevents the offset-log commit —
+    // the worst spot for an append sink, which would double the batch
+    def start(injectCrash: Boolean) = ms.toDF().writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+        attempts.merge(batchId, 1, (a: Integer, b: Integer) => a + b)
+        writer(batch, batchId)
+        if (injectCrash && batchId == 1L && crashOnce.getAndSet(false))
+          throw new RuntimeException("injected crash after write, before commit")
+      }.start()
+    val q1 = start(injectCrash = true)
+    try {
+      ms.addData(ev(1, "2024-01-01 10:00:10"))
+      q1.processAllAvailable() // batch 0 commits cleanly
+      ms.addData(ev(2, "2024-01-01 10:00:20"))
+      intercept[Exception] { q1.processAllAvailable(); q1.awaitTermination() }
+    } finally q1.stop()
+    // restart from the same checkpoint: batch 1 must REPLAY (same
+    // batchId — its offsets are logged but uncommitted) and the
+    // overwrite must land on the same directory
+    val q2 = start(injectCrash = false)
+    try {
+      q2.processAllAvailable()
+      ms.addData(ev(3, "2024-01-01 10:00:30"))
+      q2.processAllAvailable()
+    } finally q2.stop()
+    assert(attempts.get(1L) >= 2, s"batch 1 should have executed twice, attempts=$attempts")
+    val ids = spark.read.parquet(out).select("event_id")
+      .as[Long].collect().sorted.toSeq
+    assert(ids == Seq(1L, 2L, 3L),
+      s"replayed batch must not duplicate rows, got $ids")
+  }
+
   test("Kafka wire format round-trips the event schema exactly (S2/S3, broker-free)") {
     // The producer.py:46 / consumer.py:407 wire contract: JSON value
     // out, PERMISSIVE JSON in. kafkaSink and kafkaSource share these
