@@ -72,7 +72,11 @@ class KernelParitySpec extends AnyFunSuite {
     "llm_repetition", "llm_contamination", "llm_dedup_embed",
     "llm_fingerprint", "llm_knn_exact", "llm_ann_lsh",
     "llm_segment_dedup", "llm_unigram_logprob", "llm_inverted_index",
-    "llm_tfidf_terms", "llm_knn_quantized", "llm_dedup_near_incr")
+    "llm_tfidf_terms", "llm_knn_quantized", "llm_dedup_near_incr",
+    // PQ family: codebooks + candidates are typed code (kernel-free
+    // and layout-pinned), so only the re-rank cosine crosses the
+    // gate — exact parity holds, unlike IVF's float-boundary case
+    "llm_ann_pq", "llm_ann_ivfpq")
 
   for (q <- covering)
     test(s"$q is identical with kernels disabled") {

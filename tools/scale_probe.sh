@@ -51,6 +51,18 @@ SUBSET=("${LINEAR[@]}")
 # so the PAIR set runs at any factor
 if [ "$FACTOR" -le 30 ] || [ "$CAP" -gt 0 ]; then SUBSET+=("${PAIR[@]}"); fi
 
+# SCALE_FULL=1: sweep the ENTIRE declared surface instead of the
+# scale-sensitive subset (round-14 completeness rung — "no query's
+# semantics drift with volume" measured everywhere, not argued from
+# the sf1 sweep). Only sensible on a bounded-clique corpus (pair
+# family) — refuse otherwise. Verify with no query list runs all.
+if [ "${SCALE_FULL:-0}" = "1" ]; then
+  if [ "$FACTOR" -gt 30 ] && [ "$CAP" -eq 0 ]; then
+    echo "SCALE_FULL needs SCALE_CLIQUE_CAP above 30x (pair family is generator-quadratic)"; exit 1
+  fi
+  SUBSET=()
+fi
+
 if [ ! -d "$DIR" ]; then
   echo "== generating $DIR (deterministic ${FACTOR}x of sf0.1, cliqueCap=$CAP) =="
   if [ "$CAP" -gt 0 ]; then
@@ -70,7 +82,7 @@ SPARK_GRAFT_CPUS=32 SPARK_DRIVER_MEM=48g \
 echo "== cross-layout parity A vs B =="
 python3 tools/verify_compare.py "/tmp/${SF}_a" "/tmp/${SF}_b"
 
-if [ "${SCALE_SKIP_BENCH:-0}" != "1" ]; then
+if [ "${SCALE_SKIP_BENCH:-0}" != "1" ] && [ "${#SUBSET[@]}" -gt 0 ]; then
   echo "== bench subset at $SF =="
   SPARK_GRAFT_SF_DIR="$DIR" SPARK_DRIVER_MEM=48g \
     SPARK_GRAFT_BENCH_ONLY="$(IFS=,; echo "${SUBSET[*]}")" \
