@@ -2078,46 +2078,95 @@ object Llm {
     * the probe's cells and nprobe ≪ k holds the same recall; the
     * LlmSpec pruning pin runs at nprobe=4, k=16 to exercise that
     * regime. no_oracle by design; LlmSpec pins recall vs `knnExact`
-    * and run-to-run determinism. */
+    * and run-to-run determinism.
+    *
+    * This registry query composes the public build/probe halves —
+    * `buildAnnIndex` (train + encode → three persistable DataFrames)
+    * and `probeAnnIndex` (reload + ADC scan + exact re-rank) — which
+    * is how a deployment actually runs it: the index is built once
+    * per corpus snapshot, written to parquet (codes partitioned by
+    * cell), and probed many times. AnnIndexSpec pins the parquet
+    * round trip bit-identical. */
   def annIvfPq(spark: SparkSession, dir: String, k: Int = 32, nprobe: Int = 28,
       m: Int = 16, ks: Int = 16, coarseIters: Int = 2, pqIters: Int = 3,
       rerankKeep: Int = 100): DataFrame = {
-    import spark.implicits._
     val all = vecs(spark, dir)
-    val typed = Tables.pinnedLayout(all.select(col("vec_id"), col("v")), 64, "vec_id")
+    val index = buildAnnIndex(spark, all.select(col("vec_id"), col("v")),
+      k, m, ks, coarseIters, pqIters)
+    probeAnnIndex(spark, index,
+      all.filter(col("vec_id") < 10).select(col("vec_id"), col("v"), col("nrm")),
+      all, nprobe, rerankKeep)
+  }
+
+  /** The persistable IVFADC index: three plain DataFrames, so "train
+    * once, encode once, probe many" is a parquet write away (the
+    * same build/probe contract as `buildNearDupIndex`). At 100 TB:
+    * `codes` is the corpus's 16 B/vector representation — write it
+    * partitioned by `cluster` and a probe becomes a partition-pruned
+    * scan (IvfIndexSpec demonstrates the pruned-read shape);
+    * `centroids` (k×dim) and `books` (m×ks×dim/m) are driver-small
+    * model tables any session can reload. */
+  final case class AnnIndex(centroids: DataFrame, books: DataFrame,
+                            codes: DataFrame)
+
+  private def annCentroidNorms(cs: Array[Array[Double]]): Array[Double] =
+    cs.map { c =>
+      var nc = 0.0; var i = 0
+      while (i < c.length) { nc += c(i) * c(i); i += 1 }
+      math.sqrt(nc)
+    }
+
+  private def annNearest(v: Seq[Double], cs: Array[Array[Double]],
+                         norms: Array[Double], n: Int): Array[Int] = {
+    var nv = 0.0
+    var i = 0
+    while (i < v.length) { nv += v(i) * v(i); i += 1 }
+    val vNorm = math.sqrt(nv)
+    val sims = new Array[Double](cs.length)
+    var c = 0
+    while (c < cs.length) {
+      val cc = cs(c)
+      var dot = 0.0
+      i = 0
+      while (i < v.length) { dot += v(i) * cc(i); i += 1 }
+      sims(c) = dot / (vNorm * norms(c))
+      c += 1
+    }
+    sims.zipWithIndex.sortBy(-_._1).take(n).map(_._2)
+  }
+
+  private def annNearestSub(v: Seq[Double], off: Int,
+                            bk: Array[Array[Double]]): Int = {
+    var best = 0; var bestD = Double.MaxValue
+    var c = 0
+    while (c < bk.length) {
+      val cc = bk(c)
+      var d = 0.0; var i = 0
+      while (i < cc.length) { val t = v(off + i) - cc(i); d += t * t; i += 1 }
+      if (d < bestD) { bestD = d; best = c }
+      c += 1
+    }
+    best
+  }
+
+  /** Train + encode half of the IVFADC pipeline (see `annIvfPq` for
+    * the algorithm doc): coarse Lloyd on the pinned layout, residual
+    * PQ Lloyd on the (once-materialized) residuals, one map-only
+    * encode pass. Returns the three persistable index tables;
+    * `vecsDf` is `(vec_id, v)` with 64-dim double arrays. */
+  def buildAnnIndex(spark: SparkSession, vecsDf: DataFrame, k: Int = 32,
+      m: Int = 16, ks: Int = 16, coarseIters: Int = 2,
+      pqIters: Int = 3): AnnIndex = {
+    import spark.implicits._
+    val typed = Tables.pinnedLayout(vecsDf.select(col("vec_id"), col("v")), 64, "vec_id")
       .as[(Long, Seq[Double])]
-    val dim = all.select(size(col("v"))).head().getInt(0)
+    val dim = vecsDf.select(size(col("v"))).head().getInt(0)
     require(dim % m == 0, s"PQ needs dim % m == 0, got $dim % $m")
     val sub = dim / m
 
-    def centroidNorms(cs: Array[Array[Double]]): Array[Double] =
-      cs.map { c =>
-        var nc = 0.0; var i = 0
-        while (i < c.length) { nc += c(i) * c(i); i += 1 }
-        math.sqrt(nc)
-      }
-    def nearest(v: Seq[Double], cs: Array[Array[Double]],
-                norms: Array[Double], n: Int): Array[Int] = {
-      var nv = 0.0
-      var i = 0
-      while (i < v.length) { nv += v(i) * v(i); i += 1 }
-      val vNorm = math.sqrt(nv)
-      val sims = new Array[Double](cs.length)
-      var c = 0
-      while (c < cs.length) {
-        val cc = cs(c)
-        var dot = 0.0
-        i = 0
-        while (i < v.length) { dot += v(i) * cc(i); i += 1 }
-        sims(c) = dot / (vNorm * norms(c))
-        c += 1
-      }
-      sims.zipWithIndex.sortBy(-_._1).take(n).map(_._2)
-    }
-
     // 1. coarse centroids: deterministic seeds + Lloyd, exactly the
-    //    annIvf recipe (same arithmetic order → same codebook)
-    var centroids: Array[Array[Double]] = all
+    //    annIvf recipe (same arithmetic order -> same codebook)
+    var centroids: Array[Array[Double]] = vecsDf
       .select(col("vec_id"), col("v"), xxhash64(col("vec_id")).as("hk"))
       .orderBy(col("hk")).limit(k)
       .select(col("v")).as[Seq[Double]].collect().map(_.toArray)
@@ -2125,11 +2174,11 @@ object Llm {
       val bc = spark.sparkContext.broadcast(centroids)
       val sums = typed.mapPartitions { rows =>
         val cs = bc.value
-        val norms = centroidNorms(cs)
+        val norms = annCentroidNorms(cs)
         val acc = Array.fill(cs.length)(new Array[Double](cs(0).length))
         val cnt = new Array[Long](cs.length)
         rows.foreach { case (_, v) =>
-          val c = nearest(v, cs, norms, 1)(0)
+          val c = annNearest(v, cs, norms, 1)(0)
           var i = 0
           while (i < v.length) { acc(c)(i) += v(i); i += 1 }
           cnt(c) += 1
@@ -2144,7 +2193,7 @@ object Llm {
       }
       centroids = centroids.indices.map(c => merged.getOrElse(c, centroids(c))).toArray
     }
-    val cNorms = centroidNorms(centroids)
+    val cNorms = annCentroidNorms(centroids)
     val bcCent = spark.sparkContext.broadcast(centroids)
 
     // residuals in the pinned layout, materialized ONCE (localCheckpoint
@@ -2154,9 +2203,9 @@ object Llm {
     // assignment scan
     val residuals = typed.mapPartitions { rows =>
       val cs = bcCent.value
-      val norms = centroidNorms(cs)
+      val norms = annCentroidNorms(cs)
       rows.map { case (id, v) =>
-        val c = nearest(v, cs, norms, 1)(0)
+        val c = annNearest(v, cs, norms, 1)(0)
         val r = new Array[Double](v.length)
         var i = 0
         while (i < v.length) { r(i) = v(i) - cs(c)(i); i += 1 }
@@ -2164,28 +2213,15 @@ object Llm {
       }
     }.toDF("vec_id", "cell", "r").ckptLocal().as[(Long, Int, Seq[Double])]
 
-    def nearestSub(v: Seq[Double], off: Int, bk: Array[Array[Double]]): Int = {
-      var best = 0; var bestD = Double.MaxValue
-      var c = 0
-      while (c < bk.length) {
-        val cc = bk(c)
-        var d = 0.0; var i = 0
-        while (i < cc.length) { val t = v(off + i) - cc(i); d += t * t; i += 1 }
-        if (d < bestD) { bestD = d; best = c }
-        c += 1
-      }
-      best
-    }
-
     // 2. residual PQ codebooks: seeds are the ks hash-ordered
     //    vectors' RESIDUALS (driver-computed — ks rows), refined by
     //    the same per-subspace Lloyd as annPq over pooled residuals
-    val seedVecs = all
+    val seedVecs = vecsDf
       .select(col("vec_id"), col("v"), xxhash64(col("vec_id")).as("hk"))
       .orderBy(col("hk")).limit(ks)
       .select(col("v")).as[Seq[Double]].collect()
     val seedRes = seedVecs.map { v =>
-      val c = nearest(v, centroids, cNorms, 1)(0)
+      val c = annNearest(v, centroids, cNorms, 1)(0)
       Array.tabulate(v.length)(i => v(i) - centroids(c)(i))
     }
     var books: Array[Array[Array[Double]]] = Array.tabulate(m)(j =>
@@ -2199,7 +2235,7 @@ object Llm {
         rows.foreach { case (_, _, r) =>
           var j = 0
           while (j < m) {
-            val c = nearestSub(r, j * sub, bks(j))
+            val c = annNearestSub(r, j * sub, bks(j))
             var i = 0
             while (i < sub) { acc(j)(c)(i) += r(j * sub + i); i += 1 }
             cnt(j)(c) += 1
@@ -2232,7 +2268,7 @@ object Llm {
         var n2 = 0.0
         var j = 0
         while (j < m) {
-          val c = nearestSub(r, j * sub, bks(j))
+          val c = annNearestSub(r, j * sub, bks(j))
           code(j) = c
           val cc = bks(j)(c)
           var i = 0
@@ -2247,12 +2283,43 @@ object Llm {
       }
     }.toDF("vec_id", "cluster", "code", "qn").ckptLocal()
 
-    // 4. probe side (10 probes — driver-tiny): nprobe closest cells
-    //    per probe; per (probe, cell) one scalar dot(p, centroid);
-    //    per probe ONE residual ADC table (codebook shared across
-    //    cells): T[j*ks + c] = dot(p subvector j, books(j)(c))
-    val probeRows = all.filter(col("vec_id") < 10)
-      .select(col("vec_id"), col("v")).as[(Long, Seq[Double])].collect()
+    val centroidsDf = centroids.zipWithIndex
+      .map { case (cv, c) => (c, cv.toSeq) }.toSeq.toDF("c", "cv")
+    val booksDf = (for (j <- 0 until m; c <- 0 until ks)
+      yield (j, c, books(j)(c).toSeq)).toDF("j", "c", "bv")
+    AnnIndex(centroidsDf, booksDf, codes)
+  }
+
+  /** Query half of the IVFADC pipeline: reload the (driver-small)
+    * model tables, build each probe's residual ADC table + probed
+    * cells, scan CODES ONLY over the probed cells, exact-re-rank the
+    * top `rerankKeep` ids against `corpus` float vectors. `probes`
+    * and `corpus` are `(vec_id, v, nrm)`; an index written to
+    * parquet and read back probes identically (AnnIndexSpec pins the
+    * round trip). */
+  def probeAnnIndex(spark: SparkSession, index: AnnIndex, probes: DataFrame,
+      corpus: DataFrame, nprobe: Int = 28, rerankKeep: Int = 100): DataFrame = {
+    import spark.implicits._
+    // model tables back to driver arrays in deterministic (c / j,c) order
+    val centroids: Array[Array[Double]] = index.centroids
+      .select(col("c"), col("cv")).as[(Int, Seq[Double])]
+      .collect().sortBy(_._1).map(_._2.toArray)
+    val k = centroids.length
+    val dim = centroids(0).length
+    val bookRows = index.books.select(col("j"), col("c"), col("bv"))
+      .as[(Int, Int, Seq[Double])].collect()
+    val m = bookRows.map(_._1).max + 1
+    val ks = bookRows.map(_._2).max + 1
+    val sub = dim / m
+    val books = Array.ofDim[Array[Double]](m, ks)
+    bookRows.foreach { case (j, c, bv) => books(j)(c) = bv.toArray }
+    val cNorms = annCentroidNorms(centroids)
+
+    // probe side: nprobe closest cells per probe; per (probe, cell)
+    // one scalar dot(p, centroid); per probe ONE residual ADC table
+    // (codebook shared across cells): T[j*ks + c] = dot(p_j, books(j)(c))
+    val probeRows = probes.select(col("vec_id"), col("v"))
+      .as[(Long, Seq[Double])].collect()
     val probeCells = probeRows.toSeq.flatMap { case (pid, pv) =>
       val t = new Array[Double](m * ks)
       for (j <- 0 until m; c <- 0 until ks) {
@@ -2260,33 +2327,33 @@ object Llm {
         while (i < sub) { d += pv(j * sub + i) * books(j)(c)(i); i += 1 }
         t(j * ks + c) = d
       }
-      nearest(pv, centroids, cNorms, nprobe).map { cell =>
+      annNearest(pv, centroids, cNorms, math.min(nprobe, k)).map { cell =>
         var cd = 0.0; var i = 0
         while (i < dim) { cd += pv(i) * centroids(cell)(i); i += 1 }
         (pid, cell, cd, t.toSeq)
       }.toSeq
     }.toDF("probe_id", "cluster", "cell_dot", "ptab")
 
-    // 5. ADC scan over probed cells only: the join on cluster IS the
-    //    prune (at 100 TB: a partition-pruned read of nprobe/k of
-    //    the corpus); approx dot = cell_dot + m table lookups
+    // ADC scan over probed cells only: the join on cluster IS the
+    // prune (at 100 TB: a partition-pruned read of nprobe/k of
+    // the corpus); approx dot = cell_dot + m table lookups
     val adc = expr(
       s"""aggregate(transform(sequence(0, ${m - 1}),
           j -> element_at(ptab, j * $ks + element_at(code, j + 1) + 1)),
           cast(0.0 as double), (a, x) -> a + x)""")
     val wq = Window.partitionBy(col("probe_id")).orderBy(col("simq").desc, col("vec_id").asc)
-    val cand = codes.join(broadcast(probeCells), Seq("cluster"))
+    val cand = index.codes.join(broadcast(probeCells), Seq("cluster"))
       .filter(col("vec_id") =!= col("probe_id"))
       .withColumn("simq", (col("cell_dot") + adc) / greatest(col("qn"), lit(1e-12)))
       .withColumn("rnq", row_number().over(wq))
       .filter(col("rnq") <= rerankKeep)
       .select(col("probe_id"), col("vec_id"))
-    // 6. exact re-rank: ids-only candidates re-join the float vectors
-    val probes = all.filter(col("vec_id") < 10)
+    // exact re-rank: ids-only candidates re-join the float vectors
+    val probeVecs = probes
       .select(col("vec_id").as("probe_id"), col("v").as("pv"), col("nrm").as("pn"))
     val w = Window.partitionBy(col("probe_id")).orderBy(col("sim").desc, col("vec_id").asc)
-    cand.join(all, Seq("vec_id"))
-      .join(broadcast(probes), Seq("probe_id"))
+    cand.join(corpus, Seq("vec_id"))
+      .join(broadcast(probeVecs), Seq("probe_id"))
       .withColumn("sim", round(cosineSim(spark), 6))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= 10)
