@@ -2109,15 +2109,15 @@ object Llm {
   final case class AnnIndex(centroids: DataFrame, books: DataFrame,
                             codes: DataFrame)
 
-  private def annCentroidNorms(cs: Array[Array[Double]]): Array[Double] =
+  private[graft] def annCentroidNorms(cs: Array[Array[Double]]): Array[Double] =
     cs.map { c =>
       var nc = 0.0; var i = 0
       while (i < c.length) { nc += c(i) * c(i); i += 1 }
       math.sqrt(nc)
     }
 
-  private def annNearest(v: Seq[Double], cs: Array[Array[Double]],
-                         norms: Array[Double], n: Int): Array[Int] = {
+  private[graft] def annNearest(v: Seq[Double], cs: Array[Array[Double]],
+                                norms: Array[Double], n: Int): Array[Int] = {
     var nv = 0.0
     var i = 0
     while (i < v.length) { nv += v(i) * v(i); i += 1 }
@@ -2297,22 +2297,36 @@ object Llm {
     * and `corpus` are `(vec_id, v, nrm)`; an index written to
     * parquet and read back probes identically (AnnIndexSpec pins the
     * round trip). */
-  def probeAnnIndex(spark: SparkSession, index: AnnIndex, probes: DataFrame,
-      corpus: DataFrame, nprobe: Int = 28, rerankKeep: Int = 100): DataFrame = {
+  /** The driver-small model half of an `AnnIndex` back as arrays, in
+    * deterministic (c / j,c) order — k×dim centroids + m×ks×(dim/m)
+    * residual codebooks. Shared by `probeAnnIndex` and the streaming
+    * `annSuspects` leg (which freezes this snapshot at plan build,
+    * like `nearDupSuspects` does its band index). */
+  private[graft] def annModelOf(index: AnnIndex)
+      : (Array[Array[Double]], Array[Array[Array[Double]]]) = {
+    val spark = index.centroids.sparkSession
     import spark.implicits._
-    // model tables back to driver arrays in deterministic (c / j,c) order
     val centroids: Array[Array[Double]] = index.centroids
       .select(col("c"), col("cv")).as[(Int, Seq[Double])]
       .collect().sortBy(_._1).map(_._2.toArray)
-    val k = centroids.length
-    val dim = centroids(0).length
     val bookRows = index.books.select(col("j"), col("c"), col("bv"))
       .as[(Int, Int, Seq[Double])].collect()
     val m = bookRows.map(_._1).max + 1
     val ks = bookRows.map(_._2).max + 1
-    val sub = dim / m
     val books = Array.ofDim[Array[Double]](m, ks)
     bookRows.foreach { case (j, c, bv) => books(j)(c) = bv.toArray }
+    (centroids, books)
+  }
+
+  def probeAnnIndex(spark: SparkSession, index: AnnIndex, probes: DataFrame,
+      corpus: DataFrame, nprobe: Int = 28, rerankKeep: Int = 100): DataFrame = {
+    import spark.implicits._
+    val (centroids, books) = annModelOf(index)
+    val k = centroids.length
+    val dim = centroids(0).length
+    val m = books.length
+    val ks = books(0).length
+    val sub = dim / m
     val cNorms = annCentroidNorms(centroids)
 
     // probe side: nprobe closest cells per probe; per (probe, cell)

@@ -393,6 +393,64 @@ object Streaming {
       .dropDuplicatesWithinWatermark("doc_id", "suspect_of")
   }
 
+  /** Streaming ANN candidate filter against a prebuilt `AnnIndex` —
+    * the vector-space sibling of `nearDupSuspects`: each arriving
+    * query vector computes its `nprobe` closest cells and its
+    * residual ADC table (driver-small model frozen at plan build,
+    * broadcast in the task closure), stream-static joins the CODES
+    * table on the cell id (at 100 TB: a partition-pruned probe of a
+    * cell-bucketed corpus), scores candidates by approximate cosine
+    * (cell_dot + ADC lookups, over the reconstructed norm), and
+    * emits those above `minSim`. Entirely STATELESS — no per-key
+    * state, no dedup store (a vector lives in exactly one cell, so a
+    * (probe, candidate) pair is produced at most once) — which is
+    * the online filter shape an ingest pipeline affords; the exact
+    * re-rank and top-k stay with the batch `probeAnnIndex`. Index
+    * refresh follows the `nearDupSuspects` runbook: stop, rebuild or
+    * reload, restart from the same checkpoint. */
+  def annSuspects(queries: DataFrame, index: graft.operators.Llm.AnnIndex,
+      nprobe: Int = 28, minSim: Double = 0.3): DataFrame = {
+    import graft.operators.Llm
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val (cents, books) = Llm.annModelOf(index)
+    val k = cents.length
+    val dim = cents(0).length
+    val m = books.length
+    val ks = books(0).length
+    val sub = dim / m
+    val norms = Llm.annCentroidNorms(cents)
+    val probed = queries
+      .select(col("vec_id"), col("ts"), col("v"))
+      .as[(Long, java.sql.Timestamp, Seq[Double])]
+      .mapPartitions { rows =>
+        rows.flatMap { case (pid, ts, pv) =>
+          val t = new Array[Double](m * ks)
+          for (j <- 0 until m; c <- 0 until ks) {
+            var d = 0.0; var i = 0
+            while (i < sub) { d += pv(j * sub + i) * books(j)(c)(i); i += 1 }
+            t(j * ks + c) = d
+          }
+          Llm.annNearest(pv, cents, norms, math.min(nprobe, k)).map { cell =>
+            var cd = 0.0; var i = 0
+            while (i < dim) { cd += pv(i) * cents(cell)(i); i += 1 }
+            (pid, ts, cell, cd, t.toSeq)
+          }
+        }
+      }.toDF("probe_id", "ts", "cluster", "cell_dot", "ptab")
+    val adc = expr(
+      s"""aggregate(transform(sequence(0, ${m - 1}),
+          j -> element_at(ptab, j * $ks + element_at(code, j + 1) + 1)),
+          cast(0.0 as double), (a, x) -> a + x)""")
+    probed.join(index.codes, Seq("cluster"))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .withColumn("simq",
+        (col("cell_dot") + adc) / greatest(col("qn"), lit(1e-12)))
+      .filter(col("simq") >= minSim)
+      .select(col("probe_id"), col("ts"), col("vec_id"),
+        round(col("simq"), 6).as("simq"))
+  }
+
   /** The wire format, encode side: every column JSON-serialized into
     * a single `value` string — the reference's `json.dumps(event)`
     * (producer.py:46). Shared by `kafkaSink` and the broker-free wire

@@ -807,6 +807,40 @@ class StreamingSpec extends AnyFunSuite {
       s"after swap: expected new-family + old-family hits, carried dedup, no retroactive re-eval — got $all")
   }
 
+  test("streaming ANN suspects equal the batch ADC candidates across micro-batches (stateless stream-static probe)") {
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = TestSpark.sf
+    val all = graft.sources.Tables.embeddings(spark, dir)
+      .select(col("vec_id"), expr("transform(embedding, x -> cast(x AS double))").as("v"))
+    val index = graft.operators.Llm.buildAnnIndex(spark, all)
+    // ten query vectors arriving over two micro-batches
+    val qvecs = all.filter(col("vec_id") < 10)
+      .select(col("vec_id"), col("v")).as[(Long, Seq[Double])].collect()
+      .map { case (id, v) => (id, ts(s"2024-01-01 10:00:${10 + id}"), v) }.toSeq
+    val ms = MemoryStream[(Long, java.sql.Timestamp, Seq[Double])]
+    val stream = Streaming.annSuspects(
+      ms.toDF().toDF("vec_id", "ts", "v"), index, minSim = 0.2)
+    val q = Streaming.serveMemory(stream, "ann_suspects", mode = "append")
+    try {
+      ms.addData(qvecs.take(5))
+      q.processAllAvailable()
+      val afterB1 = spark.sql("select * from ann_suspects").count()
+      ms.addData(qvecs.drop(5))
+      q.processAllAvailable()
+      val got = spark.sql("select probe_id, vec_id, simq from ann_suspects")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      // the same transformation over the same rows as ONE batch frame
+      val batchDf = qvecs.toDF("vec_id", "ts", "v")
+      val want = Streaming.annSuspects(batchDf, index, minSim = 0.2)
+        .collect().map(r => (r.getLong(0), r.getLong(2), r.getDouble(3))).toSet
+      assert(want.nonEmpty, "no candidates at minSim=0.2 — lower it so the pin bites")
+      assert(afterB1 > 0 && afterB1 < want.size,
+        s"candidates should arrive incrementally (batch1=$afterB1 of ${want.size})")
+      assert(got == want, "streaming ADC candidates diverge from the batch formulation")
+    } finally q.stop()
+  }
+
   test("streaming as-of enrichment survives a checkpoint restart (buffered probe + sealed ref persist)") {
     implicit val sqlCtx = spark.sqlContext
     val ckpt = java.nio.file.Files.createTempDirectory("graft_asof_ckpt").toString
