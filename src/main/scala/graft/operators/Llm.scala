@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -1484,7 +1484,7 @@ object Llm {
     * Approx by construction → rows-only in the driver gate; LlmSpec
     * pins recall vs `knnExact` and the pruning ratio. */
   def annIvf(spark: SparkSession, dir: String, k: Int = 32, nprobe: Int = 6,
-             iters: Int = 2): DataFrame = {
+             iters: Int = 2, trainCap: Int = 100000): DataFrame = {
     import spark.implicits._
     val all = vecs(spark, dir)
     // widen the Lloyd input: a single-file embeddings scan is ONE
@@ -1504,6 +1504,7 @@ object Llm {
     // the corpus; only the final assignment scan is corpus-sized).
     val typed = Tables.pinnedLayout(all.select(col("vec_id"), col("v")), 64, "vec_id")
       .as[(Long, Seq[Double])]
+    val trainTyped = trainView(spark, all, all.count(), trainCap)
     // deterministic centroid seeds
     var centroids: Array[Array[Double]] = all
       .select(col("vec_id"), col("v"), xxhash64(col("vec_id")).as("hk"))
@@ -1543,7 +1544,7 @@ object Llm {
     // Lloyd refinement: distributed assign + partial sums, K×dim to driver
     for (_ <- 0 until iters) {
       val bc = spark.sparkContext.broadcast(centroids)
-      val sums = typed.mapPartitions { rows =>
+      val sums = trainTyped.mapPartitions { rows =>
         val cs = bc.value
         val norms = centroidNorms(cs)
         val acc = Array.fill(cs.length)(new Array[Double](cs(0).length))
@@ -1912,11 +1913,12 @@ object Llm {
     * table lookups per row are m adds. Probe tables ride as literal
     * columns of a 10-row broadcast frame. */
   def annPq(spark: SparkSession, dir: String, m: Int = 16, ks: Int = 16,
-      iters: Int = 3): DataFrame = {
+      iters: Int = 3, trainCap: Int = 100000): DataFrame = {
     import spark.implicits._
     val all = vecs(spark, dir)
     val typed = Tables.pinnedLayout(all.select(col("vec_id"), col("v")), 64, "vec_id")
       .as[(Long, Seq[Double])]
+    val trainTyped = trainView(spark, all, all.count(), trainCap)
     val dim = all.select(size(col("v"))).head().getInt(0)
     require(dim % m == 0, s"PQ needs dim % m == 0, got $dim % $m")
     val sub = dim / m
@@ -1948,7 +1950,7 @@ object Llm {
     // m×ks×sub doubles to the driver per round
     for (_ <- 0 until iters) {
       val bc = spark.sparkContext.broadcast(books)
-      val sums = typed.mapPartitions { rows =>
+      val sums = trainTyped.mapPartitions { rows =>
         val bks = bc.value
         val acc = Array.tabulate(m, ks)((_, _) => new Array[Double](sub))
         val cnt = Array.ofDim[Long](m, ks)
@@ -2089,10 +2091,10 @@ object Llm {
     * round trip bit-identical. */
   def annIvfPq(spark: SparkSession, dir: String, k: Int = 32, nprobe: Int = 28,
       m: Int = 16, ks: Int = 16, coarseIters: Int = 2, pqIters: Int = 3,
-      rerankKeep: Int = 100): DataFrame = {
+      rerankKeep: Int = 100, trainCap: Int = 100000): DataFrame = {
     val all = vecs(spark, dir)
     val index = buildAnnIndex(spark, all.select(col("vec_id"), col("v")),
-      k, m, ks, coarseIters, pqIters)
+      k, m, ks, coarseIters, pqIters, trainCap)
     probeAnnIndex(spark, index,
       all.filter(col("vec_id") < 10).select(col("vec_id"), col("v"), col("nrm")),
       all, nprobe, rerankKeep)
@@ -2108,6 +2110,28 @@ object Llm {
     * model tables any session can reload. */
   final case class AnnIndex(centroids: DataFrame, books: DataFrame,
                             codes: DataFrame)
+
+  /** Bounded codebook-training view: the full pinned frame while the
+    * corpus fits `cap` (bit-identical to training on everything —
+    * every test SF takes this branch), else the `cap` hash-lowest
+    * rows re-pinned to the same layout. The xxhash64 order is
+    * layout-independent and the `vec_id` tiebreak makes the row set
+    * total, so the sample — and therefore the codebooks — stay
+    * bit-reproducible on any input split. At 100 TB this is the line
+    * that keeps "train once" sample-sized instead of corpus-sized
+    * (each Lloyd round costs `cap` rows, not the corpus; the
+    * assignment and encode passes still cover every row — the
+    * standard FAISS `train(sample)` / `add(corpus)` split). */
+  private def trainView(spark: SparkSession, vecsDf: DataFrame, n: Long,
+      cap: Int): Dataset[(Long, Seq[Double])] = {
+    import spark.implicits._
+    val base =
+      if (n <= cap) vecsDf.select(col("vec_id"), col("v"))
+      else vecsDf.select(col("vec_id"), col("v"), xxhash64(col("vec_id")).as("hk"))
+        .orderBy(col("hk"), col("vec_id")).limit(cap)
+        .select(col("vec_id"), col("v"))
+    Tables.pinnedLayout(base, 64, "vec_id").as[(Long, Seq[Double])]
+  }
 
   private[graft] def annCentroidNorms(cs: Array[Array[Double]]): Array[Double] =
     cs.map { c =>
@@ -2156,10 +2180,12 @@ object Llm {
     * `vecsDf` is `(vec_id, v)` with 64-dim double arrays. */
   def buildAnnIndex(spark: SparkSession, vecsDf: DataFrame, k: Int = 32,
       m: Int = 16, ks: Int = 16, coarseIters: Int = 2,
-      pqIters: Int = 3): AnnIndex = {
+      pqIters: Int = 3, trainCap: Int = 100000): AnnIndex = {
     import spark.implicits._
     val typed = Tables.pinnedLayout(vecsDf.select(col("vec_id"), col("v")), 64, "vec_id")
       .as[(Long, Seq[Double])]
+    val nAll = vecsDf.count()
+    val trainTyped = trainView(spark, vecsDf, nAll, trainCap)
     val dim = vecsDf.select(size(col("v"))).head().getInt(0)
     require(dim % m == 0, s"PQ needs dim % m == 0, got $dim % $m")
     val sub = dim / m
@@ -2172,7 +2198,7 @@ object Llm {
       .select(col("v")).as[Seq[Double]].collect().map(_.toArray)
     for (_ <- 0 until coarseIters) {
       val bc = spark.sparkContext.broadcast(centroids)
-      val sums = typed.mapPartitions { rows =>
+      val sums = trainTyped.mapPartitions { rows =>
         val cs = bc.value
         val norms = annCentroidNorms(cs)
         val acc = Array.fill(cs.length)(new Array[Double](cs(0).length))
@@ -2201,7 +2227,7 @@ object Llm {
     // partial sums below stay data-deterministic) — without the
     // checkpoint each Lloyd round plus the encode would re-run the
     // assignment scan
-    val residuals = typed.mapPartitions { rows =>
+    def resOf(ds: Dataset[(Long, Seq[Double])]) = ds.mapPartitions { rows =>
       val cs = bcCent.value
       val norms = annCentroidNorms(cs)
       rows.map { case (id, v) =>
@@ -2212,6 +2238,11 @@ object Llm {
         (id, c, r.toSeq)
       }
     }.toDF("vec_id", "cell", "r").ckptLocal().as[(Long, Int, Seq[Double])]
+    val residuals = resOf(typed)
+    // PQ Lloyd trains on the SAMPLE's residuals; when the corpus fits
+    // the cap that is the `residuals` frame itself (same object, same
+    // bits as training on everything)
+    val trainRes = if (nAll <= trainCap) residuals else resOf(trainTyped)
 
     // 2. residual PQ codebooks: seeds are the ks hash-ordered
     //    vectors' RESIDUALS (driver-computed — ks rows), refined by
@@ -2228,7 +2259,7 @@ object Llm {
       seedRes.map(_.slice(j * sub, (j + 1) * sub)))
     for (_ <- 0 until pqIters) {
       val bc = spark.sparkContext.broadcast(books)
-      val sums = residuals.mapPartitions { rows =>
+      val sums = trainRes.mapPartitions { rows =>
         val bks = bc.value
         val acc = Array.tabulate(m, ks)((_, _) => new Array[Double](sub))
         val cnt = Array.ofDim[Long](m, ks)

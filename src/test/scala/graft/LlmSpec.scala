@@ -667,6 +667,29 @@ class LlmSpec extends AnyFunSuite {
     assert(prunedRecall >= 0.3, s"pruned IVFPQ recall $prunedRecall below floor")
   }
 
+  test("capped codebook training (trainCap) is deterministic and holds the recall floor") {
+    val dir = TestSpark.sf
+    val exact = Llm.knnExact(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // trainCap below the corpus (500 vectors at sf0.001) forces the
+    // sampled branch: Lloyd sees only the 100 hash-lowest rows while
+    // encode/probe still cover every vector — the FAISS train(sample)
+    // / add(corpus) split a 100 TB corpus requires
+    val capped = Llm.annIvfPq(spark, dir, trainCap = 100).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val again = Llm.annIvfPq(spark, dir, trainCap = 100).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped == again, "sampled-training IVFPQ must be run-to-run identical")
+    val recall = (exact & capped).size.toDouble / exact.size
+    info(s"IVFPQ recall with trainCap=100/500: $recall")
+    assert(recall >= 0.7, s"sample-trained IVFPQ recall $recall below floor")
+    val cappedPq = Llm.annPq(spark, dir, trainCap = 100).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pqRecall = (exact & cappedPq).size.toDouble / exact.size
+    info(s"PQ recall with trainCap=100/500: $pqRecall")
+    assert(pqRecall >= 0.7, s"sample-trained PQ recall $pqRecall below floor")
+  }
+
   test("quantized kNN: top-10 after exact re-rank matches exact kNN almost everywhere") {
     val dir = TestSpark.sf
     val exact = Llm.knnExact(spark, dir).collect()
