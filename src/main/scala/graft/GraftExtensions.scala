@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.plans.{BandHashes, CharRunStats, CosineSimilarity, DequantDot, FingerprintStats, GramHashes, GramStats, MinHashSig, NearestCentroid, PostingsDigest, Segments, SimHash60, SrpBuckets, TermCounts}
+import graft.plans.{AdcSum, BandHashes, CharRunStats, CosineSimilarity, DequantDot, FingerprintStats, GramHashes, GramStats, MinHashSig, NearestCentroid, PostingsDigest, Segments, SimHash60, SrpBuckets, TermCounts}
 
 /** Engine extensions, installed with
   * `spark.sql.extensions=graft.GraftExtensions` (SparkSessionExtensions
@@ -120,6 +120,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
         require(children.length == 4, "graft_dequant_dot takes exactly 4 arguments")
         DequantDot(children.head, children(1), children(2), children(3))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_adc"),
+      new ExpressionInfo(classOf[AdcSum].getName, "graft_adc"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.length == 3, "graft_adc takes exactly 3 arguments")
+        AdcSum(children.head, children(1), children(2))
       }))
     ext.injectFunction((
       FunctionIdentifier("graft_postings_digest"),

@@ -48,12 +48,19 @@ object Money {
     * units — far above any per-row money amount. Use this form when
     * wiring a NEW column into the split-long path; the shipped hot
     * paths keep the unchecked form on columns already verified clean
-    * (the guard costs one extra round + compare per row). */
+    * (the guard costs one extra round + compare per row).
+    *
+    * Null-safe: a NULL input passes the guard and yields NULL, like
+    * `moneyUnits` (round-14 advice — `assert_true` RAISES when its
+    * condition is null, and `abs(null − round(null))` is null, so
+    * the naive guard turned nullable columns into runtime errors
+    * with a null message to boot). */
   def moneyUnitsChecked(c: Column, unitsPerOne: Long = 100L): Column = {
     val scaled = c * unitsPerOne.toDouble
     val guard = assert_true(
-      abs(scaled - round(scaled)) <= lit(1e-6),
-      concat(lit("moneyUnits contract: >2 meaningful decimals in "), c.cast("string")))
+      c.isNull || abs(scaled - round(scaled)) <= lit(1e-6),
+      concat(lit("moneyUnits contract: >2 meaningful decimals in "),
+        coalesce(c.cast("string"), lit("null"))))
     when(guard.isNull, round(scaled)).cast("long")
   }
 

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -82,6 +82,22 @@ object Llm {
     }
     enabled && spark.catalog.functionExists(fn)
   }
+
+  /** The ADC table-lookup sum shared by the three PQ scan sites
+    * (`annPq`, `probeAnnIndex`, streaming `annSuspects`): approx
+    * dot = Σⱼ ptab[j·ks + codeⱼ] over a vector's `m` packed byte
+    * codes. Kernel path: the codegen'd `graft_adc` (plans/AdcSum) —
+    * one primitive loop per candidate inside WholeStageCodegen.
+    * Fallback: the same fold as a SQL higher-order aggregate,
+    * unpacking each code byte with hex/conv (binary has no SQL
+    * subscript). Both accumulate left-to-right from 0.0, so the
+    * paths are bit-identical (KernelParitySpec). */
+  private[graft] def adcExpr(spark: SparkSession, m: Int, ks: Int): Column =
+    if (kernelOn(spark, "graft_adc")) expr(s"graft_adc(ptab, code, $ks)")
+    else expr(
+      s"""aggregate(sequence(0, ${m - 1}), cast(0.0 as double),
+          (a, j) -> a + element_at(ptab,
+            j * $ks + cast(conv(hex(substring(code, j + 1, 1)), 16, 10) as int) + 1))""")
 
   /** One representative (smallest doc_id) per exact-duplicate group:
     * (key = text_hash, text). Tokenization normalizes exactly the way
@@ -1908,9 +1924,13 @@ object Llm {
     * float vectors for an exact cosine re-rank (ids-only until then)
     * — the same two-stage contract as SQ8, pinned by LlmSpec's
     * recall floor vs `knnExact`. At 100 TB the ADC stage reads
-    * m bytes/vector (16 B at the default m=16) instead of 512: the
-    * scan is memory-bandwidth-bound on a table 32× smaller, and the
-    * table lookups per row are m adds. Probe tables ride as literal
+    * m bytes/vector (16 B at the default m=16) instead of 512 — the
+    * `code` column is a packed `binary`, one unsigned byte per
+    * subspace, so the stored layout matches the claim (round-14
+    * advice: the former `array<int>` layout was 4×m) — and the scan
+    * is memory-bandwidth-bound on a table 32× smaller, with the
+    * per-row work m table-lookup adds fused into one codegen'd loop
+    * (plans/AdcSum, `graft_adc`). Probe tables ride as literal
     * columns of a 10-row broadcast frame. */
   def annPq(spark: SparkSession, dir: String, m: Int = 16, ks: Int = 16,
       iters: Int = 3, trainCap: Int = 100000): DataFrame = {
@@ -1989,12 +2009,12 @@ object Llm {
     val codes = typed.mapPartitions { rows =>
       val bks = bcB.value
       rows.map { case (id, v) =>
-        val code = new Array[Int](m)
+        val code = new Array[Byte](m)
         var n2 = 0.0
         var j = 0
         while (j < m) {
           val c = nearestSub(v, j * sub, bks(j))
-          code(j) = c
+          code(j) = c.toByte
           val cc = bks(j)(c)
           var i = 0
           while (i < sub) { n2 += cc(i) * cc(i); i += 1 }
@@ -2020,10 +2040,9 @@ object Llm {
     val probeTab = broadcast(ptabs.toDF("probe_id", "ptab"))
 
     // ADC scan: approx dot = sum of m table lookups per (vector, probe)
-    val adc = expr(
-      s"""aggregate(transform(sequence(0, ${m - 1}),
-          j -> element_at(ptab, j * $ks + element_at(code, j + 1) + 1)),
-          cast(0.0 as double), (a, x) -> a + x)""")
+    // — the codegen'd graft_adc kernel over the packed byte codes,
+    // HOF fallback without the extension (bit parity, adcExpr)
+    val adc = adcExpr(spark, m, ks)
     val wq = Window.partitionBy(col("probe_id")).orderBy(col("simq").desc, col("vec_id").asc)
     val cand = codes.crossJoin(probeTab)
       .filter(col("vec_id") =!= col("probe_id"))
@@ -2103,7 +2122,8 @@ object Llm {
   /** The persistable IVFADC index: three plain DataFrames, so "train
     * once, encode once, probe many" is a parquet write away (the
     * same build/probe contract as `buildNearDupIndex`). At 100 TB:
-    * `codes` is the corpus's 16 B/vector representation — write it
+    * `codes` is the corpus's 16 B/vector representation (`code` is
+    * a packed `binary`, one byte per subspace) — write it
     * partitioned by `cluster` and a probe becomes a partition-pruned
     * scan (IvfIndexSpec demonstrates the pruned-read shape);
     * `centroids` (k×dim) and `books` (m×ks×dim/m) are driver-small
@@ -2295,12 +2315,12 @@ object Llm {
       val cs = bcCent.value
       val bks = bcB.value
       rows.map { case (id, cell, r) =>
-        val code = new Array[Int](m)
+        val code = new Array[Byte](m)
         var n2 = 0.0
         var j = 0
         while (j < m) {
           val c = annNearestSub(r, j * sub, bks(j))
-          code(j) = c
+          code(j) = c.toByte
           val cc = bks(j)(c)
           var i = 0
           while (i < sub) {
@@ -2381,11 +2401,10 @@ object Llm {
 
     // ADC scan over probed cells only: the join on cluster IS the
     // prune (at 100 TB: a partition-pruned read of nprobe/k of
-    // the corpus); approx dot = cell_dot + m table lookups
-    val adc = expr(
-      s"""aggregate(transform(sequence(0, ${m - 1}),
-          j -> element_at(ptab, j * $ks + element_at(code, j + 1) + 1)),
-          cast(0.0 as double), (a, x) -> a + x)""")
+    // the corpus); approx dot = cell_dot + m table lookups — the
+    // codegen'd graft_adc kernel over the packed byte codes, HOF
+    // fallback without the extension (bit parity, adcExpr)
+    val adc = adcExpr(spark, m, ks)
     val wq = Window.partitionBy(col("probe_id")).orderBy(col("simq").desc, col("vec_id").asc)
     val cand = index.codes.join(broadcast(probeCells), Seq("cluster"))
       .filter(col("vec_id") =!= col("probe_id"))

@@ -399,8 +399,11 @@ object Streaming {
     * residual ADC table (driver-small model frozen at plan build,
     * broadcast in the task closure), stream-static joins the CODES
     * table on the cell id (at 100 TB: a partition-pruned probe of a
-    * cell-bucketed corpus), scores candidates by approximate cosine
-    * (cell_dot + ADC lookups, over the reconstructed norm), and
+    * cell-bucketed corpus), scores candidates by genuine approximate
+    * cosine — (cell_dot + ADC) / (|x̂|·|p|), both norms: |x̂| is
+    * reconstructed at encode time, |p| computed alongside the probe
+    * table (embeddings are NOT unit-norm, so dropping |p| would make
+    * `minSim` norm-dependent — round-14 advice) — and
     * emits those above `minSim`. Entirely STATELESS — no per-key
     * state, no dedup store (a vector lives in exactly one cell, so a
     * (probe, candidate) pair is produced at most once) — which is
@@ -431,21 +434,27 @@ object Streaming {
             while (i < sub) { d += pv(j * sub + i) * books(j)(c)(i); i += 1 }
             t(j * ks + c) = d
           }
+          // |p| too: simq must be approximate COSINE, not |p|·cos —
+          // without it minSim over/under-admits in proportion to each
+          // query's norm (round-14 advice; batch probeAnnIndex only
+          // RANKS within a probe, where |p| is constant, so it never
+          // needed the division)
+          var p2 = 0.0
+          var pi = 0
+          while (pi < dim) { p2 += pv(pi) * pv(pi); pi += 1 }
+          val pn = math.sqrt(p2)
           Llm.annNearest(pv, cents, norms, math.min(nprobe, k)).map { cell =>
             var cd = 0.0; var i = 0
             while (i < dim) { cd += pv(i) * cents(cell)(i); i += 1 }
-            (pid, ts, cell, cd, t.toSeq)
+            (pid, ts, cell, cd, pn, t.toSeq)
           }
         }
-      }.toDF("probe_id", "ts", "cluster", "cell_dot", "ptab")
-    val adc = expr(
-      s"""aggregate(transform(sequence(0, ${m - 1}),
-          j -> element_at(ptab, j * $ks + element_at(code, j + 1) + 1)),
-          cast(0.0 as double), (a, x) -> a + x)""")
+      }.toDF("probe_id", "ts", "cluster", "cell_dot", "pn", "ptab")
+    val adc = Llm.adcExpr(spark, m, ks)
     probed.join(index.codes, Seq("cluster"))
       .filter(col("vec_id") =!= col("probe_id"))
       .withColumn("simq",
-        (col("cell_dot") + adc) / greatest(col("qn"), lit(1e-12)))
+        (col("cell_dot") + adc) / greatest(col("qn") * col("pn"), lit(1e-12)))
       .filter(col("simq") >= minSim)
       .select(col("probe_id"), col("ts"), col("vec_id"),
         round(col("simq"), 6).as("simq"))

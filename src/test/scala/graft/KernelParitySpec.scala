@@ -105,6 +105,36 @@ class KernelParitySpec extends AnyFunSuite {
       s"mean per-probe neighbor overlap $mean < 0.9 between kernel and fallback paths")
   }
 
+  // Expression-level bit parity for the ADC kernel (the whole-query
+  // rows above cover the wiring; this pins the FORMULA on adversarial
+  // inputs — byte values up to ks−1 including the sign-bit range a
+  // packed byte misreads without the & 0xFF, and ptab entries of
+  // mixed magnitude where fold order shows up in the last ulp).
+  test("graft_adc equals the HOF table-lookup fold bit-for-bit") {
+    val sp = spark
+    import sp.implicits._
+    for ((m, ks) <- Seq((16, 16), (8, 256))) withClue(s"m=$m ks=$ks: ") {
+    val rnd = new scala.util.Random(42)
+    val rows = (0 until 64).map { i =>
+      val ptab = Array.fill(m * ks)((rnd.nextDouble() - 0.5) * math.pow(10, rnd.nextInt(6) - 3))
+      val code = Array.fill(m)(rnd.nextInt(ks).toByte)
+      (i, ptab.toSeq, code)
+    }
+    val df = rows.toDF("id", "ptab", "code")
+    val kernel = df.selectExpr("id", s"graft_adc(ptab, code, $ks) as s")
+    val fold = df.selectExpr("id",
+      s"""aggregate(sequence(0, ${m - 1}), cast(0.0 as double),
+          (a, j) -> a + element_at(ptab,
+            j * $ks + cast(conv(hex(substring(code, j + 1, 1)), 16, 10) as int) + 1)) as s""")
+    val k = kernel.collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    val f = fold.collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    assert(k.keySet == f.keySet)
+    for ((id, kv) <- k)
+      assert(java.lang.Double.doubleToLongBits(kv) == java.lang.Double.doubleToLongBits(f(id)),
+        s"row $id: kernel $kv != fold ${f(id)} (bit-level)")
+    }
+  }
+
   // embedNearDup is not a declared query (the synthetic embeddings
   // are near-orthogonal noise with no pairs at its default 0.9
   // threshold); cover its SRP-bucket + verify-cosine sites at a low

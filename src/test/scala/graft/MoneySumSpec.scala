@@ -80,4 +80,28 @@ class MoneySumSpec extends AnyFunSuite {
     assert(msgs(ex).exists(_.contains("moneyUnits contract")),
       s"expected the contract guard to trip, got: ${msgs(ex)}")
   }
+
+  test("moneyUnitsChecked propagates NULL instead of raising (round-14 advice)") {
+    // assert_true RAISES when its condition is null, and
+    // abs(null − round(null)) is null — the naive guard turned a
+    // nullable money column into a runtime error (with a null
+    // message). The guard must treat NULL like moneyUnits: pass
+    // through, yield NULL.
+    import spark.implicits._
+    import graft.functions.Money
+    val df = Seq(Some(1.25), None, Some(-17.10)).toDF("c")
+    val got = df.select(Money.moneyUnitsChecked($"c").as("u"))
+      .collect().map(r => if (r.isNullAt(0)) None else Some(r.getLong(0))).toSet
+    assert(got == Set(Some(125L), None, Some(-1710L)),
+      s"null must propagate and clean rows still convert, got $got")
+    // and a dirty row alongside a null still trips with a REAL message
+    val ex = intercept[Exception] {
+      Seq(Some(3.141), None).toDF("c")
+        .select(Money.moneyUnitsChecked($"c").as("u")).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(ex).exists(_.contains("moneyUnits contract")),
+      s"dirty row must still trip the guard, got: ${msgs(ex)}")
+  }
 }

@@ -395,4 +395,32 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("zip_with"), "interpreted dequantize fold resurfaced")
     assert(!p.contains("ScalaUDF"), "quantized path must carry no Scala UDF")
   }
+
+  test("PQ ADC scans rank on the graft_adc kernel, not an interpreted fold") {
+    // round-14 verdict item 1: the ADC table-lookup sum was the last
+    // interpreted aggregate(transform(...)) lambda in a hot scan —
+    // pin that both ADC queries plan the fused kernel (only the
+    // fold fallback materializes a `sequence(0, m-1)` index array)
+    for (q <- Seq("llm_ann_pq", "llm_ann_ivfpq")) {
+      val p = plan(q)
+      assert(p.contains("graft_adc"), s"$q ADC scan off the kernel:\n$p")
+      assert(!p.contains("sequence(0"), s"$q: interpreted ADC fold resurfaced")
+      assert(!p.contains("ScalaUDF"), s"$q ADC path must carry no Scala UDF")
+    }
+  }
+
+  test("IVFADC probe joins codes to probed cells by broadcast hash on the cell id") {
+    // round-14 verdict item 5: the candidate scan's codes⋈probeCells
+    // join IS the nprobe/k prune (a partition-pruned read at 100 TB)
+    // — it must plan as a broadcast hash join keyed on `cluster`,
+    // never a cartesian/nested-loop (all-pairs would defeat IVF) and
+    // never a sort-merge that shuffles the whole codes table
+    val p = plan("llm_ann_ivfpq")
+    assert(p.contains("BroadcastHashJoin") && p.contains("cluster"),
+      s"IVFADC candidate scan is not a broadcast hash join on cluster:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"IVFADC probe degenerated to an all-pairs join:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"IVFADC probe must not shuffle the codes table into a sort-merge join:\n$p")
+  }
 }

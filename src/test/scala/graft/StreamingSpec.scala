@@ -807,6 +807,74 @@ class StreamingSpec extends AnyFunSuite {
       s"after swap: expected new-family + old-family hits, carried dedup, no retroactive re-eval — got $all")
   }
 
+  test("ANN suspects index refresh: stop, rebuild, restart swaps the frozen model; no retroactive re-eval") {
+    // The AnnIndex refresh runbook (TESTDATA.md), exercised: the
+    // model snapshot (centroids + codebooks + codes) is frozen at
+    // plan build, so a refresh is stop-query → rebuild/reload →
+    // restart from the SAME checkpoint. annSuspects is entirely
+    // STATELESS (a vector lives in exactly one cell), so unlike
+    // nearDupSuspects there is no carried dedup state to verify —
+    // the contract is: the stream RESUMES from committed offsets
+    // (pre-swap queries are not re-evaluated against the new index),
+    // and post-swap batches score against generation B exactly as a
+    // batch probe of B would.
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = TestSpark.sf
+    val all = graft.sources.Tables.embeddings(spark, dir)
+      .select(col("vec_id"), expr("transform(embedding, x -> cast(x AS double))").as("v"))
+    // generation A indexes half the corpus, generation B all of it —
+    // same build path, different codes AND different trained model
+    val corpusA = all.filter(col("vec_id") >= 10 && col("vec_id") % 2 === 0)
+    val corpusB = all.filter(col("vec_id") >= 10)
+    val idxA = graft.operators.Llm.buildAnnIndex(spark, corpusA)
+    val idxB = graft.operators.Llm.buildAnnIndex(spark, corpusB)
+    val qvecs = all.filter(col("vec_id") < 10)
+      .select(col("vec_id"), col("v")).as[(Long, Seq[Double])].collect()
+      .map { case (id, v) => (id, ts(s"2024-01-01 10:00:${10 + id}"), v) }.toSeq
+    val (batch1, batch2) = qvecs.splitAt(5)
+    def batchWant(rows: Seq[(Long, java.sql.Timestamp, Seq[Double])],
+        idx: graft.operators.Llm.AnnIndex): Set[(Long, Long, Double)] =
+      Streaming.annSuspects(rows.toDF("vec_id", "ts", "v"), idx, minSim = 0.15)
+        .collect().map(r => (r.getLong(0), r.getLong(2), r.getDouble(3))).toSet
+    val wantA1 = batchWant(batch1, idxA)
+    val wantB2 = batchWant(batch2, idxB)
+    val wantB1 = batchWant(batch1, idxB)
+    assert(wantA1.nonEmpty && wantB2.nonEmpty, "no candidates at minSim=0.15 — lower it")
+    assert(wantA1 != wantB1, "generations must actually score batch 1 differently for the pin to bite")
+
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_annx_refresh_ckpt").toString
+    val ms = MemoryStream[(Long, java.sql.Timestamp, Seq[Double])]
+    val seen = java.util.Collections.synchronizedList(
+      new java.util.ArrayList[(Long, Long, Double)]())
+    def start(idx: graft.operators.Llm.AnnIndex) =
+      Streaming.annSuspects(ms.toDF().toDF("vec_id", "ts", "v"), idx, minSim = 0.15)
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          batch.select("probe_id", "vec_id", "simq").collect()
+            .foreach(r => seen.add((r.getLong(0), r.getLong(1), r.getDouble(2))))
+        }.start()
+
+    val q1 = start(idxA)
+    try {
+      ms.addData(batch1)
+      q1.processAllAvailable()
+    } finally q1.stop()
+    assert(seen.toArray(Array.empty[(Long, Long, Double)]).toSet == wantA1,
+      "generation A suspects must equal the batch probe of index A")
+
+    val q2 = start(idxB)
+    try {
+      ms.addData(batch2)
+      q2.processAllAvailable()
+    } finally q2.stop()
+    val after = seen.toArray(Array.empty[(Long, Long, Double)]).toSet
+    assert(after == wantA1 ++ wantB2,
+      s"after swap: batch 1 stays generation-A-scored (committed offsets, no re-eval), " +
+        s"batch 2 scores against generation B — got ${after.size} vs expected ${(wantA1 ++ wantB2).size}")
+  }
+
   test("streaming ANN suspects equal the batch ADC candidates across micro-batches (stateless stream-static probe)") {
     import org.apache.spark.sql.functions._
     implicit val sqlCtx = spark.sqlContext
