@@ -141,6 +141,10 @@ object SparkEntry {
     // WAV payloads ride the real RIFF decode, sample-sum checksum
     // recomputed by DuckDB
     "llm_media_wav"      -> (graft.operators.Multimodal.mediaWavChecksum _),
+    // compressed-audio sibling: per-row-varying synthesized MP3s
+    // (ID3v2 tag + CBR frame train) ride the real header walk;
+    // frame count / duration / tag size recomputed by DuckDB
+    "llm_media_mp3"      -> (graft.operators.Multimodal.mediaMp3Meta _),
   )
 
   /** The registry as a SQL surface (round-11 verdict item 8):
@@ -228,6 +232,7 @@ object SparkEntry {
     "llm_media_decode" -> ("multimodal", "Multimodal.mediaDecodeChecksum"),
     "llm_media_meta" -> ("multimodal", "Llm.mediaMeta"),
     "llm_media_wav" -> ("multimodal", "Multimodal.mediaWavChecksum"),
+    "llm_media_mp3" -> ("multimodal", "Multimodal.mediaMp3Meta"),
     "llm_mix_weighted" -> ("llm-corpus", "Llm.mixWeighted"),
     "llm_ngram_jaccard" -> ("llm-dedup", "Llm.ngramJaccard"),
     "llm_pii_scrub" -> ("llm-text", "Llm.piiScrub"),
@@ -1255,5 +1260,17 @@ object SparkEntry {
          FROM (SELECT doc_id, text FROM documents WHERE text IS NOT NULL),
               LATERAL (SELECT unnest(range(1, 33)) AS i)
          GROUP BY doc_id""",
+    // real MP3-header-walk oracle: the synthesized stream's shape is
+    // a pure function of n_chars (tag pad = n_chars % 16, frames =
+    // 1 + n_chars % 8, MPEG1 Layer III 128 kbps 44100 Hz mono), so
+    // frame count, floor-division duration and tag size are
+    // recomputable engine-free
+    "llm_media_mp3" ->
+      """SELECT doc_id,
+                44100 AS sample_rate, 128 AS bitrate_kbps, 1 AS channels,
+                CAST(1 + n_chars % 8 AS INT) AS n_frames,
+                CAST(floor((1 + n_chars % 8) * 1152 * 1000.0 / 44100) AS BIGINT) AS duration_ms,
+                CAST(10 + n_chars % 16 AS INT) AS id3_bytes
+         FROM documents WHERE text IS NOT NULL""",
   )
 }

@@ -1182,6 +1182,104 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  // --- MP3 header-walk metadata (round-15: the media family's
+  // compressed-audio leg — header arithmetic, no DSP) ---
+
+  /** One MPEG1 Layer III 128 kbps 44100 Hz mono frame (417 B CBR):
+    * header FF FB 90 C0 + zero body, optionally with a different
+    * bitrate index for VBR tests. */
+  private def mp3Frame(brIdx: Int = 9, srIdx: Int = 0): Array[Byte] = {
+    val kbps = Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 0)(brIdx)
+    val rate = Array(44100, 48000, 32000, 0)(srIdx)
+    val len = 144 * kbps * 1000 / rate
+    val b = new Array[Byte](len)
+    b(0) = 0xff.toByte; b(1) = 0xfb.toByte
+    b(2) = ((brIdx << 4) | (srIdx << 2)).toByte; b(3) = 0xc0.toByte
+    b
+  }
+
+  private def id3v2(pad: Int, footer: Boolean = false): Array[Byte] = {
+    val b = new Array[Byte](10 + pad + (if (footer) 10 else 0))
+    b(0) = 'I'; b(1) = 'D'; b(2) = '3'; b(3) = 4
+    if (footer) b(5) = 0x10
+    b(6) = ((pad >> 21) & 0x7f).toByte; b(7) = ((pad >> 14) & 0x7f).toByte
+    b(8) = ((pad >> 7) & 0x7f).toByte; b(9) = (pad & 0x7f).toByte
+    b
+  }
+
+  test("MP3 metadata: ID3v2 skip, exact frame walk, duration arithmetic") {
+    val payload = id3v2(pad = 37) ++ mp3Frame() ++ mp3Frame() ++ mp3Frame()
+    val m = Multimodal.decodeMp3Meta(payload).get
+    assert(m.version == 1 && m.layer == 3, s"MPEG1 Layer III expected: $m")
+    assert(m.sampleRate == 44100 && m.bitrateKbps == 128 && m.channels == 1)
+    assert(m.nFrames == 3, s"frame walk must count exactly 3: $m")
+    assert(m.durationMs == 3L * 1152 * 1000 / 44100, s"duration off: $m")
+    assert(m.id3v2Bytes == 47, s"syncsafe tag size mis-skipped: $m")
+    // no tag: sync at offset 0
+    val bare = Multimodal.decodeMp3Meta(mp3Frame() ++ mp3Frame()).get
+    assert(bare.nFrames == 2 && bare.id3v2Bytes == 0)
+    // ID3v2 footer flag adds 10 bytes to the skip
+    val foot = Multimodal.decodeMp3Meta(id3v2(5, footer = true) ++ mp3Frame()).get
+    assert(foot.nFrames == 1 && foot.id3v2Bytes == 25)
+  }
+
+  test("MP3 metadata: VBR walks on, trailing junk/ID3v1 stops cleanly, bad streams reject") {
+    // VBR: bitrate may change per frame (same version/layer/rate);
+    // reported bitrate is the first frame's, duration stays exact
+    val vbr = Multimodal.decodeMp3Meta(
+      mp3Frame(brIdx = 9) ++ mp3Frame(brIdx = 11) ++ mp3Frame(brIdx = 5)).get
+    assert(vbr.nFrames == 3 && vbr.bitrateKbps == 128, s"VBR walk broke: $vbr")
+    // trailing ID3v1 tag (128 B starting "TAG") ends the walk, not the parse
+    val v1 = "TAG".getBytes("US-ASCII") ++ new Array[Byte](125)
+    val tail = Multimodal.decodeMp3Meta(mp3Frame() ++ mp3Frame() ++ v1).get
+    assert(tail.nFrames == 2, s"ID3v1 tail must not count as frames: $tail")
+    // a mid-stream rate CHANGE ends the walk (one logical stream only)
+    val mixed = Multimodal.decodeMp3Meta(mp3Frame(srIdx = 0) ++ mp3Frame(srIdx = 1)).get
+    assert(mixed.nFrames == 1, s"rate change must end the stream: $mixed")
+    // rejects: no sync at the start point, truncated/oversized tag,
+    // reserved version/layer bits, bad bitrate/rate indexes
+    assert(Multimodal.decodeMp3Meta("not audio at all".getBytes("UTF-8")).isEmpty)
+    assert(Multimodal.decodeMp3Meta(id3v2(1000).take(30)).isEmpty)
+    val badVer = mp3Frame(); badVer(1) = 0xeb.toByte // version bits = reserved
+    assert(Multimodal.decodeMp3Meta(badVer).isEmpty)
+    val badBr = mp3Frame(); badBr(2) = 0xf0.toByte // bitrate index 15
+    assert(Multimodal.decodeMp3Meta(badBr).isEmpty)
+    assert(Multimodal.decodeMp3Meta(Array.emptyByteArray).isEmpty)
+  }
+
+  test("MP3 metadata rides decodeFeatures: n_frames is the walked count, features stay the stub") {
+    import spark.implicits._
+    val payload = id3v2(4) ++ mp3Frame() ++ mp3Frame() ++ mp3Frame() ++ mp3Frame()
+    val rows = Seq(Multimodal.MediaRow(7L, payload, "audio/mpeg")).toDS()
+    val out = Multimodal.decodeFeatures(rows).collect()
+    assert(out.length == 1)
+    assert(out.head.n_frames == 4, s"decodeFeatures must surface the real frame count: ${out.head}")
+    assert(out.head.features.sameElements(Multimodal.stubDecode(payload)),
+      "MP3 features are the clearly-marked stub (metadata-only branch)")
+  }
+
+  test("llm_media_mp3: the real header walk reproduces the oracle formula on every document") {
+    // the oracle recomputes (n_frames, duration, tag size) from
+    // n_chars; this pins the Spark side against the same closed form,
+    // so an oracle mismatch can only mean the SQL text itself drifted
+    val dir = TestSpark.sf
+    val got = Multimodal.mediaMp3Meta(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4),
+        r.getLong(5), r.getInt(6)))).toMap
+    val want = graft.sources.Tables.documents(spark, dir)
+      .filter(org.apache.spark.sql.functions.col("text").isNotNull)
+      .select("doc_id", "n_chars").collect()
+      .map { r =>
+        val n = r.getLong(1).toInt
+        val frames = 1 + n % 8
+        r.getLong(0) -> ((44100, 128, 1, frames,
+          frames.toLong * 1152 * 1000 / 44100, 10 + n % 16))
+      }.toMap
+    assert(got.keySet == want.keySet)
+    assert(got == want, "parsed MP3 metadata diverges from the synthesized stream's closed form")
+    assert(got.valuesIterator.forall(_._4 >= 1), "every stream has at least one frame")
+  }
+
   test("real decoders ride the partition-streaming pipeline; unknown bytes keep the stub path") {
     import spark.implicits._
     val img = ppm(2, 2, Array(255, 0, 0, 0, 255, 0, 0, 0, 255, 255, 255, 255).map(_.toByte))
