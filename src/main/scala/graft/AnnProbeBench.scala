@@ -25,9 +25,10 @@ import org.apache.spark.sql.functions._
   */
 object AnnProbeBench {
   def main(args: Array[String]): Unit = {
-    val sfDir = args.headOption.getOrElse(sys.env("SPARK_GRAFT_SF_DIR"))
-    val runs = if (args.length > 1) args(1).toInt else 5
-    val spark = SparkSession.builder()
+    val (confs, rest) = args.partition(_.contains("="))
+    val sfDir = rest.headOption.getOrElse(sys.env("SPARK_GRAFT_SF_DIR"))
+    val runs = if (rest.length > 1) rest(1).toInt else 5
+    val builder = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
@@ -36,7 +37,8 @@ object AnnProbeBench {
       .config("spark.shuffle.sort.bypassMergeThreshold", "0")
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    confs.foreach { c => val Array(k, v) = c.split("=", 2); builder.config(k, v) }
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val cpuNs = new java.util.concurrent.atomic.AtomicLong(0L)
     spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
