@@ -57,6 +57,9 @@ object SparkEntry {
     "llm_knn_exact"      -> (Llm.knnExact _),
     "llm_ann_lsh"        -> (Llm.annLsh _),
     "llm_ann_ivf"        -> ((s, d) => Llm.annIvf(s, d)),
+    // probe-only steady state: llm_ann_ivfpq semantics against a
+    // persisted per-dir index snapshot (built once, reloaded after)
+    "llm_ann_probe"      -> ((s, d) => Llm.annProbe(s, d)),
     "llm_media_meta"     -> (Llm.mediaMeta _),
     "eco_graph_nodes"    -> (Graph.graphNodes _),
     "eco_graph_edges"    -> (Graph.graphEdges _),
@@ -209,6 +212,7 @@ object SparkEntry {
     "llm_ann_ivf" -> ("llm-similarity", "Llm.annIvf"),
     "llm_ann_lsh" -> ("llm-similarity", "Llm.annLsh"),
     "llm_ann_ivfpq" -> ("llm-similarity", "Llm.annIvfPq"),
+    "llm_ann_probe" -> ("llm-similarity", "Llm.annProbe"),
     "llm_ann_pq" -> ("llm-similarity", "Llm.annPq"),
     "llm_char_entropy" -> ("llm-text", "Llm.charEntropy"),
     "llm_contamination" -> ("llm-dedup", "Llm.contamination"),

@@ -19,6 +19,7 @@ class AnnIndexSpec extends AnyFunSuite {
   private def canon(df: org.apache.spark.sql.DataFrame): Seq[String] =
     df.collect().map(_.toSeq.map {
       case d: Double => java.lang.Double.doubleToLongBits(d).toString
+      case b: Array[Byte] => b.map("%02x".format(_)).mkString
       case x => String.valueOf(x)
     }.mkString("|")).sorted.toSeq
 
@@ -53,5 +54,49 @@ class AnnIndexSpec extends AnyFunSuite {
       import scala.reflect.io.Directory
       new Directory(new java.io.File(tmp)).deleteRecursively()
     }
+  }
+
+  test("appendAnnIndex: encode-only add against the frozen model is bit-identical to the full build") {
+    import spark.implicits._
+    val dir = TestSpark.sf
+    val all = graft.sources.Tables.embeddings(spark, dir)
+      .select(col("vec_id"), expr("transform(embedding, x -> cast(x AS double))").as("v"))
+      .withColumn("nrm", expr("sqrt(aggregate(v, cast(0.0 AS double), (a, x) -> a + x * x))"))
+    val probes = all.filter(col("vec_id") < 10).select(col("vec_id"), col("v"), col("nrm"))
+    val full = Llm.buildAnnIndex(spark, all.select(col("vec_id"), col("v")))
+
+    // simulate a crawl append: strip the codes of the "new" half,
+    // keep the trained model, then add() the half back encode-only
+    val split = 250L
+    val stripped = Llm.AnnIndex(full.centroids, full.books,
+      full.codes.filter(col("vec_id") < split))
+    val appended = Llm.appendAnnIndex(spark, stripped,
+      all.filter(col("vec_id") >= split).select(col("vec_id"), col("v")))
+
+    // same model + same encode arithmetic → codes bit-identical to
+    // what the full build emitted for those vectors
+    assert(canon(appended.codes) == canon(full.codes),
+      "appended codes must equal the full build's codes bit-for-bit")
+    // and therefore the appended index probes identically
+    val viaAppend = canon(Llm.probeAnnIndex(spark, appended, probes, all))
+    val viaFull = canon(Llm.probeAnnIndex(spark, full, probes, all))
+    assert(viaAppend == viaFull,
+      "an appended index must probe identically to a fully-built one")
+    // the append pass itself touches only the new batch: its plan
+    // must not retrain (no Lloyd job) — structurally guaranteed
+    // (appendAnnIndex never iterates), so just pin the count shape
+    assert(appended.codes.count() == full.codes.count())
+  }
+
+  test("llm_ann_probe (persisted-snapshot probe) equals the retraining registry query") {
+    val dir = TestSpark.sf
+    val probe1 = canon(SparkEntry.queries("llm_ann_probe")(spark, dir))
+    val ivfpq = canon(SparkEntry.queries("llm_ann_ivfpq")(spark, dir))
+    assert(probe1.nonEmpty, "probe leg returned no rows")
+    assert(probe1 == ivfpq,
+      "probe-only leg must equal llm_ann_ivfpq (both halves are deterministic)")
+    // second invocation rides the cached snapshot — still identical
+    val probe2 = canon(SparkEntry.queries("llm_ann_probe")(spark, dir))
+    assert(probe2 == probe1, "snapshot reuse must not change results")
   }
 }
