@@ -148,6 +148,10 @@ object SparkEntry {
     // (ID3v2 tag + CBR frame train) ride the real header walk;
     // frame count / duration / tag size recomputed by DuckDB
     "llm_media_mp3"      -> (graft.operators.Multimodal.mediaMp3Meta _),
+    // video-container sibling: synthesized ISO-BMFF boxes ride the
+    // real recursive box walk; brand / duration / tracks / dims
+    // recomputed by DuckDB
+    "llm_media_mp4"      -> (graft.operators.Multimodal.mediaMp4Meta _),
   )
 
   /** The registry as a SQL surface (round-11 verdict item 8):
@@ -237,6 +241,7 @@ object SparkEntry {
     "llm_media_meta" -> ("multimodal", "Llm.mediaMeta"),
     "llm_media_wav" -> ("multimodal", "Multimodal.mediaWavChecksum"),
     "llm_media_mp3" -> ("multimodal", "Multimodal.mediaMp3Meta"),
+    "llm_media_mp4" -> ("multimodal", "Multimodal.mediaMp4Meta"),
     "llm_mix_weighted" -> ("llm-corpus", "Llm.mixWeighted"),
     "llm_ngram_jaccard" -> ("llm-dedup", "Llm.ngramJaccard"),
     "llm_pii_scrub" -> ("llm-text", "Llm.piiScrub"),
@@ -1275,6 +1280,18 @@ object SparkEntry {
                 CAST(1 + n_chars % 8 AS INT) AS n_frames,
                 CAST(floor((1 + n_chars % 8) * 1152 * 1000.0 / 44100) AS BIGINT) AS duration_ms,
                 CAST(10 + n_chars % 16 AS INT) AS id3_bytes
+         FROM documents WHERE text IS NOT NULL""",
+    // real MP4-box-walk oracle: the synthesized container's shape is
+    // a pure function of n_chars (mvhd timescale 1000 / duration
+    // n_chars·37 ms, 1 + n_chars % 3 tracks, 16.16 dims from
+    // n_chars % 5, an mdat tail the walk must skip), so every field
+    // is recomputable engine-free
+    "llm_media_mp4" ->
+      """SELECT doc_id, 'isom' AS brand,
+                CAST(n_chars * 37 AS BIGINT) AS duration_ms,
+                CAST(1 + n_chars % 3 AS INT) AS n_tracks,
+                CAST(16 * (1 + n_chars % 5) AS INT) AS w,
+                CAST(9 * (1 + n_chars % 5) AS INT) AS h
          FROM documents WHERE text IS NOT NULL""",
   )
 }

@@ -56,6 +56,16 @@ object Multimodal {
                              bitrateKbps: Int, channels: Int, nFrames: Int,
                              durationMs: Long, id3v2Bytes: Int) extends Decoded
 
+  /** MP4 / ISO-BMFF container METADATA from the box walk — major
+    * brand, movie duration (mvhd timescale arithmetic), track count
+    * and the first video track's pixel dimensions (tkhd 16.16 fixed
+    * point). Same contract as `Mp3Stream`: header arithmetic a
+    * corpus pipeline extracts from video at scale, with the codec
+    * payload (H.264 et al.) left un-decoded — the adjudicated-out
+    * DSP tail. */
+  final case class Mp4Container(majorBrand: String, durationMs: Long,
+                                nTracks: Int, width: Int, height: Int) extends Decoded
+
   private def le32(b: Array[Byte], o: Int): Int =
     (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8) | ((b(o + 2) & 0xff) << 16) | ((b(o + 3) & 0xff) << 24)
   private def le16(b: Array[Byte], o: Int): Int =
@@ -306,6 +316,77 @@ object Multimodal {
 
   private def be32(b: Array[Byte], o: Int): Int =
     ((b(o) & 0xff) << 24) | ((b(o + 1) & 0xff) << 16) | ((b(o + 2) & 0xff) << 8) | (b(o + 3) & 0xff)
+
+  private def be64(b: Array[Byte], o: Int): Long =
+    ((be32(b, o) & 0xffffffffL) << 32) | (be32(b, o + 4) & 0xffffffffL)
+
+  /** MP4 / ISO-BMFF metadata parse: the container is a tree of
+    * boxes `[size:4 BE][type:4 ASCII][payload]` (size 1 → 64-bit
+    * largesize follows; size 0 → to end of enclosure). The walk
+    * requires `ftyp` first (the file signature — bytes 4-7, so text
+    * and other binaries reject in O(1)), recurses into `moov`/`trak`
+    * only, reads `mvhd` (timescale + duration, v0 and v1 layouts)
+    * and each `tkhd` (track count; first nonzero 16.16 width/height
+    * = the display dimensions). Any malformed size — shorter than
+    * its header, overrunning its enclosure — rejects the payload
+    * rather than guessing; a container without `mvhd` rejects too
+    * (not a playable movie). Metadata only: codec payloads (`mdat`)
+    * are never touched. */
+  private[graft] def decodeMp4Meta(b: Array[Byte]): Option[Mp4Container] = {
+    if (b.length < 16) return None
+    if (b(4) != 'f' || b(5) != 't' || b(6) != 'y' || b(7) != 'p') return None
+    val ftypSize = be32(b, 0)
+    if (ftypSize < 16 || ftypSize > b.length) return None
+    val brand = new String(b, 8, 4, "US-ASCII")
+    var durationMs = -1L
+    var tracks = 0
+    var w = 0
+    var h = 0
+    def walk(start: Int, end: Int, depth: Int): Boolean = {
+      var i = start
+      while (i + 8 <= end) {
+        var size: Long = be32(b, i) & 0xffffffffL
+        val typ = new String(b, i + 4, 4, "US-ASCII")
+        var hdr = 8
+        if (size == 1) {
+          if (i + 16 > end) return false
+          size = be64(b, i + 8)
+          hdr = 16
+        } else if (size == 0) size = end - i
+        if (size < hdr || i + size > end) return false
+        typ match {
+          case "moov" | "trak" =>
+            if (depth < 4 && !walk(i + hdr, i + size.toInt, depth + 1)) return false
+          case "mvhd" if size >= hdr + 24 =>
+            val v = b(i + hdr) & 0xff
+            val (ts, dur) =
+              if (v == 1 && size >= hdr + 32)
+                (be32(b, i + hdr + 4 + 16), be64(b, i + hdr + 4 + 20))
+              else
+                (be32(b, i + hdr + 4 + 8), be32(b, i + hdr + 4 + 12) & 0xffffffffL)
+            if (ts > 0) durationMs = dur * 1000L / ts
+          case "tkhd" =>
+            tracks += 1
+            val v = b(i + hdr) & 0xff
+            // after version/flags: v0 ctime4 mtime4 id4 res4 dur4 = 20,
+            // v1 ctime8 mtime8 id4 res4 dur8 = 32; then reserved8,
+            // layer2, altgroup2, volume2, reserved2, matrix36 = 52
+            val wOff = i + hdr + 4 + (if (v == 1) 32 else 20) + 52
+            if (wOff + 8 <= i + size) {
+              val tw = be32(b, wOff) >>> 16 // 16.16 fixed point
+              val th = be32(b, wOff + 4) >>> 16
+              if (tw > 0 && th > 0 && w == 0) { w = tw; h = th }
+            }
+          case _ => // mdat, free, udta, ... — skipped, never decoded
+        }
+        i += size.toInt
+      }
+      i == end // boxes must tile their enclosure exactly — a ragged tail is malformed
+    }
+    if (!walk(0, b.length, 0)) return None
+    if (durationMs < 0) return None // no mvhd → not a movie container
+    Some(Mp4Container(brand, durationMs, tracks, w, h))
+  }
 
   private val PngSig: Array[Byte] =
     Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
@@ -1396,6 +1477,7 @@ object Multimodal {
     decodePnm(payload).orElse(decodeBmp(payload)).orElse(decodeWav(payload))
       .orElse(decodePng(payload)).orElse(decodeGif(payload))
       .orElse(decodeJpeg(payload)).orElse(decodeMp3Meta(payload))
+      .orElse(decodeMp4Meta(payload))
 
   /** Typed row contract for a media table. */
   case class MediaRow(doc_id: Long, payload: Array[Byte], kind: String)
@@ -1524,6 +1606,11 @@ object Multimodal {
             // (sample synthesis is the adjudicated-out DSP tail)
             MediaFeatures(r.doc_id, r.kind, r.payload.length.toLong,
               m.nFrames, stubDecode(r.payload))
+          case Some(c: Mp4Container) =>
+            // metadata-only: n_frames carries the parsed TRACK count
+            // (the codec payload is the adjudicated-out DSP tail)
+            MediaFeatures(r.doc_id, r.kind, r.payload.length.toLong,
+              c.nTracks, stubDecode(r.payload))
           case None =>
             val frames = sampleFrames(r.payload, frameStride)
             MediaFeatures(r.doc_id, r.kind, r.payload.length.toLong,
@@ -1676,6 +1763,72 @@ object Multimodal {
         }
       }.toDF("doc_id", "sample_rate", "bitrate_kbps", "channels",
         "n_frames", "duration_ms", "id3_bytes")
+  }
+
+  /** The ORACLED leg through the REAL MP4 box walk (`llm_media_mp4`)
+    * — the video-container sibling of `llm_media_mp3`: every document
+    * gets a synthesized ISO-BMFF container whose shape varies per
+    * row — `ftyp(isom)`, then `moov` holding an `mvhd` (timescale
+    * 1000, duration `n_chars · 37` ms) and `1 + n_chars % 3` `trak`
+    * boxes whose `tkhd` 16.16 dimensions derive from `n_chars`, then
+    * an `mdat` of `n_chars % 32` opaque bytes the parser must skip —
+    * and the payload rides the full `decode` dispatch into
+    * `decodeMp4Meta`. A row matches the oracle only if the box walk
+    * recursed, sized and tiled correctly; DuckDB recomputes brand,
+    * duration, track count and dimensions from `n_chars` directly.
+    * Metadata only — the codec payload is never decoded. */
+  def mediaMp4Meta(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.sources.Tables.documents(spark, dir)
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), col("n_chars").cast("int").as("n_chars"))
+      .as[(Long, Int)]
+      .mapPartitions { it =>
+        def be32w(b: Array[Byte], o: Int, v: Int): Unit = {
+          b(o) = (v >> 24).toByte; b(o + 1) = (v >> 16).toByte
+          b(o + 2) = (v >> 8).toByte; b(o + 3) = v.toByte
+        }
+        def typ4(b: Array[Byte], o: Int, t: String): Unit = {
+          val a = t.getBytes("US-ASCII")
+          b(o) = a(0); b(o + 1) = a(1); b(o + 2) = a(2); b(o + 3) = a(3)
+        }
+        it.map { case (docId, nChars) =>
+          val tracks = 1 + nChars % 3
+          val durMs = nChars.toLong * 37
+          val dimBase = 1 + nChars % 5
+          val mdatLen = nChars % 32
+          val moovSize = 8 + 108 + tracks * 100
+          val bytes = new Array[Byte](16 + moovSize + 8 + mdatLen)
+          // ftyp(16): brand isom, minor version 1
+          be32w(bytes, 0, 16); typ4(bytes, 4, "ftyp"); typ4(bytes, 8, "isom")
+          be32w(bytes, 12, 1)
+          // moov > mvhd(108, v0): timescale@20, duration@24
+          var o = 16
+          be32w(bytes, o, moovSize); typ4(bytes, o + 4, "moov")
+          be32w(bytes, o + 8, 108); typ4(bytes, o + 12, "mvhd")
+          be32w(bytes, o + 8 + 20, 1000)
+          be32w(bytes, o + 8 + 24, durMs.toInt)
+          // trak(100) > tkhd(92, v0): width/height 16.16 at payload +72
+          o += 8 + 108
+          var t = 0
+          while (t < tracks) {
+            be32w(bytes, o, 100); typ4(bytes, o + 4, "trak")
+            be32w(bytes, o + 8, 92); typ4(bytes, o + 12, "tkhd")
+            be32w(bytes, o + 16 + 12, t + 1) // track_ID
+            be32w(bytes, o + 16 + 76, (16 * dimBase) << 16)
+            be32w(bytes, o + 16 + 80, (9 * dimBase) << 16)
+            o += 100
+            t += 1
+          }
+          // mdat: opaque codec bytes the walk must skip, never decode
+          be32w(bytes, o, 8 + mdatLen); typ4(bytes, o + 4, "mdat")
+          decode(bytes) match {
+            case Some(c: Mp4Container) =>
+              (docId, c.majorBrand, c.durationMs, c.nTracks, c.width, c.height)
+            case _ => (docId, "!", -1L, -1, -1, -1) // parse failure is a visible row
+          }
+        }
+      }.toDF("doc_id", "brand", "duration_ms", "n_tracks", "w", "h")
   }
 
   def mediaFrames(spark: SparkSession, dir: String): DataFrame =

@@ -74,9 +74,10 @@ class KernelParitySpec extends AnyFunSuite {
     "llm_segment_dedup", "llm_unigram_logprob", "llm_inverted_index",
     "llm_tfidf_terms", "llm_knn_quantized", "llm_dedup_near_incr",
     // PQ family: codebooks + candidates are typed code (kernel-free
-    // and layout-pinned), so only the re-rank cosine crosses the
-    // gate — exact parity holds, unlike IVF's float-boundary case
-    "llm_ann_pq", "llm_ann_ivfpq")
+    // and layout-pinned), so only the ADC scan + re-rank cosine cross
+    // the gate — exact parity holds, unlike IVF's float-boundary case
+    // (llm_ann_probe additionally crosses the parquet snapshot)
+    "llm_ann_pq", "llm_ann_ivfpq", "llm_ann_probe")
 
   for (q <- covering)
     test(s"$q is identical with kernels disabled") {

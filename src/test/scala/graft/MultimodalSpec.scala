@@ -1258,6 +1258,105 @@ class MultimodalSpec extends AnyFunSuite {
       "MP3 features are the clearly-marked stub (metadata-only branch)")
   }
 
+  // --- MP4 / ISO-BMFF box-walk metadata (round-15: the video-
+  // container sibling of the MP3 leg — box arithmetic, no DSP) ---
+
+  private def be32w(b: Array[Byte], o: Int, v: Int): Unit = {
+    b(o) = (v >> 24).toByte; b(o + 1) = (v >> 16).toByte
+    b(o + 2) = (v >> 8).toByte; b(o + 3) = v.toByte
+  }
+  private def typ4(b: Array[Byte], o: Int, t: String): Unit =
+    t.getBytes("US-ASCII").copyToArray(b, o)
+
+  /** Minimal well-formed container: ftyp + moov(mvhd + n traks) +
+    * optional mdat tail. */
+  private def mp4(tracks: Int, timescale: Int, duration: Int,
+                  w: Int, h: Int, mdatLen: Int = 0,
+                  v1Mvhd: Boolean = false): Array[Byte] = {
+    val mvhdSize = if (v1Mvhd) 120 else 108
+    val moovSize = 8 + mvhdSize + tracks * 100
+    val b = new Array[Byte](16 + moovSize + (if (mdatLen >= 0) 8 + mdatLen else 0))
+    be32w(b, 0, 16); typ4(b, 4, "ftyp"); typ4(b, 8, "isom"); be32w(b, 12, 1)
+    var o = 16
+    be32w(b, o, moovSize); typ4(b, o + 4, "moov")
+    be32w(b, o + 8, mvhdSize); typ4(b, o + 12, "mvhd")
+    if (v1Mvhd) {
+      b(o + 16) = 1 // version 1: 64-bit times, timescale@+20, duration@+24(64-bit)
+      be32w(b, o + 16 + 4 + 16, timescale)
+      be32w(b, o + 16 + 4 + 20, 0); be32w(b, o + 16 + 4 + 24, duration)
+    } else {
+      be32w(b, o + 16 + 12, timescale)
+      be32w(b, o + 16 + 16, duration)
+    }
+    o += 8 + mvhdSize
+    for (t <- 0 until tracks) {
+      be32w(b, o, 100); typ4(b, o + 4, "trak")
+      be32w(b, o + 8, 92); typ4(b, o + 12, "tkhd")
+      be32w(b, o + 16 + 12, t + 1)
+      be32w(b, o + 16 + 76, w << 16); be32w(b, o + 16 + 80, h << 16)
+      o += 100
+    }
+    be32w(b, o, 8 + mdatLen); typ4(b, o + 4, "mdat")
+    b
+  }
+
+  test("MP4 metadata: box walk — brand, mvhd duration (v0+v1), track count, 16.16 dims, mdat skipped") {
+    val m = Multimodal.decodeMp4Meta(mp4(2, 1000, 7400, 640, 360, mdatLen = 17)).get
+    assert(m.majorBrand == "isom" && m.durationMs == 7400, s"v0 mvhd: $m")
+    assert(m.nTracks == 2 && m.width == 640 && m.height == 360, s"tracks/dims: $m")
+    // timescale arithmetic: 90 kHz clock, 90000 ticks = 1000 ms
+    val clk = Multimodal.decodeMp4Meta(mp4(1, 90000, 90000, 320, 240)).get
+    assert(clk.durationMs == 1000, s"timescale division: $clk")
+    // version-1 mvhd (64-bit fields) parses too
+    val v1 = Multimodal.decodeMp4Meta(mp4(1, 1000, 5000, 100, 50, v1Mvhd = true)).get
+    assert(v1.durationMs == 5000 && v1.nTracks == 1, s"v1 mvhd: $v1")
+  }
+
+  test("MP4 metadata: malformed containers reject, never throw") {
+    // not an mp4 at all / text
+    assert(Multimodal.decodeMp4Meta("plain text payload here".getBytes("UTF-8")).isEmpty)
+    assert(Multimodal.decodeMp4Meta(Array.emptyByteArray).isEmpty)
+    // box size overruns its enclosure
+    val over = mp4(1, 1000, 100, 10, 10)
+    be32w(over, 16, over.length * 2) // moov claims past EOF
+    assert(Multimodal.decodeMp4Meta(over).isEmpty)
+    // box smaller than its header
+    val tiny = mp4(1, 1000, 100, 10, 10)
+    be32w(tiny, 16, 4)
+    assert(Multimodal.decodeMp4Meta(tiny).isEmpty)
+    // ragged tail (truncated mid-box)
+    assert(Multimodal.decodeMp4Meta(mp4(1, 1000, 100, 10, 10).dropRight(3)).isEmpty)
+    // no mvhd → not a movie: ftyp + bare mdat only
+    val noMoov = new Array[Byte](24)
+    be32w(noMoov, 0, 16); typ4(noMoov, 4, "ftyp"); typ4(noMoov, 8, "isom")
+    be32w(noMoov, 16, 8); typ4(noMoov, 20, "mdat")
+    assert(Multimodal.decodeMp4Meta(noMoov).isEmpty)
+    // random bytes never throw (fuzz the dispatch-critical parser)
+    val rnd = new scala.util.Random(7)
+    for (_ <- 0 until 500) {
+      val b = Array.fill(rnd.nextInt(200))(rnd.nextInt(256).toByte)
+      Multimodal.decodeMp4Meta(b) // must not throw
+      Multimodal.decodeMp3Meta(b) // ditto for the MP3 walk
+    }
+  }
+
+  test("llm_media_mp4: the real box walk reproduces the oracle formula on every document") {
+    val dir = TestSpark.sf
+    val got = Multimodal.mediaMp4Meta(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getInt(3), r.getInt(4), r.getInt(5))))
+      .toMap
+    val want = graft.sources.Tables.documents(spark, dir)
+      .filter(org.apache.spark.sql.functions.col("text").isNotNull)
+      .select("doc_id", "n_chars").collect()
+      .map { r =>
+        val n = r.getLong(1).toInt
+        r.getLong(0) -> (("isom", n.toLong * 37, 1 + n % 3,
+          16 * (1 + n % 5), 9 * (1 + n % 5)))
+      }.toMap
+    assert(got.keySet == want.keySet)
+    assert(got == want, "parsed MP4 metadata diverges from the synthesized container's closed form")
+  }
+
   test("llm_media_mp3: the real header walk reproduces the oracle formula on every document") {
     // the oracle recomputes (n_frames, duration, tag size) from
     // n_chars; this pins the Spark side against the same closed form,
