@@ -152,6 +152,10 @@ object SparkEntry {
     // real recursive box walk; brand / duration / tracks / dims
     // recomputed by DuckDB
     "llm_media_mp4"      -> (graft.operators.Multimodal.mediaMp4Meta _),
+    // crawl-container ingestion: per-document two-record WARC
+    // segments ride the real ISO-28500 record walk; the response
+    // record's URI / length / payload recomputed by DuckDB
+    "llm_warc_extract"   -> (graft.sources.Warc.warcExtract _),
   )
 
   /** The registry as a SQL surface (round-11 verdict item 8):
@@ -242,6 +246,7 @@ object SparkEntry {
     "llm_media_wav" -> ("multimodal", "Multimodal.mediaWavChecksum"),
     "llm_media_mp3" -> ("multimodal", "Multimodal.mediaMp3Meta"),
     "llm_media_mp4" -> ("multimodal", "Multimodal.mediaMp4Meta"),
+    "llm_warc_extract" -> ("llm-corpus", "Warc.warcExtract"),
     "llm_mix_weighted" -> ("llm-corpus", "Llm.mixWeighted"),
     "llm_ngram_jaccard" -> ("llm-dedup", "Llm.ngramJaccard"),
     "llm_pii_scrub" -> ("llm-text", "Llm.piiScrub"),
@@ -1292,6 +1297,17 @@ object SparkEntry {
                 CAST(1 + n_chars % 3 AS INT) AS n_tracks,
                 CAST(16 * (1 + n_chars % 5) AS INT) AS w,
                 CAST(9 * (1 + n_chars % 5) AS INT) AS h
+         FROM documents WHERE text IS NOT NULL""",
+    // real WARC-record-walk oracle: the synthesized two-record
+    // segment is a pure function of (doc_id, source, text), so the
+    // response record's every extracted field is recomputable
+    // engine-free — the length is the UTF-8 byte count, the payload
+    // round-trips the text itself
+    "llm_warc_extract" ->
+      """SELECT doc_id, 2 AS n_records,
+                concat('https://', source, '/doc/', doc_id) AS target_uri,
+                CAST(octet_length(encode(text)) AS BIGINT) AS content_length,
+                text AS payload_text
          FROM documents WHERE text IS NOT NULL""",
   )
 }

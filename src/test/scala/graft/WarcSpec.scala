@@ -1,0 +1,102 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.Warc
+
+class WarcSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+
+  private def rec(typ: String, uri: String, payload: Array[Byte],
+                  version: String = "WARC/1.0",
+                  extraHeader: String = ""): Array[Byte] =
+    (version + "\r\n" +
+      s"WARC-Type: $typ\r\n" +
+      s"WARC-Target-URI: $uri\r\n" +
+      extraHeader +
+      s"Content-Length: ${payload.length}\r\n\r\n").getBytes("UTF-8") ++
+      payload ++ "\r\n\r\n".getBytes("UTF-8")
+
+  test("WARC record walk: multi-record, case-insensitive headers, payload with embedded CRLFCRLF") {
+    // the payload deliberately CONTAINS \r\n\r\n — the walk must be
+    // Content-Length-driven, never terminator-scanning, or a binary
+    // payload (gzip, image) would truncate the record
+    val tricky = "first\r\n\r\nsecond WARC/1.0\r\n fake".getBytes("UTF-8")
+    val buf = rec("request", "https://a/1", "GE".getBytes) ++
+      rec("response", "https://a/1", tricky,
+        extraHeader = "cOnTeNt-TyPe: application/http\r\n") ++
+      rec("metadata", "https://a/2", Array.emptyByteArray, version = "WARC/1.1")
+    val rs = Warc.parseRecords(buf)
+    assert(rs.length == 3, s"expected 3 records, got ${rs.length}")
+    assert(rs.map(_.headers("warc-type")) == Seq("request", "response", "metadata"))
+    assert(rs(1).payload.sameElements(tricky), "length-driven payload must round-trip exactly")
+    assert(rs(1).headers("content-type") == "application/http",
+      "header names lower-case, values verbatim")
+    assert(rs(2).version == "WARC/1.1" && rs(2).payload.isEmpty)
+  }
+
+  test("WARC record walk: malformed records stop the walk, prior records salvage") {
+    val good = rec("response", "https://ok", "abc".getBytes)
+    // missing mandatory Content-Length
+    val noLen = ("WARC/1.0\r\nWARC-Type: response\r\n\r\n" + "x\r\n\r\n").getBytes("UTF-8")
+    assert(Warc.parseRecords(good ++ noLen).length == 1, "salvage keeps the good prefix")
+    // length overruns the buffer
+    val overrun = ("WARC/1.0\r\nContent-Length: 9999\r\n\r\n").getBytes("UTF-8") ++ "tiny".getBytes
+    assert(Warc.parseRecords(good ++ overrun).length == 1)
+    // bad version line
+    assert(Warc.parseRecords("HTTP/1.1 200 OK\r\n\r\n".getBytes("UTF-8")).isEmpty)
+    // missing \r\n\r\n terminator after the payload
+    val noTerm = ("WARC/1.0\r\nContent-Length: 2\r\n\r\nab").getBytes("UTF-8")
+    assert(Warc.parseRecords(noTerm).isEmpty)
+    // negative-looking / non-numeric length rejects
+    val badLen = ("WARC/1.0\r\nContent-Length: -5\r\n\r\nab\r\n\r\n").getBytes("UTF-8")
+    assert(Warc.parseRecords(badLen).isEmpty)
+    assert(Warc.parseRecords(Array.emptyByteArray).isEmpty)
+    // fuzz: random bytes never throw
+    val rnd = new scala.util.Random(11)
+    for (_ <- 0 until 300)
+      Warc.parseRecords(Array.fill(rnd.nextInt(300))(rnd.nextInt(256).toByte))
+  }
+
+  test("WARC file source: a directory of .warc segments explodes to one row per record, parallel by file") {
+    import org.apache.spark.sql.functions.col
+    val tmp = java.nio.file.Files.createTempDirectory("graft_warc_src").toString
+    try {
+      val f1 = rec("response", "https://x/1", "hello".getBytes) ++
+        rec("response", "https://x/2", "world!".getBytes)
+      val f2 = rec("request", "https://y/3", Array.emptyByteArray)
+      java.nio.file.Files.write(java.nio.file.Paths.get(tmp, "seg-00000.warc"), f1)
+      java.nio.file.Files.write(java.nio.file.Paths.get(tmp, "seg-00001.warc"), f2)
+      val rows = Warc.records(spark, tmp)
+        .select(col("file"), col("record_idx"),
+          col("headers")("warc-target-uri").as("uri"), col("payload"))
+        .collect()
+      assert(rows.length == 3, s"3 records across 2 files, got ${rows.length}")
+      val byUri = rows.map(r => r.getString(2) ->
+        new String(r.getAs[Array[Byte]]("payload"), "UTF-8")).toMap
+      assert(byUri == Map("https://x/1" -> "hello", "https://x/2" -> "world!",
+        "https://y/3" -> ""))
+      assert(rows.map(_.getString(0)).distinct.length == 2, "file lineage column")
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(tmp)).deleteRecursively()
+    }
+  }
+
+  test("llm_warc_extract: the real record walk reproduces the oracle formula on every document") {
+    val dir = TestSpark.sf
+    val got = Warc.warcExtract(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getString(2), r.getLong(3), r.getString(4))))
+      .toMap
+    val want = graft.sources.Tables.documents(spark, dir)
+      .filter(org.apache.spark.sql.functions.col("text").isNotNull)
+      .select("doc_id", "source", "text").collect()
+      .map { r =>
+        val text = r.getString(2)
+        r.getLong(0) -> ((2, s"https://${r.getString(1)}/doc/${r.getLong(0)}",
+          text.getBytes("UTF-8").length.toLong, text))
+      }.toMap
+    assert(got.keySet == want.keySet)
+    assert(got == want, "extracted WARC fields diverge from the synthesized segment's closed form")
+  }
+}
