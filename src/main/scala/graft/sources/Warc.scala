@@ -119,17 +119,82 @@ object Warc {
     -1
   }
 
-  /** Directory (or glob) of .warc files → one row per RECORD:
-    * (file, record_idx, version, headers map, payload). Parallel by
-    * file via the built-in binaryFile source — the crawl-segment
-    * split WARC is designed for. */
+  /** Bounded multi-member gunzip: Common Crawl ships `.warc.gz` with
+    * each record an independent gzip MEMBER (so a segment splits on
+    * member boundaries); `GZIPInputStream` walks concatenated members
+    * natively. `cap` bounds the inflated size — the decompression-
+    * bomb guard every untrusted-input inflate needs (the PNG
+    * decoder's `PngMaxRaw` rule applied to the container layer): a
+    * hostile kilobyte must not allocate gigabytes. Returns None on
+    * corrupt gzip or a cap overrun — the caller's salvage semantics
+    * then apply to whatever full records precede the damage (here:
+    * none, since the stream is unusable without inflating). */
+  private[graft] def gunzipAll(b: Array[Byte], cap: Int = 1 << 28): Option[Array[Byte]] = {
+    if (b.length < 2 || (b(0) & 0xff) != 0x1f || (b(1) & 0xff) != 0x8b) return None
+    val out = new java.io.ByteArrayOutputStream(math.min(b.length * 4, cap))
+    try {
+      val in = new java.util.zip.GZIPInputStream(new java.io.ByteArrayInputStream(b))
+      val buf = new Array[Byte](65536)
+      var n = in.read(buf)
+      while (n >= 0) {
+        if (out.size() + n > cap) return None // bomb guard
+        out.write(buf, 0, n)
+        n = in.read(buf)
+      }
+      Some(out.toByteArray)
+    } catch {
+      case _: java.io.IOException => None // corrupt member / truncated stream
+    }
+  }
+
+  /** Split a WARC `response` payload into its HTTP header block and
+    * body — the step between "crawl record" and "document text"
+    * (the payload of a response record is an HTTP message: status
+    * line + headers + CRLFCRLF + entity body). Unlike the record
+    * walk, this split IS terminator-scanned — HTTP headers are text
+    * and carry no length for themselves — but it only ever scans the
+    * header region (cap 64 KiB, same bound as the record walk's
+    * lines). Returns (lower-cased header map incl. the status line
+    * under ":status-line", body bytes); None if the payload does not
+    * start with an HTTP status line or never closes its headers. */
+  def httpSplit(payload: Array[Byte]): Option[(Map[String, String], Array[Byte])] = {
+    val e0 = lineEnd(payload, 0)
+    if (e0 < 0) return None
+    val status = new String(payload, 0, e0, "UTF-8")
+    if (!status.startsWith("HTTP/")) return None
+    var i = e0 + 2
+    val headers = Map.newBuilder[String, String]
+    headers += ":status-line" -> status
+    while (true) {
+      val e = lineEnd(payload, i)
+      if (e < 0) return None
+      if (e == i)
+        return Some((headers.result(),
+          java.util.Arrays.copyOfRange(payload, i + 2, payload.length)))
+      val line = new String(payload, i, e - i, "UTF-8")
+      val colon = line.indexOf(':')
+      if (colon <= 0) return None
+      headers += line.substring(0, colon).trim.toLowerCase -> line.substring(colon + 1).trim
+      i = e + 2
+    }
+    None // unreachable
+  }
+
+  /** Directory (or glob) of .warc / .warc.gz files → one row per
+    * RECORD: (file, record_idx, version, headers map, payload).
+    * Parallel by file via the built-in binaryFile source — the
+    * crawl-segment split WARC is designed for; gzip members inflate
+    * per file under the bomb-guard cap. */
   def records(spark: SparkSession, path: String): DataFrame = {
     import spark.implicits._
     spark.read.format("binaryFile").load(path)
       .select(col("path"), col("content"))
       .as[(String, Array[Byte])]
       .flatMap { case (file, bytes) =>
-        parseRecords(bytes).zipWithIndex.map { case (r, idx) =>
+        val plain =
+          if (file.endsWith(".gz")) gunzipAll(bytes).getOrElse(Array.emptyByteArray)
+          else bytes
+        parseRecords(plain).zipWithIndex.map { case (r, idx) =>
           (file, idx, r.version, r.headers, r.payload)
         }
       }

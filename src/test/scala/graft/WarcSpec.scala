@@ -83,6 +83,63 @@ class WarcSpec extends AnyFunSuite {
     }
   }
 
+  private def gzip(b: Array[Byte]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val g = new java.util.zip.GZIPOutputStream(bos)
+    g.write(b); g.close()
+    bos.toByteArray
+  }
+
+  test("gzipped segments: multi-member .warc.gz inflates and walks; bombs and corruption reject") {
+    // Common Crawl convention: each record its own gzip MEMBER,
+    // members concatenated — GZIPInputStream must walk them all
+    val r1 = rec("response", "https://g/1", "alpha".getBytes)
+    val r2 = rec("response", "https://g/2", "beta".getBytes)
+    val multi = gzip(r1) ++ gzip(r2)
+    val inflated = Warc.gunzipAll(multi).get
+    assert(inflated.sameElements(r1 ++ r2), "member concatenation must inflate losslessly")
+    assert(Warc.parseRecords(inflated).length == 2)
+    // bomb guard: a tiny cap rejects instead of allocating
+    assert(Warc.gunzipAll(gzip(new Array[Byte](100000)), cap = 1024).isEmpty,
+      "inflated size past the cap must reject, not allocate")
+    // corrupt / truncated gzip rejects, never throws
+    assert(Warc.gunzipAll(multi.dropRight(7)).isEmpty)
+    val flipped = multi.clone(); flipped(multi.length / 2) = (flipped(multi.length / 2) ^ 0x5a).toByte
+    Warc.gunzipAll(flipped) // corrupt body: None or salvage — must not throw
+    assert(Warc.gunzipAll("notgz".getBytes).isEmpty)
+    // the file source inflates .gz transparently
+    val tmp = java.nio.file.Files.createTempDirectory("graft_warc_gz").toString
+    try {
+      java.nio.file.Files.write(java.nio.file.Paths.get(tmp, "seg.warc.gz"), multi)
+      val rows = Warc.records(spark, tmp).collect()
+      assert(rows.length == 2, s".warc.gz must explode to its records, got ${rows.length}")
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(tmp)).deleteRecursively()
+    }
+  }
+
+  test("httpSplit: response payloads divide into HTTP headers and body at the first blank line") {
+    val body = "<html>\r\n\r\nbody with blank lines</html>".getBytes("UTF-8")
+    val payload = ("HTTP/1.1 200 OK\r\n" +
+      "Content-Type: text/html; charset=UTF-8\r\n" +
+      "X-Weird: a:b:c\r\n\r\n").getBytes("UTF-8") ++ body
+    val (hdrs, got) = Warc.httpSplit(payload).get
+    assert(hdrs(":status-line") == "HTTP/1.1 200 OK")
+    assert(hdrs("content-type") == "text/html; charset=UTF-8")
+    assert(hdrs("x-weird") == "a:b:c", "values keep their colons")
+    assert(got.sameElements(body), "body copied whole, embedded blank lines preserved")
+    // empty body
+    val (_, empty) = Warc.httpSplit("HTTP/1.0 204 No Content\r\n\r\n".getBytes).get
+    assert(empty.isEmpty)
+    // not HTTP / never closes headers → None, never throws
+    assert(Warc.httpSplit("GET / HTTP/1.1\r\n\r\n".getBytes).isEmpty, "request lines are not responses")
+    assert(Warc.httpSplit("HTTP/1.1 200 OK\r\nBroken".getBytes).isEmpty)
+    assert(Warc.httpSplit(Array.emptyByteArray).isEmpty)
+    val rnd = new scala.util.Random(13)
+    for (_ <- 0 until 200) Warc.httpSplit(Array.fill(rnd.nextInt(200))(rnd.nextInt(256).toByte))
+  }
+
   test("llm_warc_extract: the real record walk reproduces the oracle formula on every document") {
     val dir = TestSpark.sf
     val got = Warc.warcExtract(spark, dir).collect()
