@@ -185,9 +185,29 @@ object Warc {
     * Parallel by file via the built-in binaryFile source — the
     * crawl-segment split WARC is designed for; gzip members inflate
     * per file under the bomb-guard cap. */
-  def records(spark: SparkSession, path: String): DataFrame = {
+  def records(spark: SparkSession, path: String): DataFrame =
+    explodeRecords(spark, spark.read.format("binaryFile").load(path))
+
+  /** Streaming crawl ingest: the SAME explode over
+    * `readStream.format("binaryFile")` — new segment files landing
+    * in `path` (the way a crawler actually delivers: finished
+    * segments moved into the ingest directory) emit their records
+    * incrementally, exactly-once per file via the file-source's
+    * processed-files log. Map-only, so every batch operator
+    * downstream (decode, quality, dedup suspects, ANN suspects)
+    * lifts unchanged — the same contract as
+    * `Streaming.mediaFeatures`. */
+  def recordStream(spark: SparkSession, path: String): DataFrame =
+    explodeRecords(spark,
+      spark.readStream.format("binaryFile")
+        // streaming file sources require the schema up front;
+        // binaryFile's is fixed by the format
+        .schema("path STRING, modificationTime TIMESTAMP, length BIGINT, content BINARY")
+        .load(path))
+
+  private def explodeRecords(spark: SparkSession, files: DataFrame): DataFrame = {
     import spark.implicits._
-    spark.read.format("binaryFile").load(path)
+    files
       .select(col("path"), col("content"))
       .as[(String, Array[Byte])]
       .flatMap { case (file, bytes) =>

@@ -140,6 +140,36 @@ class WarcSpec extends AnyFunSuite {
     for (_ <- 0 until 200) Warc.httpSplit(Array.fill(rnd.nextInt(200))(rnd.nextInt(256).toByte))
   }
 
+  test("streaming crawl ingest: segment files landing in the directory emit records incrementally, once each") {
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("graft_warc_stream").toString
+    try {
+      java.nio.file.Files.write(java.nio.file.Paths.get(dir, "seg-0.warc"),
+        rec("response", "https://s/1", "one".getBytes) ++
+          rec("response", "https://s/2", "two".getBytes))
+      val stream = Warc.recordStream(spark, dir)
+        .select(col("file"), col("headers")("warc-target-uri").as("uri"))
+      val q = stream.writeStream.format("memory").queryName("warc_ingest")
+        .outputMode("append").start()
+      try {
+        q.processAllAvailable()
+        val b1 = spark.sql("select uri from warc_ingest").collect().map(_.getString(0)).toSet
+        assert(b1 == Set("https://s/1", "https://s/2"), s"first segment's records: $b1")
+        // a second segment arrives (gzipped, per the crawl convention)
+        java.nio.file.Files.write(java.nio.file.Paths.get(dir, "seg-1.warc.gz"),
+          gzip(rec("response", "https://s/3", "three".getBytes)))
+        q.processAllAvailable()
+        val all = spark.sql("select uri from warc_ingest").collect().map(_.getString(0))
+        assert(all.toSet == Set("https://s/1", "https://s/2", "https://s/3"),
+          s"new segment's records append: ${all.toSet}")
+        assert(all.length == 3, "each record exactly once — the file log is the delivery ledger")
+      } finally q.stop()
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(dir)).deleteRecursively()
+    }
+  }
+
   test("llm_warc_extract: the real record walk reproduces the oracle formula on every document") {
     val dir = TestSpark.sf
     val got = Warc.warcExtract(spark, dir).collect()
