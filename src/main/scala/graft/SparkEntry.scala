@@ -156,6 +156,9 @@ object SparkEntry {
     // segments ride the real ISO-28500 record walk; the response
     // record's URI / length / payload recomputed by DuckDB
     "llm_warc_extract"   -> (graft.sources.Warc.warcExtract _),
+    // the full ingest path: gzip member -> record walk -> HTTP split;
+    // status/type/body recomputed by DuckDB
+    "llm_warc_http"      -> (graft.sources.Warc.warcHttp _),
   )
 
   /** The registry as a SQL surface (round-11 verdict item 8):
@@ -247,6 +250,7 @@ object SparkEntry {
     "llm_media_mp3" -> ("multimodal", "Multimodal.mediaMp3Meta"),
     "llm_media_mp4" -> ("multimodal", "Multimodal.mediaMp4Meta"),
     "llm_warc_extract" -> ("llm-corpus", "Warc.warcExtract"),
+    "llm_warc_http" -> ("llm-corpus", "Warc.warcHttp"),
     "llm_mix_weighted" -> ("llm-corpus", "Llm.mixWeighted"),
     "llm_ngram_jaccard" -> ("llm-dedup", "Llm.ngramJaccard"),
     "llm_pii_scrub" -> ("llm-text", "Llm.piiScrub"),
@@ -1308,6 +1312,16 @@ object SparkEntry {
                 concat('https://', source, '/doc/', doc_id) AS target_uri,
                 CAST(octet_length(encode(text)) AS BIGINT) AS content_length,
                 text AS payload_text
+         FROM documents WHERE text IS NOT NULL""",
+    // full ingest-path oracle (gunzip + record walk + HTTP split):
+    // the synthesized gzipped segment wraps the text in a fixed HTTP
+    // message, so every extracted field is recomputable engine-free
+    "llm_warc_http" ->
+      """SELECT doc_id,
+                'HTTP/1.1 200 OK' AS status_line,
+                'text/html; charset=UTF-8' AS content_type,
+                CAST(octet_length(encode(text)) AS BIGINT) AS body_bytes,
+                text AS body_text
          FROM documents WHERE text IS NOT NULL""",
   )
 }

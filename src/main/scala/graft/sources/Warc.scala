@@ -234,6 +234,53 @@ object Warc {
     * header parsing, the length-driven payload skip ACROSS the
     * request record, and the terminator checks all executed
     * correctly, distributed, per row. */
+  /** The ORACLED leg through the FULL crawl-ingest path
+    * (`llm_warc_http`): gzip member → record walk → HTTP split —
+    * exactly what a Common Crawl ingest runs per record. Every
+    * document becomes a gzipped one-record segment whose response
+    * payload is an HTTP message wrapping the document text; the
+    * query inflates (bomb-capped), walks the record, splits the HTTP
+    * message and emits status line, content type and the recovered
+    * body. DuckDB recomputes all of it from `documents` directly —
+    * a row matches only if `gunzipAll`, the Content-Length-driven
+    * record walk AND `httpSplit` each executed correctly,
+    * distributed, per row (the two helpers' first oracle coverage;
+    * `llm_warc_extract` covers the uncompressed walk alone). */
+  def warcHttp(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), col("source"), col("text"))
+      .as[(Long, String, String)]
+      .mapPartitions { it =>
+        it.map { case (docId, source, text) =>
+          val body = text.getBytes("UTF-8")
+          val httpMsg = ("HTTP/1.1 200 OK" + Crlf +
+            "Content-Type: text/html; charset=UTF-8" + Crlf +
+            s"Content-Length: ${body.length}" + Crlf + Crlf).getBytes("UTF-8") ++ body
+          val record = ("WARC/1.0" + Crlf +
+            "WARC-Type: response" + Crlf +
+            s"WARC-Target-URI: https://$source/doc/$docId" + Crlf +
+            s"Content-Length: ${httpMsg.length}" + Crlf + Crlf).getBytes("UTF-8") ++
+            httpMsg ++ (Crlf + Crlf).getBytes("UTF-8")
+          val gzBos = new java.io.ByteArrayOutputStream()
+          val gz = new java.util.zip.GZIPOutputStream(gzBos)
+          gz.write(record); gz.close()
+          val extracted = for {
+            plain <- gunzipAll(gzBos.toByteArray)
+            rec <- parseRecords(plain).headOption
+            (hdrs, got) <- httpSplit(rec.payload)
+          } yield (hdrs.getOrElse(":status-line", "!"),
+            hdrs.getOrElse("content-type", "!"), new String(got, "UTF-8"))
+          extracted match {
+            case Some((status, ctype, bodyText)) =>
+              (docId, status, ctype, bodyText.getBytes("UTF-8").length.toLong, bodyText)
+            case None => (docId, "!", "!", -1L, "!") // any stage failing is visible
+          }
+        }
+      }.toDF("doc_id", "status_line", "content_type", "body_bytes", "body_text")
+  }
+
   def warcExtract(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     Tables.documents(spark, dir)

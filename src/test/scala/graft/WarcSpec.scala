@@ -170,6 +170,23 @@ class WarcSpec extends AnyFunSuite {
     }
   }
 
+  test("llm_warc_http: gunzip + record walk + HTTP split reproduce the oracle formula on every document") {
+    val dir = TestSpark.sf
+    val got = Warc.warcHttp(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getString(2), r.getLong(3), r.getString(4))))
+      .toMap
+    val want = graft.sources.Tables.documents(spark, dir)
+      .filter(org.apache.spark.sql.functions.col("text").isNotNull)
+      .select("doc_id", "text").collect()
+      .map { r =>
+        val text = r.getString(1)
+        r.getLong(0) -> (("HTTP/1.1 200 OK", "text/html; charset=UTF-8",
+          text.getBytes("UTF-8").length.toLong, text))
+      }.toMap
+    assert(got.keySet == want.keySet)
+    assert(got == want, "full ingest-path extraction diverges from the synthesized segment's closed form")
+  }
+
   test("llm_warc_extract: the real record walk reproduces the oracle formula on every document") {
     val dir = TestSpark.sf
     val got = Warc.warcExtract(spark, dir).collect()
