@@ -51,6 +51,10 @@ object SparkEntry {
     "llm_lang_id"        -> (Llm.langId _),
     "llm_quality"        -> (Llm.quality _),
     "llm_token_count"    -> (Llm.tokenCount _),
+    // sliding-window chunker: 32-token windows, 8-token overlap at
+    // the gate (testdata docs run <= ~100 tokens, so the production
+    // 128/16 default would never exercise the multi-window path)
+    "llm_chunk"          -> ((s, d) => Llm.chunkDocs(s, d, chunkTokens = 32, overlap = 8)),
     "llm_fingerprint"    -> (Llm.fingerprint _),
     "llm_ngram_jaccard"  -> (Llm.ngramJaccard _),
     "llm_dedup_embed"    -> ((s, d) => Llm.dedupEmbed(s, d)),
@@ -264,6 +268,7 @@ object SparkEntry {
     "llm_split" -> ("llm-corpus", "Llm.splitFolds"),
     "llm_text_stats" -> ("llm-text", "Llm.textStats"),
     "llm_tfidf_terms" -> ("llm-text", "Llm.tfidfTerms"),
+    "llm_chunk" -> ("llm-text", "Llm.chunkDocs"),
     "llm_token_count" -> ("llm-text", "Llm.tokenCount"),
     "llm_unigram_logprob" -> ("llm-text", "Llm.unigramLogprob"),
     "llm_vocab_topk" -> ("llm-text", "Llm.vocabTopK"),
@@ -523,6 +528,24 @@ object SparkEntry {
            round(n_nonspace / n_tokens, 4) AS avg_token_len,
            round(n_uniq / n_tokens * least(1.0, n_tokens / 100.0), 6) AS quality
          FROM f""",
+    // sliding-window chunker oracle (32-token windows / stride 24,
+    // the gate's multi-window regime): identical whitespace tokens,
+    // window arithmetic ceil((n-32)/24)+1, 1-based inclusive list
+    // slicing — chunk text reassembles from the same token list
+    "llm_chunk" ->
+      """WITH toks AS (
+           SELECT doc_id, string_split_regex(trim(text), '\s+') AS t,
+                  len(string_split_regex(trim(text), '\s+')) AS n
+           FROM documents WHERE text IS NOT NULL),
+         counts AS (
+           SELECT doc_id, t, n,
+                  CASE WHEN n <= 32 THEN 1
+                       ELSE CAST(ceil((n - 32) / 24.0) AS INT) + 1 END AS n_chunks
+           FROM toks)
+         SELECT doc_id, CAST(i AS INT) AS chunk_idx,
+                CAST(least(32, n - i * 24) AS BIGINT) AS n_chunk_tokens,
+                array_to_string(list_slice(t, i * 24 + 1, i * 24 + 32), ' ') AS chunk_text
+         FROM counts, LATERAL (SELECT unnest(range(0, n_chunks)) AS i)""",
     "llm_token_count" ->
       """SELECT source, count(*) AS n_docs,
            CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS sum_ws_tokens,

@@ -778,6 +778,44 @@ object Llm {
            sum(col("n_ws")).as("sum_ws_tokens"),
            sum(col("n_bpe")).as("sum_bpe_tokens"))
 
+  /** Sliding-window document chunker (`llm_chunk`) — the pretraining
+    * / RAG segmentation primitive: each document splits into windows
+    * of `chunkTokens` whitespace tokens advancing by
+    * `chunkTokens − overlap`, so consecutive chunks share `overlap`
+    * tokens of context and every token lands in at least one chunk
+    * (the last window may be shorter; a document at or under the
+    * budget is exactly one chunk). Window count =
+    * ceil((n − C)/stride) + 1 — the final window always contributes
+    * new tokens, never a fully-contained duplicate.
+    *
+    * Entirely declarative — tokenize, window arithmetic, posexplode
+    * over a sequence, slice + concat_ws — so the whole operator is
+    * one codegen'd map-side pass with NO shuffle and output-sized
+    * cost: at 100 TB chunking is a pure scan, embarrassingly
+    * parallel by document, and composes upstream of the embedding /
+    * dedup stages that consume chunks. Tokenization matches
+    * `tokenCount`'s whitespace rule (and the DuckDB oracle's
+    * `string_split_regex`) token for token. */
+  def chunkDocs(spark: SparkSession, dir: String, chunkTokens: Int = 128,
+      overlap: Int = 16): DataFrame = {
+    require(overlap >= 0 && overlap < chunkTokens, "need 0 <= overlap < chunkTokens")
+    val stride = chunkTokens - overlap
+    Tables.documents(spark, dir)
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("toks"))
+      .withColumn("n", size(col("toks")))
+      .withColumn("n_chunks", when(col("n") <= chunkTokens, lit(1))
+        .otherwise(ceil((col("n") - chunkTokens).cast("double") / stride).cast("int") + 1))
+      .select(col("doc_id"), col("toks"), col("n"),
+        posexplode(sequence(lit(0), col("n_chunks") - 1)))
+      .select(col("doc_id"),
+        col("pos").as("chunk_idx"),
+        least(lit(chunkTokens), col("n") - col("col") * stride)
+          .cast("long").as("n_chunk_tokens"),
+        concat_ws(" ", slice(col("toks"), col("col") * stride + 1, lit(chunkTokens)))
+          .as("chunk_text"))
+  }
+
   /** Per-source document-length distribution (p50/p90/p99/max) — the
     * corpus-profiling step that feeds sequence-length budgeting and
     * outlier cuts. Uses Spark's EXACT `percentile` (linear

@@ -609,6 +609,37 @@ class LlmSpec extends AnyFunSuite {
     assert(out("b") == ((2L, 2L, md5("1:1,2:0"))), s"b -> ${out("b")}")
   }
 
+  test("chunkDocs: windows tile the token stream — exact slices, exact overlap, no vacuous windows") {
+    val dir = TestSpark.sf
+    val C = 32; val S = 24 // the registry regime: 32-token windows, 8 overlap
+    val byDoc = Llm.chunkDocs(spark, dir, chunkTokens = C, overlap = C - S).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getString(3)))
+      .groupBy(_._1).map { case (d, rs) => d -> rs.sortBy(_._2) }
+    val docs = graft.sources.Tables.documents(spark, dir)
+      .filter(org.apache.spark.sql.functions.col("text").isNotNull)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).trim.split("\\s+").toSeq).toMap
+    assert(byDoc.keySet == docs.keySet)
+    var multi = 0
+    for ((d, toks) <- docs) {
+      val chunks = byDoc(d)
+      val wantChunks = if (toks.length <= C) 1 else math.ceil((toks.length - C).toDouble / S).toInt + 1
+      assert(chunks.length == wantChunks, s"doc $d: ${chunks.length} chunks, want $wantChunks")
+      if (chunks.length > 1) multi += 1
+      for ((_, idx, nTok, text) <- chunks) {
+        val slice = toks.slice(idx * S, idx * S + C)
+        assert(text == slice.mkString(" "), s"doc $d chunk $idx text drifts from its token slice")
+        assert(nTok == slice.length, s"doc $d chunk $idx token count")
+        assert(slice.nonEmpty, "no vacuous windows")
+      }
+      // overlap-stripped concatenation reconstructs the token stream
+      val rebuilt = chunks.head._4.split(" ").toSeq ++
+        chunks.tail.toSeq.flatMap(c => c._4.split(" ").drop(C - S).toSeq)
+      assert(rebuilt == toks, s"doc $d: chunks must tile the stream (every token exactly once per stride)")
+    }
+    assert(multi > 0, "test corpus must exercise the multi-window path")
+  }
+
   test("weighted sampling: length-weighted sample skews long, is deterministic") {
     val dir = TestSpark.sf
     val s1 = Llm.sampleWeighted(spark, dir).collect()

@@ -396,6 +396,16 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("ScalaUDF"), "quantized path must carry no Scala UDF")
   }
 
+  test("chunker is a pure map-side scan — no exchange anywhere in the plan") {
+    // chunking at 100 TB must be embarrassingly parallel by document:
+    // tokenize + window arithmetic + posexplode + slice, output-sized,
+    // zero shuffles. An Exchange appearing here means someone added a
+    // grouping/ordering step the operator doesn't need.
+    val p = plan("llm_chunk")
+    assert(!p.contains("Exchange"), s"chunker plan acquired a shuffle:\n$p")
+    assert(!p.contains("ScalaUDF"), "chunker must stay declarative/codegen")
+  }
+
   test("PQ ADC scans rank on the graft_adc kernel, not an interpreted fold") {
     // round-14 verdict item 1: the ADC table-lookup sum was the last
     // interpreted aggregate(transform(...)) lambda in a hot scan —
