@@ -163,6 +163,9 @@ object SparkEntry {
     // the full ingest path: gzip member -> record walk -> HTTP split;
     // status/type/body recomputed by DuckDB
     "llm_warc_http"      -> (graft.sources.Warc.warcHttp _),
+    // crawl-policy audit: RFC 9309 parse + longest-match verdicts
+    // distributed; the case table recomputed by DuckDB
+    "llm_robots_filter"  -> (graft.sources.Robots.robotsFilter _),
   )
 
   /** The registry as a SQL surface (round-11 verdict item 8):
@@ -255,6 +258,7 @@ object SparkEntry {
     "llm_media_mp4" -> ("multimodal", "Multimodal.mediaMp4Meta"),
     "llm_warc_extract" -> ("llm-corpus", "Warc.warcExtract"),
     "llm_warc_http" -> ("llm-corpus", "Warc.warcHttp"),
+    "llm_robots_filter" -> ("llm-corpus", "Robots.robotsFilter"),
     "llm_mix_weighted" -> ("llm-corpus", "Llm.mixWeighted"),
     "llm_ngram_jaccard" -> ("llm-dedup", "Llm.ngramJaccard"),
     "llm_pii_scrub" -> ("llm-text", "Llm.piiScrub"),
@@ -1345,6 +1349,20 @@ object SparkEntry {
                 'text/html; charset=UTF-8' AS content_type,
                 CAST(octet_length(encode(text)) AS BIGINT) AS body_bytes,
                 text AS body_text
+         FROM documents WHERE text IS NOT NULL""",
+    // RFC 9309 verdict oracle: the synthesized policy and per-row
+    // path make the correct verdict a closed form — allowed iff the
+    // path hits the longest-match Allow (/data/pub overrides the
+    // shorter /data Disallow) or misses the anchored wildcard
+    // (*.log$ must not catch .txt)
+    "llm_robots_filter" ->
+      """SELECT doc_id,
+                CASE n_chars % 4
+                  WHEN 0 THEN concat('/data/pub/', doc_id)
+                  WHEN 1 THEN concat('/data/raw/', doc_id)
+                  WHEN 2 THEN concat('/tmp/run', doc_id, '.log')
+                  ELSE concat('/tmp/run', doc_id, '.txt') END AS url_path,
+                (n_chars % 4) IN (0, 3) AS allowed
          FROM documents WHERE text IS NOT NULL""",
   )
 }

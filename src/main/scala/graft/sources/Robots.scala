@@ -1,0 +1,167 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** robots.txt (RFC 9309, the Robots Exclusion Protocol) — the crawl
+  * POLICY layer of the ingestion story: a corpus pipeline must be
+  * able to re-evaluate "was this fetch allowed" at scale (policy
+  * audits, takedown sweeps, re-crawl planning), which means the
+  * matcher has to run distributed over (robots.txt, url) pairs, not
+  * on the crawler box. This is string arithmetic — parse rule
+  * groups, pick the most specific user-agent group, longest-match
+  * allow/disallow with `*` wildcards and the `$` end anchor —
+  * implemented per the RFC:
+  *
+  *  - groups: consecutive `User-agent:` lines share the following
+  *    `Allow:`/`Disallow:` rules; comments (`#`) stripped; unknown
+  *    directives ignored (forward compatibility).
+  *  - group selection: the group whose agent token is the LONGEST
+  *    prefix of the product token (case-insensitive); `*` is the
+  *    fallback; no match → no rules → everything allowed.
+  *  - rule matching: a pattern matches if it matches a PREFIX of the
+  *    url path, `*` matching any run of octets and `$` anchoring the
+  *    end; the verdict is the rule with the LONGEST pattern among
+  *    all that match (RFC 9309 §2.2.2), ties broken toward Allow;
+  *    an empty-pattern Disallow matches nothing; no matching rule →
+  *    allowed.
+  */
+object Robots {
+
+  final case class Group(agents: Seq[String], rules: Seq[Rule])
+  /** allow=false is a Disallow rule; `pattern` verbatim from the file. */
+  final case class Rule(allow: Boolean, pattern: String)
+
+  /** Parse a robots.txt body into rule groups. Tolerant the way the
+    * protocol demands: blank/comment lines, unknown directives and
+    * malformed lines are skipped, never fatal — a hostile or
+    * truncated robots.txt yields fewer rules, not a crash. */
+  def parse(txt: String): Seq[Group] = {
+    val out = Vector.newBuilder[Group]
+    var agents = Vector.empty[String]
+    var rules = Vector.empty[Rule]
+    var inRules = false
+    def flush(): Unit = {
+      if (agents.nonEmpty) out += Group(agents, rules)
+      agents = Vector.empty; rules = Vector.empty; inRules = false
+    }
+    for (raw <- txt.linesIterator) {
+      val line = raw.takeWhile(_ != '#').trim
+      val colon = line.indexOf(':')
+      if (colon > 0) {
+        val key = line.substring(0, colon).trim.toLowerCase
+        val value = line.substring(colon + 1).trim
+        key match {
+          case "user-agent" =>
+            if (inRules) flush() // a new agent line after rules starts a new group
+            agents :+= value.toLowerCase
+          case "allow" if agents.nonEmpty =>
+            inRules = true; rules :+= Rule(allow = true, value)
+          case "disallow" if agents.nonEmpty =>
+            inRules = true; rules :+= Rule(allow = false, value)
+          case _ => // sitemap, crawl-delay, unknown: ignored
+        }
+      }
+    }
+    flush()
+    out.result()
+  }
+
+  /** The rules governing `agent`: the group with the longest agent
+    * token that prefixes the (lower-cased) product token, else the
+    * `*` group, else none. */
+  def rulesFor(groups: Seq[Group], agent: String): Seq[Rule] = {
+    val a = agent.toLowerCase
+    val named = groups.flatMap(g => g.agents.filter(t => t != "*" && a.startsWith(t))
+      .map(t => (t.length, g)))
+    if (named.nonEmpty) named.maxBy(_._1)._2.rules
+    else groups.find(_.agents.contains("*")).map(_.rules).getOrElse(Nil)
+  }
+
+  /** Does `pattern` (with `*` wildcards, optional trailing `$`
+    * anchor) match a prefix of `path`? Iterative backtracking over
+    * the single-star-resume structure — linear in practice, bounded
+    * by pattern × path in the adversarial case (robots patterns are
+    * short lines). */
+  private[graft] def patternMatches(pattern: String, path: String): Boolean = {
+    if (pattern.isEmpty) return false // empty pattern matches nothing
+    val anchored = pattern.endsWith("$")
+    val p = if (anchored) pattern.dropRight(1) else pattern
+    // match p against path with '*' wildcards; unanchored = a match
+    // may end anywhere (prefix semantics), anchored = at path's end
+    var pi = 0; var si = 0
+    var starPi = -1; var starSi = -1
+    while (true) {
+      if (pi == p.length) {
+        if (!anchored || si == path.length) return true
+        // anchored: try to consume more via the last star
+        if (starPi < 0) return false
+        pi = starPi; si = starSi + 1; starSi = si
+        if (si > path.length) return false
+      } else if (p(pi) == '*') {
+        starPi = pi + 1; starSi = si; pi += 1
+      } else if (si < path.length && path(si) == p(pi)) {
+        pi += 1; si += 1
+      } else if (starPi >= 0 && starSi < path.length) {
+        pi = starPi; starSi += 1; si = starSi
+      } else return false
+    }
+    false // unreachable
+  }
+
+  /** RFC 9309 §2.2.2 verdict: longest matching pattern wins, ties
+    * toward Allow, no match → allowed. */
+  def isAllowed(rules: Seq[Rule], path: String): Boolean = {
+    var bestLen = -1
+    var bestAllow = true
+    for (r <- rules if patternMatches(r.pattern, path)) {
+      val len = r.pattern.length
+      if (len > bestLen || (len == bestLen && r.allow && !bestAllow)) {
+        bestLen = len; bestAllow = r.allow
+      }
+    }
+    bestAllow
+  }
+
+  /** The ORACLED registry leg (`llm_robots_filter`): every document
+    * gets a fixed two-group robots.txt exercising the protocol's
+    * load-bearing semantics — longest-match precedence (`Allow:
+    * /data/pub` overrides the shorter `Disallow: /data`), a `$`
+    * anchor, a `*` wildcard, and agent-group selection (the `badbot`
+    * group would deny everything; the matcher must pick the `*`
+    * group for our agent) — and a per-row url path chosen by
+    * `n_chars % 4`. The REAL parser + matcher decide `allowed`
+    * distributed; DuckDB recomputes the verdict from the synthesized
+    * case table. A row can only match if group selection, longest-
+    * match, the anchor and the wildcard all behaved. */
+  def robotsFilter(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val robotsTxt =
+      """# synthesized policy
+        |User-agent: badbot
+        |Disallow: /
+        |
+        |User-agent: *
+        |Disallow: /data
+        |Allow: /data/pub
+        |Disallow: /tmp/*.log$
+        |Allow: /
+        |""".stripMargin
+    Tables.documents(spark, dir)
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), col("n_chars").cast("int").as("n_chars"))
+      .as[(Long, Int)]
+      .mapPartitions { it =>
+        val rules = rulesFor(parse(robotsTxt), "graftbot/1.0")
+        it.map { case (docId, nChars) =>
+          val path = (nChars % 4) match {
+            case 0 => s"/data/pub/$docId"   // allowed: longest match Allow /data/pub
+            case 1 => s"/data/raw/$docId"   // denied: Disallow /data
+            case 2 => s"/tmp/run$docId.log" // denied: wildcard + $ anchor
+            case _ => s"/tmp/run$docId.txt" // allowed: anchor does NOT match .txt
+          }
+          (docId, path, isAllowed(rules, path))
+        }
+      }.toDF("doc_id", "url_path", "allowed")
+  }
+}
