@@ -797,10 +797,18 @@ object Llm {
     * `tokenCount`'s whitespace rule (and the DuckDB oracle's
     * `string_split_regex`) token for token. */
   def chunkDocs(spark: SparkSession, dir: String, chunkTokens: Int = 128,
-      overlap: Int = 16): DataFrame = {
+      overlap: Int = 16): DataFrame =
+    chunkFrame(Tables.documents(spark, dir), chunkTokens, overlap)
+
+  /** Frame-level chunker core over any (doc_id, text) frame — batch
+    * (`chunkDocs`) and streaming (`Streaming.chunkStream`) share it;
+    * being a pure map-side projection it lifts per micro-batch
+    * unchanged, the same contract as `decodeFeatures`. */
+  private[graft] def chunkFrame(docs: DataFrame, chunkTokens: Int,
+      overlap: Int): DataFrame = {
     require(overlap >= 0 && overlap < chunkTokens, "need 0 <= overlap < chunkTokens")
     val stride = chunkTokens - overlap
-    Tables.documents(spark, dir)
+    docs
       .filter(col("text").isNotNull)
       .select(col("doc_id"), split(trim(col("text")), "\\s+").as("toks"))
       .withColumn("n", size(col("toks")))

@@ -321,6 +321,19 @@ object Streaming {
       frameStride: Int = 4): org.apache.spark.sql.Dataset[graft.operators.Multimodal.MediaFeatures] =
     graft.operators.Multimodal.decodeFeatures(media, frameStride)
 
+  /** The chunker's streaming leg: sliding-window segmentation of an
+    * incoming (doc_id, text) document stream — the same declarative
+    * projection as `Llm.chunkDocs` (tokenize, window arithmetic,
+    * posexplode, slice), which is map-only with no state, shuffle or
+    * watermark, so it lifts per micro-batch unchanged. The crawl →
+    * chunk → (embed/dedup) ingest shape: segments arrive (e.g. via
+    * `Warc.recordStream` + `httpSplit`), chunks leave, downstream
+    * operators consume chunk rows. Batch parity is structural (same
+    * frame-level core); StreamingSpec pins stream == batch per
+    * micro-batch. */
+  def chunkStream(docs: DataFrame, chunkTokens: Int = 128, overlap: Int = 16): DataFrame =
+    graft.operators.Llm.chunkFrame(docs, chunkTokens, overlap)
+
   /** The dedup family's streaming leg: exact dedup of an incoming
     * document stream — the first document per normalized-text hash
     * passes, later copies are dropped — with state bounded by the

@@ -875,6 +875,35 @@ class StreamingSpec extends AnyFunSuite {
         s"batch 2 scores against generation B — got ${after.size} vs expected ${(wantA1 ++ wantB2).size}")
   }
 
+  test("streaming chunker equals the batch chunker per micro-batch (map-only lift)") {
+    import org.apache.spark.sql.functions.col
+    implicit val sqlCtx = spark.sqlContext
+    val texts = Seq(
+      5L -> (1 to 100).map(i => s"w$i").mkString(" "), // 4 windows at 32/8: ceil(68/24)+1
+      6L -> (1 to 20).map(i => s"x$i").mkString(" "),  // single window
+      7L -> (1 to 33).map(i => s"y$i").mkString(" "))  // boundary: 2 windows
+    val ms = MemoryStream[(Long, String)]
+    val stream = Streaming.chunkStream(
+      ms.toDF().toDF("doc_id", "text"), chunkTokens = 32, overlap = 8)
+    val q = Streaming.serveMemory(stream, "chunk_stream", mode = "append")
+    try {
+      ms.addData(texts.take(2))
+      q.processAllAvailable()
+      val afterB1 = spark.sql("select * from chunk_stream").count()
+      ms.addData(texts.drop(2))
+      q.processAllAvailable()
+      val got = spark.sql("select doc_id, chunk_idx, n_chunk_tokens, chunk_text from chunk_stream")
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getString(3))).toSet
+      val want = graft.operators.Llm.chunkFrame(
+        texts.toDF("doc_id", "text"), 32, 8)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getString(3))).toSet
+      assert(afterB1 > 0 && afterB1 < want.size, "chunks arrive incrementally")
+      assert(got == want, "streaming chunks diverge from the batch formulation")
+      assert(got.count(_._1 == 5L) == 4 && got.count(_._1 == 7L) == 2,
+        "multi-window and boundary docs chunk as computed")
+    } finally q.stop()
+  }
+
   test("streaming ANN suspects equal the batch ADC candidates across micro-batches (stateless stream-static probe)") {
     import org.apache.spark.sql.functions._
     implicit val sqlCtx = spark.sqlContext
