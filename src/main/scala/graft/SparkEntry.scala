@@ -51,6 +51,9 @@ object SparkEntry {
     "llm_lang_id"        -> (Llm.langId _),
     "llm_quality"        -> (Llm.quality _),
     "llm_token_count"    -> (Llm.tokenCount _),
+    // mojibake repair: deliberately double-encoded rows repaired by
+    // the strict-UTF-8 re-decode; recovered text stated by DuckDB
+    "llm_fix_encoding"   -> (Llm.fixEncoding _),
     // sliding-window chunker: 32-token windows, 8-token overlap at
     // the gate (testdata docs run <= ~100 tokens, so the production
     // 128/16 default would never exercise the multi-window path)
@@ -273,6 +276,7 @@ object SparkEntry {
     "llm_text_stats" -> ("llm-text", "Llm.textStats"),
     "llm_tfidf_terms" -> ("llm-text", "Llm.tfidfTerms"),
     "llm_chunk" -> ("llm-text", "Llm.chunkDocs"),
+    "llm_fix_encoding" -> ("llm-text", "Llm.fixEncoding"),
     "llm_token_count" -> ("llm-text", "Llm.tokenCount"),
     "llm_unigram_logprob" -> ("llm-text", "Llm.unigramLogprob"),
     "llm_vocab_topk" -> ("llm-text", "Llm.vocabTopK"),
@@ -532,6 +536,13 @@ object SparkEntry {
            round(n_nonspace / n_tokens, 4) AS avg_token_len,
            round(n_uniq / n_tokens * least(1.0, n_tokens / 100.0), 6) AS quality
          FROM f""",
+    // mojibake-repair oracle: the garbling is synthesized (UTF-8
+    // bytes of «text é read as Latin-1), so the correct repair IS
+    // the marked original — recomputable engine-free
+    "llm_fix_encoding" ->
+      """SELECT doc_id, true AS was_garbled,
+                concat('«', text, 'é') AS fixed_text
+         FROM documents WHERE text IS NOT NULL""",
     // sliding-window chunker oracle (32-token windows / stride 24,
     // the gate's multi-window regime): identical whitespace tokens,
     // window arithmetic ceil((n-32)/24)+1, 1-based inclusive list

@@ -824,6 +824,59 @@ object Llm {
           .as("chunk_text"))
   }
 
+  /** Mojibake repair — the core double-encoding fix every web-corpus
+    * cleaner ships (the ftfy trick): text that was UTF-8 on the wire
+    * but decoded as Latin-1 somewhere upstream shows as `Ã©`-style
+    * garbage; re-encoding the string as Latin-1 recovers the
+    * original bytes, and if those bytes are STRICT valid UTF-8 whose
+    * decode differs from the input, the string was double-encoded
+    * and the decode is the repair. Conservative by construction:
+    * genuine Latin-1-looking text (`café`) re-encodes to bytes that
+    * are NOT valid UTF-8 (a lone 0xE9) and is left alone; pure ASCII
+    * decodes to itself and is left alone; characters above U+00FF
+    * cannot round-trip through Latin-1 and are left alone. Returns
+    * Some(repaired) only when all three gates pass. */
+  private[graft] def repairMojibake(s: String): Option[String] = {
+    import java.nio.charset.{CharacterCodingException, CodingErrorAction, StandardCharsets}
+    val bytes = s.getBytes(StandardCharsets.ISO_8859_1)
+    if (new String(bytes, StandardCharsets.ISO_8859_1) != s) return None // chars > 0xFF
+    val dec = StandardCharsets.UTF_8.newDecoder()
+      .onMalformedInput(CodingErrorAction.REPORT)
+      .onUnmappableCharacter(CodingErrorAction.REPORT)
+    try {
+      val out = dec.decode(java.nio.ByteBuffer.wrap(bytes)).toString
+      if (out != s) Some(out) else None
+    } catch { case _: CharacterCodingException => None }
+  }
+
+  /** The ORACLED leg (`llm_fix_encoding`): every document is wrapped
+    * in non-ASCII guillemet/accent markers (the corpus text is pure
+    * ASCII, where mojibake is invisible), deliberately double-encoded
+    * the way a mislabeled pipeline would (UTF-8 bytes read as
+    * Latin-1), and repaired DISTRIBUTED by the real detector. The
+    * oracle states the repaired text directly from `documents` — a
+    * row matches only if detection fired AND the repair recovered
+    * the exact original, per row. */
+  def fixEncoding(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import java.nio.charset.StandardCharsets
+    Tables.documents(spark, dir)
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (docId, text) =>
+          val clean = "«" + text + "é" // «text é — forces non-ASCII
+          val garbled = new String(clean.getBytes(StandardCharsets.UTF_8),
+            StandardCharsets.ISO_8859_1)
+          repairMojibake(garbled) match {
+            case Some(fixed) => (docId, true, fixed)
+            case None => (docId, false, garbled)
+          }
+        }
+      }.toDF("doc_id", "was_garbled", "fixed_text")
+  }
+
   /** Per-source document-length distribution (p50/p90/p99/max) — the
     * corpus-profiling step that feeds sequence-length budgeting and
     * outlier cuts. Uses Spark's EXACT `percentile` (linear

@@ -609,6 +609,30 @@ class LlmSpec extends AnyFunSuite {
     assert(out("b") == ((2L, 2L, md5("1:1,2:0"))), s"b -> ${out("b")}")
   }
 
+  test("mojibake repair: double-encoded text recovers, legitimate text is left alone") {
+    import graft.operators.Llm.repairMojibake
+    def garble(s: String) = new String(
+      s.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+      java.nio.charset.StandardCharsets.ISO_8859_1)
+    // the classic: café mangled to cafÃ© repairs back
+    assert(repairMojibake(garble("café")).contains("café"))
+    val fancy = "naïve — « 日本 » emoji:😀"
+    assert(repairMojibake(garble(fancy)).contains(fancy),
+      "multi-byte sequences incl. astral plane repair")
+    // conservative gates: genuine Latin-1-looking text, pure ASCII,
+    // and > U+00FF strings are all left alone
+    assert(repairMojibake("café").isEmpty, "a lone 0xE9 is not valid UTF-8 — no false repair")
+    assert(repairMojibake("plain ascii").isEmpty)
+    assert(repairMojibake("日本").isEmpty, "chars above U+00FF can't round-trip Latin-1")
+    assert(repairMojibake("").isEmpty)
+    // fuzz: never throws, and any repair re-garbles to its input
+    val rnd = new scala.util.Random(23)
+    for (_ <- 0 until 500) {
+      val s = (0 until rnd.nextInt(30)).map(_ => rnd.nextInt(0x250).toChar).mkString
+      repairMojibake(s).foreach(f => assert(garble(f) == s, "repair must invert the garbling"))
+    }
+  }
+
   test("chunkDocs: windows tile the token stream — exact slices, exact overlap, no vacuous windows") {
     val dir = TestSpark.sf
     val C = 32; val S = 24 // the registry regime: 32-token windows, 8 overlap
