@@ -169,6 +169,9 @@ object SparkEntry {
     // crawl-policy audit: RFC 9309 parse + longest-match verdicts
     // distributed; the case table recomputed by DuckDB
     "llm_robots_filter"  -> (graft.sources.Robots.robotsFilter _),
+    // crawl-frontier canonicalization: RFC 3986 syntax-based URL
+    // normalization distributed; canonical forms stated by DuckDB
+    "llm_url_normalize"  -> (graft.sources.Urls.urlNormalize _),
   )
 
   /** The registry as a SQL surface (round-11 verdict item 8):
@@ -262,6 +265,7 @@ object SparkEntry {
     "llm_warc_extract" -> ("llm-corpus", "Warc.warcExtract"),
     "llm_warc_http" -> ("llm-corpus", "Warc.warcHttp"),
     "llm_robots_filter" -> ("llm-corpus", "Robots.robotsFilter"),
+    "llm_url_normalize" -> ("llm-corpus", "Urls.urlNormalize"),
     "llm_mix_weighted" -> ("llm-corpus", "Llm.mixWeighted"),
     "llm_ngram_jaccard" -> ("llm-dedup", "Llm.ngramJaccard"),
     "llm_pii_scrub" -> ("llm-text", "Llm.piiScrub"),
@@ -536,6 +540,26 @@ object SparkEntry {
            round(n_nonspace / n_tokens, 4) AS avg_token_len,
            round(n_uniq / n_tokens * least(1.0, n_tokens / 100.0), 6) AS quality
          FROM f""",
+    // RFC 3986 canonicalization oracle: each case's canonical form
+    // is a closed function of (source, doc_id) — lower-cased host +
+    // stripped default port, dot-segments collapsed, unreserved
+    // escape decoded (%7E -> ~) with reserved escapes preserved and
+    // hex upper-cased (%2f -> %2F), fragment dropped / query kept
+    "llm_url_normalize" ->
+      """SELECT doc_id,
+                CASE n_chars % 4
+                  WHEN 0 THEN concat('HTTP://', upper(source), '.Example.COM:80/Doc/', doc_id)
+                  WHEN 1 THEN concat('https://', source, '.example.com:443/a/./b/../doc/', doc_id)
+                  WHEN 2 THEN concat('http://', source, '.example.com/%7Edoc/%2Fesc%2f/', doc_id)
+                  ELSE concat('http://', source, '.example.com/doc/', doc_id, '?q=1&r=2#section-', doc_id)
+                END AS url,
+                CASE n_chars % 4
+                  WHEN 0 THEN concat('http://', source, '.example.com/Doc/', doc_id)
+                  WHEN 1 THEN concat('https://', source, '.example.com/a/doc/', doc_id)
+                  WHEN 2 THEN concat('http://', source, '.example.com/~doc/%2Fesc%2F/', doc_id)
+                  ELSE concat('http://', source, '.example.com/doc/', doc_id, '?q=1&r=2')
+                END AS canonical_url
+         FROM documents WHERE text IS NOT NULL""",
     // mojibake-repair oracle: the garbling is synthesized (UTF-8
     // bytes of «text é read as Latin-1), so the correct repair IS
     // the marked original — recomputable engine-free

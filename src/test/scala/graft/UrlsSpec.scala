@@ -1,0 +1,80 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.Urls
+import graft.sources.Urls.{normalizeUrl, removeDotSegments}
+
+class UrlsSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+
+  test("normalization: case, default ports, dot-segments, escapes, fragments") {
+    assert(normalizeUrl("HTTP://ExAmPle.COM:80/Path/X").contains("http://example.com/Path/X"),
+      "scheme+host lower-case, default port stripped, PATH case preserved")
+    assert(normalizeUrl("https://a.com:443/x").contains("https://a.com/x"))
+    assert(normalizeUrl("https://a.com:8443/x").contains("https://a.com:8443/x"),
+      "non-default ports survive")
+    assert(normalizeUrl("http://a.com:443/x").contains("http://a.com:443/x"),
+      "443 is only default for https")
+    assert(normalizeUrl("http://a.com/a/./b/../c").contains("http://a.com/a/c"))
+    assert(normalizeUrl("http://a.com/../../x").contains("http://a.com/x"),
+      "leading dot-dots cannot climb above root")
+    assert(normalizeUrl("http://a.com").contains("http://a.com/"), "empty path becomes /")
+    // escapes: unreserved decode, reserved preserved + upper-cased hex
+    assert(normalizeUrl("http://a.com/%7Euser/%41%2fx%2F").contains("http://a.com/~user/A%2Fx%2F"),
+      "%7E->~, %41->A, %2f stays %2F (decoding it would change path structure)")
+    assert(normalizeUrl("http://a.com/100%off/%").contains("http://a.com/100%off/%"),
+      "malformed escapes pass through verbatim")
+    assert(normalizeUrl("http://a.com/x?b=2&a=1#frag").contains("http://a.com/x?b=2&a=1"),
+      "fragment dropped, query ORDER preserved")
+    assert(normalizeUrl("http://user:pw@A.com/x").contains("http://user:pw@a.com/x"),
+      "userinfo preserved, host still lower-cases")
+    // non-absolute / junk → None, never throws
+    assert(normalizeUrl("not a url").isEmpty)
+    assert(normalizeUrl("/relative/path").isEmpty)
+    assert(normalizeUrl("mailto:x@y.com").isEmpty, "no authority — out of the crawl scope")
+    assert(normalizeUrl("").isEmpty)
+  }
+
+  test("remove_dot_segments matches RFC 3986 §5.2.4 and normalization is idempotent") {
+    assert(removeDotSegments("/a/b/c/./../../g") == "/a/g") // RFC example
+    assert(removeDotSegments("mid/content=5/../6") == "mid/6") // RFC example
+    assert(removeDotSegments("/a/../../../b") == "/b")
+    assert(removeDotSegments("/.") == "/")
+    assert(removeDotSegments("/..") == "/")
+    assert(removeDotSegments("") == "")
+    // idempotence fuzz: normalize(normalize(u)) == normalize(u)
+    val rnd = new scala.util.Random(29)
+    val parts = Seq("a", ".", "..", "%7E", "%2f", "B", "")
+    for (_ <- 0 until 500) {
+      val u = "http://Ex.COM:80/" + Seq.fill(rnd.nextInt(6))(parts(rnd.nextInt(parts.length))).mkString("/")
+      normalizeUrl(u).foreach { once =>
+        assert(normalizeUrl(once).contains(once), s"not idempotent: $u -> $once")
+      }
+    }
+  }
+
+  test("llm_url_normalize: distributed canonical forms reproduce the closed-form case table") {
+    val got = Urls.urlNormalize(spark, TestSpark.sf).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getString(2)))).toMap
+    val want = graft.sources.Tables.documents(spark, TestSpark.sf)
+      .filter(org.apache.spark.sql.functions.col("text").isNotNull)
+      .select("doc_id", "source", "n_chars").collect()
+      .map { r =>
+        val id = r.getLong(0); val src = r.getString(1); val n = r.getLong(2).toInt
+        val (m, c) = (n % 4) match {
+          case 0 => (s"HTTP://${src.toUpperCase}.Example.COM:80/Doc/$id",
+            s"http://$src.example.com/Doc/$id")
+          case 1 => (s"https://$src.example.com:443/a/./b/../doc/$id",
+            s"https://$src.example.com/a/doc/$id")
+          case 2 => (s"http://$src.example.com/%7Edoc/%2Fesc%2f/$id",
+            s"http://$src.example.com/~doc/%2Fesc%2F/$id")
+          case _ => (s"http://$src.example.com/doc/$id?q=1&r=2#section-$id",
+            s"http://$src.example.com/doc/$id?q=1&r=2")
+        }
+        id -> ((m, c))
+      }.toMap
+    assert(got.keySet == want.keySet)
+    assert(got == want, "canonical forms diverge from the closed-form case table")
+  }
+}
