@@ -51,6 +51,10 @@ object SparkEntry {
     "llm_lang_id"        -> (Llm.langId _),
     "llm_quality"        -> (Llm.quality _),
     "llm_token_count"    -> (Llm.tokenCount _),
+    // no_oracle: DEFLATE ratio (DuckDB has no deflate) — the
+    // Gopher-style redundancy signal; LlmSpec pins ordering,
+    // determinism and bounds
+    "llm_compress_ratio" -> (Llm.compressRatio _),
     // mojibake repair: deliberately double-encoded rows repaired by
     // the strict-UTF-8 re-decode; recovered text stated by DuckDB
     "llm_fix_encoding"   -> (Llm.fixEncoding _),
@@ -280,6 +284,7 @@ object SparkEntry {
     "llm_text_stats" -> ("llm-text", "Llm.textStats"),
     "llm_tfidf_terms" -> ("llm-text", "Llm.tfidfTerms"),
     "llm_chunk" -> ("llm-text", "Llm.chunkDocs"),
+    "llm_compress_ratio" -> ("llm-text", "Llm.compressRatio"),
     "llm_fix_encoding" -> ("llm-text", "Llm.fixEncoding"),
     "llm_token_count" -> ("llm-text", "Llm.tokenCount"),
     "llm_unigram_logprob" -> ("llm-text", "Llm.unigramLogprob"),

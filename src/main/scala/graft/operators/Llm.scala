@@ -824,6 +824,43 @@ object Llm {
           .as("chunk_text"))
   }
 
+  /** Compression-ratio quality signal (`llm_compress_ratio`) — the
+    * Gopher/CCNet-style redundancy detector: template spam and
+    * machine-generated boilerplate DEFLATE far below diverse prose,
+    * so deflated-bytes / raw-bytes is a cheap, language-agnostic
+    * quality feature (low ratio → repetitive; near/above 1 →
+    * high-entropy garbage). Raw DEFLATE (nowrap, fixed level 6) via
+    * the JDK so the measurement is header-free and deterministic;
+    * one Deflater per partition, reset per row — no per-row
+    * allocation beyond the output walk, constant memory at any
+    * document size. Map-only: at 100 TB this is a pure scan like the
+    * rest of the quality family. no_oracle by design (DuckDB has no
+    * deflate); LlmSpec pins the discriminative ordering (repetitive
+    * ≪ prose < shuffled-alphabet), run-to-run determinism, and
+    * ratio sanity bounds. */
+  def compressRatio(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val defl = new java.util.zip.Deflater(6, true)
+        val buf = new Array[Byte](65536)
+        it.map { case (docId, text) =>
+          val raw = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          defl.reset()
+          defl.setInput(raw)
+          defl.finish()
+          var out = 0L
+          while (!defl.finished()) out += defl.deflate(buf)
+          val ratio = if (raw.length == 0) 1.0 else out.toDouble / raw.length
+          (docId, raw.length.toLong, out,
+            BigDecimal(ratio).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+        }
+      }.toDF("doc_id", "n_bytes", "n_deflated", "ratio")
+  }
+
   /** Mojibake repair — the core double-encoding fix every web-corpus
     * cleaner ships (the ftfy trick): text that was UTF-8 on the wire
     * but decoded as Latin-1 somewhere upstream shows as `Ã©`-style

@@ -609,6 +609,41 @@ class LlmSpec extends AnyFunSuite {
     assert(out("b") == ((2L, 2L, md5("1:1,2:0"))), s"b -> ${out("b")}")
   }
 
+  test("compression ratio: repetitive text deflates far below prose, deterministic, bounded") {
+    import spark.implicits._
+    val dir = TestSpark.sf
+    val rows = Llm.compressRatio(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    for ((id, nb, nd, ratio) <- rows) {
+      assert(nb > 0 && nd > 0, s"doc $id sizes")
+      assert(ratio > 0.0 && ratio < 1.5, s"doc $id ratio $ratio out of sane bounds")
+      assert(math.abs(ratio - nd.toDouble / nb) < 1e-5, s"doc $id ratio inconsistent")
+    }
+    // determinism: same inputs, same deflate stream lengths
+    val again = Llm.compressRatio(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toMap
+    assert(rows.map(r => (r._1, r._3)).toMap == again, "deflate must be run-to-run identical")
+    // discriminative ordering on controlled texts through the same
+    // partition-level deflate: boilerplate << prose < high-entropy
+    val tmp = java.nio.file.Files.createTempDirectory("graft_zr").toString
+    val rnd = new scala.util.Random(31)
+    val texts = Seq(
+      1L -> Seq.fill(200)("buy now limited offer").mkString(" "),           // template spam
+      2L -> (1 to 200).map(i => s"sentence$i about topic${i % 17}").mkString(" "), // varied
+      3L -> Seq.fill(800)(('a' + rnd.nextInt(26)).toChar).mkString)         // near-random
+    texts.toDF("doc_id", "text").withColumn("source", org.apache.spark.sql.functions.lit("t"))
+      .withColumn("lang", org.apache.spark.sql.functions.lit("en"))
+      .withColumn("n_chars", org.apache.spark.sql.functions.length($"text").cast("long"))
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val m = Llm.compressRatio(spark, tmp).collect()
+      .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(m(1L) < 0.15, s"template spam must crush: ${m(1L)}")
+    assert(m(1L) < m(2L) && m(2L) < m(3L),
+      s"ordering must discriminate: spam ${m(1L)} < prose ${m(2L)} < random ${m(3L)}")
+    assert(m(3L) > 0.5, s"near-random text must resist compression: ${m(3L)}")
+  }
+
   test("mojibake repair: double-encoded text recovers, legitimate text is left alone") {
     import graft.operators.Llm.repairMojibake
     def garble(s: String) = new String(
