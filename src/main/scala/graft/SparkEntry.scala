@@ -578,8 +578,13 @@ object SparkEntry {
     // slicing — chunk text reassembles from the same token list
     "llm_chunk" ->
       """WITH toks AS (
-           SELECT doc_id, string_split_regex(trim(text), '\s+') AS t,
-                  len(string_split_regex(trim(text), '\s+')) AS n
+           SELECT doc_id,
+                  CASE WHEN regexp_matches(text, '\S')
+                       THEN string_split_regex(trim(text), '\s+')
+                       ELSE CAST([] AS VARCHAR[]) END AS t,
+                  CASE WHEN regexp_matches(text, '\S')
+                       THEN len(string_split_regex(trim(text), '\s+'))
+                       ELSE 0 END AS n
            FROM documents WHERE text IS NOT NULL),
          counts AS (
            SELECT doc_id, t, n,

@@ -810,7 +810,14 @@ object Llm {
     val stride = chunkTokens - overlap
     docs
       .filter(col("text").isNotNull)
-      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("toks"))
+      // a whitespace-only document has ZERO tokens — `split(trim(""),
+      // "\\s+")` says `[""]` (one phantom token; worse with tabs and
+      // newlines, which `trim` does not strip), and a phantom token
+      // count would lie to a downstream packing stage — so gate on
+      // "contains any non-whitespace at all" explicitly
+      .select(col("doc_id"),
+        when(col("text").rlike("\\S"), split(trim(col("text")), "\\s+"))
+          .otherwise(array().cast("array<string>")).as("toks"))
       .withColumn("n", size(col("toks")))
       .withColumn("n_chunks", when(col("n") <= chunkTokens, lit(1))
         .otherwise(ceil((col("n") - chunkTokens).cast("double") / stride).cast("int") + 1))
@@ -2548,9 +2555,36 @@ object Llm {
     * `llm_ann_ivfpq` (LlmSpec pins the equality). no_oracle like the
     * rest of the ANN family. */
   private val annSnapshots = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Cache key = dir + a fingerprint of the embeddings input (file
+    * names, sizes, mtimes via the Hadoop FS the read itself uses) —
+    * data REPLACED under the same path invalidates the snapshot
+    * instead of serving stale probes; snapshot temp dirs are
+    * registered for recursive deletion at JVM exit. */
+  private def annInputFingerprint(spark: SparkSession, dir: String): String = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/embeddings.parquet")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val parts =
+      try fs.listStatus(p).map(s =>
+        s"${s.getPath.getName}:${s.getLen}:${s.getModificationTime}").sorted
+      catch { case _: java.io.IOException => Array(s"unlistable:$dir") }
+    java.lang.Long.toHexString(
+      parts.foldLeft(17L)((h, s) => h * 31 + s.hashCode))
+  }
+
+  private val annSnapshotCleaner: Unit = Runtime.getRuntime.addShutdownHook(new Thread(() =>
+    annSnapshots.values.forEach { d =>
+      try {
+        import scala.reflect.io.Directory
+        new Directory(new java.io.File(d)).deleteRecursively(); ()
+      } catch { case _: Throwable => }
+    }))
+
   def annProbe(spark: SparkSession, dir: String, nprobe: Int = 28,
       rerankKeep: Int = 100): DataFrame = {
-    val snap = annSnapshots.computeIfAbsent(dir, _ => {
+    val _ = annSnapshotCleaner
+    val cacheKey = s"$dir|${annInputFingerprint(spark, dir)}"
+    val snap = annSnapshots.computeIfAbsent(cacheKey, _ => {
       val tmp = java.nio.file.Files.createTempDirectory("graft_ann_snapshot").toString
       val all = vecs(spark, dir)
       val built = buildAnnIndex(spark, all.select(col("vec_id"), col("v")))

@@ -67,15 +67,23 @@ object Robots {
     out.result()
   }
 
-  /** The rules governing `agent`: the group with the longest agent
-    * token that prefixes the (lower-cased) product token, else the
-    * `*` group, else none. */
+  /** The rules governing `agent`: the LONGEST agent token that
+    * prefixes the (lower-cased) product token wins, and — per
+    * RFC 9309 §2.2.1, which says rules in multiple matching groups
+    * MUST be combined — every group carrying that winning token
+    * contributes its rules, in file order. Same for the `*`
+    * fallback: split `*` groups concatenate. No match → no rules. */
   def rulesFor(groups: Seq[Group], agent: String): Seq[Rule] = {
     val a = agent.toLowerCase
-    val named = groups.flatMap(g => g.agents.filter(t => t != "*" && a.startsWith(t))
-      .map(t => (t.length, g)))
-    if (named.nonEmpty) named.maxBy(_._1)._2.rules
-    else groups.find(_.agents.contains("*")).map(_.rules).getOrElse(Nil)
+    val matchLens = groups.map(g =>
+      g.agents.filter(t => t != "*" && a.startsWith(t)).map(_.length)
+        .foldLeft(-1)(math.max))
+    val bestLen = matchLens.foldLeft(-1)(math.max)
+    if (bestLen >= 0)
+      groups.zip(matchLens).collect {
+        case (g, len) if len == bestLen => g.rules
+      }.flatten
+    else groups.filter(_.agents.contains("*")).flatMap(_.rules)
   }
 
   /** Does `pattern` (with `*` wildcards, optional trailing `$`

@@ -96,7 +96,11 @@ object Urls {
       val defaultPort = (scheme == "http" && port0 == "80") ||
         (scheme == "https" && port0 == "443") || port0.isEmpty
       val port = if (defaultPort) "" else ":" + port0
-      val path1 = normalizeEscapes(removeDotSegments(Option(path0).getOrElse("")))
+      // RFC 3986 §6.2.2 order: percent-encoding normalization FIRST,
+      // then dot-segment removal — so `/%2E%2E/x` decodes to `/../x`
+      // and collapses; the reverse order leaves a literal `/../` in
+      // the "canonical" form and frontier dedup misses the alias.
+      val path1 = removeDotSegments(normalizeEscapes(Option(path0).getOrElse("")))
       val path = if (path1.isEmpty) "/" else path1
       val q = Option(query).map(normalizeEscapes).getOrElse("")
       Some(s"$scheme://$userinfo$host$port$path$q")

@@ -53,7 +53,13 @@ object Warc {
 
   /** Parse every well-formed record from the head of `b`; stops at
     * the first malformed one (salvage semantics). */
-  def parseRecords(b: Array[Byte]): Seq[WarcRecord] = {
+  def parseRecords(b: Array[Byte]): Seq[WarcRecord] = parseRecordsWithTail(b)._1
+
+  /** `parseRecords` plus the offset the walk stopped at — `consumed
+    * < b.length` means a malformed tail was left behind, and the
+    * container source turns that into a VISIBLE drop row instead of
+    * silence. */
+  private[graft] def parseRecordsWithTail(b: Array[Byte]): (Seq[WarcRecord], Int) = {
     val out = Vector.newBuilder[WarcRecord]
     var i = 0
     var ok = true
@@ -63,7 +69,7 @@ object Warc {
         case None => ok = false
       }
     }
-    out.result()
+    (out.result(), i)
   }
 
   /** One record at offset `o`: Some((record, nextOffset)) or None. */
@@ -146,6 +152,120 @@ object Warc {
       case _: java.io.IOException => None // corrupt member / truncated stream
     }
   }
+
+  /** Walk the gzip MEMBERS of a `.warc.gz` segment one at a time —
+    * the scale-safe inflate. Common Crawl writes one record per
+    * member precisely so a multi-GB segment never has to exist
+    * inflated in one piece; this iterator honors that design: each
+    * member inflates independently under its OWN bomb cap (a real
+    * ~1 GB segment whose TOTAL inflated size is 3-5 GB streams
+    * through member-sized buffers), and a corrupt member yields a
+    * `Left(reason)` then RESYNCS at the next member magic, so damage
+    * drops one record, not the segment. Uses `Inflater` directly
+    * (raw deflate after a hand-walked RFC 1952 header) because
+    * `GZIPInputStream` hides member boundaries — and the boundary IS
+    * the unit of both capping and salvage here. CRC32 and ISIZE
+    * trailers are verified: silent corruption becomes a visible
+    * drop, not garbage records. */
+  private[graft] def gzipMembers(b: Array[Byte],
+      capPerMember: Int = 1 << 28): Iterator[Either[String, Array[Byte]]] =
+    new Iterator[Either[String, Array[Byte]]] {
+      private var off = 0
+      def hasNext: Boolean = off < b.length
+      def next(): Either[String, Array[Byte]] =
+        inflateMember(b, off, capPerMember) match {
+          case Right((plain, nextOff)) =>
+            off = nextOff
+            Right(plain)
+          case Left(err) =>
+            // salvage: resync at the next member header after the
+            // failure point; no further magic → the walk ends
+            val resume = nextMemberMagic(b, off + 1)
+            off = if (resume < 0) b.length else resume
+            Left(err)
+        }
+    }
+
+  /** Offset of the next gzip member header (`1f 8b 08`) at/after
+    * `o`, or -1. */
+  private def nextMemberMagic(b: Array[Byte], o: Int): Int = {
+    var i = math.max(o, 0)
+    while (i + 2 < b.length) {
+      if ((b(i) & 0xff) == 0x1f && (b(i + 1) & 0xff) == 0x8b && b(i + 2) == 8)
+        return i
+      i += 1
+    }
+    -1
+  }
+
+  /** One gzip member at `off`: Right((inflated, nextOffset)) or
+    * Left(reason). RFC 1952 header walk (FEXTRA/FNAME/FCOMMENT/FHCRC
+    * optional fields), raw-deflate inflate under `cap`, CRC32+ISIZE
+    * trailer verification. */
+  private def inflateMember(b: Array[Byte], off: Int,
+      cap: Int): Either[String, (Array[Byte], Int)] = {
+    if (off + 10 > b.length) return Left("gzip_truncated_header")
+    if ((b(off) & 0xff) != 0x1f || (b(off + 1) & 0xff) != 0x8b)
+      return Left("gzip_bad_magic")
+    if (b(off + 2) != 8) return Left("gzip_unknown_method")
+    val flg = b(off + 3) & 0xff
+    var p = off + 10
+    if ((flg & 0x04) != 0) { // FEXTRA
+      if (p + 2 > b.length) return Left("gzip_truncated_header")
+      val xlen = (b(p) & 0xff) | ((b(p + 1) & 0xff) << 8)
+      p += 2 + xlen
+      if (p > b.length) return Left("gzip_truncated_header")
+    }
+    if ((flg & 0x08) != 0) { // FNAME: zero-terminated
+      while (p < b.length && b(p) != 0) p += 1
+      if (p >= b.length) return Left("gzip_truncated_header")
+      p += 1
+    }
+    if ((flg & 0x10) != 0) { // FCOMMENT
+      while (p < b.length && b(p) != 0) p += 1
+      if (p >= b.length) return Left("gzip_truncated_header")
+      p += 1
+    }
+    if ((flg & 0x02) != 0) { // FHCRC
+      p += 2
+      if (p > b.length) return Left("gzip_truncated_header")
+    }
+    val inf = new java.util.zip.Inflater(true)
+    try {
+      inf.setInput(b, p, b.length - p)
+      val out = new java.io.ByteArrayOutputStream(8192)
+      val buf = new Array[Byte](65536)
+      while (!inf.finished()) {
+        val n =
+          try inf.inflate(buf)
+          catch { case _: java.util.zip.DataFormatException =>
+            return Left("gzip_corrupt_deflate") }
+        if (n > 0) {
+          if (out.size().toLong + n > cap) return Left("member_cap_exceeded")
+          out.write(buf, 0, n)
+        } else if (!inf.finished()) {
+          // needsInput with nothing left, or a stuck dictionary
+          // request: the member is truncated
+          return Left("gzip_truncated_deflate")
+        }
+      }
+      val plain = out.toByteArray
+      val trailerAt = p + inf.getBytesRead.toInt
+      if (trailerAt + 8 > b.length) return Left("gzip_truncated_trailer")
+      val crc = new java.util.zip.CRC32
+      crc.update(plain)
+      val wantCrc = le32(b, trailerAt)
+      val wantIsize = le32(b, trailerAt + 4)
+      if (crc.getValue != wantCrc) return Left("gzip_crc_mismatch")
+      if ((plain.length.toLong & 0xffffffffL) != wantIsize)
+        return Left("gzip_isize_mismatch")
+      Right((plain, trailerAt + 8))
+    } finally inf.end()
+  }
+
+  private def le32(b: Array[Byte], o: Int): Long =
+    ((b(o) & 0xffL)) | ((b(o + 1) & 0xffL) << 8) |
+      ((b(o + 2) & 0xffL) << 16) | ((b(o + 3) & 0xffL) << 24)
 
   /** Split a WARC `response` payload into its HTTP header block and
     * body — the step between "crawl record" and "document text"

@@ -699,6 +699,25 @@ class LlmSpec extends AnyFunSuite {
     assert(multi > 0, "test corpus must exercise the multi-window path")
   }
 
+  test("chunkFrame: a whitespace-only document is one EMPTY chunk with ZERO tokens, consistent with tokenCount") {
+    // split(trim(""), "\\s+") says [""] — a phantom 1-token chunk a
+    // downstream packing stage would mis-budget on; the guard must
+    // report the honest n_chunk_tokens = 0
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "   \t \n "), // whitespace-only
+      (2L, ""),          // empty
+      (3L, "one two"),   // control
+      (4L, null.asInstanceOf[String])) // null drops entirely
+      .toDF("doc_id", "text")
+    val got = Llm.chunkFrame(docs, chunkTokens = 32, overlap = 8).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getString(3)))
+      .sortBy(r => (r._1, r._2))
+    assert(got.toSeq == Seq(
+      (1L, 0, 0L, ""), (2L, 0, 0L, ""), (3L, 0, 2L, "one two")),
+      s"empty docs must yield one 0-token chunk, got ${got.toSeq}")
+  }
+
   test("weighted sampling: length-weighted sample skews long, is deterministic") {
     val dir = TestSpark.sf
     val s1 = Llm.sampleWeighted(spark, dir).collect()

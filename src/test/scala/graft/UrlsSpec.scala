@@ -36,6 +36,16 @@ class UrlsSpec extends AnyFunSuite {
     assert(normalizeUrl("").isEmpty)
   }
 
+  test("RFC 3986 §6.2.2 order: percent-decoding runs BEFORE dot-segment removal") {
+    // %2E is an unreserved escape for '.', so %2E%2E is a dot-segment
+    // alias — decode-then-collapse, or frontier dedup misses it
+    assert(normalizeUrl("http://a.com/x/%2E%2E/secret").contains("http://a.com/secret"))
+    assert(normalizeUrl("http://a.com/%2e/y").contains("http://a.com/y"))
+    assert(normalizeUrl("http://a.com/a/%2E%2e/%2e%2E/b").contains("http://a.com/b"))
+    // and the aliases canonicalize EQUAL to their literal forms
+    assert(normalizeUrl("http://a.com/x/%2E%2E/s") == normalizeUrl("http://a.com/x/../s"))
+  }
+
   test("remove_dot_segments matches RFC 3986 §5.2.4 and normalization is idempotent") {
     assert(removeDotSegments("/a/b/c/./../../g") == "/a/g") // RFC example
     assert(removeDotSegments("mid/content=5/../6") == "mid/6") // RFC example
