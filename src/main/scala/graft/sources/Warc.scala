@@ -125,16 +125,15 @@ object Warc {
     -1
   }
 
-  /** Bounded multi-member gunzip: Common Crawl ships `.warc.gz` with
-    * each record an independent gzip MEMBER (so a segment splits on
-    * member boundaries); `GZIPInputStream` walks concatenated members
-    * natively. `cap` bounds the inflated size — the decompression-
-    * bomb guard every untrusted-input inflate needs (the PNG
-    * decoder's `PngMaxRaw` rule applied to the container layer): a
-    * hostile kilobyte must not allocate gigabytes. Returns None on
-    * corrupt gzip or a cap overrun — the caller's salvage semantics
-    * then apply to whatever full records precede the damage (here:
-    * none, since the stream is unusable without inflating). */
+  /** Bounded SINGLE-SHOT gunzip (whole stream, all members, one
+    * output array under one cap). NOT the container source's inflate
+    * anymore — `records`/`recordStream` walk members one at a time
+    * via `gzipMembers` so real-sized segments can't vanish behind a
+    * whole-segment cap; this helper remains for small in-record
+    * payloads (HTTP Content-Encoding, the oracle legs) where the
+    * whole-thing-or-nothing contract is the right one. `cap` is the
+    * decompression-bomb guard: a hostile kilobyte must not allocate
+    * gigabytes. Returns None on corrupt gzip or a cap overrun. */
   private[graft] def gunzipAll(b: Array[Byte], cap: Int = 1 << 28): Option[Array[Byte]] = {
     if (b.length < 2 || (b(0) & 0xff) != 0x1f || (b(1) & 0xff) != 0x8b) return None
     val out = new java.io.ByteArrayOutputStream(math.min(b.length * 4, cap))
@@ -301,12 +300,32 @@ object Warc {
   }
 
   /** Directory (or glob) of .warc / .warc.gz files → one row per
-    * RECORD: (file, record_idx, version, headers map, payload).
-    * Parallel by file via the built-in binaryFile source — the
-    * crawl-segment split WARC is designed for; gzip members inflate
-    * per file under the bomb-guard cap. */
-  def records(spark: SparkSession, path: String): DataFrame =
-    explodeRecords(spark, spark.read.format("binaryFile").load(path))
+    * RECORD: (file, member_idx, record_idx, ok, err, version,
+    * headers map, payload). Parallel by file via the built-in
+    * binaryFile source — the crawl-segment split WARC is designed
+    * for; gzip members inflate ONE AT A TIME under a PER-MEMBER
+    * bomb cap (`capPerMember`), so a real ~1 GB Common Crawl segment
+    * whose total inflated size is 3-5 GB streams through
+    * member-sized buffers instead of vanishing behind a whole-
+    * segment cap. Damage is visible, never silent: a corrupt /
+    * capped member or an unparseable record tail emits an
+    * `ok = false` row carrying the reason in `err` (and the walk
+    * resyncs at the next member), so `filter(col("ok"))` is the
+    * clean stream and `fileStats` the per-file drop ledger. */
+  def records(spark: SparkSession, path: String,
+      capPerMember: Int = 1 << 28): DataFrame =
+    explodeRecords(spark, spark.read.format("binaryFile").load(path),
+      capPerMember)
+
+  /** Per-file ingest ledger over a `records`/`recordStream` frame:
+    * how many records parsed clean, how many members/tails dropped,
+    * and the distinct drop reasons — the "no silent caps" signal a
+    * 100k-segment crawl ingest audits before trusting a corpus. */
+  def fileStats(records: DataFrame): DataFrame =
+    records.groupBy(col("file")).agg(
+      sum(when(col("ok"), 1L).otherwise(0L)).as("n_records_ok"),
+      sum(when(col("ok"), 0L).otherwise(1L)).as("n_dropped"),
+      sort_array(collect_set(col("err"))).as("drop_reasons"))
 
   /** Streaming crawl ingest: the SAME explode over
     * `readStream.format("binaryFile")` — new segment files landing
@@ -317,28 +336,68 @@ object Warc {
     * downstream (decode, quality, dedup suspects, ANN suspects)
     * lifts unchanged — the same contract as
     * `Streaming.mediaFeatures`. */
-  def recordStream(spark: SparkSession, path: String): DataFrame =
+  def recordStream(spark: SparkSession, path: String,
+      capPerMember: Int = 1 << 28): DataFrame =
     explodeRecords(spark,
       spark.readStream.format("binaryFile")
         // streaming file sources require the schema up front;
         // binaryFile's is fixed by the format
         .schema("path STRING, modificationTime TIMESTAMP, length BIGINT, content BINARY")
-        .load(path))
+        .load(path),
+      capPerMember)
 
-  private def explodeRecords(spark: SparkSession, files: DataFrame): DataFrame = {
+  /** One emitted row: good records carry `ok = true`, `err = null`;
+    * a dropped member / unparseable tail is a row with `ok = false`,
+    * the reason in `err`, `record_idx = -1` and an empty payload. */
+  private type RecordRow =
+    (String, Int, Int, Boolean, String, String, Map[String, String], Array[Byte])
+
+  private def explodeRecords(spark: SparkSession, files: DataFrame,
+      capPerMember: Int): DataFrame = {
     import spark.implicits._
     files
       .select(col("path"), col("content"))
       .as[(String, Array[Byte])]
-      .flatMap { case (file, bytes) =>
-        val plain =
-          if (file.endsWith(".gz")) gunzipAll(bytes).getOrElse(Array.emptyByteArray)
-          else bytes
-        parseRecords(plain).zipWithIndex.map { case (r, idx) =>
-          (file, idx, r.version, r.headers, r.payload)
-        }
+      .flatMap { case (file, bytes) => fileRows(file, bytes, capPerMember) }
+      .toDF("file", "member_idx", "record_idx", "ok", "err",
+        "version", "headers", "payload")
+  }
+
+  /** The per-file record walk the batch and streaming sources share:
+    * member-by-member inflate for `.gz`, incremental emission (the
+    * iterator never holds more than one inflated member), drop rows
+    * for anything that didn't parse. */
+  private[graft] def fileRows(file: String, bytes: Array[Byte],
+      capPerMember: Int = 1 << 28): Iterator[RecordRow] = {
+    def drop(memberIdx: Int, err: String): RecordRow =
+      (file, memberIdx, -1, false, err, null,
+        Map.empty[String, String], Array.emptyByteArray)
+    if (file.endsWith(".gz")) {
+      var recIdx = -1
+      gzipMembers(bytes, capPerMember).zipWithIndex.flatMap {
+        case (Right(plain), memberIdx) =>
+          val (recs, consumed) = parseRecordsWithTail(plain)
+          val good = recs.iterator.map { r =>
+            recIdx += 1
+            (file, memberIdx, recIdx, true, null: String,
+              r.version, r.headers, r.payload)
+          }
+          val tail =
+            if (consumed < plain.length) Iterator.single(drop(memberIdx, "record_parse_error"))
+            else Iterator.empty
+          good ++ tail
+        case (Left(err), memberIdx) => Iterator.single(drop(memberIdx, err))
       }
-      .toDF("file", "record_idx", "version", "headers", "payload")
+    } else {
+      val (recs, consumed) = parseRecordsWithTail(bytes)
+      val good = recs.iterator.zipWithIndex.map { case (r, idx) =>
+        (file, 0, idx, true, null: String, r.version, r.headers, r.payload)
+      }
+      val tail =
+        if (consumed < bytes.length) Iterator.single(drop(0, "record_parse_error"))
+        else Iterator.empty
+      good ++ tail
+    }
   }
 
   /** The ORACLED registry leg (`llm_warc_extract`): every document

@@ -119,6 +119,84 @@ class WarcSpec extends AnyFunSuite {
     }
   }
 
+  test("member streaming: a segment whose TOTAL inflated size exceeds the cap still yields ALL its records") {
+    // three members, each inflating to ~600 KB — total ~1.8 MB. A
+    // whole-segment cap of 1 MB would silently drop everything (the
+    // round-15 failure mode); the per-member walk must keep all 3.
+    val capPerMember = 1 << 20
+    val recs = (0 until 3).map { i =>
+      rec("response", s"https://big/$i", Array.fill(600 * 1024)(('a' + i).toByte))
+    }
+    val segment = recs.map(gzip).reduce(_ ++ _)
+    assert(segment.length < 3 * capPerMember, "sanity: compressed segment is small")
+    val rows = Warc.fileRows("seg.warc.gz", segment, capPerMember).toVector
+    assert(rows.length == 3, s"all records must survive, got ${rows.length}")
+    assert(rows.forall(_._4), "every row parses clean")
+    assert(rows.map(_._3) == Vector(0, 1, 2), "record_idx is file-ordered")
+    assert(rows.map(_._2) == Vector(0, 1, 2), "one record per member, CC convention")
+    assert(rows.map(r => new String(r._8.take(1), "UTF-8")) == Vector("a", "b", "c"))
+    // a member that ALONE exceeds the cap drops visibly — only itself
+    val rows2 = Warc.fileRows("seg.warc.gz", segment, capPerMember = 100 * 1024).toVector
+    assert(rows2.count(!_._4) == 3 && rows2.forall(_._5 == "member_cap_exceeded"),
+      "per-member cap overruns must surface, not vanish")
+  }
+
+  test("member streaming: a corrupt middle member drops ONLY itself, visibly, and the walk resyncs") {
+    val r = (0 until 3).map(i => gzip(rec("response", s"https://c/$i", s"pay$i".getBytes)))
+    // corrupt member 1's deflate body (past the 10-byte header)
+    val bad = r(1).clone(); bad(14) = (bad(14) ^ 0x5a).toByte
+    val segment = r(0) ++ bad ++ r(2)
+    val rows = Warc.fileRows("seg.warc.gz", segment).toVector
+    val good = rows.filter(_._4)
+    val drops = rows.filter(!_._4)
+    assert(good.map(_._7("warc-target-uri")) == Vector("https://c/0", "https://c/2"),
+      s"members 0 and 2 must survive, got ${good.map(_._7)}")
+    assert(drops.nonEmpty && drops.forall(_._5 != null),
+      "the damaged member must be VISIBLE as a drop row with a reason")
+    // truncated final member: prior members survive, tail drops visibly
+    val trunc = r(0) ++ r(1).dropRight(5)
+    val rows3 = Warc.fileRows("t.warc.gz", trunc).toVector
+    assert(rows3.count(_._4) == 1 && rows3.count(!_._4) == 1)
+    // CRC damage (flip a byte in the trailer) is caught, not emitted as a record
+    val crcBad = r(0).clone(); crcBad(crcBad.length - 6) = (crcBad(crcBad.length - 6) ^ 1).toByte
+    val rows4 = Warc.fileRows("x.warc.gz", crcBad).toVector
+    assert(rows4.exists(d => !d._4 && d._5.startsWith("gzip_")), s"trailer damage must drop: $rows4")
+    // an unparseable record TAIL inside a good member surfaces too
+    val tailJunk = gzip(rec("response", "https://c/ok", "x".getBytes) ++ "WARC/9.9 junk".getBytes)
+    val rows5 = Warc.fileRows("y.warc.gz", tailJunk).toVector
+    assert(rows5.count(_._4) == 1 &&
+      rows5.exists(d => !d._4 && d._5 == "record_parse_error"))
+    // fuzz: arbitrary bytes through the member walk never throw
+    val rnd = new scala.util.Random(31)
+    for (_ <- 0 until 300)
+      Warc.fileRows("f.warc.gz", Array.fill(rnd.nextInt(400))(rnd.nextInt(256).toByte)).foreach(_ => ())
+  }
+
+  test("fileStats: the per-file ingest ledger counts clean records and dropped members with reasons") {
+    import org.apache.spark.sql.functions.col
+    val tmp = java.nio.file.Files.createTempDirectory("graft_warc_stats").toString
+    try {
+      val good = gzip(rec("response", "https://s/1", "one".getBytes)) ++
+        gzip(rec("response", "https://s/2", "two".getBytes))
+      val r0 = gzip(rec("response", "https://s/3", "three".getBytes))
+      val bad = r0.clone(); bad(14) = (bad(14) ^ 0x5a).toByte
+      java.nio.file.Files.write(java.nio.file.Paths.get(tmp, "clean.warc.gz"), good)
+      java.nio.file.Files.write(java.nio.file.Paths.get(tmp, "damaged.warc.gz"), r0 ++ bad)
+      val stats = Warc.fileStats(Warc.records(spark, tmp)).collect()
+        .map(r => r.getString(0).split('/').last ->
+          ((r.getLong(1), r.getLong(2), r.getSeq[String](3)))).toMap
+      assert(stats("clean.warc.gz")._1 == 2 && stats("clean.warc.gz")._2 == 0)
+      assert(stats("damaged.warc.gz")._1 == 1, "the clean member of the damaged file survives")
+      assert(stats("damaged.warc.gz")._2 >= 1 && stats("damaged.warc.gz")._3.nonEmpty,
+        s"drops must be counted WITH reasons: ${stats("damaged.warc.gz")}")
+      // the clean stream is one filter away
+      assert(Warc.records(spark, tmp).filter(col("ok")).count() == 3)
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(tmp)).deleteRecursively()
+    }
+  }
+
   test("httpSplit: response payloads divide into HTTP headers and body at the first blank line") {
     val body = "<html>\r\n\r\nbody with blank lines</html>".getBytes("UTF-8")
     val payload = ("HTTP/1.1 200 OK\r\n" +
