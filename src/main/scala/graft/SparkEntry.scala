@@ -170,6 +170,14 @@ object SparkEntry {
     // the full ingest path: gzip member -> record walk -> HTTP split;
     // status/type/body recomputed by DuckDB
     "llm_warc_http"      -> (graft.sources.Warc.warcHttp _),
+    // the production-true entity path on top of that: chunked
+    // transfer reassembly + Content-Encoding gunzip + BOM/charset/
+    // UTF-8-sniff text decode; recovered text recomputed by DuckDB
+    "llm_warc_entity"    -> (graft.sources.Warc.warcEntity _),
+    // HTML -> text between the entity decode and the quality family:
+    // bounded single-pass tag/script/comment strip + entity decode;
+    // the closed-form extraction restated by DuckDB
+    "llm_html_extract"   -> (graft.sources.Html.htmlExtract _),
     // crawl-policy audit: RFC 9309 parse + longest-match verdicts
     // distributed; the case table recomputed by DuckDB
     "llm_robots_filter"  -> (graft.sources.Robots.robotsFilter _),
@@ -268,6 +276,8 @@ object SparkEntry {
     "llm_media_mp4" -> ("multimodal", "Multimodal.mediaMp4Meta"),
     "llm_warc_extract" -> ("llm-corpus", "Warc.warcExtract"),
     "llm_warc_http" -> ("llm-corpus", "Warc.warcHttp"),
+    "llm_warc_entity" -> ("llm-corpus", "Warc.warcEntity"),
+    "llm_html_extract" -> ("llm-corpus", "Html.htmlExtract"),
     "llm_robots_filter" -> ("llm-corpus", "Robots.robotsFilter"),
     "llm_url_normalize" -> ("llm-corpus", "Urls.urlNormalize"),
     "llm_mix_weighted" -> ("llm-corpus", "Llm.mixWeighted"),
@@ -1394,6 +1404,30 @@ object SparkEntry {
                 'text/html; charset=UTF-8' AS content_type,
                 CAST(octet_length(encode(text)) AS BIGINT) AS body_bytes,
                 text AS body_text
+         FROM documents WHERE text IS NOT NULL""",
+    // production-true entity-path oracle (chunked reassembly +
+    // content-gunzip + charset decode): the synthesized message is a
+    // pure function of (doc_id, text) — charset regime by doc_id%3,
+    // the recovered text is the body marker-suffixed, and any stage
+    // failing surfaces as a '!' sentinel that cannot match
+    "llm_warc_entity" ->
+      """SELECT doc_id, CAST(doc_id % 3 AS INT) AS charset_case,
+                CASE doc_id % 3
+                  WHEN 0 THEN 'text/plain; charset=UTF-8'
+                  WHEN 1 THEN 'text/plain; charset=ISO-8859-1'
+                  ELSE 'text/plain' END AS content_type,
+                concat(text, ' é') AS recovered_text
+         FROM documents WHERE text IS NOT NULL""",
+    // HTML-extraction oracle: the synthesized page's visible text is
+    // a closed form — the h1's entity-decoded 'Doc & <id>' plus the
+    // escaped-then-extracted document text, whitespace-collapsed;
+    // style/script/comment content must vanish for the row to match
+    "llm_html_extract" ->
+      """SELECT doc_id,
+                concat('Doc & ', doc_id,
+                  CASE WHEN regexp_matches(text, '\S')
+                       THEN concat(' ', trim(regexp_replace(text, '\s+', ' ', 'g')))
+                       ELSE '' END) AS extracted_text
          FROM documents WHERE text IS NOT NULL""",
     // RFC 9309 verdict oracle: the synthesized policy and per-row
     // path make the correct verdict a closed form — allowed iff the

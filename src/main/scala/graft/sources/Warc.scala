@@ -299,6 +299,152 @@ object Warc {
     None // unreachable
   }
 
+  /** RFC 9112 §7.1 chunked-transfer decoding, bounded: hex size line
+    * (chunk extensions after `;` ignored), CRLF, data, CRLF, …,
+    * terminated by a zero chunk whose (optional) trailer section is
+    * skipped to its blank line. `cap` bounds the reassembled entity
+    * (the chunk sizes are attacker-controlled numbers — same bomb
+    * rule as the inflates). Left(reason) on bad framing — real crawl
+    * payloads are routinely truncated mid-chunk and that must be a
+    * visible verdict, not an exception or garbage bytes. */
+  private[graft] def decodeChunked(b: Array[Byte],
+      cap: Int = 1 << 26): Either[String, Array[Byte]] = {
+    val out = new java.io.ByteArrayOutputStream(math.min(b.length, 8192))
+    var i = 0
+    while (true) {
+      val e = lineEnd(b, i)
+      if (e < 0) return Left("chunk_size_line_unterminated")
+      val line = new String(b, i, e - i, "US-ASCII")
+      val sizeHex = line.indexOf(';') match {
+        case -1 => line.trim
+        case sc => line.substring(0, sc).trim
+      }
+      if (sizeHex.isEmpty || sizeHex.length > 8 ||
+          !sizeHex.forall(c => Character.digit(c, 16) >= 0))
+        return Left("chunk_size_malformed")
+      val size = java.lang.Long.parseLong(sizeHex, 16)
+      i = e + 2
+      if (size == 0) {
+        // trailer section: header lines until a blank line (or end —
+        // a missing final CRLF is tolerated, the entity is complete)
+        var done = false
+        while (!done) {
+          if (i >= b.length) done = true
+          else {
+            val t = lineEnd(b, i)
+            if (t < 0) return Left("chunk_trailer_unterminated")
+            if (t == i) done = true
+            i = t + 2
+          }
+        }
+        return Right(out.toByteArray)
+      }
+      if (out.size() + size > cap) return Left("chunk_cap_exceeded")
+      if (i + size + 2 > b.length) return Left("chunk_data_truncated")
+      out.write(b, i, size.toInt)
+      i += size.toInt
+      if (b(i) != '\r' || b(i + 1) != '\n') return Left("chunk_data_unterminated")
+      i += 2
+    }
+    Left("unreachable")
+  }
+
+  /** `Content-Encoding` decode: gzip / x-gzip (multi-member tolerated
+    * — some servers concatenate), deflate (zlib-wrapped per the RFC,
+    * with the raw-deflate fallback for the classic server bug),
+    * identity. Unknown codings are a visible verdict — emitting
+    * compressed bytes as "text" is how a crawl corpus silently fills
+    * with garbage. */
+  private[graft] def contentDecode(coding: String, b: Array[Byte],
+      cap: Int = 1 << 26): Either[String, Array[Byte]] =
+    coding match {
+      case "gzip" | "x-gzip" =>
+        gunzipAll(b, cap).toRight("content_gzip_corrupt_or_capped")
+      case "deflate" =>
+        inflateWith(b, nowrap = false, cap)
+          .orElse(inflateWith(b, nowrap = true, cap))
+          .toRight("content_deflate_corrupt_or_capped")
+      case "identity" | "" => Right(b)
+      case other => Left(s"content_encoding_unsupported:$other")
+    }
+
+  private def inflateWith(b: Array[Byte], nowrap: Boolean,
+      cap: Int): Option[Array[Byte]] = {
+    val inf = new java.util.zip.Inflater(nowrap)
+    try {
+      inf.setInput(b)
+      val out = new java.io.ByteArrayOutputStream(math.min(b.length * 4, cap))
+      val buf = new Array[Byte](65536)
+      while (!inf.finished()) {
+        val n =
+          try inf.inflate(buf)
+          catch { case _: java.util.zip.DataFormatException => return None }
+        if (n > 0) {
+          if (out.size() + n > cap) return None
+          out.write(buf, 0, n)
+        } else if (!inf.finished()) return None // truncated
+      }
+      Some(out.toByteArray)
+    } finally inf.end()
+  }
+
+  /** Full HTTP entity decode from a parsed header map: chunked
+    * transfer framing first (Transfer-Encoding is applied last on
+    * the wire, so it unwraps first), then Content-Encoding. This is
+    * the step `httpSplit` stops short of — real crawl response
+    * bodies are routinely `Transfer-Encoding: chunked` and/or
+    * `Content-Encoding: gzip`, and without this the WARC→text path
+    * emits compressed framing bytes as "text". */
+  def decodeEntity(headers: Map[String, String], body: Array[Byte],
+      cap: Int = 1 << 26): Either[String, Array[Byte]] = {
+    val te = headers.getOrElse("transfer-encoding", "").toLowerCase
+    val unchunked =
+      if (te.contains("chunked")) decodeChunked(body, cap) else Right(body)
+    unchunked.flatMap { raw =>
+      contentDecode(
+        headers.getOrElse("content-encoding", "").trim.toLowerCase, raw, cap)
+    }
+  }
+
+  /** Charset-aware body → text: BOM first (UTF-8 / UTF-16 LE/BE —
+    * a BOM outranks the header, it is the document self-describing),
+    * then the `charset=` parameter of the Content-Type header, then
+    * a STRICT UTF-8 trial decode, and only then the Latin-1
+    * fallback (every byte sequence is valid Latin-1, so it must be
+    * last or it shadows everything). Real corpora are a charset zoo
+    * and decoding it all as UTF-8 silently mangles the long tail —
+    * compose with `Llm.repairMojibake` downstream for the
+    * double-encoded cases this sniff cannot see. */
+  def bodyToText(headers: Map[String, String], body: Array[Byte]): String = {
+    def decode(cs: java.nio.charset.Charset, skip: Int): String =
+      new String(body, skip, body.length - skip, cs)
+    if (body.length >= 3 && (body(0) & 0xff) == 0xef &&
+        (body(1) & 0xff) == 0xbb && (body(2) & 0xff) == 0xbf)
+      return decode(java.nio.charset.StandardCharsets.UTF_8, 3)
+    if (body.length >= 2 && (body(0) & 0xff) == 0xff && (body(1) & 0xff) == 0xfe)
+      return decode(java.nio.charset.StandardCharsets.UTF_16LE, 2)
+    if (body.length >= 2 && (body(0) & 0xff) == 0xfe && (body(1) & 0xff) == 0xff)
+      return decode(java.nio.charset.StandardCharsets.UTF_16BE, 2)
+    val declared = for {
+      ct <- headers.get("content-type")
+      m <- "(?i)charset=\"?([A-Za-z0-9_][A-Za-z0-9_:.\\-]*)".r
+        .findFirstMatchIn(ct)
+      cs <- try Some(java.nio.charset.Charset.forName(m.group(1)))
+            catch { case _: Exception => None }
+    } yield decode(cs, 0)
+    declared.getOrElse {
+      try {
+        java.nio.charset.StandardCharsets.UTF_8.newDecoder()
+          .onMalformedInput(java.nio.charset.CodingErrorAction.REPORT)
+          .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPORT)
+          .decode(java.nio.ByteBuffer.wrap(body)).toString
+      } catch {
+        case _: java.nio.charset.CharacterCodingException =>
+          decode(java.nio.charset.StandardCharsets.ISO_8859_1, 0)
+      }
+    }
+  }
+
   /** Directory (or glob) of .warc / .warc.gz files → one row per
     * RECORD: (file, member_idx, record_idx, ok, err, version,
     * headers map, payload). Parallel by file via the built-in
@@ -458,6 +604,86 @@ object Warc {
           }
         }
       }.toDF("doc_id", "status_line", "content_type", "body_bytes", "body_text")
+  }
+
+  /** The ORACLED leg through the PRODUCTION-TRUE entity path
+    * (`llm_warc_entity`): charset-encode → Content-Encoding gzip →
+    * chunked transfer framing → HTTP message → WARC record → gzip
+    * member → member walk → `httpSplit` → `decodeEntity` (unchunk +
+    * content-gunzip) → `bodyToText` (BOM/charset/UTF-8-sniff) —
+    * exactly what a real Common Crawl response record needs that
+    * `llm_warc_http`'s identity-encoded body did not exercise. Three
+    * charset regimes by `doc_id % 3`: declared UTF-8, declared
+    * ISO-8859-1, and UNDECLARED UTF-8 (the strict-sniff path); the
+    * body carries a non-ASCII marker (« é ») so a wrong decode is a
+    * wrong STRING, not a silent coincidence. The body is split into
+    * multiple chunks (framing must reassemble across boundaries).
+    * DuckDB restates the recovered text and charset label per case
+    * — a row matches only if every stage of the chain executed
+    * correctly, distributed, per row. */
+  def warcEntity(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), col("source"), col("text"))
+      .as[(Long, String, String)]
+      .mapPartitions { it =>
+        it.map { case (docId, source, text) =>
+          val bodyText = text + " é"
+          val (csName, cs) = (docId % 3) match {
+            case 0 => ("UTF-8", java.nio.charset.StandardCharsets.UTF_8)
+            case 1 => ("ISO-8859-1", java.nio.charset.StandardCharsets.ISO_8859_1)
+            case _ => ("", java.nio.charset.StandardCharsets.UTF_8) // undeclared: sniff
+          }
+          val raw = bodyText.getBytes(cs)
+          // Content-Encoding: gzip
+          val gzBos = new java.io.ByteArrayOutputStream()
+          val g = new java.util.zip.GZIPOutputStream(gzBos)
+          g.write(raw); g.close()
+          val enc = gzBos.toByteArray
+          // Transfer-Encoding: chunked — split the GZIPPED bytes so
+          // reassembly must cross chunk boundaries
+          val chunkSz = math.max(1, enc.length / 3)
+          val chunked = new java.io.ByteArrayOutputStream()
+          var o = 0
+          while (o < enc.length) {
+            val n = math.min(chunkSz, enc.length - o)
+            chunked.write(s"${n.toHexString};ext=ignored$Crlf".getBytes("US-ASCII"))
+            chunked.write(enc, o, n)
+            chunked.write(Crlf.getBytes("US-ASCII"))
+            o += n
+          }
+          chunked.write(s"0${Crlf}X-Trailer: t$Crlf$Crlf".getBytes("US-ASCII"))
+          val entity = chunked.toByteArray
+          val ctype = "text/plain" + (if (csName.nonEmpty) s"; charset=$csName" else "")
+          val httpMsg = ("HTTP/1.1 200 OK" + Crlf +
+            s"Content-Type: $ctype" + Crlf +
+            "Transfer-Encoding: chunked" + Crlf +
+            "Content-Encoding: gzip" + Crlf + Crlf).getBytes("UTF-8") ++ entity
+          val record = ("WARC/1.0" + Crlf +
+            "WARC-Type: response" + Crlf +
+            s"WARC-Target-URI: https://$source/doc/$docId" + Crlf +
+            s"Content-Length: ${httpMsg.length}" + Crlf + Crlf).getBytes("UTF-8") ++
+            httpMsg ++ (Crlf + Crlf).getBytes("UTF-8")
+          val gzSeg = new java.io.ByteArrayOutputStream()
+          val gs = new java.util.zip.GZIPOutputStream(gzSeg)
+          gs.write(record); gs.close()
+          // decode side: the full production chain
+          val extracted = for {
+            member <- gzipMembers(gzSeg.toByteArray).collectFirst {
+              case Right(m) => m }.toRight("member"): Either[String, Array[Byte]]
+            rec <- parseRecords(member).headOption.toRight("record")
+            split <- httpSplit(rec.payload).toRight("http")
+            (hdrs, body) = split
+            plain <- decodeEntity(hdrs, body)
+          } yield (hdrs.getOrElse("content-type", "!"), bodyToText(hdrs, plain))
+          extracted match {
+            case Right((ct, got)) =>
+              (docId, (docId % 3).toInt, ct, got)
+            case Left(stage) => (docId, -1, s"!$stage", "!")
+          }
+        }
+      }.toDF("doc_id", "charset_case", "content_type", "recovered_text")
   }
 
   def warcExtract(spark: SparkSession, dir: String): DataFrame = {

@@ -1,0 +1,92 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.Html.extractText
+
+class HtmlSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+
+  test("tags strip to separators, script/style/comment content vanishes, entities decode") {
+    assert(extractText("<p>hello <b>world</b></p>") == "hello world")
+    assert(extractText("a<br/>b") == "a b")
+    assert(extractText("<SCRIPT>var x = '<p>not text</p>';</SCRIPT>ok") == "ok")
+    assert(extractText("<style media=\"x\">p { c: '<'; }</style>ok") == "ok")
+    assert(extractText("x<!-- <p>commented</p> -->y") == "xy",
+      "comment content vanishes without injecting a separator")
+    assert(extractText("&amp;&lt;&gt;&quot;&apos;") == "&<>\"'")
+    assert(extractText("A&#32;B&#x43;") == "A BC", "numeric dec and hex references")
+    assert(extractText("&nbsp;x") == "x", "nbsp is whitespace, collapsed at the edge")
+    // invalid references pass through verbatim
+    assert(extractText("AT&T and &unknown; and &#xZZ; and 5&6") == "AT&T and &unknown; and &#xZZ; and 5&6")
+    assert(extractText("&#0; &#x110000;") == "&#0; &#x110000;", "out-of-range code points stay literal")
+    // CDATA emits its content
+    assert(extractText("a <![CDATA[raw <b> text]]> z") == "a raw <b> text z")
+    // script-ISH names are ordinary tags, not drop-spans
+    assert(extractText("<scriptx>keep</scriptx>") == "keep")
+    assert(extractText("<styleable>keep</styleable>") == "keep")
+    // whitespace collapses to the token-boundary form
+    assert(extractText("  a \n\t b  ") == "a b")
+    assert(extractText("") == "" && extractText(null) == "")
+  }
+
+  test("hostile markup: unterminated constructs drop bounded spans and NEVER throw or blow up") {
+    assert(extractText("text <script>never closed") == "text",
+      "unterminated script drops to end — code is never prose")
+    assert(extractText("text <!-- never closed") == "text")
+    assert(extractText("text <tag never closed") == "text",
+      "an unterminated < cannot be text")
+    assert(extractText("a < b") == "a", "a bare < swallows the tail (lone < is not valid text-html)")
+    assert(extractText("</script>orphan close tags are just tags</b>") == "orphan close tags are just tags")
+    // a million unclosed tags: linear time, no stack
+    val bomb = "<p>" * 200000 + "x"
+    assert(extractText(bomb) == "x")
+    val entBomb = "&#" * 200000
+    assert(extractText(entBomb).nonEmpty)
+    // fuzz: arbitrary strings never throw
+    val rnd = new scala.util.Random(41)
+    val alphabet = "<>&#;ab /!-x\"'="
+    for (_ <- 0 until 2000) {
+      val s = Seq.fill(rnd.nextInt(60))(alphabet(rnd.nextInt(alphabet.length))).mkString
+      extractText(s)
+    }
+  }
+
+  test("llm_html_extract: distributed extraction reproduces the closed-form oracle on every document") {
+    val got = graft.sources.Html.htmlExtract(spark, TestSpark.sf).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val want = graft.sources.Tables.documents(spark, TestSpark.sf)
+      .filter(org.apache.spark.sql.functions.col("text").isNotNull)
+      .select("doc_id", "text").collect()
+      .map { r =>
+        val collapsed = r.getString(1).split("\\s+").filter(_.nonEmpty).mkString(" ")
+        r.getLong(0) -> (s"Doc & ${r.getLong(0)}" +
+          (if (collapsed.isEmpty) "" else " " + collapsed))
+      }.toMap
+    assert(got.keySet == want.keySet)
+    assert(got == want, "extraction diverges from the synthesized page's closed form")
+  }
+
+  test("composed crawl→text path: WARC entity body → extractText feeds the quality family") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // a realistic mini-chain: markup-wrapped docs extract, then the
+    // EXISTING quality scorer consumes the extraction unchanged —
+    // the contract is plain prose with single-space boundaries
+    val html = Seq(
+      (1L, "<html><body><h1>Title</h1><p>good prose with several words here</p><script>junk()</script></body></html>"),
+      (2L, "<p>&lt;escaped&gt; prose &amp; more</p>")).toDF("doc_id", "html")
+    val extracted = html.select(col("doc_id"),
+      org.apache.spark.sql.functions.udf((s: String) => extractText(s)).apply(col("html")).as("text"))
+    val rows = extracted.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rows(1L) == "Title good prose with several words here")
+    assert(rows(2L) == "<escaped> prose & more")
+    // downstream: the existing chunker consumes the extraction
+    // unchanged — token counts see prose, not markup
+    val chunks = graft.operators.Llm.chunkFrame(extracted, chunkTokens = 4, overlap = 1)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(chunks.filter(_._1 == 1L).map(_._3).sum == 7 + 1,
+      "doc 1: 7 tokens tile into two 4-token windows sharing 1 token")
+    assert(chunks.count(_._1 == 2L) == 1, "doc 2: 4 tokens fit one window")
+  }
+}

@@ -218,6 +218,113 @@ class WarcSpec extends AnyFunSuite {
     for (_ <- 0 until 200) Warc.httpSplit(Array.fill(rnd.nextInt(200))(rnd.nextInt(256).toByte))
   }
 
+  test("decodeChunked: RFC 9112 framing reassembles across chunks; truncation and bad hex are visible verdicts") {
+    def frame(parts: Seq[Array[Byte]], trailers: String = "\r\n"): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      parts.foreach { p =>
+        out.write(s"${p.length.toHexString}\r\n".getBytes); out.write(p); out.write("\r\n".getBytes)
+      }
+      out.write(("0\r\n" + trailers).getBytes)
+      out.toByteArray
+    }
+    val body = "hello chunked world, crossing boundaries".getBytes
+    val parts = body.grouped(7).toSeq
+    assert(Warc.decodeChunked(frame(parts)).toOption.get.sameElements(body))
+    // chunk extensions after ';' ignored; trailers skipped
+    val ext = "5;name=v\r\nhello\r\n0\r\nX-T: 1\r\n\r\n".getBytes
+    assert(Warc.decodeChunked(ext).toOption.get.sameElements("hello".getBytes))
+    // empty entity
+    assert(Warc.decodeChunked("0\r\n\r\n".getBytes).toOption.get.isEmpty)
+    // truncated mid-chunk / missing terminator / bad hex / cap — all Left, never throw
+    assert(Warc.decodeChunked("a\r\nshort".getBytes).isLeft, "truncated data")
+    assert(Warc.decodeChunked("zz\r\nhello\r\n0\r\n\r\n".getBytes).isLeft, "bad hex")
+    assert(Warc.decodeChunked("5\r\nhelloXX0\r\n\r\n".getBytes).isLeft, "missing data CRLF")
+    assert(Warc.decodeChunked(frame(parts), cap = 10).isLeft, "cap")
+    assert(Warc.decodeChunked("ffffffff\r\n".getBytes).isLeft, "giant chunk size is a verdict, not an allocation")
+    // fuzz: truncated frames at every prefix length never throw
+    val full = frame(parts)
+    for (n <- 0 until full.length) Warc.decodeChunked(full.take(n))
+    val rnd = new scala.util.Random(37)
+    for (_ <- 0 until 300) Warc.decodeChunked(Array.fill(rnd.nextInt(200))(rnd.nextInt(256).toByte))
+  }
+
+  test("decodeEntity: chunked + Content-Encoding unwrap in wire order; unknown codings are visible") {
+    val raw = "the entity body".getBytes
+    val gz = gzip(raw)
+    val chunked = {
+      val out = new java.io.ByteArrayOutputStream()
+      gz.grouped(5).foreach { p =>
+        out.write(s"${p.length.toHexString}\r\n".getBytes); out.write(p); out.write("\r\n".getBytes)
+      }
+      out.write("0\r\n\r\n".getBytes); out.toByteArray
+    }
+    val hdrs = Map("transfer-encoding" -> "chunked", "content-encoding" -> "gzip")
+    assert(Warc.decodeEntity(hdrs, chunked).toOption.get.sameElements(raw))
+    // identity / absent headers pass through
+    assert(Warc.decodeEntity(Map.empty, raw).toOption.get.sameElements(raw))
+    // deflate: zlib-wrapped AND the raw fallback both decode
+    val zlib = {
+      val d = new java.util.zip.Deflater(); d.setInput(raw); d.finish()
+      val buf = new Array[Byte](1024); val n = d.deflate(buf); d.end(); buf.take(n)
+    }
+    val rawDeflate = {
+      val d = new java.util.zip.Deflater(java.util.zip.Deflater.DEFAULT_COMPRESSION, true)
+      d.setInput(raw); d.finish()
+      val buf = new Array[Byte](1024); val n = d.deflate(buf); d.end(); buf.take(n)
+    }
+    assert(Warc.decodeEntity(Map("content-encoding" -> "deflate"), zlib).toOption.get.sameElements(raw))
+    assert(Warc.decodeEntity(Map("content-encoding" -> "deflate"), rawDeflate).toOption.get.sameElements(raw),
+      "the classic raw-deflate server bug must still decode")
+    // unknown coding: a verdict, not compressed bytes passed off as text
+    assert(Warc.decodeEntity(Map("content-encoding" -> "br"), raw).isLeft)
+    // corrupt gzip body under chunked framing: visible
+    val badGz = gz.clone(); badGz(badGz.length / 2) = (badGz(badGz.length / 2) ^ 0x5a).toByte
+    assert(Warc.decodeEntity(Map("content-encoding" -> "gzip"), badGz).isLeft)
+  }
+
+  test("bodyToText: BOM outranks header, declared charset honored, strict UTF-8 sniff then Latin-1 fallback") {
+    val s = "naïve café – ± é"
+    // BOM wins even against a lying header
+    val bomUtf8 = Array[Byte](0xef.toByte, 0xbb.toByte, 0xbf.toByte) ++ s.getBytes("UTF-8")
+    assert(Warc.bodyToText(Map("content-type" -> "text/plain; charset=ISO-8859-1"), bomUtf8) == s)
+    val bomLe = Array[Byte](0xff.toByte, 0xfe.toByte) ++ s.getBytes("UTF-16LE")
+    assert(Warc.bodyToText(Map.empty, bomLe) == s)
+    val bomBe = Array[Byte](0xfe.toByte, 0xff.toByte) ++ s.getBytes("UTF-16BE")
+    assert(Warc.bodyToText(Map.empty, bomBe) == s)
+    // declared charset decodes Latin-1 bytes correctly
+    val latin = "café ±".getBytes("ISO-8859-1")
+    assert(Warc.bodyToText(Map("content-type" -> "text/html; charset=iso-8859-1"), latin) == "café ±")
+    assert(Warc.bodyToText(Map("content-type" -> "text/html; charset=\"ISO-8859-1\""), latin) == "café ±",
+      "quoted charset parameter")
+    // undeclared: valid UTF-8 sniffs as UTF-8 …
+    assert(Warc.bodyToText(Map.empty, s.getBytes("UTF-8")) == s)
+    // … and invalid UTF-8 falls back to Latin-1 instead of U+FFFD soup
+    assert(Warc.bodyToText(Map.empty, latin) == "café ±")
+    // unknown declared charset falls through to the sniff
+    assert(Warc.bodyToText(Map("content-type" -> "text/plain; charset=x-nope"), s.getBytes("UTF-8")) == s)
+    assert(Warc.bodyToText(Map.empty, Array.emptyByteArray) == "")
+  }
+
+  test("llm_warc_entity: the full production chain reproduces the oracle formula on every document") {
+    val dir = TestSpark.sf
+    val got = Warc.warcEntity(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getString(2), r.getString(3)))).toMap
+    val want = graft.sources.Tables.documents(spark, dir)
+      .filter(org.apache.spark.sql.functions.col("text").isNotNull)
+      .select("doc_id", "text").collect()
+      .map { r =>
+        val id = r.getLong(0)
+        val ct = (id % 3) match {
+          case 0 => "text/plain; charset=UTF-8"
+          case 1 => "text/plain; charset=ISO-8859-1"
+          case _ => "text/plain"
+        }
+        id -> (((id % 3).toInt, ct, r.getString(1) + " é"))
+      }.toMap
+    assert(got.keySet == want.keySet)
+    assert(got == want, "entity-path recovery diverges from the synthesized chain's closed form")
+  }
+
   test("streaming crawl ingest: segment files landing in the directory emit records incrementally, once each") {
     import org.apache.spark.sql.functions.col
     val dir = java.nio.file.Files.createTempDirectory("graft_warc_stream").toString
