@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.plans.{AdcSum, BandHashes, CharRunStats, CosineSimilarity, DequantDot, FingerprintStats, GramHashes, GramStats, MinHashSig, NearestCentroid, PostingsDigest, Segments, SimHash60, SrpBuckets, TermCounts}
+import graft.plans.{AdcSum, BandHashes, CharRunStats, CosineSimilarity, DequantDot, FingerprintStats, GramHashes, GramStats, HtmlText, MinHashSig, NearestCentroid, PostingsDigest, Segments, SimHash60, SrpBuckets, TermCounts}
 
 /** Engine extensions, installed with
   * `spark.sql.extensions=graft.GraftExtensions` (SparkSessionExtensions
@@ -127,6 +127,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
         require(children.length == 3, "graft_adc takes exactly 3 arguments")
         AdcSum(children.head, children(1), children(2))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_html_text"),
+      new ExpressionInfo(classOf[HtmlText].getName, "graft_html_text"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.length == 1, "graft_html_text takes exactly 1 argument")
+        HtmlText(children.head)
       }))
     ext.injectFunction((
       FunctionIdentifier("graft_postings_digest"),

@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** HTML → text extraction — the missing step between a crawl
@@ -21,14 +21,23 @@ import org.apache.spark.sql.functions._
   *    to end-of-input — script bodies are code, never prose);
   *  - `<!-- … -->` comments dropped (unterminated → to end);
   *  - every other tag `<…>` is replaced by a single space (an
-  *    unterminated `<` drops the tail — it cannot be text);
-  *    CDATA sections emit their content;
+  *    unterminated tag-opener drops the tail — it cannot be text);
+  *    CDATA sections emit their content. A `<` only OPENS a tag
+  *    when the next character could start one — a letter, `!`,
+  *    `/` or `?` (the HTML5 tokenizer's tag-open rule) — so bare
+  *    `<` in prose (`if 5 < 6`) stays literal text;
   *  - character references decode: the HTML core names (amp, lt,
   *    gt, quot, apos, nbsp) and numeric `&#123;` / `&#x1F;` forms
-  *    (invalid / out-of-range / unterminated references pass
-  *    through verbatim — decoding garbage would corrupt it);
-  *  - finally whitespace collapses to single spaces and the result
-  *    is trimmed — the token boundary form the downstream text
+  *    (invalid / out-of-range / surrogate-range / unterminated
+  *    references pass through verbatim — decoding garbage would
+  *    corrupt it, and a lone surrogate is not a valid scalar). The
+  *    `;` search is BOUNDED to the 10 chars a valid reference can
+  *    span — never a scan to end-of-input, so `&`-dense
+  *    semicolon-free input stays linear;
+  *  - finally ASCII whitespace (`[ \t\n\x0B\f\r]`, the Java/RE2
+  *    `\s` set the oracle and the tokenizers use — NOT Unicode
+  *    isWhitespace) collapses to single spaces and the result is
+  *    trimmed — the token boundary form the downstream text
   *    family (`tokenCount`, `chunkDocs`, `quality`) expects.
   */
 object Html {
@@ -79,7 +88,14 @@ object Html {
     var i = 0
     while (i < n) {
       val c = html.charAt(i)
-      if (c == '<') {
+      // HTML5 tag-open rule: '<' starts markup only before a letter,
+      // '!', '/' or '?'; anything else (digit, space, EOF, …) is the
+      // literal character — real prose contains bare '<'.
+      val opensTag = c == '<' && i + 1 < n && {
+        val d = html.charAt(i + 1)
+        Character.isLetter(d) || d == '!' || d == '/' || d == '?'
+      }
+      if (opensTag) {
         if (matchesAt(html, i, "<!--")) {
           val end = html.indexOf("-->", i + 4)
           i = if (end < 0) n else end + 3
@@ -101,21 +117,30 @@ object Html {
           out.append(' ')
         }
       } else if (c == '&') {
-        val semi = html.indexOf(';', i + 1)
-        val ref = if (semi < 0 || semi - i > 10) null else html.substring(i + 1, semi)
+        // the longest decodable reference spans 10 chars past the
+        // '&' (`&#x10FFFF;`), so the ';' search is HARD-BOUNDED to
+        // that window — an unbounded indexOf would rescan the whole
+        // tail per '&' and go quadratic on semicolon-free input
+        // (the same cap discipline as Warc's 64 KiB lineEnd)
+        val lim = math.min(n, i + 11)
+        var semi = i + 1
+        while (semi < lim && html.charAt(semi) != ';') semi += 1
+        val ref = if (semi >= lim) null else html.substring(i + 1, semi)
         val decoded: String =
           if (ref == null) null
           else if (ref.startsWith("#x") || ref.startsWith("#X")) {
             val hex = ref.substring(2)
             if (hex.nonEmpty && hex.forall(ch => Character.digit(ch, 16) >= 0)) {
               val cp = java.lang.Long.parseLong(hex, 16)
-              if (cp > 0 && cp <= 0x10ffff) new String(Character.toChars(cp.toInt)) else null
+              if (cp > 0 && cp <= 0x10ffff && !(cp >= 0xd800 && cp <= 0xdfff))
+                new String(Character.toChars(cp.toInt)) else null
             } else null
           } else if (ref.startsWith("#")) {
             val dec = ref.substring(1)
             if (dec.nonEmpty && dec.forall(_.isDigit) && dec.length <= 7) {
               val cp = dec.toLong
-              if (cp > 0 && cp <= 0x10ffff) new String(Character.toChars(cp.toInt)) else null
+              if (cp > 0 && cp <= 0x10ffff && !(cp >= 0xd800 && cp <= 0xdfff))
+                new String(Character.toChars(cp.toInt)) else null
             } else null
           } else Named.get(ref).map(_.toString).orNull
         if (decoded != null) { out.append(decoded); i = semi + 1 }
@@ -132,7 +157,14 @@ object Html {
     var pendingSpace = false
     while (j < s.length) {
       val ch = s.charAt(j)
-      if (Character.isWhitespace(ch) || ch == ' ') pendingSpace = true
+      // ASCII \s ONLY (space, tab, LF, VT, FF, CR -- the Java-regex
+      // \s set): the downstream tokenizers split on \s+ and the
+      // DuckDB oracle collapses RE2 \s, so collapsing Unicode
+      // whitespace (U+00A0, U+2028, U+1680, ...) here would make the
+      // extractor disagree with both on valid corpora.
+      val isWs = ch == ' ' || ch == '\t' || ch == '\n' ||
+        ch == 11.toChar || ch == '\f' || ch == '\r'
+      if (isWs) pendingSpace = true
       else {
         if (pendingSpace && sb.length() > 0) sb.append(' ')
         pendingSpace = false
@@ -143,37 +175,48 @@ object Html {
     sb.toString
   }
 
+  /** The COLUMN-level extraction API — how the real crawl chain
+    * composes (WARC entity body → html text → quality/chunk/dedup)
+    * without typed user code. Kernel path: the codegen'd
+    * `graft_html_text` expression (plans/HtmlText) — per-row static
+    * call inside WholeStageCodegen, no ScalaUDF serialization
+    * boundary in a scan that runs once per crawl document at 100 TB.
+    * Fallback (no GraftExtensions / kernels disabled): a ScalaUDF
+    * over the SAME Scala function, so the paths are bit-identical
+    * (KernelParitySpec). */
+  def textCol(spark: SparkSession, html: Column): Column =
+    if (graft.operators.Llm.kernelOn(spark, "graft_html_text"))
+      call_function("graft_html_text", html)
+    else udf((s: String) => extractText(s)).apply(html)
+
   /** The ORACLED registry leg (`llm_html_extract`): every document
     * is wrapped in a synthesized page exercising each extraction
     * rule — a dropped `<style>` block, a dropped comment, a dropped
     * `<script>` block (containing a `<` that must not re-open tag
     * parsing), named + numeric character references, and the
     * document text ENTITY-ESCAPED (so `&`/`<`/`>` in real prose
-    * round-trip through escape → extract). The REAL extractor runs
-    * distributed; DuckDB restates the closed-form result: `'Doc & '
-    * || doc_id || ' ' || ws-collapsed(text)`. Map-only — at 100 TB
-    * this is a pure scan between the WARC entity decode and the
-    * quality family. */
+    * round-trip through escape → extract). The page is synthesized
+    * COLUMNAR (concat/replace) and extracted via `textCol`, so with
+    * GraftExtensions the whole query is one WholeStageCodegen scan
+    * projection — no mapPartitions, no UDF (PlanSpec pins it). The
+    * REAL extractor runs distributed; DuckDB restates the
+    * closed-form result: `'Doc & ' || doc_id || ' ' ||
+    * ws-collapsed(text)`. */
   def htmlExtract(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
+    val escaped = replace(replace(replace(col("text"),
+      lit("&"), lit("&amp;")), lit("<"), lit("&lt;")), lit(">"), lit("&gt;"))
+    val page = concat(
+      lit("<html lang=\"en\"><head><title></title>\n" +
+        "<style>p { color: red; }</style></head>\n" +
+        "<body><!-- synthesized -->\n" +
+        "<h1>Doc&#32;&amp;&#x20;"),
+      col("doc_id").cast("string"),
+      lit("</h1>\n<p>"),
+      escaped,
+      lit("</p>\n<script type=\"text/javascript\">" +
+        "if (1 < 2) { emit(\"<fake>\"); }</script>\n</body></html>"))
     Tables.documents(spark, dir)
       .filter(col("text").isNotNull)
-      .select(col("doc_id"), col("text"))
-      .as[(Long, String)]
-      .mapPartitions { it =>
-        it.map { case (docId, text) =>
-          val escaped = text.replace("&", "&amp;")
-            .replace("<", "&lt;").replace(">", "&gt;")
-          val page =
-            s"""<html lang="en"><head><title></title>
-               |<style>p { color: red; }</style></head>
-               |<body><!-- synthesized -->
-               |<h1>Doc&#32;&amp;&#x20;$docId</h1>
-               |<p>$escaped</p>
-               |<script type="text/javascript">if (1 < 2) { emit("<fake>"); }</script>
-               |</body></html>""".stripMargin
-          (docId, extractText(page))
-        }
-      }.toDF("doc_id", "extracted_text")
+      .select(col("doc_id"), textCol(spark, page).as("extracted_text"))
   }
 }

@@ -77,7 +77,11 @@ class KernelParitySpec extends AnyFunSuite {
     // and layout-pinned), so only the ADC scan + re-rank cosine cross
     // the gate — exact parity holds, unlike IVF's float-boundary case
     // (llm_ann_probe additionally crosses the parquet snapshot)
-    "llm_ann_pq", "llm_ann_ivfpq", "llm_ann_probe")
+    "llm_ann_pq", "llm_ann_ivfpq", "llm_ann_probe",
+    // html extraction: kernel = codegen'd graft_html_text, fallback =
+    // ScalaUDF over the same Scala walk — bit-identical by
+    // construction, pinned end-to-end anyway
+    "llm_html_extract")
 
   for (q <- covering)
     test(s"$q is identical with kernels disabled") {
