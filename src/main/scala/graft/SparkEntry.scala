@@ -184,6 +184,10 @@ object SparkEntry {
     // crawl-frontier canonicalization: RFC 3986 syntax-based URL
     // normalization distributed; canonical forms stated by DuckDB
     "llm_url_normalize"  -> (graft.sources.Urls.urlNormalize _),
+    // the frontier pipeline chained end-to-end: canonicalize -> host
+    // -> broadcast per-host robots verdict -> seen-set collapse on
+    // the canonical key; DuckDB recomputes all four stages per doc
+    "llm_url_frontier"   -> (graft.sources.Urls.urlFrontier _),
   )
 
   /** The registry as a SQL surface (round-11 verdict item 8):
@@ -280,6 +284,7 @@ object SparkEntry {
     "llm_html_extract" -> ("llm-corpus", "Html.htmlExtract"),
     "llm_robots_filter" -> ("llm-corpus", "Robots.robotsFilter"),
     "llm_url_normalize" -> ("llm-corpus", "Urls.urlNormalize"),
+    "llm_url_frontier" -> ("llm-corpus", "Urls.urlFrontier"),
     "llm_mix_weighted" -> ("llm-corpus", "Llm.mixWeighted"),
     "llm_ngram_jaccard" -> ("llm-dedup", "Llm.ngramJaccard"),
     "llm_pii_scrub" -> ("llm-text", "Llm.piiScrub"),
@@ -574,6 +579,30 @@ object SparkEntry {
                   WHEN 2 THEN concat('http://', source, '.example.com/~doc/%2Fesc%2F/', doc_id)
                   ELSE concat('http://', source, '.example.com/doc/', doc_id, '?q=1&r=2')
                 END AS canonical_url
+         FROM documents WHERE text IS NOT NULL""",
+    // frontier-composition oracle: every stage is a closed form of
+    // (source, n_chars, doc_id) — the canonical URL each case's two
+    // spellings collapse to, the host, the RFC 9309 verdict under
+    // that host's policy (even-length sources additionally disallow
+    // /doc, so case 3 is host-dependent), n_seen = the 2 aliases the
+    // seen-set collapsed, first_doc_id = the lone contributing doc
+    "llm_url_frontier" ->
+      """SELECT
+           CASE n_chars % 4
+             WHEN 0 THEN concat('http://', source, '.example.com/data/pub/', doc_id)
+             WHEN 1 THEN concat('https://', source, '.example.com/data/raw/', doc_id)
+             WHEN 2 THEN concat('http://', source, '.example.com/tmp/run', doc_id, '.log')
+             ELSE concat('http://', source, '.example.com/doc/~', doc_id, '?q=1')
+           END AS canonical_url,
+           concat(source, '.example.com') AS host,
+           CASE n_chars % 4
+             WHEN 0 THEN true
+             WHEN 1 THEN false
+             WHEN 2 THEN false
+             ELSE length(source) % 2 = 1
+           END AS allowed,
+           CAST(2 AS BIGINT) AS n_seen,
+           doc_id AS first_doc_id
          FROM documents WHERE text IS NOT NULL""",
     // mojibake-repair oracle: the garbling is synthesized (UTF-8
     // bytes of «text é read as Latin-1), so the correct repair IS
@@ -1409,14 +1438,20 @@ object SparkEntry {
     // content-gunzip + charset decode): the synthesized message is a
     // pure function of (doc_id, text) — charset regime by doc_id%3,
     // the recovered text is the body marker-suffixed, and any stage
-    // failing surfaces as a '!' sentinel that cannot match
+    // failing surfaces as a '!' sentinel that cannot match. The
+    // ISO-8859-1 case projects the body onto U+00..U+FF on BOTH
+    // sides (the Scala side drops chars ISO-8859-1 cannot encode,
+    // this regex drops the same code points) so the leg holds on any
+    // corpus, not just Latin-1-clean testdata
     "llm_warc_entity" ->
       """SELECT doc_id, CAST(doc_id % 3 AS INT) AS charset_case,
                 CASE doc_id % 3
                   WHEN 0 THEN 'text/plain; charset=UTF-8'
                   WHEN 1 THEN 'text/plain; charset=ISO-8859-1'
                   ELSE 'text/plain' END AS content_type,
-                concat(text, ' é') AS recovered_text
+                CASE doc_id % 3
+                  WHEN 1 THEN concat(regexp_replace(text, '[^\x{00}-\x{FF}]', '', 'g'), ' é')
+                  ELSE concat(text, ' é') END AS recovered_text
          FROM documents WHERE text IS NOT NULL""",
     // HTML-extraction oracle: the synthesized page's visible text is
     // a closed form — the h1's entity-decoded 'Doc & <id>' plus the

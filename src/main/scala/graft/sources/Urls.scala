@@ -107,6 +107,115 @@ object Urls {
     case _ => None
   }
 
+  /** Per-host robots.txt for the frontier leg: the shared base
+    * policy (the same load-bearing RFC 9309 semantics
+    * `Robots.robotsFilter` exercises — longest-match precedence, a
+    * `$` anchor, a `*` wildcard, agent-group selection past a
+    * deny-all `badbot` group) PLUS a host-dependent extra rule:
+    * even-length sources also disallow `/doc`. The variation is the
+    * point — it makes one verdict a function of WHICH host's policy
+    * the join delivered, so a mis-keyed or cross-matched robots join
+    * flips rows the oracle recomputes per host. */
+  private[graft] def frontierPolicy(source: String): String = {
+    val base =
+      """User-agent: badbot
+        |Disallow: /
+        |
+        |User-agent: *
+        |Disallow: /data
+        |Allow: /data/pub
+        |Disallow: /tmp/*.log$
+        |Allow: /
+        |""".stripMargin
+    if (source.length % 2 == 0) base + "Disallow: /doc\n" else base
+  }
+
+  /** The ORACLED frontier-composition leg (`llm_url_frontier`) — the
+    * crawl-frontier pipeline chained END TO END the way a crawler
+    * keys it: messy candidate URL → RFC 3986 canonicalization → host
+    * extraction → per-host robots.txt verdict (RFC 9309) → exact
+    * seen-set dedup on the canonical form. Each document surfaces
+    * TWICE under different spellings of the same resource (case
+    * games, default ports, dot-segments, unreserved escapes,
+    * fragments), so the seen-set MUST collapse 2→1 on the canonical
+    * key for row counts to match; the per-row case (`n_chars % 4`)
+    * steers the path at a different robots rule, and the per-host
+    * policy variation (`frontierPolicy`) makes one verdict depend on
+    * the robots JOIN delivering the right host's rules.
+    *
+    * Scale shape: canonicalization + keying are map-only; the robots
+    * table is one row per HOST (tiny, broadcast — PlanSpec pins
+    * BroadcastHashJoin, never a shuffle or cartesian); the only big
+    * exchange is the groupBy on canonical_url — the frontier dedup
+    * shuffle itself, which is the operator's output key and
+    * irreducible. Verdicts run per-row with a per-partition memo of
+    * parsed policies (one parse per distinct robots.txt per task,
+    * not per row). DuckDB recomputes canonical form, host, verdict
+    * and first-seen per document from the closed-form case table. */
+  def urlFrontier(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), col("source"), col("n_chars").cast("int").as("n_chars"))
+
+    // 1. candidates: primary + alias spelling, same resource
+    val candidates = docs.as[(Long, String, Int)].flatMap { case (id, src, nc) =>
+      val h = s"$src.example.com"
+      (nc % 4) match {
+        case 0 => Seq((id, s"HTTP://$src.Example.COM:80/data/pub/$id"),
+                      (id, s"http://$h/data/./pub/$id"))
+        case 1 => Seq((id, s"https://$h:443/a/../data/raw/$id"),
+                      (id, s"https://$h/data/raw/$id"))
+        case 2 => Seq((id, s"http://$h/tmp/./run$id.log#frag"),
+                      (id, s"http://$src.Example.com/tmp/run$id.log"))
+        case _ => Seq((id, s"http://$h/doc/%7E$id?q=1#s"),
+                      (id, s"http://$h/doc/~$id?q=1"))
+      }
+    }.toDF("doc_id", "url")
+
+    // 2. canonicalize + frontier keys (host for the robots join,
+    //    query-less path for the verdict) — map-only
+    val canon = candidates.as[(Long, String)].mapPartitions { it =>
+      it.map { case (id, u) =>
+        normalizeUrl(u) match {
+          case Some(c) =>
+            val a = c.indexOf("://") + 3
+            val slash = c.indexOf('/', a)
+            val host = if (slash < 0) c.substring(a) else c.substring(a, slash)
+            val rawPath = if (slash < 0) "/" else c.substring(slash)
+            val q = rawPath.indexOf('?')
+            val path = if (q < 0) rawPath else rawPath.substring(0, q)
+            (id, c, host, path)
+          case None => (id, "!", "!", "!") // parse failure is visible
+        }
+      }
+    }.toDF("doc_id", "canonical_url", "host", "path")
+
+    // 3. the robots dim: one row per distinct host — broadcast
+    val hosts = docs.select(col("source")).distinct()
+      .as[String].map(src => (s"$src.example.com", frontierPolicy(src)))
+      .toDF("host", "robots_txt")
+
+    // 4. verdict per row (policy parse memoized per partition), then
+    //    the seen-set collapse on the canonical key
+    canon.join(broadcast(hosts), Seq("host"))
+      .select(col("doc_id"), col("canonical_url"), col("host"), col("path"), col("robots_txt"))
+      .as[(Long, String, String, String, String)]
+      .mapPartitions { it =>
+        val memo = scala.collection.mutable.HashMap.empty[String, Seq[Robots.Rule]]
+        it.map { case (id, c, host, path, robots) =>
+          val rules = memo.getOrElseUpdate(robots,
+            Robots.rulesFor(Robots.parse(robots), "graftbot/1.0"))
+          (id, c, host, Robots.isAllowed(rules, path))
+        }
+      }.toDF("doc_id", "canonical_url", "host", "allowed")
+      .groupBy(col("canonical_url"))
+      .agg(first(col("host")).as("host"),
+           first(col("allowed")).as("allowed"),
+           count(lit(1)).as("n_seen"),
+           min(col("doc_id")).as("first_doc_id"))
+  }
+
   /** The ORACLED registry leg (`llm_url_normalize`): per-row messy
     * URLs chosen by `n_chars % 4`, each exercising a different
     * normalization rule — case + default port, dot-segments,

@@ -136,7 +136,12 @@ object Warc {
     * gigabytes. Returns None on corrupt gzip or a cap overrun. */
   private[graft] def gunzipAll(b: Array[Byte], cap: Int = 1 << 28): Option[Array[Byte]] = {
     if (b.length < 2 || (b(0) & 0xff) != 0x1f || (b(1) & 0xff) != 0x8b) return None
-    val out = new java.io.ByteArrayOutputStream(math.min(b.length * 4, cap))
+    // initial-capacity hint in LONG arithmetic: b.length * 4 overflows
+    // Int past 512 MB (possible when the caller raises cap), and a
+    // negative capacity would THROW out of the never-throws salvage
+    // contract instead of producing a visible drop
+    val out = new java.io.ByteArrayOutputStream(
+      math.min(b.length.toLong * 4, cap.toLong).toInt)
     try {
       val in = new java.util.zip.GZIPInputStream(new java.io.ByteArrayInputStream(b))
       val buf = new Array[Byte](65536)
@@ -373,7 +378,12 @@ object Warc {
     val inf = new java.util.zip.Inflater(nowrap)
     try {
       inf.setInput(b)
-      val out = new java.io.ByteArrayOutputStream(math.min(b.length * 4, cap))
+      // initial-capacity hint in LONG arithmetic: b.length * 4 overflows
+    // Int past 512 MB (possible when the caller raises cap), and a
+    // negative capacity would THROW out of the never-throws salvage
+    // contract instead of producing a visible drop
+    val out = new java.io.ByteArrayOutputStream(
+      math.min(b.length.toLong * 4, cap.toLong).toInt)
       val buf = new Array[Byte](65536)
       while (!inf.finished()) {
         val n =
@@ -629,7 +639,15 @@ object Warc {
       .as[(Long, String, String)]
       .mapPartitions { it =>
         it.map { case (docId, source, text) =>
-          val bodyText = text + " é"
+          // the ISO-8859-1 regime can only carry U+0000..U+00FF:
+          // getBytes(ISO_8859_1) silently maps anything else to '?',
+          // which would diverge from the oracle on a non-Latin-1
+          // corpus. Project case-1 bodies onto the Latin-1-safe
+          // subset EXPLICITLY (chars > U+00FF dropped) — the oracle
+          // SQL mirrors the same projection, so the leg is green by
+          // construction, not by testdata luck.
+          val safeText = if (docId % 3 == 1) text.filter(_ <= 0xFF.toChar) else text
+          val bodyText = safeText + " é"
           val (csName, cs) = (docId % 3) match {
             case 0 => ("UTF-8", java.nio.charset.StandardCharsets.UTF_8)
             case 1 => ("ISO-8859-1", java.nio.charset.StandardCharsets.ISO_8859_1)

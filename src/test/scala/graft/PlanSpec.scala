@@ -430,6 +430,18 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Exchange"), s"composed chain acquired a shuffle:\n$p")
   }
 
+  test("frontier leg broadcasts the per-host robots dim — no cartesian, no sort-merge join") {
+    // at 100 TB the frontier is billions of candidate URLs against
+    // millions of robots.txt rows — the robots dim must reach the
+    // verdict as a broadcast hash join on host, and the only big
+    // exchange is the seen-set collapse on the canonical key
+    val p = plan("llm_url_frontier")
+    assert(p.contains("BroadcastHashJoin"), s"robots join is not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "frontier must never cross-join candidates with policies")
+    assert(!p.contains("SortMergeJoin"), "robots dim must not shuffle-sort")
+  }
+
   test("PQ ADC scans rank on the graft_adc kernel, not an interpreted fold") {
     // round-14 verdict item 1: the ADC table-lookup sum was the last
     // interpreted aggregate(transform(...)) lambda in a hot scan —

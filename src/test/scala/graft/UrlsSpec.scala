@@ -2,7 +2,7 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.sources.Urls
+import graft.sources.{Robots, Urls}
 import graft.sources.Urls.{normalizeUrl, removeDotSegments}
 
 class UrlsSpec extends AnyFunSuite {
@@ -86,5 +86,44 @@ class UrlsSpec extends AnyFunSuite {
       }.toMap
     assert(got.keySet == want.keySet)
     assert(got == want, "canonical forms diverge from the closed-form case table")
+  }
+
+  test("llm_url_frontier: canonicalize → per-host robots → seen-set collapse, end to end") {
+    val rows = Urls.urlFrontier(spark, TestSpark.sf).collect()
+      .map(r => r.getString(0) -> ((r.getString(1), r.getBoolean(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    val docs = graft.sources.Tables.documents(spark, TestSpark.sf)
+      .filter(org.apache.spark.sql.functions.col("text").isNotNull)
+      .select("doc_id", "source", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2).toInt))
+    assert(rows.size == docs.length,
+      "each doc's two alias spellings must collapse to exactly one canonical row")
+    for ((id, src, n) <- docs) {
+      val host = s"$src.example.com"
+      val (canon, allowed) = (n % 4) match {
+        case 0 => (s"http://$host/data/pub/$id", true)   // longest-match Allow
+        case 1 => (s"https://$host/data/raw/$id", false) // Disallow /data
+        case 2 => (s"http://$host/tmp/run$id.log", false) // anchored wildcard
+        // host-dependent: even-length sources also Disallow /doc —
+        // a wrong robots join flips exactly these rows
+        case _ => (s"http://$host/doc/~$id?q=1", src.length % 2 == 1)
+      }
+      assert(rows.contains(canon), s"canonical $canon missing from the frontier")
+      assert(rows(canon) == ((host, allowed, 2L, id)),
+        s"frontier row for $canon diverges: got ${rows(canon)}")
+    }
+  }
+
+  test("frontierPolicy: the per-host variation changes only the /doc verdict") {
+    val even = Robots.rulesFor(Robots.parse(Urls.frontierPolicy("src0")), "graftbot/1.0")
+    val odd  = Robots.rulesFor(Robots.parse(Urls.frontierPolicy("src10")), "graftbot/1.0")
+    assert(!Robots.isAllowed(even, "/doc/~7"), "even-length host disallows /doc")
+    assert(Robots.isAllowed(odd, "/doc/~7"), "odd-length host allows /doc")
+    for (rules <- Seq(even, odd)) {
+      assert(Robots.isAllowed(rules, "/data/pub/1"))
+      assert(!Robots.isAllowed(rules, "/data/raw/1"))
+      assert(!Robots.isAllowed(rules, "/tmp/run1.log"))
+      assert(Robots.isAllowed(rules, "/tmp/run1.txt"))
+    }
   }
 }

@@ -319,10 +319,38 @@ class WarcSpec extends AnyFunSuite {
           case 1 => "text/plain; charset=ISO-8859-1"
           case _ => "text/plain"
         }
-        id -> (((id % 3).toInt, ct, r.getString(1) + " é"))
+        // the ISO-8859-1 regime projects onto U+00..U+FF (mirrors the
+        // oracle's regexp_replace) — a no-op on Latin-1-clean testdata
+        val text = if (id % 3 == 1) r.getString(1).filter(_ <= 0xFF.toChar)
+                   else r.getString(1)
+        id -> (((id % 3).toInt, ct, text + " é"))
       }.toMap
     assert(got.keySet == want.keySet)
     assert(got == want, "entity-path recovery diverges from the synthesized chain's closed form")
+  }
+
+  test("warcEntity ISO-8859-1 regime survives a NON-Latin-1 corpus: projection, not silent '?' mangling") {
+    import spark.implicits._
+    // doc_ids ≡ 1 (mod 3) take the ISO-8859-1 regime; their text
+    // carries CJK + astral chars that ISO-8859-1 cannot encode. The
+    // round-16 code getBytes'd them to '?' silently; now the body is
+    // explicitly projected onto the Latin-1 subset, so the recovered
+    // text equals the same projection the oracle SQL computes.
+    val docs = Seq(
+      (1L, "café 中文 mix 😀 tail", "x", "srcA", 10L),
+      (4L, "pure latin-1 ünïcødé", "x", "srcB", 10L),
+      (0L, "utf-8 regime keeps 中文", "x", "srcC", 10L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ent_l1").toString
+    docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = Warc.warcEntity(spark, tmp).collect()
+      .map(r => r.getLong(0) -> ((r.getString(2), r.getString(3)))).toMap
+    assert(got(1L) == (("text/plain; charset=ISO-8859-1", "café  mix  tail é")),
+      "non-Latin-1 chars must be DROPPED by the projection, never '?'-substituted")
+    assert(got(4L) == (("text/plain; charset=ISO-8859-1", "pure latin-1 ünïcødé é")),
+      "Latin-1-encodable text passes unchanged")
+    assert(got(0L) == (("text/plain; charset=UTF-8", "utf-8 regime keeps 中文 é")),
+      "the UTF-8 regime is unaffected by the projection")
   }
 
   test("streaming crawl ingest: segment files landing in the directory emit records incrementally, once each") {
