@@ -178,6 +178,10 @@ object SparkEntry {
     // bounded single-pass tag/script/comment strip + entity decode;
     // the closed-form extraction restated by DuckDB
     "llm_html_extract"   -> (graft.sources.Html.htmlExtract _),
+    // the SEAM of the crawl chain: WARC member -> HTTP entity ->
+    // charset decode -> html-text kernel -> tokens, one query; text
+    // and token count both restated by DuckDB
+    "llm_crawl_extract"  -> (graft.sources.Html.crawlExtract _),
     // crawl-policy audit: RFC 9309 parse + longest-match verdicts
     // distributed; the case table recomputed by DuckDB
     "llm_robots_filter"  -> (graft.sources.Robots.robotsFilter _),
@@ -282,6 +286,7 @@ object SparkEntry {
     "llm_warc_http" -> ("llm-corpus", "Warc.warcHttp"),
     "llm_warc_entity" -> ("llm-corpus", "Warc.warcEntity"),
     "llm_html_extract" -> ("llm-corpus", "Html.htmlExtract"),
+    "llm_crawl_extract" -> ("llm-corpus", "Html.crawlExtract"),
     "llm_robots_filter" -> ("llm-corpus", "Robots.robotsFilter"),
     "llm_url_normalize" -> ("llm-corpus", "Urls.urlNormalize"),
     "llm_url_frontier" -> ("llm-corpus", "Urls.urlFrontier"),
@@ -1463,6 +1468,21 @@ object SparkEntry {
                   CASE WHEN regexp_matches(text, '\S')
                        THEN concat(' ', trim(regexp_replace(text, '\s+', ' ', 'g')))
                        ELSE '' END) AS extracted_text
+         FROM documents WHERE text IS NOT NULL""",
+    // crawl-chain seam oracle: the recovered page's visible text is
+    // the same closed form as llm_html_extract — but only if the
+    // WARC member walk, HTTP unchunk, content-gunzip, charset decode
+    // AND the html kernel each executed correctly in sequence; the
+    // token count is 3 ('Doc & <id>') + the text's \s+ tokens
+    "llm_crawl_extract" ->
+      """SELECT doc_id,
+                concat('Doc & ', doc_id,
+                  CASE WHEN regexp_matches(text, '\S')
+                       THEN concat(' ', trim(regexp_replace(text, '\s+', ' ', 'g')))
+                       ELSE '' END) AS extracted_text,
+                CAST(3 + CASE WHEN regexp_matches(text, '\S')
+                              THEN len(string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' '))
+                              ELSE 0 END AS BIGINT) AS n_tokens
          FROM documents WHERE text IS NOT NULL""",
     // RFC 9309 verdict oracle: the synthesized policy and per-row
     // path make the correct verdict a closed form — allowed iff the

@@ -219,4 +219,52 @@ object Html {
       .filter(col("text").isNotNull)
       .select(col("doc_id"), textCol(spark, page).as("extracted_text"))
   }
+
+  /** The ORACLED end-to-end crawl chain (`llm_crawl_extract`) — every
+    * stage a real 100 TB text pipeline runs between a stored crawl
+    * segment and the token-level text family, composed in ONE query
+    * and value-checked per row: an HTML page (same rule-exercising
+    * shape as `htmlExtract`) is wrapped as a chunked + gzipped HTTP
+    * response in a WARC record in a gzip member
+    * (`Warc.wrapCrawlResponse`), decoded back through the full
+    * production chain (`Warc.decodeCrawlResponse`: member walk →
+    * record parse → HTTP split → unchunk → content-gunzip → charset
+    * decode), then the visible text extracts via the `graft_html_text`
+    * COLUMN kernel and tokenizes — so the typed byte-walk half and
+    * the columnar half compose in one plan, and DuckDB restates the
+    * final text AND token count from the closed form. `llm_warc_entity`
+    * and `llm_html_extract` check the halves; this leg checks the
+    * SEAM. Map-only end to end — no exchange anywhere. */
+  def crawlExtract(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val recovered = Tables.documents(spark, dir)
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), col("source"), col("text"))
+      .as[(Long, String, String)]
+      .mapPartitions { it =>
+        it.map { case (docId, source, text) =>
+          val escaped = text.replace("&", "&amp;")
+            .replace("<", "&lt;").replace(">", "&gt;")
+          val page = ("<html lang=\"en\"><head><title></title>\n" +
+            "<style>p { color: red; }</style></head>\n" +
+            "<body><!-- synthesized -->\n" +
+            s"<h1>Doc&#32;&amp;&#x20;$docId</h1>\n<p>$escaped</p>\n" +
+            "<script type=\"text/javascript\">" +
+            "if (1 < 2) { emit(\"<fake>\"); }</script>\n</body></html>")
+          val seg = Warc.wrapCrawlResponse(s"https://$source/doc/$docId",
+            "text/html; charset=UTF-8", page.getBytes("UTF-8"))
+          Warc.decodeCrawlResponse(seg) match {
+            case Right((_, html)) => (docId, html)
+            case Left(stage) => (docId, s"!$stage") // failure is visible
+          }
+        }
+      }.toDF("doc_id", "html")
+    // columnar half: html -> visible text -> whitespace token count,
+    // one codegen projection on top of the byte-walk scan
+    recovered
+      .select(col("doc_id"), textCol(spark, col("html")).as("extracted_text"))
+      // extraction output is single-space collapsed and starts with
+      // "Doc & <id>", so it is never empty and split-on-space = tokens
+      .withColumn("n_tokens", size(split(col("extracted_text"), " ")).cast("long"))
+  }
 }

@@ -631,6 +631,61 @@ object Warc {
     * DuckDB restates the recovered text and charset label per case
     * — a row matches only if every stage of the chain executed
     * correctly, distributed, per row. */
+  /** Synthesis side shared by the entity-path oracle legs
+    * (`llm_warc_entity`, `llm_crawl_extract`): wrap `raw` body bytes
+    * as a chunked-transfer + gzip-content-encoded HTTP 200 response
+    * inside a WARC response record inside one gzip member — the wire
+    * shape a Common Crawl segment stores. The body is gzipped FIRST
+    * and then chunk-framed (wire order), split into ≥3 chunks so
+    * reassembly must cross chunk boundaries. */
+  private[graft] def wrapCrawlResponse(uri: String, ctype: String,
+      raw: Array[Byte]): Array[Byte] = {
+    val gzBos = new java.io.ByteArrayOutputStream()
+    val g = new java.util.zip.GZIPOutputStream(gzBos)
+    g.write(raw); g.close()
+    val enc = gzBos.toByteArray
+    val chunkSz = math.max(1, enc.length / 3)
+    val chunked = new java.io.ByteArrayOutputStream()
+    var o = 0
+    while (o < enc.length) {
+      val n = math.min(chunkSz, enc.length - o)
+      chunked.write(s"${n.toHexString};ext=ignored$Crlf".getBytes("US-ASCII"))
+      chunked.write(enc, o, n)
+      chunked.write(Crlf.getBytes("US-ASCII"))
+      o += n
+    }
+    chunked.write(s"0${Crlf}X-Trailer: t$Crlf$Crlf".getBytes("US-ASCII"))
+    val entity = chunked.toByteArray
+    val httpMsg = ("HTTP/1.1 200 OK" + Crlf +
+      s"Content-Type: $ctype" + Crlf +
+      "Transfer-Encoding: chunked" + Crlf +
+      "Content-Encoding: gzip" + Crlf + Crlf).getBytes("UTF-8") ++ entity
+    val record = ("WARC/1.0" + Crlf +
+      "WARC-Type: response" + Crlf +
+      s"WARC-Target-URI: $uri" + Crlf +
+      s"Content-Length: ${httpMsg.length}" + Crlf + Crlf).getBytes("UTF-8") ++
+      httpMsg ++ (Crlf + Crlf).getBytes("UTF-8")
+    val gzSeg = new java.io.ByteArrayOutputStream()
+    val gs = new java.util.zip.GZIPOutputStream(gzSeg)
+    gs.write(record); gs.close()
+    gzSeg.toByteArray
+  }
+
+  /** Decode side shared by the same legs: the full production chain
+    * — gzip member walk → record parse → HTTP split → entity decode
+    * (unchunk + content-gunzip) → charset decode — back to
+    * (content-type, text). Left(stage) names the failing stage; it
+    * never throws. */
+  private[graft] def decodeCrawlResponse(seg: Array[Byte]): Either[String, (String, String)] =
+    for {
+      member <- gzipMembers(seg).collectFirst {
+        case Right(m) => m }.toRight("member"): Either[String, Array[Byte]]
+      rec <- parseRecords(member).headOption.toRight("record")
+      split <- httpSplit(rec.payload).toRight("http")
+      (hdrs, body) = split
+      plain <- decodeEntity(hdrs, body)
+    } yield (hdrs.getOrElse("content-type", "!"), bodyToText(hdrs, plain))
+
   def warcEntity(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     Tables.documents(spark, dir)
@@ -654,47 +709,10 @@ object Warc {
             case _ => ("", java.nio.charset.StandardCharsets.UTF_8) // undeclared: sniff
           }
           val raw = bodyText.getBytes(cs)
-          // Content-Encoding: gzip
-          val gzBos = new java.io.ByteArrayOutputStream()
-          val g = new java.util.zip.GZIPOutputStream(gzBos)
-          g.write(raw); g.close()
-          val enc = gzBos.toByteArray
-          // Transfer-Encoding: chunked — split the GZIPPED bytes so
-          // reassembly must cross chunk boundaries
-          val chunkSz = math.max(1, enc.length / 3)
-          val chunked = new java.io.ByteArrayOutputStream()
-          var o = 0
-          while (o < enc.length) {
-            val n = math.min(chunkSz, enc.length - o)
-            chunked.write(s"${n.toHexString};ext=ignored$Crlf".getBytes("US-ASCII"))
-            chunked.write(enc, o, n)
-            chunked.write(Crlf.getBytes("US-ASCII"))
-            o += n
-          }
-          chunked.write(s"0${Crlf}X-Trailer: t$Crlf$Crlf".getBytes("US-ASCII"))
-          val entity = chunked.toByteArray
           val ctype = "text/plain" + (if (csName.nonEmpty) s"; charset=$csName" else "")
-          val httpMsg = ("HTTP/1.1 200 OK" + Crlf +
-            s"Content-Type: $ctype" + Crlf +
-            "Transfer-Encoding: chunked" + Crlf +
-            "Content-Encoding: gzip" + Crlf + Crlf).getBytes("UTF-8") ++ entity
-          val record = ("WARC/1.0" + Crlf +
-            "WARC-Type: response" + Crlf +
-            s"WARC-Target-URI: https://$source/doc/$docId" + Crlf +
-            s"Content-Length: ${httpMsg.length}" + Crlf + Crlf).getBytes("UTF-8") ++
-            httpMsg ++ (Crlf + Crlf).getBytes("UTF-8")
-          val gzSeg = new java.io.ByteArrayOutputStream()
-          val gs = new java.util.zip.GZIPOutputStream(gzSeg)
-          gs.write(record); gs.close()
+          val seg = wrapCrawlResponse(s"https://$source/doc/$docId", ctype, raw)
           // decode side: the full production chain
-          val extracted = for {
-            member <- gzipMembers(gzSeg.toByteArray).collectFirst {
-              case Right(m) => m }.toRight("member"): Either[String, Array[Byte]]
-            rec <- parseRecords(member).headOption.toRight("record")
-            split <- httpSplit(rec.payload).toRight("http")
-            (hdrs, body) = split
-            plain <- decodeEntity(hdrs, body)
-          } yield (hdrs.getOrElse("content-type", "!"), bodyToText(hdrs, plain))
+          val extracted = decodeCrawlResponse(seg)
           extracted match {
             case Right((ct, got)) =>
               (docId, (docId % 3).toInt, ct, got)

@@ -110,6 +110,23 @@ class HtmlSpec extends AnyFunSuite {
     assert(got == want, "extraction diverges from the synthesized page's closed form")
   }
 
+  test("llm_crawl_extract: the WARC→entity→html→tokens SEAM reproduces the closed form per document") {
+    val got = graft.sources.Html.crawlExtract(spark, TestSpark.sf).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    val want = graft.sources.Tables.documents(spark, TestSpark.sf)
+      .filter(org.apache.spark.sql.functions.col("text").isNotNull)
+      .select("doc_id", "text").collect()
+      .map { r =>
+        val toks = r.getString(1).split("\\s+").filter(_.nonEmpty)
+        val text = s"Doc & ${r.getLong(0)}" +
+          (if (toks.isEmpty) "" else " " + toks.mkString(" "))
+        r.getLong(0) -> ((text, 3L + toks.length))
+      }.toMap
+    assert(got.keySet == want.keySet)
+    assert(got == want,
+      "the chained member-walk → unchunk → gunzip → decode → extract → tokenize diverges")
+  }
+
   test("composed crawl→text path: WARC entity body → extractText feeds the quality family") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col

@@ -430,6 +430,16 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Exchange"), s"composed chain acquired a shuffle:\n$p")
   }
 
+  test("crawl-chain seam is map-only with the html kernel on the columnar half") {
+    // the byte-walk half (WARC/HTTP decode) is typed mapPartitions
+    // ([C] — no Catalyst builtin); the text half must still be the
+    // codegen'd kernel, and the whole chain must never shuffle
+    val p = plan("llm_crawl_extract")
+    assert(p.contains("graft_html_text"), s"seam lost the html kernel:\n$p")
+    assert(!p.contains("ScalaUDF"), "seam must carry no Scala UDF")
+    assert(!p.contains("Exchange"), s"seam acquired a shuffle:\n$p")
+  }
+
   test("frontier leg broadcasts the per-host robots dim — no cartesian, no sort-merge join") {
     // at 100 TB the frontier is billions of candidate URLs against
     // millions of robots.txt rows — the robots dim must reach the
