@@ -348,6 +348,69 @@ object Streaming {
       .withWatermark("ts", lateness)
       .dropDuplicatesWithinWatermark("text_hash")
 
+  /** Candidate-URL stream row for `frontierStream`. */
+  case class UrlCand(cand_id: Long, ts: java.sql.Timestamp, url: String)
+
+  /** The crawl FRONTIER's streaming leg — the online twin of
+    * `Urls.urlFrontier`, staged exactly like a crawler admits work:
+    * candidate URLs arrive as a stream, each canonicalizes
+    * (RFC 3986), keys to its host, takes an RFC 9309 verdict from the
+    * STATIC per-host robots frame (stream-static broadcast equi-join
+    * — stateless, and the robots snapshot swaps via the same
+    * stop/reload/restart runbook as `nearDupSuspects`' index), and
+    * the first arrival per CANONICAL form within the watermark
+    * horizon is admitted — later aliases drop against state that
+    * holds one canonical string per distinct resource seen within
+    * `lateness`, never the crawl history (the batch leg's seen-set
+    * groupBy, turned into `dropDuplicatesWithinWatermark`).
+    * Canonicalization and verdicts are per-row map-only with the
+    * policy parse memoized per partition; all typed stages run
+    * BEFORE the watermark tag so the event-time column reaches the
+    * dedup operator intact. Back-fill / exact re-counts (n_seen)
+    * stay with the batch leg, the same split as dedup. */
+  def frontierStream(urls: DataFrame, robots: DataFrame,
+      agent: String = "graftbot/1.0", lateness: String = "1 hour"): DataFrame = {
+    val spark = urls.sparkSession
+    import spark.implicits._
+    val canon = urls.select(col("cand_id"), col("ts"), col("url"))
+      .as[(Long, java.sql.Timestamp, String)]
+      .mapPartitions { it =>
+        it.map { case (id, t, u) =>
+          graft.sources.Urls.normalizeUrl(u) match {
+            case Some(c) =>
+              val a = c.indexOf("://") + 3
+              val slash = c.indexOf('/', a)
+              val host = if (slash < 0) c.substring(a) else c.substring(a, slash)
+              val rawPath = if (slash < 0) "/" else c.substring(slash)
+              val q = rawPath.indexOf('?')
+              val path = if (q < 0) rawPath else rawPath.substring(0, q)
+              (id, t, c, host, path)
+            case None => (id, t, "!", "!", "!") // parse failure is visible
+          }
+        }
+      }.toDF("cand_id", "ts", "canonical_url", "host", "path")
+    canon
+      // LEFT outer: a host with no robots.txt row must still flow —
+      // per RFC 9309 an absent policy allows everything, and an inner
+      // join would SILENTLY drop it (and the visible "!" parse-failure
+      // rows) from the frontier
+      .join(broadcast(robots), Seq("host"), "left_outer")
+      .select(col("cand_id"), col("ts"), col("canonical_url"), col("host"),
+        col("path"), col("robots_txt"))
+      .as[(Long, java.sql.Timestamp, String, String, String, String)]
+      .mapPartitions { it =>
+        val memo = scala.collection.mutable.HashMap.empty[String, Seq[graft.sources.Robots.Rule]]
+        it.map { case (id, t, c, host, path, robotsTxt) =>
+          val rt = if (robotsTxt == null) "" else robotsTxt // no policy -> no rules -> allowed
+          val rules = memo.getOrElseUpdate(rt,
+            graft.sources.Robots.rulesFor(graft.sources.Robots.parse(rt), agent))
+          (id, t, c, host, graft.sources.Robots.isAllowed(rules, path))
+        }
+      }.toDF("cand_id", "ts", "canonical_url", "host", "allowed")
+      .withWatermark("ts", lateness)
+      .dropDuplicatesWithinWatermark("canonical_url")
+  }
+
   /** The NEAR-dup family's streaming leg: online suspect filtering of
     * a document stream against a STATIC corpus index
     * (`Llm.NearDupIndex` — built batch-side, typically reloaded from

@@ -103,6 +103,56 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming frontier: canonical-form admission once, per-host robots verdicts, aliases drop across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    // per-host policies via the batch leg's generator: src0 (even
+    // length) also disallows /doc, src11 (odd) does not — the verdict
+    // proves WHICH host's policy the broadcast join delivered
+    val robots = Seq(
+      ("src0.example.com", graft.sources.Urls.frontierPolicy("src0")),
+      ("src11.example.com", graft.sources.Urls.frontierPolicy("src11")))
+      .toDF("host", "robots_txt")
+    val ms = MemoryStream[Streaming.UrlCand]
+    val q = Streaming.serveMemory(
+      Streaming.frontierStream(ms.toDF(), robots, lateness = "1 hour"),
+      "frontier_stream", mode = "append")
+    def cand(id: Long, t: String, u: String) = Streaming.UrlCand(id, ts(t), u)
+    try {
+      // batch 1: one resource under two spellings (same canonical) +
+      // a /doc probe on each host + an unknown host + a non-URL
+      ms.addData(
+        cand(1, "2024-01-01 10:00:00", "HTTP://src0.Example.COM:80/data/pub/7"),
+        cand(2, "2024-01-01 10:00:01", "http://src0.example.com/data/./pub/7"),
+        cand(3, "2024-01-01 10:00:02", "http://src0.example.com/doc/%7E1?q=1#s"),
+        cand(4, "2024-01-01 10:00:03", "http://src11.example.com/doc/~1?q=1"),
+        cand(5, "2024-01-01 10:00:04", "http://unlisted.example.com/anything"),
+        cand(6, "2024-01-01 10:00:05", "not a url at all"))
+      q.processAllAvailable()
+      // batch 2: a third alias of the batch-1 resource (state drop) +
+      // a genuinely new disallowed path
+      ms.addData(
+        cand(7, "2024-01-01 10:10:00", "http://src0.example.com:80/data/pub/7"),
+        cand(8, "2024-01-01 10:10:01", "http://src11.example.com/tmp/run9.log#f"))
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT cand_id, canonical_url, allowed FROM frontier_stream")
+        .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getBoolean(2)))).toMap
+      val admittedPub = rows.filter(_._2._1 == "http://src0.example.com/data/pub/7")
+      assert(admittedPub.size == 1 && admittedPub.keySet.subsetOf(Set(1L, 2L)),
+        s"three spellings of one resource must admit exactly the first arrival: $rows")
+      assert(!rows.contains(7L), "cross-batch alias must hit canonical state and drop")
+      assert(rows(3L) == (("http://src0.example.com/doc/~1?q=1", false)),
+        "src0 policy disallows /doc — and %7E must decode before admission")
+      assert(rows(4L) == (("http://src11.example.com/doc/~1?q=1", true)),
+        "src11 policy allows /doc — per-host join delivered the right rules")
+      assert(rows(5L) == (("http://unlisted.example.com/anything", true)),
+        "absent robots.txt allows everything (left-outer, RFC 9309)")
+      assert(rows(6L)._1 == "!", "non-URL candidates stay visible as '!' rows")
+      assert(rows(8L) == (("http://src11.example.com/tmp/run9.log", false)),
+        "anchored wildcard disallow applies on the canonicalized path")
+    } finally q.stop()
+  }
+
   test("grouping-sets stats: batch-parity per batch, one source read, union state (§4 decision)") {
     implicit val sqlCtx = spark.sqlContext
     import org.apache.spark.sql.functions.{col, count, lit}
