@@ -36,7 +36,17 @@ object Robots {
     * protocol demands: blank/comment lines, unknown directives and
     * malformed lines are skipped, never fatal — a hostile or
     * truncated robots.txt yields fewer rules, not a crash. */
+  /** RFC 9309 §2.5 lets a crawler cap how much robots.txt it
+    * processes and names 500 KiB as the reference bound (Google's
+    * documented limit) — rules past the cap are simply not seen,
+    * which per the RFC's own model means fewer restrictions parsed
+    * from a file no robot is obliged to read whole. The cap also
+    * bounds the per-row parse cost when the policy column is
+    * attacker-supplied crawl data. */
+  private val MaxRobotsBytes = 512 * 1024
+
   def parse(txt: String): Seq[Group] = {
+    val bounded = if (txt.length > MaxRobotsBytes) txt.substring(0, MaxRobotsBytes) else txt
     val out = Vector.newBuilder[Group]
     var agents = Vector.empty[String]
     var rules = Vector.empty[Rule]
@@ -45,7 +55,7 @@ object Robots {
       if (agents.nonEmpty) out += Group(agents, rules)
       agents = Vector.empty; rules = Vector.empty; inRules = false
     }
-    for (raw <- txt.linesIterator) {
+    for (raw <- bounded.linesIterator) {
       val line = raw.takeWhile(_ != '#').trim
       val colon = line.indexOf(':')
       if (colon > 0) {
@@ -88,9 +98,20 @@ object Robots {
 
   /** Does `pattern` (with `*` wildcards, optional trailing `$`
     * anchor) match a prefix of `path`? Iterative backtracking over
-    * the single-star-resume structure — linear in practice, bounded
-    * by pattern × path in the adversarial case (robots patterns are
-    * short lines). */
+    * the single-star-resume structure — linear on every real robots
+    * rule. The adversarial case (a star-bomb rule like `/a*a*a*…`
+    * matched against a long all-`a` path) is Θ(pattern × path), and
+    * BOTH strings are attacker-supplied at audit time (the robots
+    * body is crawled content, the path is a frontier URL) — so the
+    * walk carries a hard STEP BUDGET, the same discipline as the
+    * bounded HTML entity scan. The budget (1M steps) is ~3 orders
+    * beyond what any non-adversarial rule×path needs; on exhaustion
+    * the rule is treated as NOT matching — the RFC's own stance for
+    * rules a parser cannot process, and conservative in the common
+    * all-Disallow-bomb shape (an unmatched Disallow restricts
+    * nothing it was ever going to legitimately restrict). */
+  private val MaxMatchSteps = 1 << 20
+
   private[graft] def patternMatches(pattern: String, path: String): Boolean = {
     if (pattern.isEmpty) return false // empty pattern matches nothing
     val anchored = pattern.endsWith("$")
@@ -99,7 +120,9 @@ object Robots {
     // may end anywhere (prefix semantics), anchored = at path's end
     var pi = 0; var si = 0
     var starPi = -1; var starSi = -1
-    while (true) {
+    var steps = 0
+    while (steps < MaxMatchSteps) {
+      steps += 1
       if (pi == p.length) {
         if (!anchored || si == path.length) return true
         // anchored: try to consume more via the last star
@@ -114,7 +137,7 @@ object Robots {
         pi = starPi; starSi += 1; si = starSi
       } else return false
     }
-    false // unreachable
+    false // step budget exhausted: hostile rule, treated as non-matching
   }
 
   /** RFC 9309 §2.2.2 verdict: longest matching pattern wins, ties

@@ -55,26 +55,41 @@ object Urls {
     sb.toString
   }
 
-  /** RFC 3986 §5.2.4 remove_dot_segments. */
+  /** RFC 3986 §5.2.4 remove_dot_segments — INDEX-based, O(n). The
+    * textbook formulation re-slices the remaining input per step;
+    * on an attacker-controlled frontier URL (a megabyte of `/a/a/…`
+    * or `/./` bombs) that substring churn is O(n²) — the same
+    * hostile-input class as the bounded HTML entity scan. Here `i`
+    * walks the string once and only SEGMENTS are ever copied out;
+    * mid-loop `i` always sits on a `/` (or at a relative start), so
+    * each prefix case of the RFC maps to a constant-width advance:
+    * `/./x`→`/x` consumes 2 chars, `/../x`→`/x` consumes 3 + pops,
+    * and a trailing `/.` or `/..` leaves the bare `/` the RFC's
+    * "replace with /" produces. */
   private[graft] def removeDotSegments(path: String): String = {
     val out = new scala.collection.mutable.ArrayBuffer[String]()
-    var in = path
-    while (in.nonEmpty) {
-      if (in.startsWith("../")) in = in.substring(3)
-      else if (in.startsWith("./")) in = in.substring(2)
-      else if (in.startsWith("/./")) in = "/" + in.substring(3)
-      else if (in == "/.") in = "/"
-      else if (in.startsWith("/../")) { in = "/" + in.substring(4); if (out.nonEmpty) out.remove(out.length - 1) }
-      else if (in == "/..") { in = "/"; if (out.nonEmpty) out.remove(out.length - 1) }
-      else if (in == "." || in == "..") in = ""
+    val n = path.length
+    var i = 0
+    var endSlash = false // trailing "/." or "/.." leaves a bare "/"
+    while (i < n) {
+      if (path.startsWith("../", i)) i += 3
+      else if (path.startsWith("./", i)) i += 2
+      else if (path.startsWith("/./", i)) i += 2
+      else if (i + 2 == n && path.startsWith("/.", i)) { endSlash = true; i = n }
+      else if (path.startsWith("/../", i)) {
+        if (out.nonEmpty) out.remove(out.length - 1); i += 3
+      } else if (i + 3 == n && path.startsWith("/..", i)) {
+        if (out.nonEmpty) out.remove(out.length - 1); endSlash = true; i = n
+      } else if ((i + 1 == n && path.charAt(i) == '.') ||
+                 (i + 2 == n && path.startsWith("..", i))) i = n
       else {
-        val next = in.indexOf('/', 1)
-        val seg = if (next < 0) in else in.substring(0, next)
-        out += seg
-        in = if (next < 0) "" else in.substring(next)
+        val next = path.indexOf('/', i + 1)
+        val stop = if (next < 0) n else next
+        out += path.substring(i, stop)
+        i = stop
       }
     }
-    out.mkString
+    out.mkString + (if (endSlash) "/" else "")
   }
 
   /** Canonicalize an absolute URL; None if it is not one. */

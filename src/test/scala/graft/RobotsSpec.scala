@@ -130,4 +130,30 @@ class RobotsSpec extends AnyFunSuite {
     assert(got == want, "robots verdicts diverge from the synthesized policy's closed form")
     assert(got.values.map(_._2).toSet == Set(true, false), "both verdicts must occur")
   }
+
+  test("hostile inputs are BOUNDED: star-bomb patterns hit the step budget, oversized robots.txt truncates") {
+    // both the robots body and the probed path are attacker-supplied
+    // at audit time; the matcher's backtracking is Θ(p×s) on a
+    // star-bomb, so the step budget must make the verdict cheap
+    // worst case of last-star-resume backtracking: a long literal run
+    // after a star rescans per shift — Θ(p×s) ≈ 2e8 raw steps here
+    val starBomb = "/*" + "a" * 2000 + "b"
+    val longPath = "/" + "a" * 100000
+    val t0 = System.nanoTime()
+    val matched = Robots.patternMatches(starBomb, longPath)
+    val ms = (System.nanoTime() - t0) / 1e6
+    assert(ms < 200.0, s"star-bomb match took $ms ms — step budget missing")
+    assert(!matched, "the hostile rule does not match (and the budget caps the proof)")
+    // sane wildcard rules are nowhere near the budget and still match
+    assert(Robots.patternMatches("/tmp/*.log$", "/tmp/run7.log"))
+    assert(Robots.patternMatches("/a*b*c", "/aXXbYYc-and-more"))
+    // a 5 MB robots.txt parses only its first 512 KiB of rules: the
+    // in-cap group governs, the past-cap Allow is never seen
+    val pad = ("# filler " + "x" * 90 + "\n") * 60000   // ~6 MB of comments
+    val big = "User-agent: *\nDisallow: /data\n" + pad + "Allow: /data\n"
+    val rules = Robots.rulesFor(Robots.parse(big), "graftbot/1.0")
+    assert(rules == Seq(Robots.Rule(allow = false, "/data")),
+      "rules past the 512 KiB cap must not be parsed (RFC 9309 §2.5 reference bound)")
+    assert(!Robots.isAllowed(rules, "/data/x"))
+  }
 }

@@ -88,6 +88,31 @@ class UrlsSpec extends AnyFunSuite {
     assert(got == want, "canonical forms diverge from the closed-form case table")
   }
 
+  test("remove_dot_segments is LINEAR on hostile megabyte paths (no substring churn)") {
+    // frontier URLs are attacker-supplied; the textbook slicing
+    // formulation is O(n²) on paths like /a/a/a/… — the same hostile
+    // class as the bounded HTML entity scan. Pin ~linear growth.
+    def timeMs(s: String): Double = {
+      removeDotSegments(s) // warm
+      val t0 = System.nanoTime()
+      removeDotSegments(s); removeDotSegments(s); removeDotSegments(s)
+      (System.nanoTime() - t0) / 3e6
+    }
+    val segBomb = "/a" * 500000           // 1 MB of 2-char segments
+    assert(timeMs(segBomb) < 150.0, "segment bomb must stay linear")
+    assert(removeDotSegments(segBomb) == segBomb)
+    val dotBomb = "/." * 500000           // 1 MB of "/./" prefix steps
+    assert(timeMs(dotBomb) < 150.0, "dot bomb must stay linear")
+    assert(removeDotSegments(dotBomb) == "/", "all dot segments collapse to the bare slash")
+    val upBomb = "/.." * 250000 + "/x"    // 1 MB of pops on an empty stack
+    assert(timeMs(upBomb) < 150.0, "up-dir bomb must stay linear")
+    assert(removeDotSegments(upBomb) == "/x")
+    // 4x growth check on the worst shape
+    val ts4 = math.max(timeMs("/a" * 100000), 0.01)
+    val tb4 = timeMs("/a" * 400000)
+    assert(tb4 / ts4 < 10.0, s"4x input grew ${tb4 / ts4}x — superlinear dot-segment walk")
+  }
+
   test("llm_url_frontier: canonicalize → per-host robots → seen-set collapse, end to end") {
     val rows = Urls.urlFrontier(spark, TestSpark.sf).collect()
       .map(r => r.getString(0) -> ((r.getString(1), r.getBoolean(2), r.getLong(3), r.getLong(4))))
