@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.plans.{AdcSum, BandHashes, CharRunStats, CosineSimilarity, DequantDot, FingerprintStats, GramHashes, GramStats, HtmlText, MinHashSig, NearestCentroid, PostingsDigest, Segments, SimHash60, SrpBuckets, TermCounts}
+import graft.plans.{AdcSum, BandHashes, CharRunStats, CosineSimilarity, DequantDot, FingerprintStats, GramHashes, GramStats, HtmlText, MinHashSig, NearestCentroid, PostingsDigest, RobotsAllowed, Segments, SimHash60, SrpBuckets, TermCounts, UrlCanon}
 
 /** Engine extensions, installed with
   * `spark.sql.extensions=graft.GraftExtensions` (SparkSessionExtensions
@@ -134,6 +134,25 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
         require(children.length == 1, "graft_html_text takes exactly 1 argument")
         HtmlText(children.head)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_url_canon"),
+      new ExpressionInfo(classOf[UrlCanon].getName, "graft_url_canon"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.length == 1, "graft_url_canon takes exactly 1 argument")
+        UrlCanon(children.head)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_robots_allowed"),
+      new ExpressionInfo(classOf[RobotsAllowed].getName, "graft_robots_allowed"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.length == 3, "graft_robots_allowed takes exactly 3 arguments")
+        children(2) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(a: org.apache.spark.unsafe.types.UTF8String, _) =>
+            RobotsAllowed(children.head, children(1), a.toString)
+          case other => throw new IllegalArgumentException(
+            s"graft_robots_allowed requires a literal string agent, got $other")
+        }
       }))
     ext.injectFunction((
       FunctionIdentifier("graft_postings_digest"),

@@ -1,0 +1,123 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{BooleanType, DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** UTF8String shims for the two frontier kernels. Both call the SAME
+  * Scala walks the typed/UDF fallbacks call (sources/Urls.scala,
+  * sources/Robots.scala), so kernel and fallback paths are
+  * bit-identical by construction — KernelParitySpec pins the whole
+  * frontier query across the gate anyway. */
+object FrontierKernel {
+
+  /** RFC 3986 canonical form, or null when the input is not an
+    * absolute URL — null is the SQL-native "not a URL" verdict the
+    * caller coalesces to its own sentinel. */
+  def canon(u: UTF8String): UTF8String =
+    graft.sources.Urls.normalizeUrl(u.toString) match {
+      case Some(c) => UTF8String.fromString(c)
+      case None => null
+    }
+
+  /** Per-thread bounded LRU of parsed policies: a frontier scan sees
+    * each distinct robots.txt once per (thread × generation), so the
+    * RFC 9309 parse runs once per distinct policy, not per row — the
+    * codegen twin of the typed path's per-partition memo. Bounded at
+    * 64 entries because an executor thread is long-lived and a
+    * hostile policy column could otherwise grow the map without
+    * limit; keys are CLONED before retention (the input UTF8String
+    * can alias a reused scan buffer — the TermCounts lesson). */
+  private final class PolicyCache(agent: String)
+      extends java.util.LinkedHashMap[UTF8String, Seq[graft.sources.Robots.Rule]](16, 0.75f, true) {
+    override def removeEldestEntry(
+        e: java.util.Map.Entry[UTF8String, Seq[graft.sources.Robots.Rule]]): Boolean =
+      size() > 64
+    def rulesFor(robots: UTF8String): Seq[graft.sources.Robots.Rule] = {
+      var rules = get(robots)
+      if (rules == null) {
+        rules = graft.sources.Robots.rulesFor(
+          graft.sources.Robots.parse(robots.toString), agent)
+        put(robots.clone(), rules)
+      }
+      rules
+    }
+  }
+
+  private val caches = new ThreadLocal[java.util.HashMap[String, PolicyCache]] {
+    override def initialValue() = new java.util.HashMap[String, PolicyCache]()
+  }
+
+  /** RFC 9309 verdict of `agent` fetching `path` under `robots`. */
+  def allowed(robots: UTF8String, path: UTF8String, agent: String): Boolean = {
+    val byAgent = caches.get()
+    var cache = byAgent.get(agent)
+    if (cache == null) { cache = new PolicyCache(agent); byAgent.put(agent, cache) }
+    graft.sources.Robots.isAllowed(cache.rulesFor(robots), path.toString)
+  }
+}
+
+/** Native Catalyst expression `graft_url_canon(url)`: RFC 3986
+  * syntax-based canonicalization as a COLUMN — the crawl frontier's
+  * per-URL hot path (seen-set keys, politeness grouping, alias
+  * collapse) without a ScalaUDF serialization boundary. NULL when
+  * the input does not parse as an absolute URL. */
+case class UrlCanon(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_url_canon"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string argument, got ${other.catalogString}")
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    FrontierKernel.canon(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, u =>
+      s"""${ev.value} = graft.plans.FrontierKernel.canon($u);
+         |${ev.isNull} = ${ev.value} == null;""".stripMargin)
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Native Catalyst expression `graft_robots_allowed(robots_txt, path,
+  * agent)`: the RFC 9309 verdict as a COLUMN, with the policy parse
+  * cached per thread (bounded LRU) so a broadcast-joined robots
+  * column costs one parse per distinct policy per task, not one per
+  * row. `agent` must be a literal (enforced at registration) — it
+  * selects the rule group, a query-time constant. */
+case class RobotsAllowed(left: Expression, right: Expression, agent: String)
+    extends BinaryExpression {
+
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "graft_robots_allowed"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (StringType, StringType) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (string robots_txt, string path), got $other")
+    }
+
+  override protected def nullSafeEval(robots: Any, path: Any): Any =
+    FrontierKernel.allowed(robots.asInstanceOf[UTF8String],
+      path.asInstanceOf[UTF8String], agent)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val agentRef = ctx.addReferenceObj("agent", agent, "java.lang.String")
+    nullSafeCodeGen(ctx, ev, (r, p) =>
+      s"${ev.value} = graft.plans.FrontierKernel.allowed($r, $p, $agentRef);")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}

@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** robots.txt (RFC 9309, the Robots Exclusion Protocol) — the crawl
@@ -32,10 +32,6 @@ object Robots {
   /** allow=false is a Disallow rule; `pattern` verbatim from the file. */
   final case class Rule(allow: Boolean, pattern: String)
 
-  /** Parse a robots.txt body into rule groups. Tolerant the way the
-    * protocol demands: blank/comment lines, unknown directives and
-    * malformed lines are skipped, never fatal — a hostile or
-    * truncated robots.txt yields fewer rules, not a crash. */
   /** RFC 9309 §2.5 lets a crawler cap how much robots.txt it
     * processes and names 500 KiB as the reference bound (Google's
     * documented limit) — rules past the cap are simply not seen,
@@ -45,6 +41,11 @@ object Robots {
     * attacker-supplied crawl data. */
   private val MaxRobotsBytes = 512 * 1024
 
+  /** Parse a robots.txt body into rule groups. Tolerant the way the
+    * protocol demands: blank/comment lines, unknown directives and
+    * malformed lines are skipped, never fatal — a hostile or
+    * truncated robots.txt yields fewer rules, not a crash; input
+    * past `MaxRobotsBytes` is not read. */
   def parse(txt: String): Seq[Group] = {
     val bounded = if (txt.length > MaxRobotsBytes) txt.substring(0, MaxRobotsBytes) else txt
     val out = Vector.newBuilder[Group]
@@ -153,6 +154,21 @@ object Robots {
     }
     bestAllow
   }
+
+  /** The COLUMN-level verdict API: "may `agent` fetch `path` under
+    * `robotsTxt`" as a plain boolean column. Kernel path: the
+    * codegen'd `graft_robots_allowed` (plans/Frontier), whose
+    * per-thread bounded LRU runs the policy parse once per DISTINCT
+    * robots.txt per task — a broadcast-joined policy column costs
+    * ~one parse per host per task, not one per row. Fallback: a
+    * ScalaUDF over the same parse+match (correct, but re-parsing per
+    * row — the kernel is the production path). */
+  def allowedCol(spark: SparkSession, robotsTxt: Column, path: Column,
+      agent: String = "graftbot/1.0"): Column =
+    if (graft.operators.Llm.kernelOn(spark, "graft_robots_allowed"))
+      call_function("graft_robots_allowed", robotsTxt, path, lit(agent))
+    else udf((r: String, p: String) => isAllowed(rulesFor(parse(r), agent), p))
+      .apply(robotsTxt, path)
 
   /** The ORACLED registry leg (`llm_robots_filter`): every document
     * gets a fixed two-group robots.txt exercising the protocol's

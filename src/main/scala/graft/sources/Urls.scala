@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** URL canonicalization (RFC 3986 syntax-based normalization, §6.2.2)
@@ -122,6 +122,19 @@ object Urls {
     case _ => None
   }
 
+  /** The COLUMN-level canonicalization API — the frontier's per-URL
+    * hot path (seen-set keys, politeness grouping, alias collapse)
+    * as a plain column, NULL when the input is not an absolute URL.
+    * Kernel path: the codegen'd `graft_url_canon` (plans/Frontier) —
+    * a static call inside WholeStageCodegen; fallback: a ScalaUDF
+    * over the SAME `normalizeUrl`, so the paths agree bit-for-bit
+    * (KernelParitySpec pins the whole frontier query across the
+    * gate). */
+  def canonCol(spark: SparkSession, url: Column): Column =
+    if (graft.operators.Llm.kernelOn(spark, "graft_url_canon"))
+      call_function("graft_url_canon", url)
+    else udf((s: String) => normalizeUrl(s).orNull).apply(url)
+
   /** Per-host robots.txt for the frontier leg: the shared base
     * policy (the same load-bearing RFC 9309 semantics
     * `Robots.robotsFilter` exercises — longest-match precedence, a
@@ -158,72 +171,66 @@ object Urls {
     * policy variation (`frontierPolicy`) makes one verdict depend on
     * the robots JOIN delivering the right host's rules.
     *
-    * Scale shape: canonicalization + keying are map-only; the robots
-    * table is one row per HOST (tiny, broadcast — PlanSpec pins
-    * BroadcastHashJoin, never a shuffle or cartesian); the only big
-    * exchange is the groupBy on canonical_url — the frontier dedup
-    * shuffle itself, which is the operator's output key and
-    * irreducible. Verdicts run per-row with a per-partition memo of
-    * parsed policies (one parse per distinct robots.txt per task,
-    * not per row). DuckDB recomputes canonical form, host, verdict
-    * and first-seen per document from the closed-form case table. */
+    * Scale shape: the ENTIRE map side is columnar — candidate
+    * synthesis (when/concat + explode), canonicalization (the
+    * codegen'd `graft_url_canon`), host/path keying (substring /
+    * regexp), and the verdict (`graft_robots_allowed`, policy parse
+    * LRU-cached per thread) all run inside WholeStageCodegen with
+    * ZERO object-serialization boundaries (PlanSpec pins no
+    * DeserializeToObject, no ScalaUDF). The robots table is one row
+    * per HOST (tiny, broadcast — PlanSpec pins BroadcastHashJoin,
+    * never a shuffle or cartesian); the only big exchange is the
+    * groupBy on canonical_url — the frontier dedup shuffle itself,
+    * the operator's output key and irreducible. DuckDB recomputes
+    * canonical form, host, verdict and first-seen per document from
+    * the closed-form case table. */
   def urlFrontier(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
     val docs = Tables.documents(spark, dir)
       .filter(col("text").isNotNull)
       .select(col("doc_id"), col("source"), col("n_chars").cast("int").as("n_chars"))
 
-    // 1. candidates: primary + alias spelling, same resource
-    val candidates = docs.as[(Long, String, Int)].flatMap { case (id, src, nc) =>
-      val h = s"$src.example.com"
-      (nc % 4) match {
-        case 0 => Seq((id, s"HTTP://$src.Example.COM:80/data/pub/$id"),
-                      (id, s"http://$h/data/./pub/$id"))
-        case 1 => Seq((id, s"https://$h:443/a/../data/raw/$id"),
-                      (id, s"https://$h/data/raw/$id"))
-        case 2 => Seq((id, s"http://$h/tmp/./run$id.log#frag"),
-                      (id, s"http://$src.Example.com/tmp/run$id.log"))
-        case _ => Seq((id, s"http://$h/doc/%7E$id?q=1#s"),
-                      (id, s"http://$h/doc/~$id?q=1"))
-      }
-    }.toDF("doc_id", "url")
+    // 1. candidates: primary + alias spelling of the same resource,
+    //    synthesized columnar (when/concat), doubled via explode
+    val m4 = pmod(col("n_chars"), lit(4))
+    val h = concat(col("source"), lit(".example.com"))
+    val id = col("doc_id").cast("string")
+    val primary =
+      when(m4 === 0, concat(lit("HTTP://"), col("source"), lit(".Example.COM:80/data/pub/"), id))
+        .when(m4 === 1, concat(lit("https://"), h, lit(":443/a/../data/raw/"), id))
+        .when(m4 === 2, concat(lit("http://"), h, lit("/tmp/./run"), id, lit(".log#frag")))
+        .otherwise(concat(lit("http://"), h, lit("/doc/%7E"), id, lit("?q=1#s")))
+    val alias =
+      when(m4 === 0, concat(lit("http://"), h, lit("/data/./pub/"), id))
+        .when(m4 === 1, concat(lit("https://"), h, lit("/data/raw/"), id))
+        .when(m4 === 2, concat(lit("http://"), col("source"), lit(".Example.com/tmp/run"), id, lit(".log")))
+        .otherwise(concat(lit("http://"), h, lit("/doc/~"), id, lit("?q=1")))
+    val candidates = docs.select(col("doc_id"),
+      explode(array(primary, alias)).as("url"))
 
-    // 2. canonicalize + frontier keys (host for the robots join,
-    //    query-less path for the verdict) — map-only
-    val canon = candidates.as[(Long, String)].mapPartitions { it =>
-      it.map { case (id, u) =>
-        normalizeUrl(u) match {
-          case Some(c) =>
-            val a = c.indexOf("://") + 3
-            val slash = c.indexOf('/', a)
-            val host = if (slash < 0) c.substring(a) else c.substring(a, slash)
-            val rawPath = if (slash < 0) "/" else c.substring(slash)
-            val q = rawPath.indexOf('?')
-            val path = if (q < 0) rawPath else rawPath.substring(0, q)
-            (id, c, host, path)
-          case None => (id, "!", "!", "!") // parse failure is visible
-        }
-      }
-    }.toDF("doc_id", "canonical_url", "host", "path")
+    // 2. canonical key + frontier keys (host for the robots join,
+    //    query-less path for the verdict) — columnar, parse failure
+    //    visible as the '!' sentinel
+    val canon = candidates
+      .withColumn("canonical_url", coalesce(canonCol(spark, col("url")), lit("!")))
+      .withColumn("host",
+        substring_index(substring_index(col("canonical_url"), "://", -1), "/", 1))
+      .withColumn("path",
+        regexp_extract(col("canonical_url"), "^[a-z][a-z0-9+.-]*://[^/?#]*(/[^?#]*)", 1))
 
-    // 3. the robots dim: one row per distinct host — broadcast
+    // 3. the robots dim: one row per distinct host — broadcast. Both
+    //    policy variants come from the SAME generator the tests and
+    //    the streaming twin use, selected columnar by source parity.
+    val evenPolicy = frontierPolicy("xx")
+    val oddPolicy = frontierPolicy("xxx")
     val hosts = docs.select(col("source")).distinct()
-      .as[String].map(src => (s"$src.example.com", frontierPolicy(src)))
-      .toDF("host", "robots_txt")
+      .select(concat(col("source"), lit(".example.com")).as("host"),
+        when(length(col("source")) % 2 === 0, lit(evenPolicy))
+          .otherwise(lit(oddPolicy)).as("robots_txt"))
 
-    // 4. verdict per row (policy parse memoized per partition), then
+    // 4. verdict column (policy parse LRU-cached per thread), then
     //    the seen-set collapse on the canonical key
     canon.join(broadcast(hosts), Seq("host"))
-      .select(col("doc_id"), col("canonical_url"), col("host"), col("path"), col("robots_txt"))
-      .as[(Long, String, String, String, String)]
-      .mapPartitions { it =>
-        val memo = scala.collection.mutable.HashMap.empty[String, Seq[Robots.Rule]]
-        it.map { case (id, c, host, path, robots) =>
-          val rules = memo.getOrElseUpdate(robots,
-            Robots.rulesFor(Robots.parse(robots), "graftbot/1.0"))
-          (id, c, host, Robots.isAllowed(rules, path))
-        }
-      }.toDF("doc_id", "canonical_url", "host", "allowed")
+      .withColumn("allowed", Robots.allowedCol(spark, col("robots_txt"), col("path")))
       .groupBy(col("canonical_url"))
       .agg(first(col("host")).as("host"),
            first(col("allowed")).as("allowed"),

@@ -363,50 +363,31 @@ object Streaming {
     * holds one canonical string per distinct resource seen within
     * `lateness`, never the crawl history (the batch leg's seen-set
     * groupBy, turned into `dropDuplicatesWithinWatermark`).
-    * Canonicalization and verdicts are per-row map-only with the
-    * policy parse memoized per partition; all typed stages run
-    * BEFORE the watermark tag so the event-time column reaches the
-    * dedup operator intact. Back-fill / exact re-counts (n_seen)
-    * stay with the batch leg, the same split as dedup. */
+    * The whole map side is COLUMNAR — the same `canonCol` /
+    * `allowedCol` kernels as the batch leg lift onto the stream
+    * unchanged, so per micro-batch the scan is one codegen
+    * projection and the event-time column reaches the dedup state
+    * untouched. Back-fill / exact re-counts (n_seen) stay with the
+    * batch leg, the same split as dedup. */
   def frontierStream(urls: DataFrame, robots: DataFrame,
       agent: String = "graftbot/1.0", lateness: String = "1 hour"): DataFrame = {
     val spark = urls.sparkSession
-    import spark.implicits._
-    val canon = urls.select(col("cand_id"), col("ts"), col("url"))
-      .as[(Long, java.sql.Timestamp, String)]
-      .mapPartitions { it =>
-        it.map { case (id, t, u) =>
-          graft.sources.Urls.normalizeUrl(u) match {
-            case Some(c) =>
-              val a = c.indexOf("://") + 3
-              val slash = c.indexOf('/', a)
-              val host = if (slash < 0) c.substring(a) else c.substring(a, slash)
-              val rawPath = if (slash < 0) "/" else c.substring(slash)
-              val q = rawPath.indexOf('?')
-              val path = if (q < 0) rawPath else rawPath.substring(0, q)
-              (id, t, c, host, path)
-            case None => (id, t, "!", "!", "!") // parse failure is visible
-          }
-        }
-      }.toDF("cand_id", "ts", "canonical_url", "host", "path")
-    canon
+    urls.select(col("cand_id"), col("ts"), col("url"))
+      .withColumn("canonical_url",
+        coalesce(graft.sources.Urls.canonCol(spark, col("url")), lit("!")))
+      .withColumn("host",
+        substring_index(substring_index(col("canonical_url"), "://", -1), "/", 1))
+      .withColumn("path",
+        regexp_extract(col("canonical_url"), "^[a-z][a-z0-9+.-]*://[^/?#]*(/[^?#]*)", 1))
       // LEFT outer: a host with no robots.txt row must still flow —
       // per RFC 9309 an absent policy allows everything, and an inner
       // join would SILENTLY drop it (and the visible "!" parse-failure
-      // rows) from the frontier
+      // rows) from the frontier. The coalesce-to-"" makes the absent
+      // policy parse to zero rules -> allowed.
       .join(broadcast(robots), Seq("host"), "left_outer")
-      .select(col("cand_id"), col("ts"), col("canonical_url"), col("host"),
-        col("path"), col("robots_txt"))
-      .as[(Long, java.sql.Timestamp, String, String, String, String)]
-      .mapPartitions { it =>
-        val memo = scala.collection.mutable.HashMap.empty[String, Seq[graft.sources.Robots.Rule]]
-        it.map { case (id, t, c, host, path, robotsTxt) =>
-          val rt = if (robotsTxt == null) "" else robotsTxt // no policy -> no rules -> allowed
-          val rules = memo.getOrElseUpdate(rt,
-            graft.sources.Robots.rulesFor(graft.sources.Robots.parse(rt), agent))
-          (id, t, c, host, graft.sources.Robots.isAllowed(rules, path))
-        }
-      }.toDF("cand_id", "ts", "canonical_url", "host", "allowed")
+      .withColumn("allowed", graft.sources.Robots.allowedCol(spark,
+        coalesce(col("robots_txt"), lit("")), col("path"), agent))
+      .select(col("cand_id"), col("ts"), col("canonical_url"), col("host"), col("allowed"))
       .withWatermark("ts", lateness)
       .dropDuplicatesWithinWatermark("canonical_url")
   }

@@ -78,10 +78,11 @@ class KernelParitySpec extends AnyFunSuite {
     // the gate — exact parity holds, unlike IVF's float-boundary case
     // (llm_ann_probe additionally crosses the parquet snapshot)
     "llm_ann_pq", "llm_ann_ivfpq", "llm_ann_probe",
-    // html extraction: kernel = codegen'd graft_html_text, fallback =
-    // ScalaUDF over the same Scala walk — bit-identical by
-    // construction, pinned end-to-end anyway
-    "llm_html_extract")
+    // html extraction / frontier: kernels (graft_html_text,
+    // graft_url_canon, graft_robots_allowed) vs ScalaUDFs over the
+    // same Scala walks — bit-identical by construction, pinned
+    // end-to-end anyway
+    "llm_html_extract", "llm_crawl_extract", "llm_url_frontier")
 
   for (q <- covering)
     test(s"$q is identical with kernels disabled") {

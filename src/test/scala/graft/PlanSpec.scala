@@ -452,6 +452,18 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), "robots dim must not shuffle-sort")
   }
 
+  test("frontier map side is fully columnar: url-canon + robots kernels, zero object boundaries") {
+    // the per-URL hot path (canonicalize, key, verdict) must run
+    // inside WholeStageCodegen — no typed lambdas, no ScalaUDF, no
+    // DeserializeToObject anywhere in the plan
+    val p = plan("llm_url_frontier")
+    assert(p.contains("graft_url_canon"), s"frontier lost the canon kernel:\n$p")
+    assert(p.contains("graft_robots_allowed"), s"frontier lost the verdict kernel:\n$p")
+    assert(!p.contains("ScalaUDF"), "frontier must carry no Scala UDF")
+    assert(!p.contains("DeserializeToObject") && !p.contains("MapPartitions"),
+      s"frontier acquired an object-serialization boundary:\n$p")
+  }
+
   test("PQ ADC scans rank on the graft_adc kernel, not an interpreted fold") {
     // round-14 verdict item 1: the ADC table-lookup sum was the last
     // interpreted aggregate(transform(...)) lambda in a hot scan —
