@@ -182,7 +182,6 @@ object Robots {
     * case table. A row can only match if group selection, longest-
     * match, the anchor and the wildcard all behaved. */
   def robotsFilter(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
     val robotsTxt =
       """# synthesized policy
         |User-agent: badbot
@@ -194,21 +193,19 @@ object Robots {
         |Disallow: /tmp/*.log$
         |Allow: /
         |""".stripMargin
+    val m4 = pmod(col("n_chars").cast("int"), lit(4))
+    val id = col("doc_id").cast("string")
+    val path =
+      when(m4 === 0, concat(lit("/data/pub/"), id))   // allowed: longest match Allow /data/pub
+        .when(m4 === 1, concat(lit("/data/raw/"), id))   // denied: Disallow /data
+        .when(m4 === 2, concat(lit("/tmp/run"), id, lit(".log"))) // denied: wildcard + $ anchor
+        .otherwise(concat(lit("/tmp/run"), id, lit(".txt")))      // allowed: anchor does NOT match .txt
     Tables.documents(spark, dir)
       .filter(col("text").isNotNull)
-      .select(col("doc_id"), col("n_chars").cast("int").as("n_chars"))
-      .as[(Long, Int)]
-      .mapPartitions { it =>
-        val rules = rulesFor(parse(robotsTxt), "graftbot/1.0")
-        it.map { case (docId, nChars) =>
-          val path = (nChars % 4) match {
-            case 0 => s"/data/pub/$docId"   // allowed: longest match Allow /data/pub
-            case 1 => s"/data/raw/$docId"   // denied: Disallow /data
-            case 2 => s"/tmp/run$docId.log" // denied: wildcard + $ anchor
-            case _ => s"/tmp/run$docId.txt" // allowed: anchor does NOT match .txt
-          }
-          (docId, path, isAllowed(rules, path))
-        }
-      }.toDF("doc_id", "url_path", "allowed")
+      .select(col("doc_id"), path.as("url_path"))
+      // verdicts via the graft_robots_allowed column kernel — the
+      // policy parse runs once per thread (LRU), the whole query is
+      // one codegen scan projection
+      .withColumn("allowed", allowedCol(spark, lit(robotsTxt), col("url_path")))
   }
 }

@@ -243,27 +243,21 @@ object Urls {
     * normalization rule — case + default port, dot-segments,
     * unreserved-escape decode vs reserved-escape preservation, and
     * fragment drop — normalized DISTRIBUTED by the real
-    * canonicalizer; DuckDB states the canonical form for each case
-    * directly. */
+    * canonicalizer via the `graft_url_canon` column kernel (one
+    * codegen scan projection, no typed code); DuckDB states the
+    * canonical form for each case directly. */
   def urlNormalize(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
+    val m4 = pmod(col("n_chars").cast("int"), lit(4))
+    val id = col("doc_id").cast("string")
+    val messy =
+      when(m4 === 0, concat(lit("HTTP://"), upper(col("source")), lit(".Example.COM:80/Doc/"), id))
+        .when(m4 === 1, concat(lit("https://"), col("source"), lit(".example.com:443/a/./b/../doc/"), id))
+        .when(m4 === 2, concat(lit("http://"), col("source"), lit(".example.com/%7Edoc/%2Fesc%2f/"), id))
+        .otherwise(concat(lit("http://"), col("source"), lit(".example.com/doc/"), id, lit("?q=1&r=2#section-"), id))
     Tables.documents(spark, dir)
       .filter(col("text").isNotNull)
-      .select(col("doc_id"), col("source"), col("n_chars").cast("int").as("n_chars"))
-      .as[(Long, String, Int)]
-      .mapPartitions { it =>
-        it.map { case (docId, source, nChars) =>
-          val messy = (nChars % 4) match {
-            case 0 => s"HTTP://${source.toUpperCase}.Example.COM:80/Doc/$docId"
-            case 1 => s"https://$source.example.com:443/a/./b/../doc/$docId"
-            case 2 => s"http://$source.example.com/%7Edoc/%2Fesc%2f/$docId"
-            case _ => s"http://$source.example.com/doc/$docId?q=1&r=2#section-$docId"
-          }
-          normalizeUrl(messy) match {
-            case Some(canon) => (docId, messy, canon)
-            case None => (docId, messy, "!") // parse failure is visible
-          }
-        }
-      }.toDF("doc_id", "url", "canonical_url")
+      .select(col("doc_id"), messy.as("url"))
+      .withColumn("canonical_url",
+        coalesce(canonCol(spark, col("url")), lit("!"))) // failure is visible
   }
 }

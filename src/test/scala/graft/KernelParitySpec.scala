@@ -82,7 +82,8 @@ class KernelParitySpec extends AnyFunSuite {
     // graft_url_canon, graft_robots_allowed) vs ScalaUDFs over the
     // same Scala walks — bit-identical by construction, pinned
     // end-to-end anyway
-    "llm_html_extract", "llm_crawl_extract", "llm_url_frontier")
+    "llm_html_extract", "llm_crawl_extract", "llm_url_frontier",
+    "llm_url_normalize", "llm_robots_filter")
 
   for (q <- covering)
     test(s"$q is identical with kernels disabled") {

@@ -452,6 +452,16 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), "robots dim must not shuffle-sort")
   }
 
+  test("url-normalize and robots-filter legs are zero-boundary codegen scans") {
+    for (q <- Seq("llm_url_normalize", "llm_robots_filter")) {
+      val p = plan(q)
+      assert(!p.contains("ScalaUDF"), s"$q must carry no Scala UDF")
+      assert(!p.contains("DeserializeToObject") && !p.contains("MapPartitions"),
+        s"$q acquired an object boundary:\n$p")
+      assert(!p.contains("Exchange"), s"$q acquired a shuffle:\n$p")
+    }
+  }
+
   test("frontier map side is fully columnar: url-canon + robots kernels, zero object boundaries") {
     // the per-URL hot path (canonicalize, key, verdict) must run
     // inside WholeStageCodegen — no typed lambdas, no ScalaUDF, no
