@@ -153,6 +153,41 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming frontier survives a checkpoint restart: admission state persists, aliases still drop") {
+    implicit val sqlCtx = spark.sqlContext
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_frontier_ckpt").toString
+    val robots = Seq(("src0.example.com", graft.sources.Urls.frontierPolicy("src0")))
+      .toDF("host", "robots_txt")
+    val ms = MemoryStream[Streaming.UrlCand]
+    val out = Streaming.frontierStream(ms.toDF(), robots, lateness = "1 hour")
+    val seen = java.util.Collections.synchronizedList(new java.util.ArrayList[Long]())
+    def start() = out.writeStream.outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        batch.collect().foreach(r => seen.add(r.getLong(0)))
+      }.start()
+    val q1 = start()
+    try {
+      ms.addData(Streaming.UrlCand(1, ts("2024-01-01 10:00:00"),
+        "HTTP://src0.Example.COM:80/data/pub/7"))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    assert(seen.toArray.toSeq == Seq(1L), "first spelling admits before the restart")
+    // restart from the same checkpoint: the canonical seen-set must
+    // recover — an alias of the pre-restart resource drops, a fresh
+    // resource still admits. A lost store would re-admit cand 2.
+    val q2 = start()
+    try {
+      ms.addData(
+        Streaming.UrlCand(2, ts("2024-01-01 10:10:00"), "http://src0.example.com/data/./pub/7"),
+        Streaming.UrlCand(3, ts("2024-01-01 10:10:01"), "http://src0.example.com/data/pub/8"))
+      q2.processAllAvailable()
+      val got = seen.toArray(Array.empty[java.lang.Long]).map(_.toLong).toSeq
+      assert(got == Seq(1L, 3L),
+        s"restart must keep the admission state (alias 2 drops, fresh 3 admits): $got")
+    } finally q2.stop()
+  }
+
   test("grouping-sets stats: batch-parity per batch, one source read, union state (§4 decision)") {
     implicit val sqlCtx = spark.sqlContext
     import org.apache.spark.sql.functions.{col, count, lit}
