@@ -18,6 +18,37 @@ class PropertySpec extends AnyFunSuite {
     assert(res.passed, res.status.toString)
   }
 
+  test("frontier kernels equal their Scala functions on arbitrary junk (incl. the NULL path)") {
+    // KernelParitySpec pins whole-query parity on the 4 synthesized
+    // URL shapes; this drives the kernel objects directly with
+    // arbitrary strings — non-URLs must surface as null (canon) and
+    // hostile/garbage policies must still verdict identically.
+    import org.apache.spark.unsafe.types.UTF8String
+    val junkGen = for {
+      n <- Gen.choose(0, 60)
+      s <- Gen.listOfN(n, Gen.oneOf(Gen.alphaNumChar,
+        Gen.oneOf(':', '/', '?', '#', '%', '.', '@', '*', '$', ' ', '~', 'é')))
+    } yield s.mkString
+    check(Prop.forAll(junkGen) { s =>
+      val k = graft.plans.FrontierKernel.canon(UTF8String.fromString(s))
+      val f = graft.sources.Urls.normalizeUrl(s)
+      (k == null && f.isEmpty) || (k != null && f.contains(k.toString))
+    }, n = 500)
+    val policyGen = for {
+      lines <- Gen.listOf(Gen.oneOf(
+        Gen.const("User-agent: *"), Gen.const("User-agent: graftbot"),
+        junkGen.map("Disallow: /" + _), junkGen.map("Allow: /" + _),
+        junkGen)) // junk lines exercise parser tolerance
+    } yield lines.mkString("\n")
+    check(Prop.forAll(policyGen, junkGen.map("/" + _)) { (policy, path) =>
+      val k = graft.plans.FrontierKernel.allowed(
+        UTF8String.fromString(policy), UTF8String.fromString(path), "graftbot/1.0")
+      val f = graft.sources.Robots.isAllowed(
+        graft.sources.Robots.rulesFor(graft.sources.Robots.parse(policy), "graftbot/1.0"), path)
+      k == f
+    }, n = 300)
+  }
+
   test("DGIM estimate within 50% of exact for arbitrary bit streams") {
     val streamGen = Gen.listOfN(2000, Gen.oneOf(0, 1))
     check(Prop.forAll(streamGen) { bits =>
