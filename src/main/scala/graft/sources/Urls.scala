@@ -228,9 +228,13 @@ object Urls {
           .otherwise(lit(oddPolicy)).as("robots_txt"))
 
     // 4. verdict column (policy parse LRU-cached per thread), then
-    //    the seen-set collapse on the canonical key
-    canon.join(broadcast(hosts), Seq("host"))
-      .withColumn("allowed", Robots.allowedCol(spark, col("robots_txt"), col("path")))
+    //    the seen-set collapse on the canonical key. LEFT outer like
+    //    the streaming twin: a host with no robots.txt row flows
+    //    through as allowed (RFC 9309 — absent policy restricts
+    //    nothing) instead of silently vanishing from the frontier.
+    canon.join(broadcast(hosts), Seq("host"), "left_outer")
+      .withColumn("allowed", Robots.allowedCol(spark,
+        coalesce(col("robots_txt"), lit("")), col("path")))
       .groupBy(col("canonical_url"))
       .agg(first(col("host")).as("host"),
            first(col("allowed")).as("allowed"),
