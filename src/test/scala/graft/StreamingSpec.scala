@@ -188,6 +188,45 @@ class StreamingSpec extends AnyFunSuite {
     } finally q2.stop()
   }
 
+  test("streaming frontier runs under the RocksDB state store (100 TB posture)") {
+    // the admission seen-set holds one canonical string per distinct
+    // resource within the watermark — at web-scale frontier
+    // cardinality that state must spill to disk, not heap; same
+    // operator code, swapped provider
+    assume(scala.util.Try(Class.forName(
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")).isSuccess,
+      "RocksDB state store provider not on the classpath")
+    implicit val sqlCtx = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val robots = Seq(("src0.example.com", graft.sources.Urls.frontierPolicy("src0")))
+        .toDF("host", "robots_txt")
+      val ms = MemoryStream[Streaming.UrlCand]
+      val q = Streaming.serveMemory(
+        Streaming.frontierStream(ms.toDF(), robots, lateness = "1 hour"),
+        "rocksdb_frontier", mode = "append")
+      try {
+        ms.addData(
+          Streaming.UrlCand(1, ts("2024-01-01 10:00:00"), "HTTP://src0.Example.COM:80/data/pub/7"),
+          Streaming.UrlCand(2, ts("2024-01-01 10:00:01"), "http://src0.example.com/data/./pub/7"))
+        q.processAllAvailable()
+        ms.addData(
+          Streaming.UrlCand(3, ts("2024-01-01 10:05:00"), "http://src0.example.com:80/data/pub/7"),
+          Streaming.UrlCand(4, ts("2024-01-01 10:05:01"), "http://src0.example.com/data/pub/8"))
+        q.processAllAvailable()
+        val ids = spark.sql("SELECT cand_id FROM rocksdb_frontier")
+          .collect().map(_.getLong(0)).sorted.toSeq
+        assert(ids == Seq(1L, 4L),
+          s"RocksDB-backed admission state must dedup aliases across batches: $ids")
+      } finally q.stop()
+    } finally {
+      prev match { case Some(v) => spark.conf.set(key, v); case None => spark.conf.unset(key) }
+    }
+  }
+
   test("grouping-sets stats: batch-parity per batch, one source read, union state (§4 decision)") {
     implicit val sqlCtx = spark.sqlContext
     import org.apache.spark.sql.functions.{col, count, lit}
