@@ -1084,9 +1084,29 @@ object Llm {
   def piiScrub(spark: SparkSession, dir: String): DataFrame =
     piiScrubOn(Tables.documents(spark, dir))
 
-  private[graft] val piiEmailRe = "[a-z0-9]+@[a-z]+\\.[a-z]+"
+  // LINEAR-TIME forms of the PII patterns. Spark's regexp_* run
+  // java.util.regex, where the naive `[a-z0-9]+@…` is O(n²) on a
+  // long unbroken alnum run with no '@' (the same hostile-input
+  // class as the bounded HTML entity scan): the find loop retries
+  // EVERY interior start of the run, and each retry re-consumes the
+  // tail. Two changes, together linear, both semantics-preserving:
+  //  - a negative lookbehind `(?<![a-z0-9])` pins match starts to
+  //    RUN STARTS, so the n-1 interior retries fail in O(1) each —
+  //    sound because any match's leading token run always extends
+  //    left to its run start (the boundary chars '@'/'.' are outside
+  //    the class), so no match is lost;
+  //  - possessive `++` (never gives back) removes the within-start
+  //    backtrack — also sound for the same reason: a shorter run
+  //    would put a class character where the boundary char must be.
+  // A long run is then consumed O(1) times per document instead of
+  // O(n) times. LlmSpec pins greedy/linear equivalence by fuzz and
+  // the megabyte-run timing. The DuckDB oracle keeps the plain
+  // greedy syntax: RE2 is automata-based (always linear) and accepts
+  // neither `++` nor lookbehind. The phone pattern starts with a
+  // literal '+' and uses bounded quantifiers — already linear.
+  private[graft] val piiEmailRe = "(?<![a-z0-9])[a-z0-9]++@[a-z]++\\.[a-z]++"
   private[graft] val piiPhoneRe = "\\+[0-9]{2}-[0-9]{3}-[0-9]{4}"
-  private[graft] val piiIpRe = "[0-9]+\\.[0-9]+\\.[0-9]+\\.[0-9]+"
+  private[graft] val piiIpRe = "(?<![0-9])[0-9]++\\.[0-9]++\\.[0-9]++\\.[0-9]++"
 
   private[graft] def piiScrubOn(docs: DataFrame): DataFrame =
     widened(docs)
