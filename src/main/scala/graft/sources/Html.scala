@@ -88,12 +88,15 @@ object Html {
     var i = 0
     while (i < n) {
       val c = html.charAt(i)
-      // HTML5 tag-open rule: '<' starts markup only before a letter,
-      // '!', '/' or '?'; anything else (digit, space, EOF, …) is the
-      // literal character — real prose contains bare '<'.
+      // HTML5 tag-open rule: '<' starts markup only before an ASCII
+      // letter (the tokenizer's alpha set — NOT Unicode isLetter, or
+      // '<é'/'<中' in crawled prose would read as an unterminated tag
+      // and swallow the tail), '!', '/' or '?'; anything else (digit,
+      // space, EOF, …) is the literal character.
       val opensTag = c == '<' && i + 1 < n && {
         val d = html.charAt(i + 1)
-        Character.isLetter(d) || d == '!' || d == '/' || d == '?'
+        (d >= 'a' && d <= 'z') || (d >= 'A' && d <= 'Z') ||
+          d == '!' || d == '/' || d == '?'
       }
       if (opensTag) {
         if (matchesAt(html, i, "<!--")) {

@@ -38,16 +38,28 @@ object Robots {
     * which per the RFC's own model means fewer restrictions parsed
     * from a file no robot is obliged to read whole. The cap also
     * bounds the per-row parse cost when the policy column is
-    * attacker-supplied crawl data. */
-  private val MaxRobotsBytes = 512 * 1024
+    * attacker-supplied crawl data. Counted in UTF-16 CHARS (the unit
+    * the column arrives in, and the unit the parse cost is paid in) —
+    * named for what it counts, since a 512 Ki-char cap on mostly
+    * multi-byte text admits more BYTES than the RFC's reference
+    * figure while still bounding the parse work identically. */
+  private val MaxRobotsChars = 512 * 1024
 
   /** Parse a robots.txt body into rule groups. Tolerant the way the
     * protocol demands: blank/comment lines, unknown directives and
     * malformed lines are skipped, never fatal — a hostile or
     * truncated robots.txt yields fewer rules, not a crash; input
-    * past `MaxRobotsBytes` is not read. */
+    * past `MaxRobotsChars` is not read, and the cut lands on the last
+    * line BOUNDARY before the cap — a mid-line cut would synthesize a
+    * spurious shorter rule (`Disallow: /private` clipped to
+    * `Disallow: /p`) that disallows far more than the author wrote. */
   def parse(txt: String): Seq[Group] = {
-    val bounded = if (txt.length > MaxRobotsBytes) txt.substring(0, MaxRobotsBytes) else txt
+    val bounded =
+      if (txt.length <= MaxRobotsChars) txt
+      else txt.lastIndexOf('\n', MaxRobotsChars) match {
+        case -1 => "" // one giant partial line: no complete rule survives the cap
+        case nl => txt.substring(0, nl)
+      }
     val out = Vector.newBuilder[Group]
     var agents = Vector.empty[String]
     var rules = Vector.empty[Rule]
@@ -106,15 +118,22 @@ object Robots {
     * body is crawled content, the path is a frontier URL) — so the
     * walk carries a hard STEP BUDGET, the same discipline as the
     * bounded HTML entity scan. The budget (1M steps) is ~3 orders
-    * beyond what any non-adversarial rule×path needs; on exhaustion
-    * the rule is treated as NOT matching — the RFC's own stance for
-    * rules a parser cannot process, and conservative in the common
-    * all-Disallow-bomb shape (an unmatched Disallow restricts
-    * nothing it was ever going to legitimately restrict). */
+    * beyond what any non-adversarial rule×path needs; exhaustion is
+    * surfaced as a distinct verdict and `isAllowed` fails CLOSED on
+    * it — if any governing rule could not be proved either way, the
+    * fetch is DISALLOWED. Failing open would let a hostile-but-
+    * legitimate long Disallow rule (whose proof blows the budget)
+    * read as "allowed" and cause a politeness violation; failing
+    * closed only ever costs a fetch. */
   private val MaxMatchSteps = 1 << 20
 
-  private[graft] def patternMatches(pattern: String, path: String): Boolean = {
-    if (pattern.isEmpty) return false // empty pattern matches nothing
+  /** Tri-state bounded-match verdicts. */
+  private final val NoMatch = 0
+  private final val Matched = 1
+  private final val Exhausted = -1
+
+  private[graft] def matchBounded(pattern: String, path: String): Int = {
+    if (pattern.isEmpty) return NoMatch // empty pattern matches nothing
     val anchored = pattern.endsWith("$")
     val p = if (anchored) pattern.dropRight(1) else pattern
     // match p against path with '*' wildcards; unanchored = a match
@@ -125,32 +144,44 @@ object Robots {
     while (steps < MaxMatchSteps) {
       steps += 1
       if (pi == p.length) {
-        if (!anchored || si == path.length) return true
+        if (!anchored || si == path.length) return Matched
         // anchored: try to consume more via the last star
-        if (starPi < 0) return false
+        if (starPi < 0) return NoMatch
         pi = starPi; si = starSi + 1; starSi = si
-        if (si > path.length) return false
+        if (si > path.length) return NoMatch
       } else if (p(pi) == '*') {
         starPi = pi + 1; starSi = si; pi += 1
       } else if (si < path.length && path(si) == p(pi)) {
         pi += 1; si += 1
       } else if (starPi >= 0 && starSi < path.length) {
         pi = starPi; starSi += 1; si = starSi
-      } else return false
+      } else return NoMatch
     }
-    false // step budget exhausted: hostile rule, treated as non-matching
+    Exhausted // step budget exhausted: undecidable within bound
   }
 
+  /** Boolean view of `matchBounded` — exhaustion reads as non-match
+    * here; `isAllowed` (the verdict that gates a FETCH) consumes the
+    * tri-state and fails closed instead. */
+  private[graft] def patternMatches(pattern: String, path: String): Boolean =
+    matchBounded(pattern, path) == Matched
+
   /** RFC 9309 §2.2.2 verdict: longest matching pattern wins, ties
-    * toward Allow, no match → allowed. */
+    * toward Allow, no match → allowed. A rule whose match proof
+    * exhausts the step budget fails CLOSED — the verdict is
+    * disallow, so a budget-blowing rule can never become a
+    * politeness violation. */
   def isAllowed(rules: Seq[Rule], path: String): Boolean = {
     var bestLen = -1
     var bestAllow = true
-    for (r <- rules if patternMatches(r.pattern, path)) {
-      val len = r.pattern.length
-      if (len > bestLen || (len == bestLen && r.allow && !bestAllow)) {
-        bestLen = len; bestAllow = r.allow
-      }
+    for (r <- rules) matchBounded(r.pattern, path) match {
+      case Exhausted => return false // fail closed: never fetch on an unproved rule
+      case Matched =>
+        val len = r.pattern.length
+        if (len > bestLen || (len == bestLen && r.allow && !bestAllow)) {
+          bestLen = len; bestAllow = r.allow
+        }
+      case _ =>
     }
     bestAllow
   }
@@ -162,12 +193,16 @@ object Robots {
     * robots.txt per task — a broadcast-joined policy column costs
     * ~one parse per host per task, not one per row. Fallback: a
     * ScalaUDF over the same parse+match (correct, but re-parsing per
-    * row — the kernel is the production path). */
+    * row — the kernel is the production path). Null in → null out on
+    * BOTH paths: the kernel's nullSafeEval skips nulls, so the
+    * fallback must too or the two stop being bit-identical. */
   def allowedCol(spark: SparkSession, robotsTxt: Column, path: Column,
       agent: String = "graftbot/1.0"): Column =
     if (graft.operators.Llm.kernelOn(spark, "graft_robots_allowed"))
       call_function("graft_robots_allowed", robotsTxt, path, lit(agent))
-    else udf((r: String, p: String) => isAllowed(rulesFor(parse(r), agent), p))
+    else udf((r: String, p: String) =>
+      if (r == null || p == null) None
+      else Some(isAllowed(rulesFor(parse(r), agent), p)))
       .apply(robotsTxt, path)
 
   /** The ORACLED registry leg (`llm_robots_filter`): every document

@@ -45,6 +45,10 @@ class HtmlSpec extends AnyFunSuite {
     assert(extractText("if 5 < 6 then more prose") == "if 5 < 6 then more prose")
     assert(extractText("trailing <") == "trailing <", "< at EOF is literal")
     assert(extractText("x <3 y") == "x <3 y", "< before a digit is literal")
+    assert(extractText("prix <éléphant> suite") == "prix <éléphant> suite",
+      "tag-open alpha is ASCII only — '<é' in prose is literal, not an unterminated tag")
+    assert(extractText("甲 <中文 乙") == "甲 <中文 乙",
+      "'<' before a CJK letter must not swallow the tail")
     assert(extractText("a <?pi data?> b") == "a b", "processing instruction is markup")
     assert(extractText("</script>orphan close tags are just tags</b>") == "orphan close tags are just tags")
     // a million unclosed tags: linear time, no stack

@@ -16,13 +16,22 @@ class RegistryDocSpec extends AnyFunSuite {
     assert((d -- q).isEmpty, s"stale queryDoc entries: ${(d -- q).toSeq.sorted}")
   }
 
-  // Stale docs REGENERATE here (then still fail once, so the run is
-  // red and the rewrite gets noticed and committed) — a new query can
-  // no longer ship stale docs past a single `sbt test`, the round-16
-  // failure mode where the generator was registered but never re-run.
+  // Stale docs regenerate ONLY when opted in (GRAFT_REGEN_DOCS=1):
+  // the default `sbt test` run never writes to the checkout — a CI
+  // or read-only tree gets the actionable failure, not a surprise
+  // mutation, and a stale-doc rewrite can't slip into a commit
+  // unreviewed. With the flag set the run still fails once so the
+  // regenerated diff gets looked at before committing.
+  private val RegenOptIn = sys.env.get("GRAFT_REGEN_DOCS").contains("1")
   private def regen(): Unit =
-    try RegistryDoc.main(Array.empty)
-    catch { case e: Throwable => info(s"auto-regeneration failed: $e") }
+    if (RegenOptIn)
+      try RegistryDoc.main(Array.empty)
+      catch { case e: Throwable => info(s"auto-regeneration failed: $e") }
+
+  private val StaleHint =
+    " was stale — run `sbt \"runMain graft.RegistryDoc\"` (or re-run tests " +
+      "with GRAFT_REGEN_DOCS=1 to regenerate in place), review " +
+      "`git diff README.md ORACLES.md`, commit, and re-run"
 
   test("README query index matches the generated table") {
     val readme = new String(java.nio.file.Files.readAllBytes(
@@ -31,17 +40,13 @@ class RegistryDocSpec extends AnyFunSuite {
     assert(b >= 0 && e > b, "README.md lacks the registry:begin/end markers")
     val section = readme.substring(b + RegistryDoc.Begin.length, e).trim
     if (section != RegistryDoc.table.trim) regen()
-    assert(section == RegistryDoc.table.trim,
-      "README registry index was stale — it has been REGENERATED in place; " +
-        "review `git diff README.md ORACLES.md`, commit, and re-run")
+    assert(section == RegistryDoc.table.trim, "README registry index" + StaleHint)
   }
 
   test("ORACLES.md matches the generated oracle-SQL dump") {
     val oracles = new String(java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get("ORACLES.md")), "UTF-8")
     if (oracles != RegistryDoc.oracles) regen()
-    assert(oracles == RegistryDoc.oracles,
-      "ORACLES.md was stale — it has been REGENERATED in place; " +
-        "review `git diff README.md ORACLES.md`, commit, and re-run")
+    assert(oracles == RegistryDoc.oracles, "ORACLES.md" + StaleHint)
   }
 }

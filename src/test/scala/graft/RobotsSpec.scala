@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.sources.Robots
@@ -155,5 +156,63 @@ class RobotsSpec extends AnyFunSuite {
     assert(rules == Seq(Robots.Rule(allow = false, "/data")),
       "rules past the 512 KiB cap must not be parsed (RFC 9309 §2.5 reference bound)")
     assert(!Robots.isAllowed(rules, "/data/x"))
+  }
+
+  test("budget exhaustion fails CLOSED: an unproved rule disallows the fetch") {
+    // the star-bomb below blows the 1M-step budget against the long
+    // path — whether the hostile rule is a Disallow or an Allow, the
+    // verdict that gates a FETCH must be 'disallowed': failing open
+    // on an undecidable Disallow would be a politeness violation
+    val starBomb = "/*" + "a" * 2000 + "b"
+    val longPath = "/" + "a" * 100000
+    assert(!Robots.isAllowed(Seq(Rule(allow = false, starBomb)), longPath),
+      "exhausted Disallow must fail closed, not read as non-matching")
+    assert(!Robots.isAllowed(Seq(Rule(allow = true, starBomb)), longPath),
+      "exhaustion of ANY governing rule disallows — the group is unproved")
+    // a decidable group is unaffected: same rules, short path
+    assert(Robots.isAllowed(Seq(Rule(allow = false, starBomb)), "/short"))
+  }
+
+  test("oversize truncation lands on a line boundary — no synthesized partial rule") {
+    // pad to just under the 512 Ki-char cap, then a rule that CROSSES
+    // it: a mid-line cut would clip 'Disallow: /private' to a shorter
+    // spurious rule (e.g. 'Disallow: /p') that disallows far more
+    // than the author wrote — the cut must drop the partial line
+    val cap = 512 * 1024
+    val head = "User-agent: *\nDisallow: /data\n"
+    val fill = "# " + "f" * (cap - head.length - 12) + "\n"
+    val txt = head + fill + "Disallow: /private-and-beyond-the-cap\n"
+    assert(txt.length > cap, "the rule must straddle the cap for this test to bite")
+    val rules = Robots.rulesFor(Robots.parse(txt), "graftbot/1.0")
+    assert(rules == Seq(Rule(allow = false, "/data")),
+      s"partial straddling line must be dropped whole, got $rules")
+    assert(Robots.isAllowed(rules, "/p"), "no spurious '/p…' prefix rule may survive")
+    // a single giant line with no newline inside the cap: nothing
+    // parseable survives — zero groups, everything allowed
+    val oneLine = "User-agent: *" + "x" * (cap + 100)
+    assert(Robots.parse(oneLine).isEmpty)
+  }
+
+  test("allowedCol null semantics match across the kernel gate: null in, null out") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val df = Seq(
+      (1L, "User-agent: *\nDisallow: /data\n", "/data/x"),
+      (2L, null.asInstanceOf[String], "/data/x"),
+      (3L, "User-agent: *\nDisallow: /data\n", null.asInstanceOf[String]),
+      (4L, null.asInstanceOf[String], null.asInstanceOf[String])
+    ).toDF("id", "robots_txt", "path")
+    def run(on: Boolean): Map[Long, Any] = {
+      spark.conf.set("spark.graft.kernels.enabled", on.toString)
+      try df.select(col("id"),
+          Robots.allowedCol(spark, col("robots_txt"), col("path")).as("a"))
+        .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) null else r.getBoolean(1))).toMap
+      finally spark.conf.unset("spark.graft.kernels.enabled")
+    }
+    val kernel = run(on = true)
+    val fallback = run(on = false)
+    assert(kernel == Map(1L -> false, 2L -> null, 3L -> null, 4L -> null))
+    assert(fallback == kernel,
+      "the ScalaUDF fallback must be null-safe exactly like the kernel's nullSafeEval")
   }
 }
