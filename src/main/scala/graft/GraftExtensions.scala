@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.plans.{AdcSum, BandHashes, CharRunStats, CosineSimilarity, DequantDot, FingerprintStats, GramHashes, GramStats, HtmlText, MinHashSig, NearestCentroid, PostingsDigest, RobotsAllowed, Segments, SimHash60, SrpBuckets, TermCounts, UrlCanon}
+import graft.plans.{AdcSum, BandHashes, CharRunStats, CosineSimilarity, DequantDot, FingerprintStats, GramHashes, GramStats, HtmlLinks, HtmlText, MinHashSig, NearestCentroid, PostingsDigest, RobotsAllowed, Segments, SimHash60, SrpBuckets, TermCounts, UrlCanon, UrlResolve}
 
 /** Engine extensions, installed with
   * `spark.sql.extensions=graft.GraftExtensions` (SparkSessionExtensions
@@ -134,6 +134,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
         require(children.length == 1, "graft_html_text takes exactly 1 argument")
         HtmlText(children.head)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_html_links"),
+      new ExpressionInfo(classOf[HtmlLinks].getName, "graft_html_links"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.length == 1, "graft_html_links takes exactly 1 argument")
+        HtmlLinks(children.head)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_url_resolve"),
+      new ExpressionInfo(classOf[UrlResolve].getName, "graft_url_resolve"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.length == 2, "graft_url_resolve takes exactly 2 arguments")
+        UrlResolve(children.head, children(1))
       }))
     ext.injectFunction((
       FunctionIdentifier("graft_url_canon"),

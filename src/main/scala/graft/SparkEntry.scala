@@ -188,10 +188,16 @@ object SparkEntry {
     // crawl-frontier canonicalization: RFC 3986 syntax-based URL
     // normalization distributed; canonical forms stated by DuckDB
     "llm_url_normalize"  -> (graft.sources.Urls.urlNormalize _),
-    // the frontier pipeline chained end-to-end: canonicalize -> host
-    // -> broadcast per-host robots verdict -> seen-set collapse on
-    // the canonical key; DuckDB recomputes all four stages per doc
+    // the frontier pipeline chained end-to-end: extract links from
+    // page markup -> resolve -> canonicalize -> host -> broadcast
+    // per-host robots verdict -> seen-set collapse on the canonical
+    // key; DuckDB recomputes every stage per doc
     "llm_url_frontier"   -> (graft.sources.Urls.urlFrontier _),
+    // outlink discovery: href/src extraction (quoted/unquoted,
+    // comment/script decoys ignored) + RFC 3986 section-5 resolution
+    // against the page URL + canonicalization, all columnar kernels;
+    // DuckDB restates the eight resolved links per doc
+    "llm_html_links"     -> (graft.sources.Html.htmlLinks _),
   )
 
   /** The registry as a SQL surface (round-11 verdict item 8):
@@ -290,6 +296,7 @@ object SparkEntry {
     "llm_robots_filter" -> ("llm-corpus", "Robots.robotsFilter"),
     "llm_url_normalize" -> ("llm-corpus", "Urls.urlNormalize"),
     "llm_url_frontier" -> ("llm-corpus", "Urls.urlFrontier"),
+    "llm_html_links" -> ("llm-corpus", "Html.htmlLinks"),
     "llm_mix_weighted" -> ("llm-corpus", "Llm.mixWeighted"),
     "llm_ngram_jaccard" -> ("llm-dedup", "Llm.ngramJaccard"),
     "llm_pii_scrub" -> ("llm-text", "Llm.piiScrub"),
@@ -609,6 +616,25 @@ object SparkEntry {
            CAST(2 AS BIGINT) AS n_seen,
            doc_id AS first_doc_id
          FROM documents WHERE text IS NOT NULL""",
+    // outlink-discovery oracle: the synthesized page embeds eight
+    // extractable links (and three decoys in comment/script/style
+    // that must NOT appear); each resolved+canonicalized target is a
+    // closed form of (source, doc_id) — relative refs resolve against
+    // the page URL http://<source>.example.com/d/<doc_id>/page.html
+    "llm_html_links" ->
+      """SELECT doc_id, CAST(l.link_no AS BIGINT) AS link_no,
+           CASE l.link_no
+             WHEN 1 THEN concat('http://', source, '.example.com/static/site.css')
+             WHEN 2 THEN concat('http://', source, '.example.com/d/js/app.js')
+             WHEN 3 THEN 'https://other.example.org/x/y?z=1'
+             WHEN 4 THEN concat('http://cdn.example.net/lib/v', doc_id, '.js')
+             WHEN 5 THEN concat('http://', source, '.example.com/d/', doc_id, '/page2?a=1&b=2')
+             WHEN 6 THEN concat('http://', source, '.example.com/d/', doc_id, '/page.html')
+             WHEN 7 THEN concat('http://', source, '.example.com/d/', doc_id, '/bare/sub/page3')
+             ELSE concat('http://', source, '.example.com/img/logo.png')
+           END AS url
+         FROM documents CROSS JOIN (SELECT unnest(generate_series(1, 8)) AS link_no) l
+         WHERE text IS NOT NULL""",
     // mojibake-repair oracle: the garbling is synthesized (UTF-8
     // bytes of «text é read as Latin-1), so the correct repair IS
     // the marked original — recomputable engine-free

@@ -22,6 +22,15 @@ object FrontierKernel {
       case None => null
     }
 
+  /** RFC 3986 §5 resolution of `ref` against `base`, or null when the
+    * base is not an absolute URI (and the ref carries no scheme of
+    * its own) — the discover step per extracted link. */
+  def resolve(base: UTF8String, ref: UTF8String): UTF8String =
+    graft.sources.Urls.resolve(base.toString, ref.toString) match {
+      case Some(t) => UTF8String.fromString(t)
+      case None => null
+    }
+
   /** Per-thread bounded LRU of parsed policies: a frontier scan sees
     * each distinct robots.txt once per (thread × generation), so the
     * RFC 9309 parse runs once per distinct policy, not per row — the
@@ -86,6 +95,39 @@ case class UrlCanon(child: Expression) extends UnaryExpression {
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
+}
+
+/** Native Catalyst expression `graft_url_resolve(base, ref)`:
+  * RFC 3986 §5 reference resolution as a COLUMN — an extracted href
+  * ("../a", "//cdn/x", "?page=2", "#top") absolutized against its
+  * page URL, the step between `graft_html_links` and
+  * `graft_url_canon` in the discover chain. NULL when the base is
+  * not an absolute URI and the ref has no scheme of its own. */
+case class UrlResolve(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_url_resolve"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (StringType, StringType) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (string base, string ref), got $other")
+    }
+
+  override protected def nullSafeEval(base: Any, ref: Any): Any =
+    FrontierKernel.resolve(base.asInstanceOf[UTF8String], ref.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (b, r) =>
+      s"""${ev.value} = graft.plans.FrontierKernel.resolve($b, $r);
+         |${ev.isNull} = ${ev.value} == null;""".stripMargin)
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
 }
 
 /** Native Catalyst expression `graft_robots_allowed(robots_txt, path,

@@ -63,6 +63,60 @@ object Html {
   private def nameBoundary(s: String, i: Int): Boolean =
     i >= s.length || !Character.isLetterOrDigit(s.charAt(i))
 
+  /** Index of the `;` closing a character reference whose `&` sits at
+    * `i`, or -1. The longest decodable reference spans 10 chars past
+    * the `&` (`&#x10FFFF;`), so the search is HARD-BOUNDED to that
+    * window — an unbounded indexOf would rescan the whole tail per
+    * '&' and go quadratic on semicolon-free input (the same cap
+    * discipline as Warc's 64 KiB lineEnd). */
+  private def refSemi(s: String, i: Int): Int = {
+    val lim = math.min(s.length, i + 11)
+    var semi = i + 1
+    while (semi < lim && s.charAt(semi) != ';') semi += 1
+    if (semi >= lim) -1 else semi
+  }
+
+  /** Decode the body of one `&ref;` character reference (the text
+    * between `&` and `;`): core named entities plus numeric
+    * `#123`/`#x1F` forms; null for anything invalid / out-of-range /
+    * surrogate-range — decoding garbage would corrupt it, and a lone
+    * surrogate is not a valid scalar. */
+  private def decodeRef(ref: String): String =
+    if (ref.startsWith("#x") || ref.startsWith("#X")) {
+      val hex = ref.substring(2)
+      if (hex.nonEmpty && hex.forall(ch => Character.digit(ch, 16) >= 0)) {
+        val cp = java.lang.Long.parseLong(hex, 16)
+        if (cp > 0 && cp <= 0x10ffff && !(cp >= 0xd800 && cp <= 0xdfff))
+          new String(Character.toChars(cp.toInt)) else null
+      } else null
+    } else if (ref.startsWith("#")) {
+      val dec = ref.substring(1)
+      if (dec.nonEmpty && dec.forall(_.isDigit) && dec.length <= 7) {
+        val cp = dec.toLong
+        if (cp > 0 && cp <= 0x10ffff && !(cp >= 0xd800 && cp <= 0xdfff))
+          new String(Character.toChars(cp.toInt)) else null
+      } else null
+    } else Named.get(ref).map(_.toString).orNull
+
+  /** Decode every valid `&ref;` in an attribute value (href/src URLs
+    * legitimately carry `&amp;` between query params); invalid
+    * references pass through verbatim, same rules as `extractText`. */
+  private def decodeRefsAll(s: String): String = {
+    if (s.indexOf('&') < 0) return s
+    val out = new java.lang.StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '&') {
+        val semi = refSemi(s, i)
+        val decoded = if (semi < 0) null else decodeRef(s.substring(i + 1, semi))
+        if (decoded != null) { out.append(decoded); i = semi + 1 }
+        else { out.append(c); i += 1 }
+      } else { out.append(c); i += 1 }
+    }
+    out.toString
+  }
+
   /** Index just past the closing `>` of `</name …>` at/after `i`,
     * or -1. `name` must be lower-case. */
   private def closeTagEnd(s: String, i: Int, name: String): Int = {
@@ -120,32 +174,8 @@ object Html {
           out.append(' ')
         }
       } else if (c == '&') {
-        // the longest decodable reference spans 10 chars past the
-        // '&' (`&#x10FFFF;`), so the ';' search is HARD-BOUNDED to
-        // that window — an unbounded indexOf would rescan the whole
-        // tail per '&' and go quadratic on semicolon-free input
-        // (the same cap discipline as Warc's 64 KiB lineEnd)
-        val lim = math.min(n, i + 11)
-        var semi = i + 1
-        while (semi < lim && html.charAt(semi) != ';') semi += 1
-        val ref = if (semi >= lim) null else html.substring(i + 1, semi)
-        val decoded: String =
-          if (ref == null) null
-          else if (ref.startsWith("#x") || ref.startsWith("#X")) {
-            val hex = ref.substring(2)
-            if (hex.nonEmpty && hex.forall(ch => Character.digit(ch, 16) >= 0)) {
-              val cp = java.lang.Long.parseLong(hex, 16)
-              if (cp > 0 && cp <= 0x10ffff && !(cp >= 0xd800 && cp <= 0xdfff))
-                new String(Character.toChars(cp.toInt)) else null
-            } else null
-          } else if (ref.startsWith("#")) {
-            val dec = ref.substring(1)
-            if (dec.nonEmpty && dec.forall(_.isDigit) && dec.length <= 7) {
-              val cp = dec.toLong
-              if (cp > 0 && cp <= 0x10ffff && !(cp >= 0xd800 && cp <= 0xdfff))
-                new String(Character.toChars(cp.toInt)) else null
-            } else null
-          } else Named.get(ref).map(_.toString).orNull
+        val semi = refSemi(html, i)
+        val decoded = if (semi < 0) null else decodeRef(html.substring(i + 1, semi))
         if (decoded != null) { out.append(decoded); i = semi + 1 }
         else { out.append(c); i += 1 }
       } else {
@@ -192,6 +222,132 @@ object Html {
       call_function("graft_html_text", html)
     else udf((s: String) => extractText(s)).apply(html)
 
+  private def isAsciiWs(c: Char): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == 11.toChar || c == '\f' || c == '\r'
+
+  /** Extract outlink CANDIDATES — the `href`/`src` attribute values —
+    * from `html`, in document order. This is the discover step of the
+    * crawl loop (fetch → extract → discover → frontier): the values
+    * come back RAW (relative, protocol-relative, fragment-only …) for
+    * `Urls.resolve(base, ref)` to absolutize against the page URL.
+    *
+    * Same bounded single-pass discipline as `extractText` (one
+    * forward scan, O(1) state, hostile markup degrades to dropped
+    * values, never quadratic time), with the one addition text
+    * extraction doesn't need: the in-tag walk is QUOTE-AWARE, because
+    * a `>` inside a quoted attribute value does not close the tag.
+    * Rules:
+    *
+    *  - `href`/`src` values of ANY tag count (a crawler wants links,
+    *    stylesheets, scripts, frames alike); attribute names are
+    *    case-insensitive;
+    *  - values may be double-quoted, single-quoted, or unquoted
+    *    (unquoted ends at ASCII whitespace or `>`); an UNTERMINATED
+    *    quote swallows the tail and yields nothing — it cannot be a
+    *    well-formed link;
+    *  - character references in values decode (`&amp;` between query
+    *    params) under the same bounded rules as `extractText`;
+    *  - leading/trailing ASCII whitespace strips (the URL parser's
+    *    own pre-step) and empty values drop;
+    *  - comment, CDATA, `<script>`, `<style>` spans contribute
+    *    nothing — markup inside them is code or commentary, not
+    *    links. */
+  /** Walk one tag's interior from `start` (the `<`), quote-aware —
+    * a `>` inside a quoted attribute value does not close the tag —
+    * harvesting decoded `href`/`src` values into `out`. Returns the
+    * index just past the closing `>` (or `n` when the tag never
+    * closes: an unterminated tag or quote swallows the tail). */
+  private def scanTagLinks(html: String, start: Int,
+      out: scala.collection.mutable.Builder[String, Vector[String]]): Int = {
+    val n = html.length
+    var g = start + 1
+    while (g < n && html.charAt(g) != '>' && !isAsciiWs(html.charAt(g))) g += 1
+    var closed = false
+    while (!closed && g < n) {
+      while (g < n && (isAsciiWs(html.charAt(g)) || html.charAt(g) == '/')) g += 1
+      if (g >= n || html.charAt(g) == '>') closed = true
+      else {
+        val ns = g
+        while (g < n && !isAsciiWs(html.charAt(g)) && html.charAt(g) != '=' &&
+               html.charAt(g) != '>' && html.charAt(g) != '/') g += 1
+        val nameEnd = g
+        while (g < n && isAsciiWs(html.charAt(g))) g += 1
+        var value: String = null
+        if (g < n && html.charAt(g) == '=') {
+          g += 1
+          while (g < n && isAsciiWs(html.charAt(g))) g += 1
+          if (g < n && (html.charAt(g) == '"' || html.charAt(g) == '\'')) {
+            val q = html.charAt(g); g += 1
+            val vs = g
+            while (g < n && html.charAt(g) != q) g += 1
+            if (g < n) { value = html.substring(vs, g); g += 1 }
+            // unterminated quote: swallows the tail, no value
+          } else {
+            val vs = g
+            while (g < n && !isAsciiWs(html.charAt(g)) && html.charAt(g) != '>') g += 1
+            value = html.substring(vs, g)
+          }
+        }
+        val isLinkAttr = {
+          val len = nameEnd - ns
+          (len == 4 && matchesAt(html, ns, "href")) ||
+            (len == 3 && matchesAt(html, ns, "src"))
+        }
+        if (isLinkAttr && value != null) {
+          val v = decodeRefsAll(value).trim
+          if (v.nonEmpty) out += v
+        }
+      }
+    }
+    if (g < n) g + 1 else n
+  }
+
+  def extractLinks(html: String): Seq[String] = {
+    if (html == null) return Nil
+    val n = html.length
+    val out = Vector.newBuilder[String]
+    var i = 0
+    while (i < n) {
+      val c = html.charAt(i)
+      val opensTag = c == '<' && i + 1 < n && {
+        val d = html.charAt(i + 1)
+        (d >= 'a' && d <= 'z') || (d >= 'A' && d <= 'Z') ||
+          d == '!' || d == '/' || d == '?'
+      }
+      if (opensTag) {
+        if (matchesAt(html, i, "<!--")) {
+          val end = html.indexOf("-->", i + 4)
+          i = if (end < 0) n else end + 3
+        } else if (matchesAt(html, i, "<![cdata[")) {
+          val end = html.indexOf("]]>", i + 9)
+          i = if (end < 0) n else end + 3
+        } else if ((matchesAt(html, i, "<script") && nameBoundary(html, i + 7)) ||
+                   (matchesAt(html, i, "<style") && nameBoundary(html, i + 6))) {
+          // the OPENING tag's own attributes are real links (`<script
+          // src=…>` references code a crawler fetches); only the BODY
+          // is dropped — markup inside it is string data, not links
+          val name = if (matchesAt(html, i, "<script")) "script" else "style"
+          val bodyStart = scanTagLinks(html, i, out)
+          val end = closeTagEnd(html, bodyStart, name)
+          i = if (end < 0) n else end
+        } else {
+          i = scanTagLinks(html, i, out)
+        }
+      } else i += 1
+    }
+    out.result()
+  }
+
+  /** The COLUMN-level link extraction API — `array<string>` of raw
+    * outlink candidates per page, for `explode` + `Urls.resolveCol` +
+    * `Urls.canonCol` to turn into frontier candidates. Kernel path:
+    * the codegen'd `graft_html_links` (plans/HtmlText); fallback: a
+    * ScalaUDF over the SAME walk, bit-identical (KernelParitySpec). */
+  def linksCol(spark: SparkSession, html: Column): Column =
+    if (graft.operators.Llm.kernelOn(spark, "graft_html_links"))
+      call_function("graft_html_links", html)
+    else udf((s: String) => extractLinks(s)).apply(html)
+
   /** The ORACLED registry leg (`llm_html_extract`): every document
     * is wrapped in a synthesized page exercising each extraction
     * rule — a dropped `<style>` block, a dropped comment, a dropped
@@ -221,6 +377,54 @@ object Html {
     Tables.documents(spark, dir)
       .filter(col("text").isNotNull)
       .select(col("doc_id"), textCol(spark, page).as("extracted_text"))
+  }
+
+  /** The ORACLED outlink-discovery leg (`llm_html_links`) — the
+    * missing half of the crawl loop: every document is wrapped in a
+    * synthesized page whose markup exercises each link-extraction
+    * rule (quoted / single-quoted / unquoted values, `src` as well
+    * as `href`, an entity-escaped `&amp;` between query params, and
+    * links inside a comment, a `<script>` body and a `<style>` body
+    * that MUST be ignored), the raw candidates extract via the
+    * `graft_html_links` column kernel, and each resolves against the
+    * page's own URL per RFC 3986 §5 (`graft_url_resolve`: relative,
+    * dot-segment, protocol-relative, fragment-only and absolute refs
+    * all occur) before canonicalizing (`graft_url_canon`). The whole
+    * chain — synthesize, extract, explode, resolve, canonicalize —
+    * is columnar kernels in ONE codegen scan projection (PlanSpec
+    * pins no ScalaUDF / object boundary); DuckDB restates all eight
+    * resolved links per document from the closed form. */
+  def htmlLinks(spark: SparkSession, dir: String): DataFrame = {
+    val id = col("doc_id").cast("string")
+    val page = concat(
+      lit("<html><head>\n" +
+        "<link rel=\"stylesheet\" href=\"/static/site.css\">\n" +
+        "<script src='../js/app.js'></script>\n" +
+        "<style>.x { background: url(\"/ignored/in/style.png\"); }</style>\n" +
+        "</head><body>\n" +
+        "<!-- <a href=\"/ignored/in/comment\"> -->\n" +
+        "<script>var s = \"<a href='/ignored/in/script'>\";</script>\n" +
+        "<a href=\"https://Other.Example.ORG:443/x/./y?z=1\">abs</a>\n" +
+        "<a href=\"//cdn.example.net/lib/v"),
+      id,
+      lit(".js\">proto-rel</a>\n" +
+        "<a href=\"page2?a=1&amp;b=2\">sibling</a>\n" +
+        "<a href=\"#top\">self</a>\n" +
+        "<a href=bare/sub/page3>unquoted</a>\n" +
+        "<img src=\"../../img/logo.png\">\n" +
+        "</body></html>"))
+    val base = concat(lit("http://"), col("source"), lit(".example.com/d/"),
+      id, lit("/page.html"))
+    Tables.documents(spark, dir)
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), base.as("base_url"),
+        linksCol(spark, page).as("links"))
+      .select(col("doc_id"), col("base_url"), posexplode(col("links")))
+      .select(col("doc_id"), (col("pos") + 1).cast("long").as("link_no"),
+        coalesce(
+          graft.sources.Urls.canonCol(spark,
+            graft.sources.Urls.resolveCol(spark, col("base_url"), col("col"))),
+          lit("!")).as("url")) // failure is visible, never silently dropped
   }
 
   /** The ORACLED end-to-end crawl chain (`llm_crawl_extract`) — every

@@ -122,6 +122,112 @@ object Urls {
     case _ => None
   }
 
+  private def isAlpha(c: Char): Boolean =
+    (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z')
+
+  private def isSchemeChar(c: Char): Boolean =
+    isAlpha(c) || (c >= '0' && c <= '9') || c == '+' || c == '-' || c == '.'
+
+  /** A parsed URI reference per RFC 3986 appendix A — every component
+    * optional (`query`/`fragment` keep their leading delimiter
+    * stripped). Hand-parsed in ONE pass with delimiter `indexOf`s —
+    * no regex, so parse time on an attacker-supplied megabyte ref is
+    * provably linear with zero backtracking. */
+  private[graft] final case class Ref(scheme: Option[String],
+      authority: Option[String], path: String,
+      query: Option[String], fragment: Option[String])
+
+  private[graft] def parseRef(s: String): Ref = {
+    var rest = s
+    var fragment: Option[String] = None
+    val hash = rest.indexOf('#')
+    if (hash >= 0) {
+      fragment = Some(rest.substring(hash + 1)); rest = rest.substring(0, hash)
+    }
+    var query: Option[String] = None
+    val qm = rest.indexOf('?')
+    if (qm >= 0) {
+      query = Some(rest.substring(qm + 1)); rest = rest.substring(0, qm)
+    }
+    // scheme = ALPHA *( ALPHA / DIGIT / "+" / "-" / "." ) ":"
+    var scheme: Option[String] = None
+    if (rest.nonEmpty && isAlpha(rest.charAt(0))) {
+      var k = 1
+      while (k < rest.length && isSchemeChar(rest.charAt(k))) k += 1
+      if (k < rest.length && rest.charAt(k) == ':') {
+        scheme = Some(rest.substring(0, k)); rest = rest.substring(k + 1)
+      }
+    }
+    var authority: Option[String] = None
+    if (rest.startsWith("//")) {
+      val slash = rest.indexOf('/', 2)
+      if (slash < 0) { authority = Some(rest.substring(2)); rest = "" }
+      else { authority = Some(rest.substring(2, slash)); rest = rest.substring(slash) }
+    }
+    Ref(scheme, authority, rest, query, fragment)
+  }
+
+  /** RFC 3986 §5 reference resolution — the discover step of the
+    * crawl loop: an extracted href ("../a", "//cdn/x", "?page=2",
+    * "#top", "https://other/abs") absolutized against the page URL.
+    * Implements §5.2.2 transform + §5.2.3 merge + §5.2.4 dot-segment
+    * removal + §5.3 recomposition, STRICT variant (a ref carrying its
+    * own scheme is taken whole — no same-scheme backward-compat
+    * rewrite), verbatim to the spec: UrlsSpec carries the §5.4.1
+    * normal AND §5.4.2 abnormal example tables as the pin. The
+    * target's fragment comes from the ref (§5.2.2 last line) — the
+    * frontier's canonicalizer drops it afterward. None when `base`
+    * has no scheme (not an absolute URI) and the ref doesn't carry
+    * its own. */
+  def resolve(base: String, ref: String): Option[String] = {
+    val r = parseRef(ref)
+    val target: Option[(String, Option[String], String, Option[String])] =
+      if (r.scheme.isDefined)
+        Some((r.scheme.get, r.authority, removeDotSegments(r.path), r.query))
+      else {
+        val b = parseRef(base)
+        if (b.scheme.isEmpty) None
+        else if (r.authority.isDefined)
+          Some((b.scheme.get, r.authority, removeDotSegments(r.path), r.query))
+        else if (r.path.isEmpty)
+          Some((b.scheme.get, b.authority, b.path, r.query.orElse(b.query)))
+        else if (r.path.startsWith("/"))
+          Some((b.scheme.get, b.authority, removeDotSegments(r.path), r.query))
+        else {
+          // §5.2.3 merge: base-with-authority-and-empty-path gets a
+          // leading '/', else ref replaces base's last path segment
+          val merged =
+            if (b.authority.isDefined && b.path.isEmpty) "/" + r.path
+            else b.path.lastIndexOf('/') match {
+              case -1 => r.path
+              case k  => b.path.substring(0, k + 1) + r.path
+            }
+          Some((b.scheme.get, b.authority, removeDotSegments(merged), r.query))
+        }
+      }
+    target.map { case (scheme, auth, path, query) =>
+      val sb = new StringBuilder(base.length + ref.length)
+      sb.append(scheme).append(':')
+      auth.foreach(a => sb.append("//").append(a))
+      sb.append(path)
+      query.foreach(q => sb.append('?').append(q))
+      r.fragment.foreach(f => sb.append('#').append(f))
+      sb.toString
+    }
+  }
+
+  /** The COLUMN-level resolution API — per extracted link in the
+    * discover path, so it must stay inside WholeStageCodegen like its
+    * neighbors. Kernel: the codegen'd `graft_url_resolve`
+    * (plans/Frontier); fallback: a ScalaUDF over the SAME `resolve`,
+    * bit-identical across the gate (KernelParitySpec). NULL on null
+    * inputs or an unresolvable (scheme-less) base. */
+  def resolveCol(spark: SparkSession, base: Column, ref: Column): Column =
+    if (graft.operators.Llm.kernelOn(spark, "graft_url_resolve"))
+      call_function("graft_url_resolve", base, ref)
+    else udf((b: String, r: String) =>
+      if (b == null || r == null) None else resolve(b, r)).apply(base, ref)
+
   /** The COLUMN-level canonicalization API — the frontier's per-URL
     * hot path (seen-set keys, politeness grouping, alias collapse)
     * as a plain column, NULL when the input is not an absolute URL.
@@ -171,12 +277,19 @@ object Urls {
     * policy variation (`frontierPolicy`) makes one verdict depend on
     * the robots JOIN delivering the right host's rules.
     *
-    * Scale shape: the ENTIRE map side is columnar — candidate
-    * synthesis (when/concat + explode), canonicalization (the
-    * codegen'd `graft_url_canon`), host/path keying (substring /
-    * regexp), and the verdict (`graft_robots_allowed`, policy parse
-    * LRU-cached per thread) all run inside WholeStageCodegen with
-    * ZERO object-serialization boundaries (PlanSpec pins no
+    * Since round 18 the candidates are DISCOVERED, not listed: each
+    * document's page embeds its two spellings as real anchors and the
+    * chain runs fetch-shaped end to end — `graft_html_links` (extract)
+    * → `graft_url_resolve` (RFC 3986 §5 absolutize) →
+    * `graft_url_canon` → robots verdict → seen-set dedup.
+    *
+    * Scale shape: the ENTIRE map side is columnar — page synthesis
+    * (when/concat), link extraction + resolution + canonicalization
+    * (the codegen'd `graft_html_links` / `graft_url_resolve` /
+    * `graft_url_canon`), host/path keying (substring / regexp), and
+    * the verdict (`graft_robots_allowed`, policy parse LRU-cached per
+    * thread) all run inside WholeStageCodegen with ZERO
+    * object-serialization boundaries (PlanSpec pins no
     * DeserializeToObject, no ScalaUDF). The robots table is one row
     * per HOST (tiny, broadcast — PlanSpec pins BroadcastHashJoin,
     * never a shuffle or cartesian); the only big exchange is the
@@ -189,8 +302,16 @@ object Urls {
       .filter(col("text").isNotNull)
       .select(col("doc_id"), col("source"), col("n_chars").cast("int").as("n_chars"))
 
-    // 1. candidates: primary + alias spelling of the same resource,
-    //    synthesized columnar (when/concat), doubled via explode
+    // 1. candidates come FROM PAGE MARKUP, not a synthesized list:
+    //    each document's crawl page carries its two spellings of the
+    //    same resource (case games, default ports, dot-segments,
+    //    unreserved escapes, fragments) as real anchors — one
+    //    double-quoted, one single-quoted — plus a comment decoy that
+    //    must NOT surface. The discover chain is the production one:
+    //    `graft_html_links` extracts the raw hrefs, `graft_url_resolve`
+    //    absolutizes each against the fetch URL (these are absolute
+    //    already — §5.2.2's ref-has-scheme branch — so the oracle's
+    //    closed form is unchanged), all columnar.
     val m4 = pmod(col("n_chars"), lit(4))
     val h = concat(col("source"), lit(".example.com"))
     val id = col("doc_id").cast("string")
@@ -204,8 +325,13 @@ object Urls {
         .when(m4 === 1, concat(lit("https://"), h, lit("/data/raw/"), id))
         .when(m4 === 2, concat(lit("http://"), col("source"), lit(".Example.com/tmp/run"), id, lit(".log")))
         .otherwise(concat(lit("http://"), h, lit("/doc/~"), id, lit("?q=1")))
-    val candidates = docs.select(col("doc_id"),
-      explode(array(primary, alias)).as("url"))
+    val page = concat(
+      lit("<html><body><!-- <a href=\"http://decoy.example.com/never\"> -->\n<a href=\""),
+      primary, lit("\">p</a> <a href='"), alias, lit("'>a</a></body></html>"))
+    val candidates = docs
+      .select(col("doc_id"), explode(Html.linksCol(spark, page)).as("ref"))
+      .select(col("doc_id"), resolveCol(spark,
+        lit("http://seed.example.com/frontier"), col("ref")).as("url"))
 
     // 2. canonical key + frontier keys (host for the robots join,
     //    query-less path for the verdict) — columnar, parse failure

@@ -99,6 +99,62 @@ class HtmlSpec extends AnyFunSuite {
       s"4x input grew ${tb / ts}x (small=$ts ms, big=$tb ms) — superlinear entity scan")
   }
 
+  test("extractLinks: href/src values, quoting forms, entity decode, decoy spans ignored") {
+    import graft.sources.Html.extractLinks
+    assert(extractLinks("""<a href="/x">t</a>""") == Seq("/x"))
+    assert(extractLinks("""<a href='/single'>t</a>""") == Seq("/single"))
+    assert(extractLinks("""<a href=bare/path>t</a>""") == Seq("bare/path"),
+      "unquoted values end at whitespace or '>' and may contain '/'")
+    assert(extractLinks("""<img src="/i.png"><script src='/j.js'></script>""") ==
+      Seq("/i.png", "/j.js"), "src counts; a script TAG's src is a real link")
+    assert(extractLinks("""<a HREF="/up">t</a>""") == Seq("/up"), "attr names case-insensitive")
+    assert(extractLinks("""<a href="p?a=1&amp;b=2">t</a>""") == Seq("p?a=1&b=2"),
+      "character references in values decode")
+    assert(extractLinks("""<a href=" /padded ">t</a>""") == Seq("/padded"),
+      "leading/trailing ASCII whitespace strips")
+    assert(extractLinks("""<a title="x > y" href="/after-gt">t</a>""") == Seq("/after-gt"),
+      "a '>' inside a quoted value does not close the tag")
+    assert(extractLinks("""<a id=x data-href="/not-href" href="/real">t</a>""") == Seq("/real"),
+      "only exactly href/src harvest — no substring matches")
+    // decoy spans: comments, script/style BODIES, cdata contribute nothing
+    assert(extractLinks("""<!-- <a href="/c"> --><script>s="<a href='/s'>"</script>""" +
+      """<style>url("/st")</style><![CDATA[<a href="/cd">]]>x""") == Nil)
+    // multiple attributes and self-closing tags
+    assert(extractLinks("""<link rel="stylesheet" href="/css"/><br/>""") == Seq("/css"))
+    assert(extractLinks("""<a href="">t</a><a href="  ">u</a>""") == Nil,
+      "empty / whitespace-only values drop")
+    assert(extractLinks(null) == Nil)
+  }
+
+  test("extractLinks hostile input: unterminated constructs bounded, LINEAR time") {
+    import graft.sources.Html.extractLinks
+    assert(extractLinks("""<a href="/ok"><a href="/unterminated""") == Seq("/ok"),
+      "an unterminated quote swallows the tail and yields no value")
+    assert(extractLinks("<a " + "x" * 100000) == Nil, "unterminated tag never throws")
+    // attribute-bomb: a megabyte tag of junk attrs stays linear
+    def timeMs(s: String): Double = {
+      extractLinks(s) // warm
+      val t0 = System.nanoTime()
+      extractLinks(s); extractLinks(s); extractLinks(s)
+      (System.nanoTime() - t0) / 3e6
+    }
+    val attrBomb = "<a " + "x=y " * 100000 + "href=/z>"
+    assert(extractLinks(attrBomb) == Seq("/z"))
+    val small = "<a " + "= " * 50000 + ">"
+    val big = "<a " + "= " * 200000 + ">"
+    val ts = math.max(timeMs(small), 0.01)
+    val tb = timeMs(big)
+    assert(tb / ts < 10.0,
+      s"4x input grew ${tb / ts}x (small=$ts ms, big=$tb ms) — superlinear attr walk")
+    // fuzz: arbitrary tag soup never throws and never loops
+    val rnd = new scala.util.Random(43)
+    val alphabet = "<>&#;ab /!-x\"'=hrefsrc"
+    for (_ <- 0 until 2000) {
+      val s = Seq.fill(rnd.nextInt(80))(alphabet(rnd.nextInt(alphabet.length))).mkString
+      extractLinks(s)
+    }
+  }
+
   test("llm_html_extract: distributed extraction reproduces the closed-form oracle on every document") {
     val got = graft.sources.Html.htmlExtract(spark, TestSpark.sf).collect()
       .map(r => r.getLong(0) -> r.getString(1)).toMap

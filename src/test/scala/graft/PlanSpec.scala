@@ -462,16 +462,31 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
-  test("frontier map side is fully columnar: url-canon + robots kernels, zero object boundaries") {
-    // the per-URL hot path (canonicalize, key, verdict) must run
-    // inside WholeStageCodegen — no typed lambdas, no ScalaUDF, no
-    // DeserializeToObject anywhere in the plan
+  test("frontier map side is fully columnar: link/resolve/canon/robots kernels, zero object boundaries") {
+    // the per-URL hot path (discover from markup, absolutize,
+    // canonicalize, key, verdict) must run inside WholeStageCodegen —
+    // no typed lambdas, no ScalaUDF, no DeserializeToObject anywhere
     val p = plan("llm_url_frontier")
+    assert(p.contains("graft_html_links"), s"frontier candidates no longer DISCOVERED from markup:\n$p")
+    assert(p.contains("graft_url_resolve"), s"frontier lost the resolve kernel:\n$p")
     assert(p.contains("graft_url_canon"), s"frontier lost the canon kernel:\n$p")
     assert(p.contains("graft_robots_allowed"), s"frontier lost the verdict kernel:\n$p")
     assert(!p.contains("ScalaUDF"), "frontier must carry no Scala UDF")
     assert(!p.contains("DeserializeToObject") && !p.contains("MapPartitions"),
       s"frontier acquired an object-serialization boundary:\n$p")
+  }
+
+  test("outlink-discovery leg is a shuffle-free codegen scan: extract → resolve → canon") {
+    // at 100 TB link discovery is a pure per-page map — embarrassingly
+    // parallel, output-sized, ZERO exchanges; the whole chain must be
+    // the three kernels inside one scan projection (+ the explode)
+    val p = plan("llm_html_links")
+    for (k <- Seq("graft_html_links", "graft_url_resolve", "graft_url_canon"))
+      assert(p.contains(k), s"llm_html_links lost kernel $k:\n$p")
+    assert(!p.contains("ScalaUDF"), "llm_html_links must carry no Scala UDF")
+    assert(!p.contains("DeserializeToObject") && !p.contains("MapPartitions"),
+      s"llm_html_links acquired an object boundary:\n$p")
+    assert(!p.contains("Exchange"), s"llm_html_links acquired a shuffle:\n$p")
   }
 
   test("PQ ADC scans rank on the graft_adc kernel, not an interpreted fold") {

@@ -88,6 +88,99 @@ class UrlsSpec extends AnyFunSuite {
     assert(got == want, "canonical forms diverge from the closed-form case table")
   }
 
+  test("resolve matches RFC 3986 §5.4.1 — the normal examples, verbatim") {
+    val base = "http://a/b/c/d;p?q"
+    val normal = Seq(
+      "g:h"     -> "g:h",
+      "g"       -> "http://a/b/c/g",
+      "./g"     -> "http://a/b/c/g",
+      "g/"      -> "http://a/b/c/g/",
+      "/g"      -> "http://a/g",
+      "//g"     -> "http://g",
+      "?y"      -> "http://a/b/c/d;p?y",
+      "g?y"     -> "http://a/b/c/g?y",
+      "#s"      -> "http://a/b/c/d;p?q#s",
+      "g#s"     -> "http://a/b/c/g#s",
+      "g?y#s"   -> "http://a/b/c/g?y#s",
+      ";x"      -> "http://a/b/c/;x",
+      "g;x"     -> "http://a/b/c/g;x",
+      "g;x?y#s" -> "http://a/b/c/g;x?y#s",
+      ""        -> "http://a/b/c/d;p?q",
+      "."       -> "http://a/b/c/",
+      "./"      -> "http://a/b/c/",
+      ".."      -> "http://a/b/",
+      "../"     -> "http://a/b/",
+      "../g"    -> "http://a/b/g",
+      "../.."   -> "http://a/",
+      "../../"  -> "http://a/",
+      "../../g" -> "http://a/g")
+    for ((ref, want) <- normal)
+      assert(Urls.resolve(base, ref).contains(want),
+        s"resolve($base, '$ref') must be $want, got ${Urls.resolve(base, ref)}")
+  }
+
+  test("resolve matches RFC 3986 §5.4.2 — the abnormal examples, verbatim (strict parser)") {
+    val base = "http://a/b/c/d;p?q"
+    val abnormal = Seq(
+      // more ..s than path segments: extras discard at the root
+      "../../../g"    -> "http://a/g",
+      "../../../../g" -> "http://a/g",
+      // dot-segments NOT at a boundary the merge created
+      "/./g"  -> "http://a/g",
+      "/../g" -> "http://a/g",
+      "g."    -> "http://a/b/c/g.",
+      ".g"    -> "http://a/b/c/.g",
+      "g.."   -> "http://a/b/c/g..",
+      "..g"   -> "http://a/b/c/..g",
+      // nonsensical-but-legal mixes
+      "./../g"  -> "http://a/b/g",
+      "./g/."   -> "http://a/b/c/g/",
+      "g/./h"   -> "http://a/b/c/g/h",
+      "g/../h"  -> "http://a/b/c/h",
+      "g;x=1/./y"  -> "http://a/b/c/g;x=1/y",
+      "g;x=1/../y" -> "http://a/b/c/y",
+      // dot-segments in query/fragment are DATA, not path structure
+      "g?y/./x"  -> "http://a/b/c/g?y/./x",
+      "g?y/../x" -> "http://a/b/c/g?y/../x",
+      "g#s/./x"  -> "http://a/b/c/g#s/./x",
+      "g#s/../x" -> "http://a/b/c/g#s/../x",
+      // strict parser: a ref with its own scheme is taken whole, even
+      // when the scheme matches the base (no backward-compat rewrite)
+      "http:g" -> "http:g")
+    for ((ref, want) <- abnormal)
+      assert(Urls.resolve(base, ref).contains(want),
+        s"resolve($base, '$ref') must be $want, got ${Urls.resolve(base, ref)}")
+  }
+
+  test("resolve edges: scheme-less base fails, authority-empty-path merge, null-free") {
+    assert(Urls.resolve("not a url", "g").isEmpty,
+      "a base with no scheme cannot anchor a relative ref")
+    assert(Urls.resolve("not a url", "http://x/y").contains("http://x/y"),
+      "a ref with its own scheme never needs the base")
+    assert(Urls.resolve("http://h", "g").contains("http://h/g"),
+      "§5.2.3: base with authority and empty path merges as '/' + ref")
+    assert(Urls.resolve("http://h/a/b?x=1", "?y=2").contains("http://h/a/b?y=2"),
+      "query-only ref keeps the base path, replaces the query")
+    assert(Urls.resolve("http://h/a/", "sub/page").contains("http://h/a/sub/page"))
+  }
+
+  test("parseRef and resolve are LINEAR on hostile megabyte refs") {
+    // single-pass delimiter walk: a megabyte of 'a's with no
+    // structure, a megabyte of '/./' bombs, a megabyte of '?'s —
+    // all must parse+resolve in linear time (same discipline as
+    // removeDotSegments below)
+    val base = "http://a/b/c/d"
+    val bombs = Seq(
+      "a" * 1000000,
+      "/./" * 300000,
+      "x" + "?" * 1000000,
+      "../" * 300000 + "g")
+    val t0 = System.nanoTime()
+    for (b <- bombs) assert(Urls.resolve(base, b).isDefined)
+    val ms = (System.nanoTime() - t0) / 1e6
+    assert(ms < 1500.0, s"hostile resolve took $ms ms — nonlinear parse")
+  }
+
   test("remove_dot_segments is LINEAR on hostile megabyte paths (no substring churn)") {
     // frontier URLs are attacker-supplied; the textbook slicing
     // formulation is O(n²) on paths like /a/a/a/… — the same hostile
