@@ -198,6 +198,10 @@ object SparkEntry {
     // against the page URL + canonicalization, all columnar kernels;
     // DuckDB restates the eight resolved links per doc
     "llm_html_links"     -> (graft.sources.Html.htmlLinks _),
+    // per-host politeness schedule over the frontier's admitted URLs:
+    // deterministic per-host slots + fetch times, one host exchange,
+    // per-partition sort only; DuckDB restates the window arithmetic
+    "llm_frontier_schedule" -> (graft.sources.Urls.frontierSchedule _),
   )
 
   /** The registry as a SQL surface (round-11 verdict item 8):
@@ -297,6 +301,7 @@ object SparkEntry {
     "llm_url_normalize" -> ("llm-corpus", "Urls.urlNormalize"),
     "llm_url_frontier" -> ("llm-corpus", "Urls.urlFrontier"),
     "llm_html_links" -> ("llm-corpus", "Html.htmlLinks"),
+    "llm_frontier_schedule" -> ("llm-corpus", "Urls.frontierSchedule"),
     "llm_mix_weighted" -> ("llm-corpus", "Llm.mixWeighted"),
     "llm_ngram_jaccard" -> ("llm-dedup", "Llm.ngramJaccard"),
     "llm_pii_scrub" -> ("llm-text", "Llm.piiScrub"),
@@ -616,6 +621,33 @@ object SparkEntry {
            CAST(2 AS BIGINT) AS n_seen,
            doc_id AS first_doc_id
          FROM documents WHERE text IS NOT NULL""",
+    // politeness-schedule oracle: the frontier's closed form (the
+    // llm_url_frontier oracle) filtered to allowed rows, then pure
+    // window arithmetic — per-host dense slots ordered by
+    // (first_doc_id, canonical_url), fetch time (slot-1) x 1000 ms
+    "llm_frontier_schedule" ->
+      """WITH f AS (
+           SELECT
+             CASE n_chars % 4
+               WHEN 0 THEN concat('http://', source, '.example.com/data/pub/', doc_id)
+               WHEN 1 THEN concat('https://', source, '.example.com/data/raw/', doc_id)
+               WHEN 2 THEN concat('http://', source, '.example.com/tmp/run', doc_id, '.log')
+               ELSE concat('http://', source, '.example.com/doc/~', doc_id, '?q=1')
+             END AS canonical_url,
+             concat(source, '.example.com') AS host,
+             CASE n_chars % 4
+               WHEN 0 THEN true
+               WHEN 1 THEN false
+               WHEN 2 THEN false
+               ELSE length(source) % 2 = 1
+             END AS allowed,
+             doc_id AS first_doc_id
+           FROM documents WHERE text IS NOT NULL)
+         SELECT host, canonical_url, first_doc_id,
+           CAST(row_number() OVER w AS BIGINT) AS slot,
+           CAST((row_number() OVER w - 1) * 1000 AS BIGINT) AS fetch_at_ms
+         FROM f WHERE allowed
+         WINDOW w AS (PARTITION BY host ORDER BY first_doc_id, canonical_url)""",
     // outlink-discovery oracle: the synthesized page embeds eight
     // extractable links (and three decoys in comment/script/style
     // that must NOT appear); each resolved+canonicalized target is a

@@ -368,6 +368,41 @@ object Urls {
            min(col("doc_id")).as("first_doc_id"))
   }
 
+  /** Per-host politeness delay between fetches — one request per
+    * second per host, the classic conservative default a crawler
+    * uses when robots.txt names no Crawl-delay. */
+  private[graft] val CrawlDelayMs = 1000L
+
+  /** The ORACLED politeness-schedule leg (`llm_frontier_schedule`) —
+    * what a crawler does with the frontier's admitted URLs: fetches
+    * against one host must be SPACED, so each allowed canonical URL
+    * gets a deterministic per-host slot (dense arrival order by
+    * (first_doc_id, canonical_url) — first-discovered fetches first)
+    * and a fetch time `(slot-1) × CrawlDelayMs`. Pure window
+    * arithmetic on top of `urlFrontier`, so DuckDB restates the whole
+    * schedule from the frontier's closed form.
+    *
+    * Scale shape: the schedule adds exactly ONE exchange — the hash
+    * repartition on `host` the per-host window needs — and its sort
+    * is per-partition (host groups), NEVER a global sort: at 100 TB
+    * the frontier is billions of URLs and a total order across hosts
+    * is both unnecessary (hosts are independent fetch queues) and a
+    * single-point bottleneck. PlanSpec pins one host exchange, zero
+    * range partitioning. The per-host row_number is the honest
+    * sequential structure of politeness itself — a host's queue IS
+    * serial — and host cardinality (millions) dwarfs executor counts,
+    * so the window parallelizes across hosts. */
+  def frontierSchedule(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("host"))
+      .orderBy(col("first_doc_id"), col("canonical_url"))
+    urlFrontier(spark, dir)
+      .filter(col("allowed"))
+      .select(col("host"), col("canonical_url"), col("first_doc_id"))
+      .withColumn("slot", row_number().over(w).cast("long"))
+      .withColumn("fetch_at_ms", (col("slot") - 1) * lit(CrawlDelayMs))
+  }
+
   /** The ORACLED registry leg (`llm_url_normalize`): per-row messy
     * URLs chosen by `n_chars % 4`, each exercising a different
     * normalization rule — case + default port, dot-segments,

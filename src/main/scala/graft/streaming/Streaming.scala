@@ -392,6 +392,47 @@ object Streaming {
       .dropDuplicatesWithinWatermark("canonical_url")
   }
 
+  /** Schedule row emitted by `scheduleStream`. */
+  case class ScheduleOut(host: String, canonical_url: String,
+      slot: Long, fetch_at_ms: Long)
+
+  /** The politeness SCHEDULE's streaming leg — the online twin of
+    * `Urls.frontierSchedule`: admitted frontier rows (the output of
+    * `frontierStream`) are queued per host, and each host's fetches
+    * get strictly increasing slots in admission order, CONTINUOUS
+    * ACROSS MICRO-BATCHES — the per-host state is one long (the next
+    * slot), not a queue, so state size is O(hosts) forever. Within a
+    * micro-batch, arrival order is pinned by (cand_id,
+    * canonical_url) so replays assign identical slots. `fetch_at_ms`
+    * is the same `(slot-1) × CrawlDelayMs` arithmetic as the batch
+    * leg (a deployment would anchor it to the host's last real fetch
+    * time; the slot spacing is the part that carries the politeness
+    * contract). Keyed state is the honest shape here: a host's fetch
+    * queue IS serial, and host cardinality dwarfs executor counts so
+    * the operator parallelizes across hosts exactly like the batch
+    * leg's window. StreamingSpec pins per-host continuity across
+    * batches AND batch-twin parity on the same admitted set. */
+  def scheduleStream(admitted: DataFrame): DataFrame = {
+    import admitted.sparkSession.implicits._
+    admitted
+      .filter(col("allowed"))
+      .select(col("host"), col("canonical_url"), col("cand_id"))
+      .as[(String, String, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Long, ScheduleOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout()) {
+        (host, rows, state) =>
+          var slot = state.getOption.getOrElse(0L)
+          val out = rows.toSeq.sortBy(r => (r._3, r._2)).map { r =>
+            slot += 1
+            ScheduleOut(host, r._2, slot,
+              (slot - 1) * graft.sources.Urls.CrawlDelayMs)
+          }
+          state.update(slot)
+          out.iterator
+      }.toDF()
+  }
+
   /** The NEAR-dup family's streaming leg: online suspect filtering of
     * a document stream against a STATIC corpus index
     * (`Llm.NearDupIndex` — built batch-side, typically reloaded from

@@ -476,6 +476,27 @@ class PlanSpec extends AnyFunSuite {
       s"frontier acquired an object-serialization boundary:\n$p")
   }
 
+  test("politeness schedule adds exactly ONE host exchange and never a global sort") {
+    // hosts are independent fetch queues: the per-host window needs
+    // one hash repartition on host (after the frontier's own dedup
+    // exchange) and a PER-PARTITION sort — a global (range) sort
+    // across billions of URLs would be a single-point bottleneck
+    val p = plan("llm_frontier_schedule")
+    assert("Exchange hashpartitioning\\(host".r.findAllMatchIn(p).size == 1,
+      s"window must cluster by host with exactly one exchange:\n$p")
+    assert(!p.contains("rangepartitioning"), s"schedule acquired a GLOBAL sort:\n$p")
+    // the full fact-path budget: the frontier's own dedup exchange on
+    // canonical_url + the ONE host exchange above; the only other
+    // hash exchange allowed is the tiny per-host robots dim's
+    // distinct(source) feeding the broadcast
+    assert("Exchange hashpartitioning\\(canonical_url".r.findAllMatchIn(p).size == 1,
+      s"frontier dedup must stay a single canonical_url exchange:\n$p")
+    val shuffles = "Exchange hashpartitioning".r.findAllMatchIn(p).size
+    assert(shuffles == 3,
+      s"dedup + host window + dim distinct = exactly three hash exchanges, saw $shuffles:\n$p")
+    assert(p.contains("Window"), s"schedule lost the window operator:\n$p")
+  }
+
   test("outlink-discovery leg is a shuffle-free codegen scan: extract → resolve → canon") {
     // at 100 TB link discovery is a pure per-page map — embarrassingly
     // parallel, output-sized, ZERO exchanges; the whole chain must be
