@@ -728,22 +728,39 @@ object Llm {
            round(avg(col("n_tokens")), 4).as("avg_tokens"),
            round(avg(length(col("text"))), 4).as("avg_chars"))
 
-  /** Language ID by character-class heuristic (n-gram-free variant:
-    * script detection + diacritic profiling), reported as a confusion
-    * matrix against the labeled `lang`. On this corpus the text is
-    * pure ASCII so every prediction is 'en' — the interesting output
-    * is the structure, and the operator is deterministic and
-    * oracle-checkable. */
-  def langId(spark: SparkSession, dir: String): DataFrame =
+  /** Language ID by Cavnar–Trenkle character-n-gram rank profiles
+    * (operators/LangId.scala — the REAL public method, replacing the
+    * round-≤17 four-rule char-class heuristic), reported as a
+    * confusion matrix against the labeled `lang`. The testdata's
+    * `text` is English-vocabulary filler whatever its label, so the
+    * leg scores a deterministic HELD-OUT snippet per row instead:
+    * snippet language = the labeled lang, EXCEPT every doc_id % 5 ==
+    * 0 row deliberately gets an English snippet (so the matrix has
+    * off-diagonal mass and a scorer that ignored its input would
+    * fail); snippet variant = doc_id % 3; the row's doc_id is
+    * appended (digits are outside the gram alphabet — the scorer
+    * must ignore them). LangIdSpec pins all 15 (lang × variant)
+    * held-out snippets to classify correctly, which is exactly what
+    * makes the closed-form oracle sound; the REAL scorer runs
+    * distributed via the `graft_lang_id` kernel — one map-only
+    * codegen scan — and DuckDB restates the matrix from the case
+    * arithmetic. */
+  def langId(spark: SparkSession, dir: String): DataFrame = {
+    val effLang = when(pmod(col("doc_id"), lit(5)) === 0, lit("en"))
+      .otherwise(col("lang"))
+    val variant = pmod(col("doc_id"), lit(3)).cast("int")
+    val snippet = LangId.heldOut.toSeq.sortBy(_._1).flatMap { case (l, ss) =>
+      ss.zipWithIndex.map { case (s, v) => (l, v, s) }
+    }.foldLeft(lit(null).cast("string")) { case (acc, (l, v, s)) =>
+      when(effLang === l && variant === v, lit(s)).otherwise(acc)
+    }
     Tables.documents(spark, dir)
-      .withColumn("pred_lang",
-        when(col("text").rlike("[\\u4e00-\\u9fff]"), "zh")
-          .when(col("text").rlike("[ñ¡¿áéíóúü]"), "es")
-          .when(col("text").rlike("[àâçèêëîïôùûœ]"), "fr")
-          .when(col("text").rlike("[äöüß]"), "de")
-          .otherwise("en"))
+      .filter(col("text").isNotNull)
+      .withColumn("pred_lang", LangId.langCol(spark,
+        concat(snippet, lit(" "), col("doc_id").cast("string"))))
       .groupBy(col("lang"), col("pred_lang"))
       .agg(count(lit(1)).as("n_docs"))
+  }
 
   /** Per-document quality score: unique-token ratio × length factor
     * (saturating at 100 tokens), plus the raw features. All integer

@@ -83,7 +83,8 @@ class KernelParitySpec extends AnyFunSuite {
     // same Scala walks — bit-identical by construction, pinned
     // end-to-end anyway
     "llm_html_extract", "llm_crawl_extract", "llm_url_frontier",
-    "llm_url_normalize", "llm_robots_filter", "llm_html_links")
+    "llm_url_normalize", "llm_robots_filter", "llm_html_links",
+    "llm_lang_id")
 
   for (q <- covering)
     test(s"$q is identical with kernels disabled") {
