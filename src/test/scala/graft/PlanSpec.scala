@@ -537,4 +537,48 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"),
       s"IVFADC probe must not shuffle the codes table into a sort-merge join:\n$p")
   }
+
+  test("frontier kernels stay LINEAR under megabyte hostile input inside a distributed scan") {
+    // executor-side twin of the unit timing pins (UrlsSpec star-free
+    // linearity, RobotsSpec step budget, HtmlSpec attr walk): drive
+    // megabyte URL / robots / HTML / ref bombs through the codegen'd
+    // kernels inside a REAL scan — 64 rows × ~1.5 MB of hostile
+    // bytes per row — and bound wall time. Linear walks cost ~100 MB
+    // of char work (seconds, even throttled); any quadratic
+    // regression is ~1e15 steps and times out spectacularly.
+    import org.apache.spark.sql.functions._
+    import graft.sources.{Html, Robots, Urls}
+    val rows = 64
+    val df = spark.range(rows).toDF("id")
+      .withColumn("dot_bomb",
+        concat(lit("http://h.example.com"), repeat(lit("/a/."), 60000)))
+      .withColumn("esc_bomb", // malformed %-escapes, never decodable
+        concat(lit("http://h.example.com/"), repeat(lit("%4"), 120000)))
+      .withColumn("star_policy",
+        concat(lit("User-agent: *\nDisallow: /*"), repeat(lit("a"), 2000), lit("b\n")))
+      .withColumn("long_path", concat(lit("/"), repeat(lit("a"), 100000)))
+      .withColumn("attr_bomb",
+        concat(lit("<a "), repeat(lit("x=y "), 100000), lit("href=/z>")))
+      .withColumn("ref_bomb", concat(repeat(lit("../"), 100000), lit("g")))
+    val t0 = System.nanoTime()
+    val agg = df.select(
+      sum(length(coalesce(Urls.canonCol(spark, col("dot_bomb")), lit("")))).as("dot"),
+      sum(length(coalesce(Urls.canonCol(spark, col("esc_bomb")), lit("")))).as("esc"),
+      sum(when(Robots.allowedCol(spark, col("star_policy"), col("long_path")), 1L)
+        .otherwise(0L)).as("star_allowed"),
+      sum(size(Html.linksCol(spark, col("attr_bomb")))).as("links"),
+      sum(length(coalesce(Urls.resolveCol(spark,
+        lit("http://a/b/c"), col("ref_bomb")), lit("")))).as("resolved"))
+      .collect()(0)
+    val sec = (System.nanoTime() - t0) / 1e9
+    assert(sec < 60.0, s"hostile distributed scan took $sec s — a kernel went nonlinear")
+    // semantic spot-checks: the bombs exercised the code they target
+    assert(agg.getLong(0) > 0, "dot bomb must canonicalize (collapsed), not null out")
+    assert(agg.getLong(1) > 0, "malformed escapes pass through, URL still canonicalizes")
+    assert(agg.getLong(2) == 0L,
+      "star-bomb policy must fail CLOSED on every row — no politeness violations")
+    assert(agg.getLong(3) == rows.toLong, "attr bomb still yields its one real href per row")
+    assert(agg.getLong(4) == rows * "http://a/g".length.toLong,
+      "../ bomb must resolve to the root, linearly")
+  }
 }
