@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.plans.{AdcSum, BandHashes, CharRunStats, CosineSimilarity, DequantDot, FingerprintStats, GramHashes, GramStats, HtmlLinks, HtmlText, LangIdExpr, MinHashSig, NearestCentroid, PostingsDigest, RobotsAllowed, Segments, SimHash60, SrpBuckets, TermCounts, UrlCanon, UrlResolve}
+import graft.plans.{AdcSum, BandHashes, CharRunStats, CosineSimilarity, CrawlDelay, DequantDot, FingerprintStats, GramHashes, GramStats, HtmlLinks, HtmlText, LangIdExpr, MinHashSig, NearestCentroid, PostingsDigest, RobotsAllowed, Segments, SimHash60, SrpBuckets, TermCounts, UrlCanon, UrlResolve}
 
 /** Engine extensions, installed with
   * `spark.sql.extensions=graft.GraftExtensions` (SparkSessionExtensions
@@ -166,6 +166,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             RobotsAllowed(children.head, children(1), a.toString)
           case other => throw new IllegalArgumentException(
             s"graft_robots_allowed requires a literal string agent, got $other")
+        }
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_crawl_delay"),
+      new ExpressionInfo(classOf[CrawlDelay].getName, "graft_crawl_delay"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.length == 2, "graft_crawl_delay takes exactly 2 arguments")
+        children(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(a: org.apache.spark.unsafe.types.UTF8String, _) =>
+            CrawlDelay(children.head, a.toString)
+          case other => throw new IllegalArgumentException(
+            s"graft_crawl_delay requires a literal string agent, got $other")
         }
       }))
     ext.injectFunction((

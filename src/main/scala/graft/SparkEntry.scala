@@ -625,7 +625,9 @@ object SparkEntry {
     // politeness-schedule oracle: the frontier's closed form (the
     // llm_url_frontier oracle) filtered to allowed rows, then pure
     // window arithmetic — per-host dense slots ordered by
-    // (first_doc_id, canonical_url), fetch time (slot-1) x 1000 ms
+    // (first_doc_id, canonical_url), fetch time (slot-1) x the
+    // host's own Crawl-delay (even-length sources declare 2 s in
+    // frontierPolicy; odd declare none -> the 1 s default)
     "llm_frontier_schedule" ->
       """WITH f AS (
            SELECT
@@ -642,11 +644,13 @@ object SparkEntry {
                WHEN 2 THEN false
                ELSE length(source) % 2 = 1
              END AS allowed,
-             doc_id AS first_doc_id
+             doc_id AS first_doc_id,
+             CASE WHEN length(source) % 2 = 0 THEN 2000 ELSE 1000 END AS delay_ms
            FROM documents WHERE text IS NOT NULL)
          SELECT host, canonical_url, first_doc_id,
            CAST(row_number() OVER w AS BIGINT) AS slot,
-           CAST((row_number() OVER w - 1) * 1000 AS BIGINT) AS fetch_at_ms
+           CAST(delay_ms AS BIGINT) AS delay_ms,
+           CAST((row_number() OVER w - 1) * delay_ms AS BIGINT) AS fetch_at_ms
          FROM f WHERE allowed
          WINDOW w AS (PARTITION BY host ORDER BY first_doc_id, canonical_url)""",
     // outlink-discovery oracle: the synthesized page embeds eight

@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.types.{BooleanType, DataType, StringType}
+import org.apache.spark.sql.types.{BooleanType, DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** UTF8String shims for the two frontier kernels. Both call the SAME
@@ -65,6 +65,39 @@ object FrontierKernel {
     var cache = byAgent.get(agent)
     if (cache == null) { cache = new PolicyCache(agent); byAgent.put(agent, cache) }
     graft.sources.Robots.isAllowed(cache.rulesFor(robots), path.toString)
+  }
+
+  /** Per-thread bounded LRU for the Crawl-delay lookup — same
+    * discipline as PolicyCache (one parse per distinct policy per
+    * thread, keys cloned, 64 entries). Values box the Option as a
+    * Long with -1 = "no delay declared" so the map stays primitive-
+    * friendly. */
+  private final class DelayCache(agent: String)
+      extends java.util.LinkedHashMap[UTF8String, java.lang.Long](16, 0.75f, true) {
+    override def removeEldestEntry(
+        e: java.util.Map.Entry[UTF8String, java.lang.Long]): Boolean = size() > 64
+    def delayFor(robots: UTF8String): Long = {
+      var d = get(robots)
+      if (d == null) {
+        d = java.lang.Long.valueOf(graft.sources.Robots.crawlDelayMs(
+          graft.sources.Robots.parse(robots.toString), agent).getOrElse(-1L))
+        put(robots.clone(), d)
+      }
+      d.longValue()
+    }
+  }
+
+  private val delayCaches = new ThreadLocal[java.util.HashMap[String, DelayCache]] {
+    override def initialValue() = new java.util.HashMap[String, DelayCache]()
+  }
+
+  /** `Crawl-delay` in ms governing `agent` under `robots`, or -1 when
+    * the policy declares none (the expression maps -1 to SQL NULL). */
+  def delayMs(robots: UTF8String, agent: String): Long = {
+    val byAgent = delayCaches.get()
+    var cache = byAgent.get(agent)
+    if (cache == null) { cache = new DelayCache(agent); byAgent.put(agent, cache) }
+    cache.delayFor(robots)
   }
 }
 
@@ -128,6 +161,40 @@ case class UrlResolve(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)
+}
+
+/** Native Catalyst expression `graft_crawl_delay(robots_txt, agent)`:
+  * the governing group's `Crawl-delay` in MILLISECONDS as a COLUMN,
+  * NULL when the policy declares none — the politeness schedule's
+  * per-host knob. `agent` must be a literal (enforced at
+  * registration); the parse is LRU-cached per thread like the
+  * verdict kernel's. */
+case class CrawlDelay(child: Expression, agent: String) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_crawl_delay"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string robots_txt argument, got ${other.catalogString}")
+  }
+
+  override protected def nullSafeEval(robots: Any): Any = {
+    val d = FrontierKernel.delayMs(robots.asInstanceOf[UTF8String], agent)
+    if (d < 0) null else java.lang.Long.valueOf(d)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val agentRef = ctx.addReferenceObj("agent", agent, "java.lang.String")
+    nullSafeCodeGen(ctx, ev, r =>
+      s"""${ev.value} = graft.plans.FrontierKernel.delayMs($r, $agentRef);
+         |${ev.isNull} = ${ev.value} < 0;""".stripMargin)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
 }
 
 /** Native Catalyst expression `graft_robots_allowed(robots_txt, path,

@@ -28,7 +28,13 @@ import org.apache.spark.sql.functions._
   */
 object Robots {
 
-  final case class Group(agents: Seq[String], rules: Seq[Rule])
+  /** `delay` is the group's `Crawl-delay` in SECONDS if one was
+    * declared (a de-facto extension RFC 9309 §2.2.4 allows as an
+    * "other record"; Bing/Yandex honor it) — parsed but validated:
+    * non-negative finite numbers only, last declaration in the group
+    * wins. */
+  final case class Group(agents: Seq[String], rules: Seq[Rule],
+      delay: Option[Double] = None)
   /** allow=false is a Disallow rule; `pattern` verbatim from the file. */
   final case class Rule(allow: Boolean, pattern: String)
 
@@ -63,10 +69,11 @@ object Robots {
     val out = Vector.newBuilder[Group]
     var agents = Vector.empty[String]
     var rules = Vector.empty[Rule]
+    var delay: Option[Double] = None
     var inRules = false
     def flush(): Unit = {
-      if (agents.nonEmpty) out += Group(agents, rules)
-      agents = Vector.empty; rules = Vector.empty; inRules = false
+      if (agents.nonEmpty) out += Group(agents, rules, delay)
+      agents = Vector.empty; rules = Vector.empty; delay = None; inRules = false
     }
     for (raw <- bounded.linesIterator) {
       val line = raw.takeWhile(_ != '#').trim
@@ -82,7 +89,12 @@ object Robots {
             inRules = true; rules :+= Rule(allow = true, value)
           case "disallow" if agents.nonEmpty =>
             inRules = true; rules :+= Rule(allow = false, value)
-          case _ => // sitemap, crawl-delay, unknown: ignored
+          case "crawl-delay" if agents.nonEmpty =>
+            // a rule-like record: bounds the group like allow/disallow
+            inRules = true
+            val d = value.toDoubleOption
+            if (d.exists(v => v >= 0 && !v.isInfinite)) delay = d
+          case _ => // sitemap, unknown: ignored (forward compatibility)
         }
       }
     }
@@ -96,18 +108,48 @@ object Robots {
     * MUST be combined — every group carrying that winning token
     * contributes its rules, in file order. Same for the `*`
     * fallback: split `*` groups concatenate. No match → no rules. */
-  def rulesFor(groups: Seq[Group], agent: String): Seq[Rule] = {
+  def rulesFor(groups: Seq[Group], agent: String): Seq[Rule] =
+    governingGroups(groups, agent).flatMap(_.rules)
+
+  /** The groups whose records govern `agent` — the selection both
+    * `rulesFor` and `crawlDelayMs` share. */
+  private def governingGroups(groups: Seq[Group], agent: String): Seq[Group] = {
     val a = agent.toLowerCase
     val matchLens = groups.map(g =>
       g.agents.filter(t => t != "*" && a.startsWith(t)).map(_.length)
         .foldLeft(-1)(math.max))
     val bestLen = matchLens.foldLeft(-1)(math.max)
     if (bestLen >= 0)
-      groups.zip(matchLens).collect {
-        case (g, len) if len == bestLen => g.rules
-      }.flatten
-    else groups.filter(_.agents.contains("*")).flatMap(_.rules)
+      groups.zip(matchLens).collect { case (g, len) if len == bestLen => g }
+    else groups.filter(_.agents.contains("*"))
   }
+
+  /** The `Crawl-delay` governing `agent`, in MILLISECONDS — same
+    * group selection as `rulesFor` (longest agent token, `*`
+    * fallback, split groups combine); when several governing groups
+    * declare a delay the LARGEST wins (politeness-conservative, the
+    * same direction as the fail-closed match budget). Clamped to one
+    * hour — a hostile `Crawl-delay: 1e18` must slow the crawler, not
+    * halt it. None when no governing group declares one. */
+  val MaxDelayMs = 3600L * 1000L
+
+  def crawlDelayMs(groups: Seq[Group], agent: String): Option[Long] = {
+    val declared = governingGroups(groups, agent).flatMap(_.delay)
+    if (declared.isEmpty) None
+    else Some(math.min((declared.max * 1000.0).toLong, MaxDelayMs))
+  }
+
+  /** The COLUMN-level delay API: per-policy `Crawl-delay` in ms, NULL
+    * when the policy declares none (the caller coalesces its own
+    * default) or on null input. Kernel path: `graft_crawl_delay`
+    * (plans/Frontier, per-thread LRU over the parse like the verdict
+    * kernel); fallback: a null-safe ScalaUDF over the same walk. */
+  def delayCol(spark: SparkSession, robotsTxt: Column,
+      agent: String = "graftbot/1.0"): Column =
+    if (graft.operators.Llm.kernelOn(spark, "graft_crawl_delay"))
+      call_function("graft_crawl_delay", robotsTxt, lit(agent))
+    else udf((r: String) =>
+      if (r == null) None else crawlDelayMs(parse(r), agent)).apply(robotsTxt)
 
   /** Does `pattern` (with `*` wildcards, optional trailing `$`
     * anchor) match a prefix of `path`? Iterative backtracking over

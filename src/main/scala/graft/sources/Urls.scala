@@ -245,11 +245,13 @@ object Urls {
     * policy (the same load-bearing RFC 9309 semantics
     * `Robots.robotsFilter` exercises — longest-match precedence, a
     * `$` anchor, a `*` wildcard, agent-group selection past a
-    * deny-all `badbot` group) PLUS a host-dependent extra rule:
-    * even-length sources also disallow `/doc`. The variation is the
-    * point — it makes one verdict a function of WHICH host's policy
-    * the join delivered, so a mis-keyed or cross-matched robots join
-    * flips rows the oracle recomputes per host. */
+    * deny-all `badbot` group) PLUS host-dependent extra records:
+    * even-length sources also disallow `/doc` AND declare
+    * `Crawl-delay: 2` (the politeness knob the schedule leg reads).
+    * The variation is the point — it makes one verdict and the fetch
+    * spacing a function of WHICH host's policy the join delivered,
+    * so a mis-keyed or cross-matched robots join flips rows the
+    * oracle recomputes per host. */
   private[graft] def frontierPolicy(source: String): String = {
     val base =
       """User-agent: badbot
@@ -261,7 +263,7 @@ object Urls {
         |Disallow: /tmp/*.log$
         |Allow: /
         |""".stripMargin
-    if (source.length % 2 == 0) base + "Disallow: /doc\n" else base
+    if (source.length % 2 == 0) base + "Disallow: /doc\nCrawl-delay: 2\n" else base
   }
 
   /** The ORACLED frontier-composition leg (`llm_url_frontier`) — the
@@ -378,29 +380,52 @@ object Urls {
     * against one host must be SPACED, so each allowed canonical URL
     * gets a deterministic per-host slot (dense arrival order by
     * (first_doc_id, canonical_url) — first-discovered fetches first)
-    * and a fetch time `(slot-1) × CrawlDelayMs`. Pure window
-    * arithmetic on top of `urlFrontier`, so DuckDB restates the whole
-    * schedule from the frontier's closed form.
+    * and a fetch time `(slot-1) × delay_ms`, where the delay is the
+    * host's own declared `Crawl-delay` (read from its robots.txt by
+    * the `graft_crawl_delay` kernel — even-length sources declare
+    * 2 s) falling back to the 1 s default when the policy declares
+    * none. Window arithmetic + a broadcast delay dim on top of
+    * `urlFrontier`, so DuckDB restates the whole schedule from the
+    * frontier's closed form.
     *
-    * Scale shape: the schedule adds exactly ONE exchange — the hash
-    * repartition on `host` the per-host window needs — and its sort
-    * is per-partition (host groups), NEVER a global sort: at 100 TB
-    * the frontier is billions of URLs and a total order across hosts
-    * is both unnecessary (hosts are independent fetch queues) and a
-    * single-point bottleneck. PlanSpec pins one host exchange, zero
-    * range partitioning. The per-host row_number is the honest
-    * sequential structure of politeness itself — a host's queue IS
-    * serial — and host cardinality (millions) dwarfs executor counts,
-    * so the window parallelizes across hosts. */
+    * Scale shape: the schedule adds exactly ONE big exchange — the
+    * hash repartition on `host` the per-host window needs — and its
+    * sort is per-partition (host groups), NEVER a global sort: at
+    * 100 TB the frontier is billions of URLs and a total order
+    * across hosts is both unnecessary (hosts are independent fetch
+    * queues) and a single-point bottleneck. The delay dim is one row
+    * per host (broadcast, delay parsed once per distinct policy via
+    * the kernel's LRU). PlanSpec pins one host exchange, zero range
+    * partitioning, broadcast-only dim joins. The per-host row_number
+    * is the honest sequential structure of politeness itself — a
+    * host's queue IS serial — and host cardinality (millions) dwarfs
+    * executor counts, so the window parallelizes across hosts. */
   def frontierSchedule(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    val evenPolicy = frontierPolicy("xx")
+    val oddPolicy = frontierPolicy("xxx")
+    val hostDelays = Tables.documents(spark, dir)
+      .filter(col("text").isNotNull)
+      .select(col("source")).distinct()
+      .select(concat(col("source"), lit(".example.com")).as("host"),
+        when(length(col("source")) % 2 === 0, lit(evenPolicy))
+          .otherwise(lit(oddPolicy)).as("robots_txt"))
+      .select(col("host"),
+        Robots.delayCol(spark, col("robots_txt")).as("declared_delay_ms"))
     val w = Window.partitionBy(col("host"))
       .orderBy(col("first_doc_id"), col("canonical_url"))
     urlFrontier(spark, dir)
       .filter(col("allowed"))
       .select(col("host"), col("canonical_url"), col("first_doc_id"))
+      // LEFT outer + coalesce: a host with no policy row (or a policy
+      // declaring no Crawl-delay -> NULL) gets the default spacing
+      .join(broadcast(hostDelays), Seq("host"), "left_outer")
+      .withColumn("delay_ms",
+        coalesce(col("declared_delay_ms"), lit(CrawlDelayMs)))
       .withColumn("slot", row_number().over(w).cast("long"))
-      .withColumn("fetch_at_ms", (col("slot") - 1) * lit(CrawlDelayMs))
+      .withColumn("fetch_at_ms", (col("slot") - 1) * col("delay_ms"))
+      .select(col("host"), col("canonical_url"), col("first_doc_id"),
+        col("slot"), col("delay_ms"), col("fetch_at_ms"))
   }
 
   /** The ORACLED registry leg (`llm_url_normalize`): per-row messy

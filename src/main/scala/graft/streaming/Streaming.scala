@@ -404,20 +404,29 @@ object Streaming {
     * slot), not a queue, so state size is O(hosts) forever. Within a
     * micro-batch, arrival order is pinned by (cand_id,
     * canonical_url) so replays assign identical slots. `fetch_at_ms`
-    * is the same `(slot-1) × CrawlDelayMs` arithmetic as the batch
-    * leg (a deployment would anchor it to the host's last real fetch
-    * time; the slot spacing is the part that carries the politeness
-    * contract). Keyed state is the honest shape here: a host's fetch
+    * is the same `(slot-1) × delay_ms` arithmetic as the batch leg —
+    * the per-host delay rides in on an optional `delay_ms` column
+    * (the robots dim's declared Crawl-delay, as in the batch leg),
+    * defaulting to the 1 s `CrawlDelayMs` when absent or null. (A
+    * deployment would anchor fetch times to the host's last real
+    * fetch; the slot spacing is the part that carries the politeness
+    * contract.) Keyed state is the honest shape here: a host's fetch
     * queue IS serial, and host cardinality dwarfs executor counts so
     * the operator parallelizes across hosts exactly like the batch
     * leg's window. StreamingSpec pins per-host continuity across
     * batches AND batch-twin parity on the same admitted set. */
   def scheduleStream(admitted: DataFrame): DataFrame = {
     import admitted.sparkSession.implicits._
-    admitted
+    val default = graft.sources.Urls.CrawlDelayMs
+    val withDelay =
+      if (admitted.columns.contains("delay_ms"))
+        admitted.withColumn("delay_ms",
+          coalesce(col("delay_ms"), lit(default)))
+      else admitted.withColumn("delay_ms", lit(default))
+    withDelay
       .filter(col("allowed"))
-      .select(col("host"), col("canonical_url"), col("cand_id"))
-      .as[(String, String, Long)]
+      .select(col("host"), col("canonical_url"), col("cand_id"), col("delay_ms"))
+      .as[(String, String, Long, Long)]
       .groupByKey(_._1)
       .flatMapGroupsWithState[Long, ScheduleOut](
         OutputMode.Append, GroupStateTimeout.NoTimeout()) {
@@ -425,8 +434,7 @@ object Streaming {
           var slot = state.getOption.getOrElse(0L)
           val out = rows.toSeq.sortBy(r => (r._3, r._2)).map { r =>
             slot += 1
-            ScheduleOut(host, r._2, slot,
-              (slot - 1) * graft.sources.Urls.CrawlDelayMs)
+            ScheduleOut(host, r._2, slot, (slot - 1) * r._4)
           }
           state.update(slot)
           out.iterator

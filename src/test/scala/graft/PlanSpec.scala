@@ -487,13 +487,23 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("rangepartitioning"), s"schedule acquired a GLOBAL sort:\n$p")
     // the full fact-path budget: the frontier's own dedup exchange on
     // canonical_url + the ONE host exchange above; the only other
-    // hash exchange allowed is the tiny per-host robots dim's
-    // distinct(source) feeding the broadcast
+    // hash exchanges allowed are the two tiny per-host dims'
+    // distinct(source) (robots policies + Crawl-delays), each feeding
+    // a broadcast
     assert("Exchange hashpartitioning\\(canonical_url".r.findAllMatchIn(p).size == 1,
       s"frontier dedup must stay a single canonical_url exchange:\n$p")
     val shuffles = "Exchange hashpartitioning".r.findAllMatchIn(p).size
-    assert(shuffles == 3,
-      s"dedup + host window + dim distinct = exactly three hash exchanges, saw $shuffles:\n$p")
+    assert(shuffles == 4,
+      s"dedup + host window + 2 dim distincts = exactly four hash exchanges, saw $shuffles:\n$p")
+    // the Crawl-delay kernel does NOT appear in this plan — and that
+    // is the pin: the dim's policy column is a literal `when`, so
+    // Catalyst's PushFoldableIntoBranches + constant folding evaluate
+    // `graft_crawl_delay` at PLAN time (the parse costs zero at
+    // runtime; over a real robots column it stays a per-row kernel,
+    // which KernelParitySpec covers). What must not appear either way
+    // is an interpreted boundary:
+    assert(!p.contains("ScalaUDF"), s"schedule's delay lookup fell back to a Scala UDF:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"the delay dim must broadcast, never sort-merge:\n$p")
     assert(p.contains("Window"), s"schedule lost the window operator:\n$p")
   }
 

@@ -38,6 +38,8 @@ class PropertySpec extends AnyFunSuite {
       lines <- Gen.listOf(Gen.oneOf(
         Gen.const("User-agent: *"), Gen.const("User-agent: graftbot"),
         junkGen.map("Disallow: /" + _), junkGen.map("Allow: /" + _),
+        Gen.choose(-3.0, 12.0).map(d => s"Crawl-delay: $d"),
+        junkGen.map("Crawl-delay: " + _), // junk delays: ignored, never fatal
         junkGen)) // junk lines exercise parser tolerance
     } yield lines.mkString("\n")
     check(Prop.forAll(policyGen, junkGen.map("/" + _)) { (policy, path) =>
@@ -46,6 +48,13 @@ class PropertySpec extends AnyFunSuite {
       val f = graft.sources.Robots.isAllowed(
         graft.sources.Robots.rulesFor(graft.sources.Robots.parse(policy), "graftbot/1.0"), path)
       k == f
+    }, n = 300)
+    check(Prop.forAll(policyGen) { policy =>
+      val k = graft.plans.FrontierKernel.delayMs(
+        UTF8String.fromString(policy), "graftbot/1.0")
+      val f = graft.sources.Robots.crawlDelayMs(
+        graft.sources.Robots.parse(policy), "graftbot/1.0")
+      (k == -1L && f.isEmpty) || f.contains(k)
     }, n = 300)
   }
 

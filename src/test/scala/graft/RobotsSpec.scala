@@ -193,6 +193,42 @@ class RobotsSpec extends AnyFunSuite {
     assert(Robots.parse(oneLine).isEmpty)
   }
 
+  test("Crawl-delay: group selection, last-wins, split-group max, clamp, junk tolerance") {
+    import graft.sources.Robots.crawlDelayMs
+    val txt =
+      """User-agent: badbot
+        |Crawl-delay: 99
+        |
+        |User-agent: *
+        |Disallow: /x
+        |Crawl-delay: 2
+        |""".stripMargin
+    assert(crawlDelayMs(parse(txt), "graftbot/1.0").contains(2000L),
+      "the * group's delay governs, not badbot's")
+    assert(crawlDelayMs(parse(txt), "badbot").contains(99000L))
+    assert(crawlDelayMs(parse("User-agent: *\nDisallow: /x\n"), "g").isEmpty,
+      "no declaration -> None (caller picks its default)")
+    assert(crawlDelayMs(parse("User-agent: *\nCrawl-delay: 0.5\n"), "g").contains(500L),
+      "fractional seconds are real-world robots.txt")
+    assert(crawlDelayMs(parse("User-agent: *\nCrawl-delay: 1\nCrawl-delay: 3\n"), "g")
+      .contains(3000L), "last declaration in a group wins")
+    val split = "User-agent: *\nCrawl-delay: 1\n\nUser-agent: *\nDisallow: /y\nCrawl-delay: 4\n"
+    assert(crawlDelayMs(parse(split), "g").contains(4000L),
+      "split * groups combine; the LARGEST delay wins (politeness-conservative)")
+    assert(crawlDelayMs(parse("User-agent: *\nCrawl-delay: 999999999\n"), "g")
+      .contains(3600L * 1000L), "a hostile delay clamps to an hour, it must not halt the crawler")
+    assert(crawlDelayMs(parse("User-agent: *\nCrawl-delay: soon\n"), "g").isEmpty,
+      "junk values ignored, never fatal")
+    assert(crawlDelayMs(parse("User-agent: *\nCrawl-delay: -5\n"), "g").isEmpty,
+      "negative delays ignored")
+    // crawl-delay bounds its group like a rule: a User-agent line
+    // after it starts a NEW group, and the record stays in the old one
+    val bounded = "User-agent: a\nCrawl-delay: 7\nUser-agent: b\nDisallow: /z\n"
+    assert(crawlDelayMs(parse(bounded), "a").contains(7000L))
+    assert(crawlDelayMs(parse(bounded), "b").isEmpty)
+    assert(rulesFor(parse(bounded), "b") == Seq(Rule(allow = false, "/z")))
+  }
+
   test("allowedCol null semantics match across the kernel gate: null in, null out") {
     val spark = TestSpark.spark
     import spark.implicits._

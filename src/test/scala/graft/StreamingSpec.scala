@@ -153,20 +153,22 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
-  test("streaming schedule: per-host slots consecutive across micro-batches, disallowed rows take no slot, batch-window parity") {
+  test("streaming schedule: per-host slots consecutive across micro-batches, per-host Crawl-delay honored, batch-window parity") {
     implicit val sqlCtx = spark.sqlContext
-    import org.apache.spark.sql.functions.{col, lit, row_number}
-    val ms = MemoryStream[(String, String, Long, Boolean)]
-    val in = ms.toDF().toDF("host", "canonical_url", "cand_id", "allowed")
+    import org.apache.spark.sql.functions.{coalesce, col, lit, row_number}
+    // b.com declares Crawl-delay 2 s (delay_ms = 2000); a.com's
+    // policy declares none (NULL -> the 1 s default)
+    val ms = MemoryStream[(String, String, Long, Boolean, Option[Long])]
+    val in = ms.toDF().toDF("host", "canonical_url", "cand_id", "allowed", "delay_ms")
     val q = Streaming.serveMemory(Streaming.scheduleStream(in), "sched_stream", mode = "append")
     val batch1 = Seq(
-      ("a.com", "http://a.com/2", 2L, true),
-      ("a.com", "http://a.com/1", 1L, true),   // lower cand_id: fetches FIRST despite listing order
-      ("b.com", "http://b.com/1", 3L, true),
-      ("a.com", "http://a.com/blocked", 4L, false)) // disallowed: no slot consumed
+      ("a.com", "http://a.com/2", 2L, true, None),
+      ("a.com", "http://a.com/1", 1L, true, None),   // lower cand_id: fetches FIRST despite listing order
+      ("b.com", "http://b.com/1", 3L, true, Some(2000L)),
+      ("a.com", "http://a.com/blocked", 4L, false, None)) // disallowed: no slot consumed
     val batch2 = Seq(
-      ("a.com", "http://a.com/3", 10L, true),  // continuity: a.com resumes at slot 3
-      ("b.com", "http://b.com/2", 11L, true))
+      ("a.com", "http://a.com/3", 10L, true, None),  // continuity: a.com resumes at slot 3
+      ("b.com", "http://b.com/2", 11L, true, Some(2000L)))
     try {
       ms.addData(batch1: _*); q.processAllAvailable()
       ms.addData(batch2: _*); q.processAllAvailable()
@@ -177,16 +179,18 @@ class StreamingSpec extends AnyFunSuite {
         ("a.com", "http://a.com/2", 2L, 1000L),
         ("a.com", "http://a.com/3", 3L, 2000L),
         ("b.com", "http://b.com/1", 1L, 0L),
-        ("b.com", "http://b.com/2", 2L, 1000L)), s"got $rows")
+        ("b.com", "http://b.com/2", 2L, 2000L)), s"got $rows")
       // batch-twin parity: the SAME admitted set through the batch
       // leg's window arithmetic (cand_id as the arrival key) must
-      // assign identical slots — the two legs are one contract
+      // assign identical slots and fetch times — one contract
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("host")).orderBy(col("cand_id"), col("canonical_url"))
-      val batch = (batch1 ++ batch2).toDF("host", "canonical_url", "cand_id", "allowed")
+      val batch = (batch1 ++ batch2)
+        .toDF("host", "canonical_url", "cand_id", "allowed", "delay_ms")
         .filter(col("allowed"))
         .withColumn("slot", row_number().over(w).cast("long"))
-        .withColumn("fetch_at_ms", (col("slot") - 1) * lit(1000L))
+        .withColumn("fetch_at_ms",
+          (col("slot") - 1) * coalesce(col("delay_ms"), lit(1000L)))
         .select(col("host"), col("canonical_url"), col("slot"), col("fetch_at_ms"))
         .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
       assert(batch == rows, "streaming slots must equal the batch window on the same admitted set")
