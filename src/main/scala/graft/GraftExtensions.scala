@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.plans.{AdcSum, BandHashes, CharRunStats, CosineSimilarity, CrawlDelay, DequantDot, FingerprintStats, GramHashes, GramStats, HtmlLinks, HtmlText, LangIdExpr, MinHashSig, NearestCentroid, PostingsDigest, RobotsAllowed, Segments, SimHash60, SrpBuckets, TermCounts, UrlCanon, UrlResolve}
+import graft.plans.{AdcSum, BandHashes, CharRunStats, CosineSimilarity, CrawlDelay, DequantDot, FingerprintStats, GramHashes, GramStats, HtmlLinks, HtmlText, LangIdExpr, MinHashSig, NearestCentroid, PostingsDigest, RobotsAllowed, Segments, SimHash60, Sitemaps, SrpBuckets, TermCounts, UrlCanon, UrlResolve}
 
 /** Engine extensions, installed with
   * `spark.sql.extensions=graft.GraftExtensions` (SparkSessionExtensions
@@ -167,6 +167,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           case other => throw new IllegalArgumentException(
             s"graft_robots_allowed requires a literal string agent, got $other")
         }
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_sitemaps"),
+      new ExpressionInfo(classOf[Sitemaps].getName, "graft_sitemaps"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.length == 1, "graft_sitemaps takes exactly 1 argument")
+        Sitemaps(children.head)
       }))
     ext.injectFunction((
       FunctionIdentifier("graft_crawl_delay"),

@@ -202,6 +202,10 @@ object SparkEntry {
     // deterministic per-host slots + fetch times, one host exchange,
     // per-partition sort only; DuckDB restates the window arithmetic
     "llm_frontier_schedule" -> (graft.sources.Urls.frontierSchedule _),
+    // crawl-seed discovery: RFC 9309 sitemap records out of robots.txt
+    // (global, group-independent) canonicalized into frontier seeds;
+    // map-only, both surviving seeds restated by DuckDB
+    "llm_sitemap_seeds"  -> (graft.sources.Robots.sitemapSeeds _),
   )
 
   /** The registry as a SQL surface (round-11 verdict item 8):
@@ -302,6 +306,7 @@ object SparkEntry {
     "llm_url_frontier" -> ("llm-corpus", "Urls.urlFrontier"),
     "llm_html_links" -> ("llm-corpus", "Html.htmlLinks"),
     "llm_frontier_schedule" -> ("llm-corpus", "Urls.frontierSchedule"),
+    "llm_sitemap_seeds" -> ("llm-corpus", "Robots.sitemapSeeds"),
     "llm_mix_weighted" -> ("llm-corpus", "Llm.mixWeighted"),
     "llm_ngram_jaccard" -> ("llm-dedup", "Llm.ngramJaccard"),
     "llm_pii_scrub" -> ("llm-text", "Llm.piiScrub"),
@@ -653,6 +658,18 @@ object SparkEntry {
            CAST((row_number() OVER w - 1) * delay_ms AS BIGINT) AS fetch_at_ms
          FROM f WHERE allowed
          WINDOW w AS (PARTITION BY host ORDER BY first_doc_id, canonical_url)""",
+    // seed-discovery oracle: the synthesized robots.txt names three
+    // sitemaps per row — a relative one (dropped: not fetchable), a
+    // messy-cased default-port one and a clean https index — and the
+    // two survivors' canonical forms are closed in (source, doc_id)
+    "llm_sitemap_seeds" ->
+      """SELECT doc_id, CAST(s.n AS BIGINT) AS sitemap_no,
+           CASE s.n
+             WHEN 1 THEN concat('http://', source, '.example.com/maps/sitemap-', doc_id, '.xml')
+             ELSE concat('https://', source, '.example.com/sitemap-index.xml')
+           END AS sitemap_url
+         FROM documents CROSS JOIN (SELECT unnest(generate_series(1, 2)) AS n) s
+         WHERE text IS NOT NULL""",
     // outlink-discovery oracle: the synthesized page embeds eight
     // extractable links (and three decoys in comment/script/style
     // that must NOT appear); each resolved+canonicalized target is a

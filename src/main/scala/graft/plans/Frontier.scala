@@ -99,6 +99,17 @@ object FrontierKernel {
     if (cache == null) { cache = new DelayCache(agent); byAgent.put(agent, cache) }
     cache.delayFor(robots)
   }
+
+  /** The policy's `Sitemap:` URLs as columnar ArrayData — global
+    * records, agent-independent (RFC 9309 §2.3), so no per-agent
+    * cache tier is needed; the scan is one bounded line walk. */
+  def sitemapUrls(robots: UTF8String): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val ss = graft.sources.Robots.sitemaps(robots.toString)
+    val out = new Array[AnyRef](ss.length)
+    var i = 0
+    while (i < ss.length) { out(i) = UTF8String.fromString(ss(i)); i += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
 }
 
 /** Native Catalyst expression `graft_url_canon(url)`: RFC 3986
@@ -161,6 +172,34 @@ case class UrlResolve(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)
+}
+
+/** Native Catalyst expression `graft_sitemaps(robots_txt)`: the
+  * policy's global `Sitemap:` records (RFC 9309 §2.3) as
+  * `array<string>` — the crawl SEED discovery path, feeding
+  * `explode` + `graft_url_canon` exactly like the outlink chain. */
+case class Sitemaps(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_sitemaps"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string robots_txt argument, got ${other.catalogString}")
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    FrontierKernel.sitemapUrls(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, r =>
+      s"${ev.value} = graft.plans.FrontierKernel.sitemapUrls($r);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
 }
 
 /** Native Catalyst expression `graft_crawl_delay(robots_txt, agent)`:

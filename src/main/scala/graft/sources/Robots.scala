@@ -59,13 +59,17 @@ object Robots {
     * line BOUNDARY before the cap — a mid-line cut would synthesize a
     * spurious shorter rule (`Disallow: /private` clipped to
     * `Disallow: /p`) that disallows far more than the author wrote. */
+  /** Cap + line-boundary truncation shared by `parse` and
+    * `sitemaps`. */
+  private def boundedText(txt: String): String =
+    if (txt.length <= MaxRobotsChars) txt
+    else txt.lastIndexOf('\n', MaxRobotsChars) match {
+      case -1 => "" // one giant partial line: no complete rule survives the cap
+      case nl => txt.substring(0, nl)
+    }
+
   def parse(txt: String): Seq[Group] = {
-    val bounded =
-      if (txt.length <= MaxRobotsChars) txt
-      else txt.lastIndexOf('\n', MaxRobotsChars) match {
-        case -1 => "" // one giant partial line: no complete rule survives the cap
-        case nl => txt.substring(0, nl)
-      }
+    val bounded = boundedText(txt)
     val out = Vector.newBuilder[Group]
     var agents = Vector.empty[String]
     var rules = Vector.empty[Rule]
@@ -123,6 +127,39 @@ object Robots {
       groups.zip(matchLens).collect { case (g, len) if len == bestLen => g }
     else groups.filter(_.agents.contains("*"))
   }
+
+  /** The `Sitemap:` records of a robots.txt — per RFC 9309 §2.3 (and
+    * the sitemaps.org protocol) these are GLOBAL records, valid
+    * anywhere in the file and scoped to no user-agent group, each
+    * naming an absolute sitemap URL. File order preserved,
+    * duplicates kept (the caller's canonicalize+dedup owns that),
+    * values that don't look like absolute URLs dropped (a sitemap
+    * reference the crawler can't fetch is noise, not an error).
+    * Same char cap + line-boundary truncation as `parse`. */
+  def sitemaps(txt: String): Seq[String] = {
+    val out = Vector.newBuilder[String]
+    for (raw <- boundedText(txt).linesIterator) {
+      val line = raw.takeWhile(_ != '#').trim
+      val colon = line.indexOf(':')
+      if (colon > 0 && line.substring(0, colon).trim.equalsIgnoreCase("sitemap")) {
+        val value = line.substring(colon + 1).trim
+        // absolute-URL shape only: scheme "://" rest — the colon above
+        // was the DIRECTIVE's, the URL's own scheme colon follows it
+        if (value.contains("://")) out += value
+      }
+    }
+    out.result()
+  }
+
+  /** The COLUMN-level sitemap API: `array<string>` of the policy's
+    * sitemap URLs (empty array when none), for `explode` +
+    * `Urls.canonCol` to turn into crawl seeds. Kernel path:
+    * `graft_sitemaps` (plans/Frontier); fallback: a null-safe
+    * ScalaUDF over the same scan. */
+  def sitemapsCol(spark: SparkSession, robotsTxt: Column): Column =
+    if (graft.operators.Llm.kernelOn(spark, "graft_sitemaps"))
+      call_function("graft_sitemaps", robotsTxt)
+    else udf((r: String) => if (r == null) null else sitemaps(r)).apply(robotsTxt)
 
   /** The `Crawl-delay` governing `agent`, in MILLISECONDS — same
     * group selection as `rulesFor` (longest agent token, `*`
@@ -246,6 +283,35 @@ object Robots {
       if (r == null || p == null) None
       else Some(isAllowed(rulesFor(parse(r), agent), p)))
       .apply(robotsTxt, path)
+
+  /** The ORACLED seed-discovery leg (`llm_sitemap_seeds`) — where a
+    * crawl STARTS: each host's robots.txt names its sitemaps
+    * (RFC 9309 §2.3 global records, valid anywhere in the file —
+    * here deliberately interleaved inside a rule group), the real
+    * scanner extracts them distributed via the `graft_sitemaps`
+    * kernel, and each URL canonicalizes (`graft_url_canon`) into a
+    * frontier-ready seed. Per row the policy carries one
+    * relative sitemap (dropped — not fetchable), one messy-cased
+    * default-port URL (canon must normalize it) and one clean HTTPS
+    * index; DuckDB restates both surviving seeds per document.
+    * Map-only, zero exchanges — seed discovery at 100 TB is a pure
+    * scan over the robots corpus. */
+  def sitemapSeeds(spark: SparkSession, dir: String): DataFrame = {
+    val id = col("doc_id").cast("string")
+    val h = concat(col("source"), lit(".example.com"))
+    val robotsTxt = concat(
+      lit("# synthesized policy\nUser-agent: *\nDisallow: /tmp\n" +
+        "Sitemap: /relative-dropped.xml\nSitemap: HTTP://"),
+      col("source"), lit(".Example.COM:80/maps/sitemap-"), id,
+      lit(".xml\nAllow: /\nSitemap: https://"), h, lit("/sitemap-index.xml\n"))
+    Tables.documents(spark, dir)
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), sitemapsCol(spark, robotsTxt).as("maps"))
+      .select(col("doc_id"), posexplode(col("maps")))
+      .select(col("doc_id"), (col("pos") + 1).cast("long").as("sitemap_no"),
+        coalesce(graft.sources.Urls.canonCol(spark, col("col")), lit("!"))
+          .as("sitemap_url")) // failure is visible, never silently dropped
+  }
 
   /** The ORACLED registry leg (`llm_robots_filter`): every document
     * gets a fixed two-group robots.txt exercising the protocol's

@@ -84,7 +84,7 @@ class KernelParitySpec extends AnyFunSuite {
     // end-to-end anyway
     "llm_html_extract", "llm_crawl_extract", "llm_url_frontier",
     "llm_url_normalize", "llm_robots_filter", "llm_html_links",
-    "llm_lang_id", "llm_frontier_schedule")
+    "llm_lang_id", "llm_frontier_schedule", "llm_sitemap_seeds")
 
   for (q <- covering)
     test(s"$q is identical with kernels disabled") {

@@ -453,7 +453,7 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("url-normalize and robots-filter legs are zero-boundary codegen scans") {
-    for (q <- Seq("llm_url_normalize", "llm_robots_filter")) {
+    for (q <- Seq("llm_url_normalize", "llm_robots_filter", "llm_sitemap_seeds")) {
       val p = plan(q)
       assert(!p.contains("ScalaUDF"), s"$q must carry no Scala UDF")
       assert(!p.contains("DeserializeToObject") && !p.contains("MapPartitions"),

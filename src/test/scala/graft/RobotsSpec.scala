@@ -229,6 +229,31 @@ class RobotsSpec extends AnyFunSuite {
     assert(rulesFor(parse(bounded), "b") == Seq(Rule(allow = false, "/z")))
   }
 
+  test("Sitemap records: global scope, order kept, relative dropped, junk tolerated, bounded") {
+    import graft.sources.Robots.sitemaps
+    val txt =
+      """Sitemap: https://h/s1.xml
+        |User-agent: *
+        |Disallow: /x
+        |Sitemap: http://h/s2.xml
+        |# Sitemap: https://h/commented-out.xml
+        |sitemap: https://h/s3-case.xml
+        |Sitemap: /relative-not-fetchable.xml
+        |Sitemap:
+        |Sitemap https://h/no-colon-ignored.xml
+        |""".stripMargin
+    assert(sitemaps(txt) == Seq("https://h/s1.xml", "http://h/s2.xml", "https://h/s3-case.xml"),
+      "global records in file order — before, inside and after groups; case-insensitive key")
+    // sitemap lines must not perturb group/rule parsing
+    assert(rulesFor(parse(txt), "anybot") == Seq(Rule(allow = false, "/x")))
+    assert(sitemaps("no directives at all") == Nil)
+    // oversize: the same line-boundary cap as parse
+    val cap = 512 * 1024
+    val fill = "# " + "f" * (cap + 100) + "\n"
+    assert(sitemaps(fill + "Sitemap: https://h/past-cap.xml\n") == Nil,
+      "records past the cap are not seen")
+  }
+
   test("allowedCol null semantics match across the kernel gate: null in, null out") {
     val spark = TestSpark.spark
     import spark.implicits._
