@@ -215,20 +215,61 @@ object LangId {
 
   /** Classify `text`: rank-displacement distance to each profile,
     * smallest wins; ties break toward the lexicographically first
-    * language code; null/letterless text → "und" (undetermined). */
+    * language code; null/letterless text → "und" (undetermined).
+    *
+    * This is the per-row hot path of a 100 TB scan, so the gram walk
+    * is inlined (no intermediate gram Vector, no boxed-count map
+    * copy) — but it computes EXACTLY the `grams` + `profileOf`
+    * composition: same grams, same (count desc, gram asc) total
+    * order (LangIdSpec pins equality against the reference
+    * composition on random text). */
   def classify(text: String): String = {
     if (text == null) return "und"
-    val counts = scala.collection.mutable.HashMap.empty[String, Long]
-    for (g <- grams(text)) counts.update(g, counts.getOrElse(g, 0L) + 1L)
+    val norm = normalize(text, MaxChars)
+    val counts = new java.util.HashMap[String, Array[Int]](512)
+    val len = norm.length
+    var ws = 0
+    while (ws < len) {
+      while (ws < len && norm.charAt(ws) == ' ') ws += 1
+      if (ws < len) {
+        var we = ws
+        while (we < len && norm.charAt(we) != ' ') we += 1
+        val padded = new java.lang.StringBuilder(we - ws + 2)
+          .append('_').append(norm, ws, we).append('_').toString
+        val m = padded.length
+        var i = 0
+        while (i < m) {
+          var n = 1
+          while (n <= 5 && i + n <= m) {
+            val g = padded.substring(i, i + n)
+            val c = counts.get(g)
+            if (c == null) counts.put(g, Array(1)) else c(0) += 1
+            n += 1
+          }
+          i += 1
+        }
+        ws = we
+      }
+    }
     if (counts.isEmpty) return "und"
-    val doc = profileOf(counts.toMap)
+    val entries = counts.entrySet().toArray(
+      new Array[java.util.Map.Entry[String, Array[Int]]](counts.size))
+    java.util.Arrays.sort(entries,
+      new java.util.Comparator[java.util.Map.Entry[String, Array[Int]]] {
+        def compare(a: java.util.Map.Entry[String, Array[Int]],
+            b: java.util.Map.Entry[String, Array[Int]]): Int = {
+          val d = Integer.compare(b.getValue()(0), a.getValue()(0))
+          if (d != 0) d else a.getKey.compareTo(b.getKey)
+        }
+      })
+    val k = math.min(ProfileK, entries.length)
     var bestLang = "und"
     var bestDist = Long.MaxValue
     for ((lang, prof) <- profiles) {
       var dist = 0L
       var r = 0
-      while (r < doc.length) {
-        dist += math.abs(prof.getOrElse(doc(r), ProfileK) - r).toLong
+      while (r < k) {
+        dist += math.abs(prof.getOrElse(entries(r).getKey, ProfileK) - r).toLong
         r += 1
       }
       if (dist < bestDist) { bestDist = dist; bestLang = lang }

@@ -79,6 +79,39 @@ class LangIdSpec extends AnyFunSuite {
     assert(kernel.nonEmpty && kernel.values.toSet.subsetOf(Set("de", "en", "es", "fr", "zh")))
   }
 
+  test("streamlined classifier equals the grams+profileOf reference composition on random text") {
+    // classify inlines the gram walk and top-K ranking for the hot
+    // path; this pins it bit-equal to the readable reference
+    // (grams -> count -> profileOf -> rank-displacement) on random
+    // multi-script text including the und edges
+    def reference(s: String): String = {
+      val counts = scala.collection.mutable.HashMap.empty[String, Long]
+      for (g <- LangId.grams(s)) counts.update(g, counts.getOrElse(g, 0L) + 1L)
+      if (counts.isEmpty) return "und"
+      val doc = LangId.profileOf(counts.toMap)
+      var bestLang = "und"
+      var bestDist = Long.MaxValue
+      for ((lang, prof) <- LangId.profiles) {
+        var dist = 0L
+        var r = 0
+        while (r < doc.length) {
+          dist += math.abs(prof.getOrElse(doc(r), LangId.ProfileK) - r).toLong
+          r += 1
+        }
+        if (dist < bestDist) { bestDist = dist; bestLang = lang }
+      }
+      bestLang
+    }
+    val rnd = new scala.util.Random(7)
+    val alphabet = "abcdefg hij él 中文 ß 123 .,\t\n"
+    for (_ <- 0 until 400) {
+      val s = Seq.fill(rnd.nextInt(400))(alphabet(rnd.nextInt(alphabet.length))).mkString
+      assert(LangId.classify(s) == reference(s), s"diverged on: $s")
+    }
+    for ((_, ss) <- LangId.heldOut; s <- ss)
+      assert(LangId.classify(s) == reference(s))
+  }
+
   test("per-row cost is HARD-BOUNDED: a hostile 50 MB document costs the same as 4 KB") {
     // classification reads at most MaxChars chars — a gigabyte-scale
     // document must not cost gigabyte-scale time in a 100 TB scan
