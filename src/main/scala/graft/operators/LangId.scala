@@ -285,5 +285,5 @@ object LangId {
   def langCol(spark: SparkSession, text: Column): Column =
     if (Llm.kernelOn(spark, "graft_lang_id"))
       call_function("graft_lang_id", text)
-    else udf((s: String) => classify(s)).apply(text)
+    else udf((s: String) => if (s == null) null else classify(s)).apply(text)
 }

@@ -31,14 +31,37 @@ object FrontierKernel {
       case None => null
     }
 
-  /** Per-thread bounded LRU of parsed policies: a frontier scan sees
-    * each distinct robots.txt once per (thread × generation), so the
-    * RFC 9309 parse runs once per distinct policy, not per row — the
-    * codegen twin of the typed path's per-partition memo. Bounded at
+  /** Per-thread bounded LRU of PARSED policies (robots text →
+    * `Seq[Group]`) — agent-independent, so ONE parse per distinct
+    * policy per thread serves every derived cache: a scan computing
+    * both `graft_robots_allowed` and `graft_crawl_delay` over the
+    * same broadcast robots column must not parse twice. Bounded at
     * 64 entries because an executor thread is long-lived and a
     * hostile policy column could otherwise grow the map without
     * limit; keys are CLONED before retention (the input UTF8String
     * can alias a reused scan buffer — the TermCounts lesson). */
+  private final class GroupsCache
+      extends java.util.LinkedHashMap[UTF8String, Seq[graft.sources.Robots.Group]](16, 0.75f, true) {
+    override def removeEldestEntry(
+        e: java.util.Map.Entry[UTF8String, Seq[graft.sources.Robots.Group]]): Boolean =
+      size() > 64
+    def groupsFor(robots: UTF8String): Seq[graft.sources.Robots.Group] = {
+      var groups = get(robots)
+      if (groups == null) {
+        groups = graft.sources.Robots.parse(robots.toString)
+        put(robots.clone(), groups)
+      }
+      groups
+    }
+  }
+
+  private val groupsCaches = new ThreadLocal[GroupsCache] {
+    override def initialValue() = new GroupsCache()
+  }
+
+  /** Per-(thread, agent) bounded LRU of the DERIVED rule set — group
+    * selection is cheap but per-row would still allocate; the parse
+    * itself comes from the shared GroupsCache above. */
   private final class PolicyCache(agent: String)
       extends java.util.LinkedHashMap[UTF8String, Seq[graft.sources.Robots.Rule]](16, 0.75f, true) {
     override def removeEldestEntry(
@@ -48,7 +71,7 @@ object FrontierKernel {
       var rules = get(robots)
       if (rules == null) {
         rules = graft.sources.Robots.rulesFor(
-          graft.sources.Robots.parse(robots.toString), agent)
+          groupsCaches.get().groupsFor(robots), agent)
         put(robots.clone(), rules)
       }
       rules
@@ -67,11 +90,11 @@ object FrontierKernel {
     graft.sources.Robots.isAllowed(cache.rulesFor(robots), path.toString)
   }
 
-  /** Per-thread bounded LRU for the Crawl-delay lookup — same
-    * discipline as PolicyCache (one parse per distinct policy per
-    * thread, keys cloned, 64 entries). Values box the Option as a
-    * Long with -1 = "no delay declared" so the map stays primitive-
-    * friendly. */
+  /** Per-(thread, agent) bounded LRU for the DERIVED Crawl-delay —
+    * the parse comes from the shared GroupsCache (never a second
+    * parse of a policy `graft_robots_allowed` already parsed on this
+    * thread). Values box the Option as a Long with -1 = "no delay
+    * declared" so the map stays primitive-friendly. */
   private final class DelayCache(agent: String)
       extends java.util.LinkedHashMap[UTF8String, java.lang.Long](16, 0.75f, true) {
     override def removeEldestEntry(
@@ -80,7 +103,7 @@ object FrontierKernel {
       var d = get(robots)
       if (d == null) {
         d = java.lang.Long.valueOf(graft.sources.Robots.crawlDelayMs(
-          graft.sources.Robots.parse(robots.toString), agent).getOrElse(-1L))
+          groupsCaches.get().groupsFor(robots), agent).getOrElse(-1L))
         put(robots.clone(), d)
       }
       d.longValue()

@@ -20,8 +20,10 @@ import org.apache.spark.sql.functions._
   *    dropped whole (case-insensitive; an unterminated opener drops
   *    to end-of-input — script bodies are code, never prose);
   *  - `<!-- … -->` comments dropped (unterminated → to end);
-  *  - every other tag `<…>` is replaced by a single space (an
-  *    unterminated tag-opener drops the tail — it cannot be text);
+  *  - every other tag `<…>` is replaced by a single space, walked
+  *    QUOTE-AWARE — a `>` inside a quoted attribute value does not
+  *    close the tag (an unterminated tag-opener or quoted value
+  *    drops the tail — it cannot be text);
   *    CDATA sections emit their content. A `<` only OPENS a tag
   *    when the next character could start one — a letter, `!`,
   *    `/` or `?` (the HTML5 tokenizer's tag-open rule) — so bare
@@ -168,9 +170,11 @@ object Html {
           i = if (end < 0) n else end
           out.append(' ')
         } else {
-          var g = i + 1
-          while (g < n && html.charAt(g) != '>') g += 1
-          i = if (g < n) g + 1 else n
+          // the shared quote-aware tag walk (harvest disabled): a '>'
+          // inside a quoted attribute value must not close the tag,
+          // or `<a title="x > y">` leaks attribute junk into prose —
+          // and text and link extraction must agree where a tag ends
+          i = scanTagLinks(html, i, null)
           out.append(' ')
         }
       } else if (c == '&') {
@@ -190,14 +194,12 @@ object Html {
     var pendingSpace = false
     while (j < s.length) {
       val ch = s.charAt(j)
-      // ASCII \s ONLY (space, tab, LF, VT, FF, CR -- the Java-regex
-      // \s set): the downstream tokenizers split on \s+ and the
-      // DuckDB oracle collapses RE2 \s, so collapsing Unicode
-      // whitespace (U+00A0, U+2028, U+1680, ...) here would make the
-      // extractor disagree with both on valid corpora.
-      val isWs = ch == ' ' || ch == '\t' || ch == '\n' ||
-        ch == 11.toChar || ch == '\f' || ch == '\r'
-      if (isWs) pendingSpace = true
+      // ASCII \s ONLY (isAsciiWs — the Java-regex \s set): the
+      // downstream tokenizers split on \s+ and the DuckDB oracle
+      // collapses RE2 \s, so collapsing Unicode whitespace (U+00A0,
+      // U+2028, U+1680, ...) here would make the extractor disagree
+      // with both on valid corpora.
+      if (isAsciiWs(ch)) pendingSpace = true
       else {
         if (pendingSpace && sb.length() > 0) sb.append(' ')
         pendingSpace = false
@@ -253,10 +255,15 @@ object Html {
     *    nothing — markup inside them is code or commentary, not
     *    links. */
   /** Walk one tag's interior from `start` (the `<`), quote-aware —
-    * a `>` inside a quoted attribute value does not close the tag —
-    * harvesting decoded `href`/`src` values into `out`. Returns the
-    * index just past the closing `>` (or `n` when the tag never
-    * closes: an unterminated tag or quote swallows the tail). */
+    * a `>` inside a quoted attribute value does not close the tag
+    * (the HTML5 tokenizer's attribute-value states; quotes only bind
+    * right after `=`, so a stray quote elsewhere cannot swallow the
+    * document) — harvesting decoded `href`/`src` values into `out`
+    * when it is non-null. Returns the index just past the closing
+    * `>` (or `n` when the tag never closes: an unterminated tag or
+    * quoted value swallows the tail). BOTH extractors use this walk —
+    * text and link extraction must agree about where a tag ends on
+    * the same crawled page. */
   private def scanTagLinks(html: String, start: Int,
       out: scala.collection.mutable.Builder[String, Vector[String]]): Int = {
     val n = html.length
@@ -293,7 +300,7 @@ object Html {
           (len == 4 && matchesAt(html, ns, "href")) ||
             (len == 3 && matchesAt(html, ns, "src"))
         }
-        if (isLinkAttr && value != null) {
+        if (out != null && isLinkAttr && value != null) {
           val v = decodeRefsAll(value).trim
           if (v.nonEmpty) out += v
         }
@@ -346,7 +353,7 @@ object Html {
   def linksCol(spark: SparkSession, html: Column): Column =
     if (graft.operators.Llm.kernelOn(spark, "graft_html_links"))
       call_function("graft_html_links", html)
-    else udf((s: String) => extractLinks(s)).apply(html)
+    else udf((s: String) => if (s == null) null else extractLinks(s)).apply(html)
 
   /** The ORACLED registry leg (`llm_html_extract`): every document
     * is wrapped in a synthesized page exercising each extraction

@@ -60,10 +60,16 @@ object Robots {
     * spurious shorter rule (`Disallow: /private` clipped to
     * `Disallow: /p`) that disallows far more than the author wrote. */
   /** Cap + line-boundary truncation shared by `parse` and
-    * `sitemaps`. */
+    * `sitemaps`. A boundary is '\n' OR a lone '\r' — `linesIterator`
+    * splits on both, and a CR-only robots.txt (old-Mac line endings
+    * still occur in crawl data) must truncate to its last complete
+    * CR-line, not to the empty string: dropping the WHOLE policy
+    * would fail OPEN (zero rules parsed → everything allowed), the
+    * politeness direction this parser never takes. */
   private def boundedText(txt: String): String =
     if (txt.length <= MaxRobotsChars) txt
-    else txt.lastIndexOf('\n', MaxRobotsChars) match {
+    else math.max(txt.lastIndexOf('\n', MaxRobotsChars),
+        txt.lastIndexOf('\r', MaxRobotsChars)) match {
       case -1 => "" // one giant partial line: no complete rule survives the cap
       case nl => txt.substring(0, nl)
     }

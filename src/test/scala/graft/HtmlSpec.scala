@@ -50,6 +50,13 @@ class HtmlSpec extends AnyFunSuite {
     assert(extractText("甲 <中文 乙") == "甲 <中文 乙",
       "'<' before a CJK letter must not swallow the tail")
     assert(extractText("a <?pi data?> b") == "a b", "processing instruction is markup")
+    assert(extractText("<a title=\"x > y\" href=\"/z\">t</a>") == "t",
+      "a '>' inside a quoted attribute value must not close the tag or attr junk leaks into prose")
+    assert(extractText("<a title='x > y'>t</a>") == "t", "same for single quotes")
+    assert(extractText("<p class=a'b>text</p>") == "text",
+      "a stray quote in an UNQUOTED value binds nothing — quotes only matter right after '='")
+    assert(extractText("before <a href=\"/never closed") == "before",
+      "an unterminated quoted value swallows the tail — it cannot be text")
     assert(extractText("</script>orphan close tags are just tags</b>") == "orphan close tags are just tags")
     // a million unclosed tags: linear time, no stack
     val bomb = "<p>" * 200000 + "x"
@@ -124,6 +131,25 @@ class HtmlSpec extends AnyFunSuite {
     assert(extractLinks("""<a href="">t</a><a href="  ">u</a>""") == Nil,
       "empty / whitespace-only values drop")
     assert(extractLinks(null) == Nil)
+  }
+
+  test("linksCol null semantics match across the kernel gate: null in, null out") {
+    val spark = TestSpark.spark
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val df = Seq((1L, "<a href=\"/x\">t</a>"), (2L, null.asInstanceOf[String]))
+      .toDF("id", "html")
+    def run(on: Boolean): Map[Long, Any] = {
+      spark.conf.set("spark.graft.kernels.enabled", on.toString)
+      try df.select(col("id"), graft.sources.Html.linksCol(spark, col("html")).as("l"))
+        .collect().map(r => r.getLong(0) ->
+          (if (r.isNullAt(1)) null else r.getSeq[String](1).toList)).toMap
+      finally spark.conf.unset("spark.graft.kernels.enabled")
+    }
+    val kernel = run(on = true)
+    assert(kernel == Map(1L -> List("/x"), 2L -> null))
+    assert(run(on = false) == kernel,
+      "the ScalaUDF fallback must be null-safe exactly like the kernel (null html -> NULL, not [])")
   }
 
   test("extractLinks hostile input: unterminated constructs bounded, LINEAR time") {

@@ -61,22 +61,26 @@ class LangIdSpec extends AnyFunSuite {
     }
   }
 
-  test("kernel and UDF fallback agree on every held-out snippet (bit-identical gate)") {
+  test("kernel and UDF fallback agree on every held-out snippet AND on nulls (bit-identical gate)") {
     import spark.implicits._
-    val df = LangId.heldOut.toSeq.sortBy(_._1)
+    val df = (LangId.heldOut.toSeq.sortBy(_._1)
       .flatMap { case (l, ss) => ss.map(l -> _) }
       .zipWithIndex.map { case ((l, s), i) => (i.toLong, l, s) }
+      :+ ((99L, "none", null.asInstanceOf[String]))) // null text: NULL on BOTH paths
       .toDF("id", "lang", "text")
     def run(on: Boolean): Map[Long, String] = {
       spark.conf.set("spark.graft.kernels.enabled", on.toString)
       try df.select(col("id"), LangId.langCol(spark, col("text")).as("pred"))
-        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+        .collect().map(r => r.getLong(0) ->
+          (if (r.isNullAt(1)) null else r.getString(1))).toMap
       finally spark.conf.unset("spark.graft.kernels.enabled")
     }
     val kernel = run(on = true)
     val fallback = run(on = false)
     assert(kernel == fallback, "graft_lang_id and the ScalaUDF fallback diverge")
-    assert(kernel.nonEmpty && kernel.values.toSet.subsetOf(Set("de", "en", "es", "fr", "zh")))
+    assert(kernel(99L) == null,
+      "null text must be SQL NULL, not 'und' — 'und' is for letterless NON-null text")
+    assert((kernel - 99L).values.toSet.subsetOf(Set("de", "en", "es", "fr", "zh")))
   }
 
   test("streamlined classifier equals the grams+profileOf reference composition on random text") {

@@ -191,6 +191,18 @@ class RobotsSpec extends AnyFunSuite {
     // parseable survives — zero groups, everything allowed
     val oneLine = "User-agent: *" + "x" * (cap + 100)
     assert(Robots.parse(oneLine).isEmpty)
+    // CR-only line endings (old-Mac robots.txt still occur in crawl
+    // data): the oversize cut must land on the last CR, NOT drop the
+    // whole policy — an emptied policy parses zero rules and fails
+    // OPEN, the politeness violation direction
+    val crHead = "User-agent: *\rDisallow: /data\r"
+    val crFill = ("# " + "f" * 98 + "\r") * (cap / 101 + 20)
+    val crTxt = crHead + crFill
+    assert(crTxt.length > cap)
+    val crRules = Robots.rulesFor(Robots.parse(crTxt), "graftbot/1.0")
+    assert(crRules == Seq(Rule(allow = false, "/data")),
+      s"CR-only oversize policy must keep its in-cap rules, got $crRules")
+    assert(!Robots.isAllowed(crRules, "/data/x"))
   }
 
   test("Crawl-delay: group selection, last-wins, split-group max, clamp, junk tolerance") {
