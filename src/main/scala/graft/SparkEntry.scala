@@ -206,6 +206,18 @@ object SparkEntry {
     // (global, group-independent) canonicalized into frontier seeds;
     // map-only, both surviving seeds restated by DuckDB
     "llm_sitemap_seeds"  -> (graft.sources.Robots.sitemapSeeds _),
+    // the host-level web graph out of the closed crawl loop: links
+    // extracted from page markup -> resolved -> canonicalized -> host
+    // edges with multiplicity; DuckDB re-aggregates the closed form
+    "llm_link_graph"     -> (graft.operators.LinkGraph.linkGraph _),
+    // host authority: PageRank in exact fixed-point long arithmetic
+    // (5 iterations, damping 85/100, 1e12 scale) — layout-independent
+    // by construction; DuckDB restates every iteration
+    "llm_host_rank"      -> (graft.operators.LinkGraph.hostRank _),
+    // crawl-horizon reachability: min hop distance from the seed
+    // hosts within 4 hops, frontier BFS over the materialized edge
+    // set; DuckDB restates it as a depth-bounded recursive CTE
+    "llm_link_bfs"       -> (graft.operators.LinkGraph.linkBfs _),
   )
 
   /** The registry as a SQL surface (round-11 verdict item 8):
@@ -307,6 +319,9 @@ object SparkEntry {
     "llm_html_links" -> ("llm-corpus", "Html.htmlLinks"),
     "llm_frontier_schedule" -> ("llm-corpus", "Urls.frontierSchedule"),
     "llm_sitemap_seeds" -> ("llm-corpus", "Robots.sitemapSeeds"),
+    "llm_link_graph" -> ("llm-corpus", "LinkGraph.linkGraph"),
+    "llm_host_rank" -> ("llm-corpus", "LinkGraph.hostRank"),
+    "llm_link_bfs" -> ("llm-corpus", "LinkGraph.linkBfs"),
     "llm_mix_weighted" -> ("llm-corpus", "Llm.mixWeighted"),
     "llm_ngram_jaccard" -> ("llm-dedup", "Llm.ngramJaccard"),
     "llm_pii_scrub" -> ("llm-text", "Llm.piiScrub"),
@@ -689,6 +704,89 @@ object SparkEntry {
            END AS url
          FROM documents CROSS JOIN (SELECT unnest(generate_series(1, 8)) AS link_no) l
          WHERE text IS NOT NULL""",
+    // link-graph oracle: each page links to the three affine-map
+    // targets (target 1 twice — anchor + img asset), self-loops drop;
+    // the closed form re-aggregates host-pair multiplicities
+    "llm_link_graph" ->
+      """WITH d AS (SELECT doc_id % 101 AS src,
+                  (doc_id * 2 + 1) % 101 AS d1,
+                  (doc_id * 3 + 7) % 101 AS d2,
+                  (doc_id * 7 + 13) % 101 AS d3
+           FROM documents WHERE text IS NOT NULL),
+         raw AS (SELECT src, unnest([d1, d2, d3, d1]) AS dst FROM d)
+         SELECT concat('h', CAST(src AS VARCHAR), '.example') AS src_host,
+                concat('h', CAST(dst AS VARCHAR), '.example') AS dst_host,
+                count(*) AS n_links
+         FROM raw WHERE dst <> src GROUP BY 1, 2""",
+    // host-rank oracle: the SAME fixed-point power iteration, unrolled
+    // — base = 1e12 // N, teleport = (15*base) // 100, five steps of
+    // r(v) = teleport + (85 * sum(r(u) // outdeg(u))) // 100. DuckDB's
+    // // floor-division equals Spark's div on this non-negative domain
+    "llm_host_rank" ->
+      """WITH d AS (SELECT doc_id % 101 AS src,
+                  (doc_id * 2 + 1) % 101 AS d1,
+                  (doc_id * 3 + 7) % 101 AS d2,
+                  (doc_id * 7 + 13) % 101 AS d3
+           FROM documents WHERE text IS NOT NULL),
+         raw AS (SELECT src, unnest([d1, d2, d3]) AS dst FROM d),
+         e AS (SELECT DISTINCT src, dst FROM raw WHERE dst <> src),
+         nodes AS (SELECT src AS h FROM e UNION SELECT dst FROM e),
+         con AS (SELECT (1000000000000 // count(*)) AS base,
+                        (15 * (1000000000000 // count(*))) // 100 AS tp
+                 FROM nodes),
+         deg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY 1),
+         p0 AS (SELECT h, base AS r FROM nodes CROSS JOIN con),
+         p1 AS (SELECT nodes.h, tp + (85 * coalesce(s.inflow, 0)) // 100 AS r
+                FROM nodes CROSS JOIN con
+                LEFT JOIN (SELECT e.dst AS h, sum(p.r // deg.outdeg) AS inflow
+                           FROM e JOIN p0 p ON p.h = e.src
+                                  JOIN deg ON deg.src = e.src
+                           GROUP BY 1) s ON s.h = nodes.h),
+         p2 AS (SELECT nodes.h, tp + (85 * coalesce(s.inflow, 0)) // 100 AS r
+                FROM nodes CROSS JOIN con
+                LEFT JOIN (SELECT e.dst AS h, sum(p.r // deg.outdeg) AS inflow
+                           FROM e JOIN p1 p ON p.h = e.src
+                                  JOIN deg ON deg.src = e.src
+                           GROUP BY 1) s ON s.h = nodes.h),
+         p3 AS (SELECT nodes.h, tp + (85 * coalesce(s.inflow, 0)) // 100 AS r
+                FROM nodes CROSS JOIN con
+                LEFT JOIN (SELECT e.dst AS h, sum(p.r // deg.outdeg) AS inflow
+                           FROM e JOIN p2 p ON p.h = e.src
+                                  JOIN deg ON deg.src = e.src
+                           GROUP BY 1) s ON s.h = nodes.h),
+         p4 AS (SELECT nodes.h, tp + (85 * coalesce(s.inflow, 0)) // 100 AS r
+                FROM nodes CROSS JOIN con
+                LEFT JOIN (SELECT e.dst AS h, sum(p.r // deg.outdeg) AS inflow
+                           FROM e JOIN p3 p ON p.h = e.src
+                                  JOIN deg ON deg.src = e.src
+                           GROUP BY 1) s ON s.h = nodes.h),
+         p5 AS (SELECT nodes.h, tp + (85 * coalesce(s.inflow, 0)) // 100 AS r
+                FROM nodes CROSS JOIN con
+                LEFT JOIN (SELECT e.dst AS h, sum(p.r // deg.outdeg) AS inflow
+                           FROM e JOIN p4 p ON p.h = e.src
+                                  JOIN deg ON deg.src = e.src
+                           GROUP BY 1) s ON s.h = nodes.h)
+         SELECT concat('h', CAST(h AS VARCHAR), '.example') AS host,
+                CAST(r AS BIGINT) AS rank_scaled
+         FROM p5""",
+    // link-BFS oracle: depth-bounded recursive walk with UNION dedup
+    // (each (host, depth) pair once), min(d) = the BFS distance
+    "llm_link_bfs" ->
+      """WITH RECURSIVE d AS (SELECT doc_id % 101 AS src,
+                  (doc_id * 2 + 1) % 101 AS d1,
+                  (doc_id * 3 + 7) % 101 AS d2,
+                  (doc_id * 7 + 13) % 101 AS d3
+           FROM documents WHERE text IS NOT NULL),
+         raw AS (SELECT src, unnest([d1, d2, d3]) AS dst FROM d),
+         e AS (SELECT DISTINCT src, dst FROM raw WHERE dst <> src),
+         nodes AS (SELECT src AS h FROM e UNION SELECT dst FROM e),
+         w AS (SELECT h, 0 AS depth FROM nodes WHERE h % 10 = 0
+               UNION
+               SELECT e.dst, w.depth + 1 FROM w JOIN e ON e.src = w.h
+               WHERE w.depth < 4)
+         SELECT concat('h', CAST(h AS VARCHAR), '.example') AS host,
+                CAST(min(depth) AS BIGINT) AS dist
+         FROM w GROUP BY 1""",
     // mojibake-repair oracle: the garbling is synthesized (UTF-8
     // bytes of «text é read as Latin-1), so the correct repair IS
     // the marked original — recomputable engine-free

@@ -334,6 +334,21 @@ object Streaming {
   def chunkStream(docs: DataFrame, chunkTokens: Int = 128, overlap: Int = 16): DataFrame =
     graft.operators.Llm.chunkFrame(docs, chunkTokens, overlap)
 
+  /** The link-graph family's streaming leg: outlink-edge extraction
+    * over an incoming (page_url, page) fetched-page stream — the
+    * SAME frame-level core as the batch edge build
+    * (`LinkGraph.edgesOf`: `graft_html_links` → `graft_url_resolve`
+    * → `graft_url_canon` → host keying → self-loop drop), which is
+    * map-only with no state, shuffle or watermark, so it lifts per
+    * micro-batch unchanged — the fetch → discover shape of a live
+    * crawl (pages arrive, cross-host edges leave; downstream the
+    * edges feed `frontierStream` as candidates, or accumulate for
+    * the batch `hostRank`/`linkBfs` passes, the same online-filter /
+    * batch-recompute split as dedup). StreamingSpec pins stream ==
+    * batch per micro-batch, including extraction-order decoys. */
+  def outlinkStream(pages: DataFrame): DataFrame =
+    graft.operators.LinkGraph.edgesOf(pages)
+
   /** The dedup family's streaming leg: exact dedup of an incoming
     * document stream — the first document per normalized-text hash
     * passes, later copies are dropped — with state bounded by the

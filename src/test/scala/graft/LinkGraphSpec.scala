@@ -1,0 +1,118 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.LinkGraph
+
+/** Link-graph family pins: the distributed edge build / fixed-point
+  * PageRank / bounded BFS are each compared against an INDEPENDENT
+  * pure-Scala reference computed from the closed-form synthesis — a
+  * different implementation of the same definition (in-memory maps vs
+  * iterative DataFrame jobs), so a partitioning, join, checkpoint or
+  * truncation bug in the distributed loop cannot agree with it by
+  * luck. */
+class LinkGraphSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+
+  private val P = 101
+  private lazy val ids: Array[Long] =
+    graft.sources.Tables.documents(spark, TestSpark.sf)
+      .where("text is not null").select("doc_id")
+      .collect().map(_.getLong(0))
+
+  // closed-form link targets per doc, in page order (d1 appears twice:
+  // anchor + <img> asset)
+  private def targets(id: Long): Seq[(Long, Long)] = {
+    val s = id % P
+    Seq((s, (2 * id + 1) % P), (s, (3 * id + 7) % P),
+        (s, (7 * id + 13) % P), (s, (2 * id + 1) % P))
+  }
+  private lazy val rawLinks: Seq[(Long, Long)] =
+    ids.toSeq.flatMap(targets).filter { case (a, b) => a != b }
+  private lazy val edges: Seq[(Long, Long)] = rawLinks.distinct
+  private lazy val nodes: Seq[Long] =
+    edges.flatMap { case (a, b) => Seq(a, b) }.distinct.sorted
+  private def hostName(h: Long): String = s"h$h.example"
+
+  test("edge build matches the closed form, with multiplicity, no decoys") {
+    val got = LinkGraph.linkGraph(spark, TestSpark.sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val want = rawLinks.groupBy(identity).map { case ((s, d), v) =>
+      (hostName(s), hostName(d)) -> v.size.toLong
+    }
+    assert(got == want, "edge multiset must equal the closed form")
+    assert(!got.keys.exists { case (a, b) =>
+      a.contains("decoy") || b.contains("decoy") },
+      "the comment decoy must contribute no edge")
+    // the <img> repeat of target 1 must be COUNTED, not dedup'd:
+    // at least one doc has d1 distinct from src, so some edge
+    // carries multiplicity >= 2
+    assert(got.values.exists(_ >= 2L), "img-asset multiplicity lost")
+  }
+
+  /** Independent fixed-point PageRank (LinkGraph's documented
+    * definition) over in-memory maps. */
+  private def referenceRank(): Map[String, Long] = {
+    val n = nodes.length
+    val base = LinkGraph.Scale / n
+    val tp = 15L * base / 100L
+    val outdeg = edges.groupBy(_._1).map { case (k, v) => k -> v.size.toLong }
+    var r = nodes.map(_ -> base).toMap
+    for (_ <- 1 to LinkGraph.Iters) {
+      val inflow = scala.collection.mutable.Map[Long, Long]().withDefaultValue(0L)
+      for ((u, v) <- edges) inflow(v) += r(u) / outdeg(u)
+      r = nodes.map(h => h -> (tp + 85L * inflow(h) / 100L)).toMap
+    }
+    r.map { case (h, v) => hostName(h) -> v }
+  }
+
+  test("hostRank equals the pure-Scala fixed-point reference bit-for-bit") {
+    val got = LinkGraph.hostRank(spark, TestSpark.sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == referenceRank(),
+      "distributed fixed-point PageRank must equal the in-memory reference")
+  }
+
+  test("rank mass is conserved up to truncation + dangling decay") {
+    val got = LinkGraph.hostRank(spark, TestSpark.sf).collect().map(_.getLong(1))
+    val total = got.sum
+    assert(total > 0L && total <= LinkGraph.Scale,
+      s"total mass $total must stay within the fixed-point scale")
+    assert(got.forall(_ >= 0L), "ranks are non-negative by construction")
+  }
+
+  test("hostRank is deterministic across invocations") {
+    val a = LinkGraph.hostRank(spark, TestSpark.sf).collect()
+      .map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
+    val b = LinkGraph.hostRank(spark, TestSpark.sf).collect()
+      .map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
+    assert(a.sameElements(b), "long arithmetic must be layout-independent")
+  }
+
+  /** Independent bounded BFS (queue over adjacency lists). */
+  private def referenceBfs(): Map[String, Long] = {
+    val adj = edges.groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
+    val seeds = nodes.filter(_ % 10 == 0)
+    val dist = scala.collection.mutable.Map[Long, Long](seeds.map(_ -> 0L): _*)
+    var frontier = seeds
+    for (k <- 1 to LinkGraph.MaxHops) {
+      val next = frontier.flatMap(h => adj.getOrElse(h, Nil))
+        .distinct.filterNot(dist.contains)
+      next.foreach(h => dist(h) = k.toLong)
+      frontier = next
+    }
+    dist.map { case (h, d) => hostName(h) -> d }.toMap
+  }
+
+  test("linkBfs equals the pure-Scala BFS distances") {
+    val got = LinkGraph.linkBfs(spark, TestSpark.sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val want = referenceBfs()
+    assert(got == want, "distributed frontier BFS must equal queue BFS")
+    assert(got.values.forall(d => d >= 0L && d <= LinkGraph.MaxHops))
+    // every seed present in the graph sits at distance 0
+    nodes.filter(_ % 10 == 0).foreach { s =>
+      assert(got.get(hostName(s)).contains(0L), s"seed $s must be at dist 0")
+    }
+  }
+}

@@ -520,6 +520,23 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Exchange"), s"llm_html_links acquired a shuffle:\n$p")
   }
 
+  test("link-graph edge build: columnar discover chain, exactly one exchange") {
+    // at 100 TB the edge build is a map-only scan over the crawled
+    // pages (extract → resolve → canon → host, all kernels) feeding
+    // ONE partial-agged hash exchange — the edge groupBy, the
+    // operator's own output key; any second shuffle or object
+    // boundary on this path multiplies the corpus-sized stage
+    val p = plan("llm_link_graph")
+    for (k <- Seq("graft_html_links", "graft_url_resolve", "graft_url_canon"))
+      assert(p.contains(k), s"llm_link_graph lost kernel $k:\n$p")
+    assert(!p.contains("ScalaUDF"), "llm_link_graph must carry no Scala UDF")
+    assert(!p.contains("DeserializeToObject") && !p.contains("MapPartitions"),
+      s"llm_link_graph acquired an object boundary:\n$p")
+    val shuffles = "Exchange hashpartitioning".r.findAllMatchIn(p).size
+    assert(shuffles == 1,
+      s"edge groupBy must be the only exchange, saw $shuffles:\n$p")
+  }
+
   test("PQ ADC scans rank on the graft_adc kernel, not an interpreted fold") {
     // round-14 verdict item 1: the ADC table-lookup sum was the last
     // interpreted aggregate(transform(...)) lambda in a hot scan —

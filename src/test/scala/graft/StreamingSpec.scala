@@ -1072,6 +1072,48 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming outlink extraction equals the batch edge build per micro-batch (map-only lift)") {
+    implicit val sqlCtx = spark.sqlContext
+    val pages = Seq(
+      (1L, "http://a.example/p/1",
+        "<html><!-- <a href=\"http://decoy.example/x\"> -->" +
+          "<a href=\"http://b.example/y\">b</a>" +
+          "<img src=\"//c.example/i.png\">" +
+          "<a href=\"../q\">self</a></html>"),
+      (2L, "http://b.example/p/2",
+        "<a href='http://a.example/z?k=1#frag'>back</a>" +
+          "<script src=\"http://cdn.example/app.js\"></script>"),
+      (3L, "http://c.example/p/3",
+        "<a href=\"/local/only\">self-abs</a>" +
+          "<a href=http://A.EXAMPLE:80/up>up</a>"))
+    val ms = MemoryStream[(Long, String, String)]
+    val stream = Streaming.outlinkStream(
+      ms.toDF().toDF("page_id", "page_url", "page"))
+    val q = Streaming.serveMemory(stream, "outlinks", mode = "append")
+    try {
+      ms.addData(pages.take(1))
+      q.processAllAvailable()
+      val afterB1 = spark.sql("select * from outlinks").count()
+      ms.addData(pages.drop(1))
+      q.processAllAvailable()
+      def asSet(rows: Array[org.apache.spark.sql.Row]) =
+        rows.map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3))).toSet
+      val got = asSet(spark.sql(
+        "select page_id, src_host, dst_host, link_url from outlinks").collect())
+      val want = asSet(graft.operators.LinkGraph.edgesOf(
+        pages.toDF("page_id", "page_url", "page"))
+        .select("page_id", "src_host", "dst_host", "link_url").collect())
+      assert(afterB1 == 2,
+        "page 1 emits its two cross-host links incrementally (decoy + relative self-link drop)")
+      assert(got == want, "streaming edges diverge from the batch core")
+      // canonicalization runs INSIDE the stream: case + default port
+      // fold, fragments drop, protocol-relative refs absolutize
+      assert(got((3L, "c.example", "a.example", "http://a.example/up")))
+      assert(got((2L, "b.example", "a.example", "http://a.example/z?k=1")))
+      assert(got((1L, "a.example", "c.example", "http://c.example/i.png")))
+    } finally q.stop()
+  }
+
   test("streaming ANN suspects equal the batch ADC candidates across micro-batches (stateless stream-static probe)") {
     import org.apache.spark.sql.functions._
     implicit val sqlCtx = spark.sqlContext
