@@ -230,8 +230,13 @@ object SparkEntry {
     * queried, so registering all ~90 costs milliseconds and each
     * query still optimizes end-to-end (filters a user writes over
     * the view push INTO the view's plan — it is one Catalyst tree,
-    * not a materialization boundary). Returns the registered names,
-    * sorted. */
+    * not a materialization boundary). Exception: the iterative graph
+    * legs (`llm_host_rank`, `llm_link_bfs`, like the collected Markov
+    * matrix before them) run their bounded driver loops at
+    * CONSTRUCTION time, so those views are checkpointed snapshots of
+    * the data at registration — the honest semantics for an
+    * iterative result; re-register to refresh. Returns the
+    * registered names, sorted. */
   def registerSqlSurface(spark: SparkSession, dir: String): Seq[String] = {
     val names = queries.keys.toSeq.sorted
     names.foreach(n => queries(n)(spark, dir).createOrReplaceTempView(n))

@@ -100,15 +100,21 @@ object LinkGraph {
   private[graft] def edgesOf(pages: DataFrame): DataFrame = {
     val spark = pages.sparkSession
     pages
+      // src keys off the CANONICAL fetch URL — a page fetched under a
+      // non-canonical spelling ("HTTP://B.Example:80/p") must land on
+      // the same graph node as links pointing at it, or one real host
+      // splits in two and the self-loop drop misfires; a fetch URL
+      // that doesn't parse can't key edges at all (resolve against it
+      // yields nothing either), so those rows drop visibly here
+      .withColumn("src_host",
+        Urls.hostCol(Urls.canonCol(spark, col("page_url"))))
+      .filter(col("src_host").isNotNull)
       .select(col("*"), explode(Html.linksCol(spark, col("page"))).as("ref"))
       .withColumn("link_url",
         Urls.canonCol(spark,
           Urls.resolveCol(spark, col("page_url"), col("ref"))))
       .filter(col("link_url").isNotNull)
-      .withColumn("src_host",
-        substring_index(substring_index(col("page_url"), "://", -1), "/", 1))
-      .withColumn("dst_host",
-        substring_index(substring_index(col("link_url"), "://", -1), "/", 1))
+      .withColumn("dst_host", Urls.hostCol(col("link_url")))
       .filter(col("dst_host") =!= col("src_host"))
       .drop("page", "ref")
   }
@@ -140,6 +146,13 @@ object LinkGraph {
   private def edgeSet(spark: SparkSession, dir: String): DataFrame =
     linkStream(spark, dir).distinct().ckptLocal()
 
+  /** Node universe of an edge set: every host touching an edge —
+    * shared by both algorithms so their node sets cannot diverge. */
+  private def nodesOf(edges: DataFrame): DataFrame =
+    edges.select(col("src_host").as("host"))
+      .union(edges.select(col("dst_host").as("host")))
+      .distinct()
+
   /** The ORACLED host-authority leg (`llm_host_rank`): PageRank over
     * the host graph in EXACT fixed-point arithmetic.
     *
@@ -162,9 +175,7 @@ object LinkGraph {
     * COUNT ever reaches the driver. */
   def hostRank(spark: SparkSession, dir: String): DataFrame = {
     val edges = edgeSet(spark, dir)
-    val nodes = edges.select(col("src_host").as("host"))
-      .union(edges.select(col("dst_host").as("host")))
-      .distinct().ckptLocal()
+    val nodes = nodesOf(edges).ckptLocal()
     val n = nodes.count()
     val base = Scale / math.max(n, 1L)
     val teleport = 15L * base / 100L
@@ -199,10 +210,7 @@ object LinkGraph {
     * recursive CTE with min(d). */
   def linkBfs(spark: SparkSession, dir: String): DataFrame = {
     val edges = edgeSet(spark, dir)
-    val nodes = edges.select(col("src_host").as("host"))
-      .union(edges.select(col("dst_host").as("host")))
-      .distinct()
-    val seeds = nodes.filter(
+    val seeds = nodesOf(edges).filter(
       pmod(regexp_extract(col("host"), "^h(\\d+)\\.example$", 1).cast("long"),
         lit(10)) === 0)
     var visited = seeds.select(col("host"), lit(0L).as("dist")).ckptLocal()

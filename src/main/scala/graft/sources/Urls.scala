@@ -241,6 +241,26 @@ object Urls {
       call_function("graft_url_canon", url)
     else udf((s: String) => normalizeUrl(s).orNull).apply(url)
 
+  /** Host (authority) extraction from a URL column — the frontier,
+    * schedule and link-graph keying primitive, shared so every
+    * consumer keys hosts identically. Cuts at the FIRST `://` (a
+    * `substring_index(…, "://", -1)` would split at the LAST one, so
+    * a crawled redirect/tracking link carrying an absolute URL in its
+    * query — `http://a.example/r?u=http://b.example/x`, which the
+    * canonicalizer deliberately preserves — would fabricate an edge
+    * to the EMBEDDED host), then stops at the first `/`, `?` or `#`.
+    * Inputs without `://` (the frontier's `!` parse-failure sentinel)
+    * pass through the same trailing cuts unchanged, preserving the
+    * sentinel's visibility. Plain columnar — stays inside
+    * WholeStageCodegen like its callers. */
+  def hostCol(url: Column): Column = {
+    val i = instr(url, "://")
+    val after = url.substr(i + lit(3), length(url))
+    def cut(c: Column) =
+      substring_index(substring_index(substring_index(c, "/", 1), "?", 1), "#", 1)
+    when(i > 0, cut(after)).otherwise(cut(url))
+  }
+
   /** Per-host robots.txt for the frontier leg: the shared base
     * policy (the same load-bearing RFC 9309 semantics
     * `Robots.robotsFilter` exercises — longest-match precedence, a
@@ -340,8 +360,7 @@ object Urls {
     //    visible as the '!' sentinel
     val canon = candidates
       .withColumn("canonical_url", coalesce(canonCol(spark, col("url")), lit("!")))
-      .withColumn("host",
-        substring_index(substring_index(col("canonical_url"), "://", -1), "/", 1))
+      .withColumn("host", hostCol(col("canonical_url")))
       .withColumn("path",
         regexp_extract(col("canonical_url"), "^[a-z][a-z0-9+.-]*://[^/?#]*(/[^?#]*)", 1))
 

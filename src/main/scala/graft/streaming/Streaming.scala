@@ -390,8 +390,7 @@ object Streaming {
     urls.select(col("cand_id"), col("ts"), col("url"))
       .withColumn("canonical_url",
         coalesce(graft.sources.Urls.canonCol(spark, col("url")), lit("!")))
-      .withColumn("host",
-        substring_index(substring_index(col("canonical_url"), "://", -1), "/", 1))
+      .withColumn("host", graft.sources.Urls.hostCol(col("canonical_url")))
       .withColumn("path",
         regexp_extract(col("canonical_url"), "^[a-z][a-z0-9+.-]*://[^/?#]*(/[^?#]*)", 1))
       // LEFT outer: a host with no robots.txt row must still flow —

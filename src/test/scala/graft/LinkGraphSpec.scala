@@ -89,6 +89,28 @@ class LinkGraphSpec extends AnyFunSuite {
     assert(a.sameElements(b), "long arithmetic must be layout-independent")
   }
 
+  test("edgesOf keys src from the CANONICAL fetch URL and dst from the first ://") {
+    import spark.implicits._
+    val pages = Seq(
+      // page fetched under a NON-canonical spelling: its own links
+      // must still self-loop-drop against the canonical host, and a
+      // link with an absolute URL embedded in the query must key to
+      // the OUTER host, never the embedded one
+      ("HTTP://B.Example:80/p/2",
+        "<a href=\"/x\">self</a>" +
+          "<a href=\"http://a.example/r?u=http://c.example/z\">r</a>"),
+      // a fetch URL that doesn't parse cannot key edges — the row
+      // drops instead of producing a garbage src_host node
+      ("not a url", "<a href=\"http://a.example/y\">y</a>"))
+      .toDF("page_url", "page")
+    val got = LinkGraph.edgesOf(pages)
+      .select("src_host", "dst_host", "link_url")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    assert(got == Set(("b.example", "a.example",
+      "http://a.example/r?u=http://c.example/z")),
+      s"got $got")
+  }
+
   /** Independent bounded BFS (queue over adjacency lists). */
   private def referenceBfs(): Map[String, Long] = {
     val adj = edges.groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }

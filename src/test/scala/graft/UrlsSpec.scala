@@ -244,4 +244,27 @@ class UrlsSpec extends AnyFunSuite {
       assert(Robots.isAllowed(rules, "/tmp/run1.txt"))
     }
   }
+
+  test("hostCol cuts at the FIRST ://, not an absolute URL embedded in the query") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val cases = Seq(
+      // the redirect/tracking-link shape the canonicalizer preserves:
+      // the host is a.example, never the embedded b.example
+      "http://a.example/r?u=http://b.example/x" -> "a.example",
+      "https://h.example/p/1"                   -> "h.example",
+      // authority kept verbatim (port/userinfo are part of the key
+      // until the canonicalizer folds them)
+      "https://user@h.example:8443/p"           -> "user@h.example:8443",
+      // query-/fragment-only tails still terminate the authority
+      "http://h.example?q=1"                    -> "h.example",
+      "http://h.example#frag"                   -> "h.example",
+      // the frontier's parse-failure sentinel passes through visible
+      "!"                                       -> "!")
+    val got = cases.map(_._1).toDF("u")
+      .select(col("u"), graft.sources.Urls.hostCol(col("u")).as("h"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    for ((u, want) <- cases)
+      assert(got(u) == want, s"hostCol($u) = ${got(u)}, want $want")
+  }
 }
