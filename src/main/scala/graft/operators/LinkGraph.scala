@@ -49,9 +49,13 @@ object LinkGraph {
 
   /** Host-id modulus for the synthesized graph: doc_id % 101 is the
     * page's host, the three outlink targets are affine maps of doc_id
-    * mod the same prime — so the sf0.01 corpus (500 docs) populates
-    * all 101 hosts with ~15 distinct out-neighbors each, and the
-    * closed form restates in one SQL expression. */
+    * mod the same prime — every doc on a host therefore links to the
+    * SAME three targets (a fixed 101-node, ≤3-out-degree functional
+    * graph whose edge set SATURATES at ~297 regardless of corpus
+    * size: the sf10c8 rung measures the linear markup-scan term over
+    * a stable graph), and the closed form restates in one SQL
+    * expression. Multiplicities still grow with the corpus — that is
+    * the aggregated signal. */
   private val Hosts = 101
 
   /** PageRank fixed-point scale (1e12), damping 85/100, iterations. */
