@@ -177,6 +177,26 @@ object LinkGraph {
     * each iteration's rank vector is checkpointed so the plan stays
     * flat (5 bounded jobs, the GraphX cadence), and only the node
     * COUNT ever reaches the driver. */
+  /** One power-iteration step — (host, rank) in, (host, rank) out.
+    * Factored so PlanSpec can pin the ITERATION's physical shape (the
+    * registry leg's final plan is just a checkpoint scan): contribs
+    * flow edge→dst through one partial-agged hash exchange, the
+    * rank/nodes joins are equi-joins (never a nested loop), and the
+    * corpus-sized `edeg` table arrives pre-materialized — only the
+    * host-sized rank vector moves per step. */
+  private[graft] def rankStep(nodes: DataFrame, edeg: DataFrame,
+      ranks: DataFrame, teleport: Long): DataFrame = {
+    val inflow = edeg.join(ranks, edeg("src_host") === ranks("host"))
+      .select(col("dst_host"), expr("rank div outdeg").as("contrib"))
+      .groupBy("dst_host").agg(sum(col("contrib")).as("inflow"))
+    nodes
+      .join(inflow, nodes("host") === inflow("dst_host"), "left_outer")
+      .select(col("host"),
+        (lit(teleport) +
+          expr("(85 * coalesce(inflow, CAST(0 AS BIGINT))) div 100"))
+          .as("rank"))
+  }
+
   def hostRank(spark: SparkSession, dir: String): DataFrame = {
     val edges = edgeSet(spark, dir)
     val nodes = nodesOf(edges).ckptLocal()
@@ -187,18 +207,8 @@ object LinkGraph {
       .join(edges.groupBy("src_host").agg(count(lit(1)).as("outdeg")), "src_host")
       .ckptLocal()
     var ranks = nodes.select(col("host"), lit(base).as("rank"))
-    for (_ <- 1 to Iters) {
-      val inflow = edeg.join(ranks, edeg("src_host") === ranks("host"))
-        .select(col("dst_host"), expr("rank div outdeg").as("contrib"))
-        .groupBy("dst_host").agg(sum(col("contrib")).as("inflow"))
-      ranks = nodes
-        .join(inflow, nodes("host") === inflow("dst_host"), "left_outer")
-        .select(col("host"),
-          (lit(teleport) +
-            expr("(85 * coalesce(inflow, CAST(0 AS BIGINT))) div 100"))
-            .as("rank"))
-        .ckptLocal()
-    }
+    for (_ <- 1 to Iters)
+      ranks = rankStep(nodes, edeg, ranks, teleport).ckptLocal()
     ranks.select(col("host"), col("rank").as("rank_scaled"))
   }
 
