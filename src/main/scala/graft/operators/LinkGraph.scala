@@ -157,26 +157,6 @@ object LinkGraph {
       .union(edges.select(col("dst_host").as("host")))
       .distinct()
 
-  /** The ORACLED host-authority leg (`llm_host_rank`): PageRank over
-    * the host graph in EXACT fixed-point arithmetic.
-    *
-    * Definition (mirrored verbatim by the DuckDB oracle):
-    * N = |hosts touching a distinct edge|, base = Scale div N,
-    * teleport = (15 × base) div 100, r₀(v) = base, and for each of
-    * the 5 iterations
-    *   r(v) = teleport + (85 × Σ_{(u,v)∈E} (r(u) div outdeg(u))) div 100.
-    * Truncating integer division throughout; dangling hosts (in-links
-    * only) contribute nothing — their mass decays, the standard
-    * power-iteration-without-dangling-redistribution variant. Total
-    * mass stays ≤ Scale, so 85 × inflow ≤ 8.5e13 — overflow headroom
-    * ~10⁵ on longs.
-    *
-    * Per iteration: the rank vector (ONE row per host) joins the
-    * pre-materialized (edge, outdeg) table on src and partial-agg
-    * sums into dst — the corpus-sized edge table never re-shuffles;
-    * each iteration's rank vector is checkpointed so the plan stays
-    * flat (5 bounded jobs, the GraphX cadence), and only the node
-    * COUNT ever reaches the driver. */
   /** One power-iteration step — (host, rank) in, (host, rank) out.
     * Factored so PlanSpec can pin the ITERATION's physical shape (the
     * registry leg's final plan is just a checkpoint scan): contribs
@@ -197,6 +177,24 @@ object LinkGraph {
           .as("rank"))
   }
 
+  /** The ORACLED host-authority leg (`llm_host_rank`): PageRank over
+    * the host graph in EXACT fixed-point arithmetic.
+    *
+    * Definition (mirrored verbatim by the DuckDB oracle):
+    * N = |hosts touching a distinct edge|, base = Scale div N,
+    * teleport = (15 × base) div 100, r₀(v) = base, and for each of
+    * the 5 iterations
+    *   r(v) = teleport + (85 × Σ_{(u,v)∈E} (r(u) div outdeg(u))) div 100.
+    * Truncating integer division throughout; dangling hosts (in-links
+    * only) contribute nothing — their mass decays, the standard
+    * power-iteration-without-dangling-redistribution variant. Total
+    * mass stays ≤ Scale, so 85 × inflow ≤ 8.5e13 — overflow headroom
+    * ~10⁵ on longs.
+    *
+    * Per iteration: `rankStep` above — the corpus-sized edge table
+    * never re-shuffles; each iteration's rank vector is checkpointed
+    * so the plan stays flat (5 bounded jobs, the GraphX cadence), and
+    * only the node COUNT ever reaches the driver. */
   def hostRank(spark: SparkSession, dir: String): DataFrame = {
     val edges = edgeSet(spark, dir)
     val nodes = nodesOf(edges).ckptLocal()

@@ -543,13 +543,12 @@ class PlanSpec extends AnyFunSuite {
     // rank vector — an accidental nested-loop/cartesian on the rank
     // join, or a second full-edge shuffle per step, multiplies the
     // biggest table by the iteration count
-    import org.apache.spark.sql.functions.{col, lit}
+    import org.apache.spark.sql.functions.{col, count, lit}
     import spark.implicits._
     val edges = Seq(("a", "b"), ("a", "c"), ("b", "c"), ("c", "a"))
       .toDF("src_host", "dst_host")
     val edeg = edges.join(
-      edges.groupBy("src_host").agg(
-        org.apache.spark.sql.functions.count(lit(1)).as("outdeg")), "src_host")
+      edges.groupBy("src_host").agg(count(lit(1)).as("outdeg")), "src_host")
     val nodes = Seq("a", "b", "c").toDF("host")
     val ranks = nodes.select(col("host"), lit(1000000L).as("rank"))
     val p = graft.operators.LinkGraph.rankStep(nodes, edeg, ranks, 50L)
