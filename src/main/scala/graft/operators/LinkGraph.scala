@@ -146,13 +146,32 @@ object LinkGraph {
       .agg(count(lit(1)).as("n_links"))
 
   /** The DISTINCT simple-graph edge set both algorithms consume,
-    * materialized once. */
-  private def edgeSet(spark: SparkSession, dir: String): DataFrame =
-    linkStream(spark, dir).distinct().ckptLocal()
+    * materialized once — PRE-PARTITIONED on src_host. The distinct
+    * leaves the table hashed on (src, dst); both consumers join it on
+    * src_host every iteration/hop, so without the repartition the
+    * corpus-sized edge table would RE-SHUFFLE once per PageRank
+    * iteration and per BFS hop. One build-time exchange buys
+    * exchange-free static sides for every subsequent step
+    * (localCheckpoint preserves the physical partitioning into the
+    * LogicalRDD — PlanSpec pins the elision with broadcast/AQE off),
+    * and the outdeg groupBy + join in `edgeDeg` land on the same
+    * clustering, adding zero further exchanges. */
+  private[graft] def edgeSet(spark: SparkSession, dir: String): DataFrame =
+    linkStream(spark, dir).distinct()
+      .repartition(col("src_host")).ckptLocal()
+
+  /** (edge, outdeg-of-src) — the PageRank static side: built on
+    * edgeSet's src_host clustering (aggregate and join both
+    * exchange-free), checkpointed with that clustering intact. */
+  private[graft] def edgeDeg(edges: DataFrame): DataFrame =
+    edges
+      .join(edges.groupBy("src_host").agg(count(lit(1)).as("outdeg")),
+        "src_host")
+      .ckptLocal()
 
   /** Node universe of an edge set: every host touching an edge —
     * shared by both algorithms so their node sets cannot diverge. */
-  private def nodesOf(edges: DataFrame): DataFrame =
+  private[graft] def nodesOf(edges: DataFrame): DataFrame =
     edges.select(col("src_host").as("host"))
       .union(edges.select(col("dst_host").as("host")))
       .distinct()
@@ -201,9 +220,7 @@ object LinkGraph {
     val n = nodes.count()
     val base = Scale / math.max(n, 1L)
     val teleport = 15L * base / 100L
-    val edeg = edges
-      .join(edges.groupBy("src_host").agg(count(lit(1)).as("outdeg")), "src_host")
-      .ckptLocal()
+    val edeg = edgeDeg(edges)
     var ranks = nodes.select(col("host"), lit(base).as("rank"))
     for (_ <- 1 to Iters)
       ranks = rankStep(nodes, edeg, ranks, teleport).ckptLocal()
