@@ -218,6 +218,11 @@ object SparkEntry {
     // hosts within 4 hops, frontier BFS over the materialized edge
     // set; DuckDB restates it as a depth-bounded recursive CTE
     "llm_link_bfs"       -> (graft.operators.LinkGraph.linkBfs _),
+    // the link graph at crawl cadence: previous generation's edge
+    // counts reloaded from a persisted parquet index, merged with the
+    // new crawl's delta — old pages never re-extracted; both eras'
+    // counts restated by DuckDB as conditional sums
+    "llm_link_incr"      -> (graft.operators.LinkGraph.linkIncr _),
   )
 
   /** The registry as a SQL surface (round-11 verdict item 8):
@@ -327,6 +332,7 @@ object SparkEntry {
     "llm_link_graph" -> ("llm-corpus", "LinkGraph.linkGraph"),
     "llm_host_rank" -> ("llm-corpus", "LinkGraph.hostRank"),
     "llm_link_bfs" -> ("llm-corpus", "LinkGraph.linkBfs"),
+    "llm_link_incr" -> ("llm-corpus", "LinkGraph.linkIncr"),
     "llm_mix_weighted" -> ("llm-corpus", "Llm.mixWeighted"),
     "llm_ngram_jaccard" -> ("llm-dedup", "Llm.ngramJaccard"),
     "llm_pii_scrub" -> ("llm-text", "Llm.piiScrub"),
@@ -774,6 +780,22 @@ object SparkEntry {
          SELECT concat('h', CAST(h AS VARCHAR), '.example') AS host,
                 CAST(r AS BIGINT) AS rank_scaled
          FROM p5""",
+    // cross-era link-graph oracle: the same closed-form edge stream,
+    // each era's multiplicity a conditional sum (prev = docs with
+    // doc_id % 3 != 0, the persisted index; new = the % 3 == 0 crawl)
+    "llm_link_incr" ->
+      """WITH d AS (SELECT doc_id, doc_id % 101 AS src,
+                  (doc_id * 2 + 1) % 101 AS d1,
+                  (doc_id * 3 + 7) % 101 AS d2,
+                  (doc_id * 7 + 13) % 101 AS d3
+           FROM documents WHERE text IS NOT NULL),
+         raw AS (SELECT doc_id, src, unnest([d1, d2, d3, d1]) AS dst FROM d)
+         SELECT concat('h', CAST(src AS VARCHAR), '.example') AS src_host,
+                concat('h', CAST(dst AS VARCHAR), '.example') AS dst_host,
+                CAST(sum(CASE WHEN doc_id % 3 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_prev,
+                CAST(sum(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+                count(*) AS n_links
+         FROM raw WHERE dst <> src GROUP BY 1, 2""",
     // link-BFS oracle: depth-bounded recursive walk with UNION dedup
     // (each (host, depth) pair once), min(d) = the BFS distance
     "llm_link_bfs" ->

@@ -130,4 +130,20 @@ object Tables {
 
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
+
+  /** Fingerprint of one table's backing files (names, sizes, mtimes
+    * via the same Hadoop FS the read uses) — the cache key for
+    * per-dir persisted snapshots (the `llm_ann_probe` pattern), so
+    * data REPLACED under the same path invalidates a snapshot instead
+    * of serving stale results. */
+  def inputFingerprint(s: SparkSession, d: String, name: String): String = {
+    val p = new org.apache.hadoop.fs.Path(s"$d/$name.parquet")
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val parts =
+      try fs.listStatus(p).map(st =>
+        s"${st.getPath.getName}:${st.getLen}:${st.getModificationTime}").sorted
+      catch { case _: java.io.IOException => Array(s"unlistable:$d") }
+    java.lang.Long.toHexString(
+      parts.foldLeft(17L)((h, str) => h * 31 + str.hashCode))
+  }
 }

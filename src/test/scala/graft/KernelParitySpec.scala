@@ -88,7 +88,12 @@ class KernelParitySpec extends AnyFunSuite {
     // link-graph family: the edge build crosses the three discover
     // kernels; hostRank/linkBfs consume the same stream, and their
     // long arithmetic is kernel-free — the edge leg covers the gate
-    "llm_link_graph", "llm_host_rank", "llm_link_bfs")
+    "llm_link_graph", "llm_host_rank", "llm_link_bfs",
+    // the cross-era leg's delta half re-extracts under the flipped
+    // gate (the persisted prev index is built once per input
+    // fingerprint and shared across the gate — legal because the
+    // per-expression pins prove kernel == fallback bit-for-bit)
+    "llm_link_incr")
 
   for (q <- covering)
     test(s"$q is identical with kernels disabled") {

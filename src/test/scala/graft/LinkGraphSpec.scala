@@ -89,6 +89,35 @@ class LinkGraphSpec extends AnyFunSuite {
     assert(a.sameElements(b), "long arithmetic must be layout-independent")
   }
 
+  test("incremental link index: eras match the closed form, merge equals a full rebuild") {
+    val got = LinkGraph.linkIncr(spark, TestSpark.sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // independent reference: the same raw link multiset split by era
+    val byEdge = ids.toSeq.flatMap(id => targets(id).map(t => (id, t)))
+      .filter { case (_, (a, b)) => a != b }
+      .groupBy { case (_, (s, d)) => (hostName(s), hostName(d)) }
+    val want = byEdge.map { case (k, links) =>
+      val prev = links.count(_._1 % 3 != 0).toLong
+      val neu = links.count(_._1 % 3 == 0).toLong
+      k -> (prev, neu, prev + neu)
+    }
+    assert(got == want, "cross-era counts must equal the per-era closed form")
+    // the merge must reconstruct exactly what a from-scratch rebuild
+    // over ALL pages produces — incremental == batch, the same
+    // contract the near-dup index pins
+    val full = LinkGraph.linkGraph(spark, TestSpark.sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got.map { case (k, (_, _, t)) => k -> t } == full,
+      "merged totals diverge from the full rebuild")
+    // the persisted snapshot is reused: a second invocation (same
+    // input fingerprint) returns identical rows
+    val again = LinkGraph.linkIncr(spark, TestSpark.sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(again == got, "snapshot reuse must be deterministic")
+  }
+
   test("edgesOf keys src from the CANONICAL fetch URL and dst from the first ://") {
     import spark.implicits._
     val pages = Seq(
