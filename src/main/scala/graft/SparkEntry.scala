@@ -238,9 +238,11 @@ object SparkEntry {
     * not a materialization boundary). Exception: the iterative graph
     * legs (`llm_host_rank`, `llm_link_bfs`, like the collected Markov
     * matrix before them) run their bounded driver loops at
-    * CONSTRUCTION time, so those views are checkpointed snapshots of
-    * the data at registration — the honest semantics for an
-    * iterative result; re-register to refresh. Returns the
+    * CONSTRUCTION time, and `llm_link_incr` / `llm_ann_probe` build
+    * their persisted index snapshot on FIRST construction per
+    * (dir, input-fingerprint) — so those views are snapshots of the
+    * data at registration, the honest semantics for an iterative or
+    * index-backed result; re-register to refresh. Returns the
     * registered names, sorted. */
   def registerSqlSurface(spark: SparkSession, dir: String): Seq[String] = {
     val names = queries.keys.toSeq.sorted

@@ -167,20 +167,6 @@ object LinkGraph {
   def linkGraph(spark: SparkSession, dir: String): DataFrame =
     buildLinkIndex(pagesOf(spark, dir))
 
-  /** Per-dir persisted link-index snapshots for `llm_link_incr` —
-    * the `llm_ann_probe` convention: built once per (dir, input
-    * fingerprint), parquet round-tripped, deleted at JVM exit. */
-  private val linkSnapshots =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
-  private val linkSnapshotCleaner: Unit =
-    Runtime.getRuntime.addShutdownHook(new Thread(() =>
-      linkSnapshots.values.forEach { d =>
-        try {
-          import scala.reflect.io.Directory
-          new Directory(new java.io.File(d)).deleteRecursively(); ()
-        } catch { case _: Throwable => }
-      }))
-
   /** The ORACLED cross-era leg (`llm_link_incr`) — the link graph at
     * crawl cadence, the graph-family sibling of
     * `llm_dedup_incremental` / `llm_dedup_near_incr` /
@@ -194,15 +180,17 @@ object LinkGraph {
     * closed form; LinkGraphSpec additionally pins the merged totals
     * equal to a from-scratch full rebuild. */
   def linkIncr(spark: SparkSession, dir: String): DataFrame = {
-    val _ = linkSnapshotCleaner
-    val key = s"$dir|${Tables.inputFingerprint(spark, dir, "documents")}"
-    val snap = linkSnapshots.computeIfAbsent(key, _ => {
-      val tmp =
-        java.nio.file.Files.createTempDirectory("graft_link_index").toString
+    // the kernel gate is part of the cache key: under a flipped gate
+    // (KernelParitySpec, a no-extension deployment) the prev index
+    // REBUILDS through the fallback path instead of silently reusing
+    // the kernel-built snapshot — the end-to-end parity pin covers
+    // both eras, not just the delta
+    val key = s"$dir|${Tables.inputFingerprint(spark, dir, "documents")}" +
+      s"|k=${Llm.kernelOn(spark, "graft_html_links")}"
+    val snap = Snapshots.of(key, "graft_link_index") { tmp =>
       buildLinkIndex(pagesOf(spark, dir).filter(pmod(col("doc_id"), lit(3)) =!= 0))
         .write.mode("overwrite").parquet(s"$tmp/edges")
-      tmp
-    })
+    }
     val prev = spark.read.parquet(s"$snap/edges")
     val delta = buildLinkIndex(
       pagesOf(spark, dir).filter(pmod(col("doc_id"), lit(3)) === 0))

@@ -2591,45 +2591,23 @@ object Llm {
     * are deterministic, so the output is bit-identical to
     * `llm_ann_ivfpq` (LlmSpec pins the equality). no_oracle like the
     * rest of the ANN family. */
-  private val annSnapshots = new java.util.concurrent.ConcurrentHashMap[String, String]()
-
-  /** Cache key = dir + a fingerprint of the embeddings input (file
-    * names, sizes, mtimes via the Hadoop FS the read itself uses) —
-    * data REPLACED under the same path invalidates the snapshot
-    * instead of serving stale probes; snapshot temp dirs are
-    * registered for recursive deletion at JVM exit. */
-  private def annInputFingerprint(spark: SparkSession, dir: String): String = {
-    val p = new org.apache.hadoop.fs.Path(s"$dir/embeddings.parquet")
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val parts =
-      try fs.listStatus(p).map(s =>
-        s"${s.getPath.getName}:${s.getLen}:${s.getModificationTime}").sorted
-      catch { case _: java.io.IOException => Array(s"unlistable:$dir") }
-    java.lang.Long.toHexString(
-      parts.foldLeft(17L)((h, s) => h * 31 + s.hashCode))
-  }
-
-  private val annSnapshotCleaner: Unit = Runtime.getRuntime.addShutdownHook(new Thread(() =>
-    annSnapshots.values.forEach { d =>
-      try {
-        import scala.reflect.io.Directory
-        new Directory(new java.io.File(d)).deleteRecursively(); ()
-      } catch { case _: Throwable => }
-    }))
-
+  /** Cache key = dir + a fingerprint of the embeddings input
+    * (`Tables.inputFingerprint` — file names, sizes, mtimes via the
+    * Hadoop FS the read itself uses) — data REPLACED under the same
+    * path invalidates the snapshot instead of serving stale probes;
+    * the `Snapshots` helper owns the temp dirs and their JVM-exit
+    * deletion. */
   def annProbe(spark: SparkSession, dir: String, nprobe: Int = 28,
       rerankKeep: Int = 100): DataFrame = {
-    val _ = annSnapshotCleaner
-    val cacheKey = s"$dir|${annInputFingerprint(spark, dir)}"
-    val snap = annSnapshots.computeIfAbsent(cacheKey, _ => {
-      val tmp = java.nio.file.Files.createTempDirectory("graft_ann_snapshot").toString
+    val cacheKey =
+      s"$dir|${graft.sources.Tables.inputFingerprint(spark, dir, "embeddings")}"
+    val snap = Snapshots.of(cacheKey, "graft_ann_snapshot") { tmp =>
       val all = vecs(spark, dir)
       val built = buildAnnIndex(spark, all.select(col("vec_id"), col("v")))
       built.centroids.write.mode("overwrite").parquet(s"$tmp/centroids")
       built.books.write.mode("overwrite").parquet(s"$tmp/books")
       built.codes.write.mode("overwrite").partitionBy("cluster").parquet(s"$tmp/codes")
-      tmp
-    })
+    }
     val index = AnnIndex(
       spark.read.parquet(s"$snap/centroids"),
       spark.read.parquet(s"$snap/books"),

@@ -142,7 +142,13 @@ object Tables {
     val parts =
       try fs.listStatus(p).map(st =>
         s"${st.getPath.getName}:${st.getLen}:${st.getModificationTime}").sorted
-      catch { case _: java.io.IOException => Array(s"unlistable:$d") }
+      catch {
+        // an UNLISTABLE input yields a never-repeating fingerprint:
+        // a transient FS failure must force a rebuild, never serve a
+        // snapshot of data the cache can no longer vouch for
+        case _: java.io.IOException =>
+          Array(s"unlistable:$d:${System.nanoTime()}")
+      }
     java.lang.Long.toHexString(
       parts.foldLeft(17L)((h, str) => h * 31 + str.hashCode))
   }

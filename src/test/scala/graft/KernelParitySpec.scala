@@ -89,10 +89,9 @@ class KernelParitySpec extends AnyFunSuite {
     // kernels; hostRank/linkBfs consume the same stream, and their
     // long arithmetic is kernel-free — the edge leg covers the gate
     "llm_link_graph", "llm_host_rank", "llm_link_bfs",
-    // the cross-era leg's delta half re-extracts under the flipped
-    // gate (the persisted prev index is built once per input
-    // fingerprint and shared across the gate — legal because the
-    // per-expression pins prove kernel == fallback bit-for-bit)
+    // the cross-era leg's snapshot cache keys on the kernel gate, so
+    // BOTH eras rebuild through the fallback path under the flip —
+    // the parity pin covers the whole corpus, not just the delta
     "llm_link_incr")
 
   for (q <- covering)
