@@ -242,13 +242,32 @@ object SparkEntry {
     * their persisted index snapshot on FIRST construction per
     * (dir, input-fingerprint) — so those views are snapshots of the
     * data at registration, the honest semantics for an iterative or
-    * index-backed result; re-register to refresh. Returns the
-    * registered names, sorted. */
-  def registerSqlSurface(spark: SparkSession, dir: String): Seq[String] = {
+    * index-backed result; re-register to refresh. Because those legs
+    * run real Spark jobs at CONSTRUCTION time, a caller who only
+    * wants the lazy views can pass
+    * `includeSnapshotLegs = false` and register the snapshot-
+    * semantics legs individually later (each is one
+    * `queries(name)(spark, dir).createOrReplaceTempView(name)`) —
+    * registering the surface for unrelated queries then costs
+    * milliseconds, not the graph family's iteration jobs. Returns
+    * the registered names, sorted. */
+  def registerSqlSurface(spark: SparkSession, dir: String,
+      includeSnapshotLegs: Boolean = true): Seq[String] = {
     val names = queries.keys.toSeq.sorted
+      .filter(n => includeSnapshotLegs || !snapshotLegs(n))
     names.foreach(n => queries(n)(spark, dir).createOrReplaceTempView(n))
     names
   }
+
+  /** The queries whose CONSTRUCTION (not first query) runs Spark
+    * jobs: bounded driver iteration loops (`llm_host_rank` counts
+    * hosts then runs 5 checkpointed rank jobs; `llm_link_bfs` runs
+    * up to 4 frontier joins) and persisted-index builders
+    * (`llm_link_incr` / `llm_ann_probe` write a parquet snapshot on
+    * first construction per input fingerprint). Every other view is
+    * a pure logical plan — registration costs nothing. */
+  val snapshotLegs: Set[String] =
+    Set("llm_host_rank", "llm_link_bfs", "llm_link_incr", "llm_ann_probe")
 
   /** Registry documentation: query name → (operator family, entry
     * point). Colocated with `queries` and pinned to its key set by

@@ -185,9 +185,9 @@ object LinkGraph {
     // REBUILDS through the fallback path instead of silently reusing
     // the kernel-built snapshot — the end-to-end parity pin covers
     // both eras, not just the delta
-    val key = s"$dir|${Tables.inputFingerprint(spark, dir, "documents")}" +
-      s"|k=${Llm.kernelOn(spark, "graft_html_links")}"
-    val snap = Snapshots.of(key, "graft_link_index") { tmp =>
+    val group = s"$dir|k=${Llm.kernelOn(spark, "graft_html_links")}"
+    val fp = Tables.inputFingerprint(spark, dir, "documents")
+    val snap = Snapshots.of(group, fp, "graft_link_index") { tmp =>
       buildLinkIndex(pagesOf(spark, dir).filter(pmod(col("doc_id"), lit(3)) =!= 0))
         .write.mode("overwrite").parquet(s"$tmp/edges")
     }

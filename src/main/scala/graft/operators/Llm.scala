@@ -2599,9 +2599,8 @@ object Llm {
     * deletion. */
   def annProbe(spark: SparkSession, dir: String, nprobe: Int = 28,
       rerankKeep: Int = 100): DataFrame = {
-    val cacheKey =
-      s"$dir|${graft.sources.Tables.inputFingerprint(spark, dir, "embeddings")}"
-    val snap = Snapshots.of(cacheKey, "graft_ann_snapshot") { tmp =>
+    val fp = graft.sources.Tables.inputFingerprint(spark, dir, "embeddings")
+    val snap = Snapshots.of(dir, fp, "graft_ann_snapshot") { tmp =>
       val all = vecs(spark, dir)
       val built = buildAnnIndex(spark, all.select(col("vec_id"), col("v")))
       built.centroids.write.mode("overwrite").parquet(s"$tmp/centroids")

@@ -2,15 +2,37 @@ package graft.operators
 
 /** Per-JVM persisted-snapshot cache — the shared mechanism behind
   * `llm_ann_probe`'s index snapshot and `llm_link_incr`'s link index:
-  * a deterministic artifact is built ONCE per cache key into a fresh
-  * temp directory, parquet round-tripped by the caller, and deleted
-  * at JVM exit. Keys embed an input fingerprint (see
-  * `Tables.inputFingerprint`) so replaced data invalidates instead of
-  * serving stale results. A failed build deletes its half-written
-  * directory immediately and rethrows — nothing leaks and nothing is
-  * cached, so the next call retries the build. */
+  * a deterministic artifact is built ONCE per (group, fingerprint)
+  * into a fresh temp directory, parquet round-tripped by the caller,
+  * and deleted at JVM exit. `group` is the logical identity (input
+  * dir + operator params); `fingerprint` is the input-data
+  * fingerprint (`Tables.inputFingerprint`) so data REPLACED under the
+  * same path invalidates instead of serving stale results — and the
+  * superseded generation's map entry and on-disk snapshot are evicted
+  * once the new build completes, so repeated re-ingestion (or a
+  * persistently unlistable FS, whose never-matching fingerprints
+  * force a rebuild per call by design) retains at most ONE stale
+  * snapshot per group rather than growing without bound.
+  *
+  * Builds run OUTSIDE the map's bin lock (a memo holder is inserted
+  * under `computeIfAbsent`; the long Spark job runs under the memo's
+  * own lazy-val lock), so concurrent callers whose keys merely share
+  * a hash bin never block on each other's builds and a re-entrant
+  * build cannot trip ConcurrentHashMap's recursive-update check. A
+  * failed build deletes its half-written directory immediately and
+  * rethrows; the lazy val stays uninitialized, so the next call
+  * retries the build. */
 private[graft] object Snapshots {
-  private val dirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private final class Memo(body: () => String) {
+    /** Set only after a successful build — the eviction pass skips
+      * memos still in flight (their dir isn't knowable without
+      * blocking on the build). */
+    @volatile var builtDir: String = null
+    lazy val dir: String = { val d = body(); builtDir = d; d }
+  }
+
+  private val memos =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), Memo]()
 
   private def rmTree(d: String): Unit =
     try {
@@ -20,18 +42,37 @@ private[graft] object Snapshots {
 
   private lazy val cleaner: Unit = {
     Runtime.getRuntime.addShutdownHook(new Thread(() =>
-      dirs.values.forEach(rmTree(_))))
+      memos.values.forEach(m => if (m.builtDir != null) rmTree(m.builtDir))))
     ()
   }
 
-  /** Directory for `key`, building via `build(tmpDir)` on first use. */
-  def of(key: String, prefix: String)(build: String => Unit): String = {
+  /** Directory for (group, fingerprint), building via `build(tmpDir)`
+    * on first use; completed snapshots of the SAME group under a
+    * DIFFERENT fingerprint are evicted (map entry removed, dir
+    * deleted) after this call's snapshot is ready. Eviction is safe
+    * at that point for the cache's intended use: a superseded
+    * fingerprint means the input files were replaced, so any plan
+    * still lazily reading the old snapshot is already reading
+    * withdrawn data. */
+  def of(group: String, fingerprint: String, prefix: String)(
+      build: String => Unit): String = {
     cleaner
-    dirs.computeIfAbsent(key, _ => {
+    val memo = memos.computeIfAbsent((group, fingerprint), _ => new Memo(() => {
       val tmp = java.nio.file.Files.createTempDirectory(prefix).toString
       try build(tmp)
       catch { case t: Throwable => rmTree(tmp); throw t }
       tmp
-    })
+    }))
+    val d = memo.dir // the build itself — outside any map bin lock
+    val it = memos.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      if (e.getKey._1 == group && e.getKey._2 != fingerprint
+          && e.getValue.builtDir != null) {
+        rmTree(e.getValue.builtDir)
+        it.remove()
+      }
+    }
+    d
   }
 }

@@ -145,7 +145,11 @@ object Tables {
       catch {
         // an UNLISTABLE input yields a never-repeating fingerprint:
         // a transient FS failure must force a rebuild, never serve a
-        // snapshot of data the cache can no longer vouch for
+        // snapshot of data the cache can no longer vouch for. Growth
+        // under a PERSISTENTLY unlistable FS is bounded by Snapshots'
+        // superseded-entry eviction: each rebuilt generation evicts
+        // the previous one for the same group, so at most one
+        // snapshot per group ever lives at once.
         case _: java.io.IOException =>
           Array(s"unlistable:$d:${System.nanoTime()}")
       }

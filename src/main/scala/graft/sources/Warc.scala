@@ -43,6 +43,53 @@ import org.apache.spark.sql.functions._
   */
 object Warc {
 
+  /** Gzip COMPRESSION for the synthesis side of the oracle legs
+    * (`warcHttp`, `wrapCrawlResponse`) — one `Deflater`/`CRC32` pair
+    * per executor thread, reset per member, instead of a fresh
+    * `GZIPOutputStream` (and its native zstream allocation) per row:
+    * the `compressRatio` pattern (operators/Llm.scala) applied to the
+    * gzip writer. Output is byte-identical to `GZIPOutputStream` at
+    * the default level — same RFC 1952 header (CM=8, zero flags,
+    * MTIME=0, XFL=0, OS=0xff unknown), same raw-deflate stream, same CRC32 +
+    * ISIZE little-endian trailer — so `gunzipAll`/`gzipMembers` and
+    * every external gunzip read it unchanged (WarcSpec pins the
+    * byte equality). Thread-locals are bounded by the executor's
+    * thread count; the Deflater's native memory is reclaimed by its
+    * cleaner when a pool thread retires. */
+  private object GzipOut {
+    private val state = new ThreadLocal[
+        (java.util.zip.Deflater, java.util.zip.CRC32, Array[Byte])] {
+      override def initialValue() =
+        (new java.util.zip.Deflater(
+           java.util.zip.Deflater.DEFAULT_COMPRESSION, /* nowrap = */ true),
+         new java.util.zip.CRC32, new Array[Byte](65536))
+    }
+    private def le32(out: java.io.ByteArrayOutputStream, x: Long): Unit = {
+      out.write((x & 0xff).toInt); out.write(((x >> 8) & 0xff).toInt)
+      out.write(((x >> 16) & 0xff).toInt); out.write(((x >> 24) & 0xff).toInt)
+    }
+    def member(raw: Array[Byte]): Array[Byte] = {
+      val (defl, crc, buf) = state.get()
+      defl.reset(); crc.reset()
+      val out = new java.io.ByteArrayOutputStream(raw.length / 2 + 64)
+      out.write(Array[Byte](0x1f, 0x8b.toByte, 8, 0, 0, 0, 0, 0, 0, 0xff.toByte), 0, 10)
+      defl.setInput(raw); defl.finish()
+      while (!defl.finished()) {
+        val n = defl.deflate(buf)
+        out.write(buf, 0, n)
+      }
+      crc.update(raw)
+      le32(out, crc.getValue)
+      le32(out, raw.length.toLong & 0xffffffffL)
+      out.toByteArray
+    }
+  }
+
+  /** Test-visible door to the reused-compressor gzip writer (WarcSpec
+    * pins its output byte-equal to `GZIPOutputStream`). */
+  private[graft] def gzipMemberOf(raw: Array[Byte]): Array[Byte] =
+    GzipOut.member(raw)
+
   /** One parsed record: version, headers (original-case values,
     * lower-cased names), and the opaque payload bytes. */
   final case class WarcRecord(version: String,
@@ -598,11 +645,9 @@ object Warc {
             s"WARC-Target-URI: https://$source/doc/$docId" + Crlf +
             s"Content-Length: ${httpMsg.length}" + Crlf + Crlf).getBytes("UTF-8") ++
             httpMsg ++ (Crlf + Crlf).getBytes("UTF-8")
-          val gzBos = new java.io.ByteArrayOutputStream()
-          val gz = new java.util.zip.GZIPOutputStream(gzBos)
-          gz.write(record); gz.close()
+          val gzBytes = GzipOut.member(record)
           val extracted = for {
-            plain <- gunzipAll(gzBos.toByteArray)
+            plain <- gunzipAll(gzBytes)
             rec <- parseRecords(plain).headOption
             (hdrs, got) <- httpSplit(rec.payload)
           } yield (hdrs.getOrElse(":status-line", "!"),
@@ -640,10 +685,7 @@ object Warc {
     * reassembly must cross chunk boundaries. */
   private[graft] def wrapCrawlResponse(uri: String, ctype: String,
       raw: Array[Byte]): Array[Byte] = {
-    val gzBos = new java.io.ByteArrayOutputStream()
-    val g = new java.util.zip.GZIPOutputStream(gzBos)
-    g.write(raw); g.close()
-    val enc = gzBos.toByteArray
+    val enc = GzipOut.member(raw)
     val chunkSz = math.max(1, enc.length / 3)
     val chunked = new java.io.ByteArrayOutputStream()
     var o = 0
@@ -665,10 +707,7 @@ object Warc {
       s"WARC-Target-URI: $uri" + Crlf +
       s"Content-Length: ${httpMsg.length}" + Crlf + Crlf).getBytes("UTF-8") ++
       httpMsg ++ (Crlf + Crlf).getBytes("UTF-8")
-    val gzSeg = new java.io.ByteArrayOutputStream()
-    val gs = new java.util.zip.GZIPOutputStream(gzSeg)
-    gs.write(record); gs.close()
-    gzSeg.toByteArray
+    GzipOut.member(record)
   }
 
   /** Decode side shared by the same legs: the full production chain

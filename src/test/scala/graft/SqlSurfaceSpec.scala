@@ -19,6 +19,16 @@ class SqlSurfaceSpec extends AnyFunSuite {
     }
   }
 
+  test("includeSnapshotLegs=false registers the lazy surface only") {
+    val lazyNames =
+      SparkEntry.registerSqlSurface(spark, TestSpark.sf, includeSnapshotLegs = false)
+    assert(lazyNames.toSet ==
+      SparkEntry.queries.keySet -- SparkEntry.snapshotLegs,
+      "lazy surface must exclude exactly the snapshot-semantics legs")
+    assert(SparkEntry.snapshotLegs.subsetOf(SparkEntry.queries.keySet),
+      "snapshotLegs must name real registry queries")
+  }
+
   test("the SQL surface composes: user predicates apply over a registered view") {
     SparkEntry.registerSqlSurface(spark, TestSpark.sf)
     // a view is a logical plan, not a materialization: querying it

@@ -383,6 +383,29 @@ class WarcSpec extends AnyFunSuite {
     }
   }
 
+  test("reused-compressor gzip writer is byte-identical to GZIPOutputStream") {
+    val rnd = new scala.util.Random(4177)
+    val cases = Seq(
+      Array.emptyByteArray,
+      "hello warc".getBytes("UTF-8"),
+      Array.fill(200000)((rnd.nextInt(256) - 128).toByte), // incompressible: multi-buf deflate loop
+      ("abc" * 50000).getBytes("UTF-8")) // highly compressible
+    for (raw <- cases) {
+      val viaJdk = {
+        val bos = new java.io.ByteArrayOutputStream()
+        val g = new java.util.zip.GZIPOutputStream(bos)
+        g.write(raw); g.close()
+        bos.toByteArray
+      }
+      val viaReused = Warc.gzipMemberOf(raw)
+      assert(java.util.Arrays.equals(viaJdk, viaReused),
+        s"gzip writer diverged from GZIPOutputStream at raw length ${raw.length}")
+      // and consecutive members from the SAME thread-local state stay clean
+      val again = Warc.gzipMemberOf(raw)
+      assert(java.util.Arrays.equals(viaReused, again), "reset-per-member state leaked across calls")
+    }
+  }
+
   test("llm_warc_http: gunzip + record walk + HTTP split reproduce the oracle formula on every document") {
     val dir = TestSpark.sf
     val got = Warc.warcHttp(spark, dir).collect()
