@@ -223,6 +223,17 @@ object SparkEntry {
     // new crawl's delta — old pages never re-extracted; both eras'
     // counts restated by DuckDB as conditional sums
     "llm_link_incr"      -> (graft.operators.LinkGraph.linkIncr _),
+    // subword tokenization: the seed BPE model (merges trained from
+    // the embedded corpus at class load) tokenizes synthesized
+    // closed-form sample text distributed through the real kernel;
+    // DuckDB restates tokens, count and the decode round-trip from
+    // doc_id alone (the llm_url_normalize playbook)
+    "llm_bpe_tokenize"   -> (Bpe.bpeTokenize _),
+    // the BPE-token sibling of llm_chunk: windows of 4 subword
+    // tokens, overlap 1, chunk text recovered by decoding the token
+    // slice; same synthesized sample text, every chunk restated by
+    // DuckDB via a list comprehension over the closed-form tokens
+    "llm_chunk_bpe"      -> ((s, d) => Bpe.chunkBpe(s, d)),
   )
 
   /** The registry as a SQL surface (round-11 verdict item 8):
@@ -371,6 +382,8 @@ object SparkEntry {
     "llm_compress_ratio" -> ("llm-text", "Llm.compressRatio"),
     "llm_fix_encoding" -> ("llm-text", "Llm.fixEncoding"),
     "llm_token_count" -> ("llm-text", "Llm.tokenCount"),
+    "llm_bpe_tokenize" -> ("llm-text", "Bpe.bpeTokenize"),
+    "llm_chunk_bpe" -> ("llm-text", "Bpe.chunkBpe"),
     "llm_unigram_logprob" -> ("llm-text", "Llm.unigramLogprob"),
     "llm_vocab_topk" -> ("llm-text", "Llm.vocabTopK"),
     "q10_set_ops" -> ("relational", "Relational.q10SetOps"),
@@ -870,6 +883,50 @@ object SparkEntry {
            CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS sum_ws_tokens,
            CAST(sum(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\s]'))) AS BIGINT) AS sum_bpe_tokens
          FROM documents GROUP BY source""",
+    // BPE oracle: the seed model's tokenization of the synthesized
+    // sample text is a closed form of doc_id — BpeSpec pins the four
+    // word tokenizations the forms rely on ('the' -> [the],
+    // 'data zq' -> [data| z|q], 'thedata' -> [the|data], and the c3
+    // sentence) — so DuckDB restates the token spelling, count and
+    // decode round-trip per row via list comprehensions
+    "llm_bpe_tokenize" ->
+      """WITH p AS (SELECT doc_id, doc_id % 4 AS bpe_case, doc_id % 5 + 1 AS k
+                    FROM documents WHERE text IS NOT NULL),
+              t AS (SELECT doc_id, bpe_case,
+                      CASE bpe_case
+                        WHEN 0 THEN [CASE WHEN i=0 THEN 'the' ELSE ' the' END FOR i IN range(k)]
+                        WHEN 1 THEN flatten([[CASE WHEN i=0 THEN 'data' ELSE ' data' END, ' z', 'q'] FOR i IN range(k)])
+                        WHEN 2 THEN flatten([[CASE WHEN i=0 THEN 'the' ELSE ' the' END, 'data'] FOR i IN range(k)])
+                        ELSE list_concat(['the',' data',' model',' train'], flatten([[' z','q'] FOR i IN range(k)]))
+                      END AS toks
+                    FROM p)
+         SELECT doc_id, bpe_case,
+                CAST(len(toks) AS BIGINT) AS n_tokens,
+                list_aggregate(toks, 'string_agg', '|') AS tokens,
+                list_aggregate(toks, 'string_agg', '') AS decoded
+         FROM t""",
+    // same closed-form token sequence, sliced into 4-token windows
+    // advancing by 3 and decoded per chunk (ltrim drops the slice's
+    // leading word-boundary space)
+    "llm_chunk_bpe" ->
+      """WITH p AS (SELECT doc_id, doc_id % 4 AS bpe_case, doc_id % 5 + 1 AS k
+                    FROM documents WHERE text IS NOT NULL),
+              t AS (SELECT doc_id,
+                      CASE bpe_case
+                        WHEN 0 THEN [CASE WHEN i=0 THEN 'the' ELSE ' the' END FOR i IN range(k)]
+                        WHEN 1 THEN flatten([[CASE WHEN i=0 THEN 'data' ELSE ' data' END, ' z', 'q'] FOR i IN range(k)])
+                        WHEN 2 THEN flatten([[CASE WHEN i=0 THEN 'the' ELSE ' the' END, 'data'] FOR i IN range(k)])
+                        ELSE list_concat(['the',' data',' model',' train'], flatten([[' z','q'] FOR i IN range(k)]))
+                      END AS toks
+                    FROM p),
+              c AS (SELECT doc_id, toks, len(toks) AS n,
+                      CASE WHEN len(toks) <= 4 THEN 1
+                           ELSE CAST(ceil((len(toks) - 4) / 3.0) AS INT) + 1 END AS n_chunks
+                    FROM t)
+         SELECT doc_id, CAST(i AS INT) AS chunk_idx,
+                CAST(least(4, n - i * 3) AS BIGINT) AS n_chunk_tokens,
+                ltrim(list_aggregate(list_slice(toks, i * 3 + 1, i * 3 + 4), 'string_agg', '')) AS chunk_text
+         FROM c, LATERAL (SELECT unnest(range(0, n_chunks)) AS i)""",
     // Exact word-3-gram Jaccard over the doc_id < 50 diagnostic
     // slice (the oracle-checked twin of the n-gram near-dup family;
     // full-corpus scale path = llm_dedup_near's banded LSH).

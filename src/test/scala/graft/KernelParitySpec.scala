@@ -92,7 +92,10 @@ class KernelParitySpec extends AnyFunSuite {
     // the cross-era leg's snapshot cache keys on the kernel gate, so
     // BOTH eras rebuild through the fallback path under the flip —
     // the parity pin covers the whole corpus, not just the delta
-    "llm_link_incr")
+    "llm_link_incr",
+    // BPE family: graft_bpe_tokens vs the ScalaUDF over the same
+    // encodeSeed — bit-identical by construction, pinned end-to-end
+    "llm_bpe_tokenize", "llm_chunk_bpe")
 
   for (q <- covering)
     test(s"$q is identical with kernels disabled") {

@@ -406,6 +406,19 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("ScalaUDF"), "chunker must stay declarative/codegen")
   }
 
+  test("BPE tokenize + chunk run on the graft_bpe_tokens kernel — map-only, no ScalaUDF, no exchange") {
+    // subword tokenization of a 100 TB corpus must be one codegen'd
+    // scan: the merge table is a static class-load derivation, so
+    // there is no model join, no broadcast, no shuffle — and the
+    // chunker adds only window arithmetic + posexplode on top
+    for (q <- Seq("llm_bpe_tokenize", "llm_chunk_bpe")) {
+      val p = plan(q)
+      assert(p.contains("graft_bpe_tokens"), s"$q not on the kernel:\n$p")
+      assert(!p.contains("ScalaUDF"), s"$q must carry no Scala UDF")
+      assert(!p.contains("Exchange"), s"$q acquired a shuffle:\n$p")
+    }
+  }
+
   test("html extraction runs on the graft_html_text kernel — no ScalaUDF, no exchange") {
     // at 100 TB this runs once per crawl document between the WARC
     // entity decode and the quality family — it must be a map-only
