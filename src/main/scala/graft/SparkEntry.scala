@@ -223,6 +223,11 @@ object SparkEntry {
     // new crawl's delta — old pages never re-extracted; both eras'
     // counts restated by DuckDB as conditional sums
     "llm_link_incr"      -> (graft.operators.LinkGraph.linkIncr _),
+    // seed discovery one hop further: sitemap DOCUMENT parsing —
+    // urlset/sitemapindex entries (entity decode, CDATA, comment
+    // decoys, lenient case) extracted by the real bounded walk and
+    // canonicalized; every entry restated by DuckDB
+    "llm_sitemap_urls"   -> (graft.sources.Sitemap.sitemapUrls _),
     // subword tokenization: the seed BPE model (merges trained from
     // the embedded corpus at class load) tokenizes synthesized
     // closed-form sample text distributed through the real kernel;
@@ -361,6 +366,7 @@ object SparkEntry {
     "llm_html_links" -> ("llm-corpus", "Html.htmlLinks"),
     "llm_frontier_schedule" -> ("llm-corpus", "Urls.frontierSchedule"),
     "llm_sitemap_seeds" -> ("llm-corpus", "Robots.sitemapSeeds"),
+    "llm_sitemap_urls" -> ("llm-corpus", "Sitemap.sitemapUrls"),
     "llm_link_graph" -> ("llm-corpus", "LinkGraph.linkGraph"),
     "llm_host_rank" -> ("llm-corpus", "LinkGraph.hostRank"),
     "llm_link_bfs" -> ("llm-corpus", "LinkGraph.linkBfs"),
@@ -730,6 +736,33 @@ object SparkEntry {
            END AS sitemap_url
          FROM documents CROSS JOIN (SELECT unnest(generate_series(1, 2)) AS n) s
          WHERE text IS NOT NULL""",
+    // sitemap-document oracle: each synthesized body's typed entries
+    // are a closed form of (source, doc_id) — the sitemapindex case
+    // canonicalizes its second child (case/port/whitespace), the
+    // urlset case decodes &amp;, keeps CDATA literal (raw & inside),
+    // drops the comment decoy and surfaces the relative loc as a
+    // visible '!', the upper-case case exercises lenient tags + %7E
+    "llm_sitemap_urls" ->
+      """WITH p AS (SELECT doc_id, doc_id % 3 AS sitemap_case,
+                           concat(source, '.example.com') AS h
+                    FROM documents WHERE text IS NOT NULL),
+              e AS (SELECT doc_id, sitemap_case,
+                      CASE sitemap_case
+                        WHEN 0 THEN [
+                          {'kind': 'sitemap', 'loc': concat('https://', h, '/maps/child-a-', doc_id, '.xml')},
+                          {'kind': 'sitemap', 'loc': concat('http://', h, '/maps/child-b-', doc_id, '.xml')}]
+                        WHEN 1 THEN [
+                          {'kind': 'url', 'loc': concat('https://', h, '/p/', doc_id, '?a=1&b=2')},
+                          {'kind': 'url', 'loc': concat('https://', h, '/cdata/', doc_id, '?q=r&s=t')},
+                          {'kind': 'url', 'loc': '!'}]
+                        ELSE [
+                          {'kind': 'url', 'loc': concat('http://', h, '/Upper/', doc_id)},
+                          {'kind': 'url', 'loc': concat('https://', h, '/~doc/', doc_id)}]
+                      END AS entries
+                    FROM p)
+         SELECT doc_id, sitemap_case, CAST(i + 1 AS BIGINT) AS entry_no,
+                entries[i + 1].kind AS kind, entries[i + 1].loc AS loc_url
+         FROM e, LATERAL (SELECT unnest(range(0, len(entries))) AS i)""",
     // outlink-discovery oracle: the synthesized page embeds eight
     // extractable links (and three decoys in comment/script/style
     // that must NOT appear); each resolved+canonicalized target is a

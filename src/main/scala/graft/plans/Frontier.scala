@@ -133,6 +133,19 @@ object FrontierKernel {
     while (i < ss.length) { out(i) = UTF8String.fromString(ss(i)); i += 1 }
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
+
+  /** Typed `kind \t loc` entries of one sitemap DOCUMENT (urlset /
+    * sitemapindex), document order — the per-row walk behind
+    * `graft_sitemap_entries` (sources/Sitemap.parseEntries). */
+  def sitemapEntries(xml: UTF8String): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val es = graft.sources.Sitemap.parseEntries(xml.toString)
+    val out = new Array[AnyRef](es.length)
+    var i = 0
+    while (i < es.length) {
+      out(i) = UTF8String.fromString(es(i)._1 + "\t" + es(i)._2); i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
 }
 
 /** Native Catalyst expression `graft_url_canon(url)`: RFC 3986
@@ -220,6 +233,37 @@ case class Sitemaps(child: Expression) extends UnaryExpression {
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, r =>
       s"${ev.value} = graft.plans.FrontierKernel.sitemapUrls($r);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Native Catalyst expression `graft_sitemap_entries(xml)`: the typed
+  * `kind \t loc` entries of one sitemap document as a COLUMN — the
+  * seed-discovery walk (bounded, entity-safe, CDATA-aware; see
+  * sources/Sitemap) as one map-only codegen'd scan over fetched
+  * bodies. Fallback (kernels off): a ScalaUDF over the SAME
+  * `Sitemap.parseEntries` — bit-identical, pinned by
+  * KernelParitySpec. */
+case class SitemapEntries(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_sitemap_entries"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string xml argument, got ${other.catalogString}")
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    FrontierKernel.sitemapEntries(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, r =>
+      s"${ev.value} = graft.plans.FrontierKernel.sitemapEntries($r);")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)

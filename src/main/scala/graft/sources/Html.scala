@@ -103,7 +103,7 @@ object Html {
   /** Decode every valid `&ref;` in an attribute value (href/src URLs
     * legitimately carry `&amp;` between query params); invalid
     * references pass through verbatim, same rules as `extractText`. */
-  private def decodeRefsAll(s: String): String = {
+  private[sources] def decodeRefsAll(s: String): String = {
     if (s.indexOf('&') < 0) return s
     val out = new java.lang.StringBuilder(s.length)
     var i = 0

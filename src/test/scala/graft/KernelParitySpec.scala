@@ -85,6 +85,7 @@ class KernelParitySpec extends AnyFunSuite {
     "llm_html_extract", "llm_crawl_extract", "llm_url_frontier",
     "llm_url_normalize", "llm_robots_filter", "llm_html_links",
     "llm_lang_id", "llm_frontier_schedule", "llm_sitemap_seeds",
+    "llm_sitemap_urls",
     // link-graph family: the edge build crosses the three discover
     // kernels; hostRank/linkBfs consume the same stream, and their
     // long arithmetic is kernel-free — the edge leg covers the gate
