@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.plans.{AdcSum, BandHashes, BpeTokens, CharRunStats, CosineSimilarity, CrawlDelay, DequantDot, FingerprintStats, GramHashes, GramStats, HtmlLinks, HtmlText, LangIdExpr, MinHashSig, NearestCentroid, PostingsDigest, RobotsAllowed, Segments, SimHash60, SitemapEntries, Sitemaps, SrpBuckets, TermCounts, UrlCanon, UrlResolve}
+import graft.plans.{AdcSum, BandHashes, BpeTokens, CharRunStats, CosineSimilarity, CrawlDelay, DequantDot, FingerprintStats, GramHashes, GramStats, HtmlLinks, HtmlText, LangIdExpr, LinkAnchors, MinHashSig, NearestCentroid, PostingsDigest, RobotsAllowed, Segments, SimHash60, SitemapEntries, Sitemaps, SrpBuckets, TermCounts, UrlCanon, UrlResolve}
 
 /** Engine extensions, installed with
   * `spark.sql.extensions=graft.GraftExtensions` (SparkSessionExtensions
@@ -200,6 +200,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
         require(children.length == 1, "graft_postings_digest takes exactly 1 argument")
         PostingsDigest(children.head)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_link_anchors"),
+      new ExpressionInfo(classOf[LinkAnchors].getName, "graft_link_anchors"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.length == 1, "graft_link_anchors takes exactly 1 argument")
+        LinkAnchors(children.head)
       }))
     ext.injectFunction((
       FunctionIdentifier("graft_sitemap_entries"),

@@ -223,6 +223,16 @@ object SparkEntry {
     // new crawl's delta — old pages never re-extracted; both eras'
     // counts restated by DuckDB as conditional sums
     "llm_link_incr"      -> (graft.operators.LinkGraph.linkIncr _),
+    // host authority at crawl cadence: the previous era ranks cold
+    // (5 iterations), the merged graph re-ranks with 2 WARM
+    // iterations seeded from those ranks; DuckDB restates the whole
+    // chain in exact integer arithmetic
+    "llm_host_rank_warm" -> (graft.operators.LinkGraph.hostRankWarm _),
+    // link-context features: anchor (href, text) pairs through the
+    // graft_link_anchors kernel -> host edges -> top terms per
+    // destination host; every per-doc term multiset restated by
+    // DuckDB from the closed form and re-aggregated
+    "llm_anchor_terms"   -> ((s, d) => graft.operators.LinkGraph.anchorTerms(s, d)),
     // seed discovery one hop further: sitemap DOCUMENT parsing —
     // urlset/sitemapindex entries (entity decode, CDATA, comment
     // decoys, lenient case) extracted by the real bounded walk and
@@ -283,7 +293,8 @@ object SparkEntry {
     * first construction per input fingerprint). Every other view is
     * a pure logical plan — registration costs nothing. */
   val snapshotLegs: Set[String] =
-    Set("llm_host_rank", "llm_link_bfs", "llm_link_incr", "llm_ann_probe")
+    Set("llm_host_rank", "llm_host_rank_warm", "llm_link_bfs",
+      "llm_link_incr", "llm_ann_probe")
 
   /** Registry documentation: query name → (operator family, entry
     * point). Colocated with `queries` and pinned to its key set by
@@ -367,6 +378,8 @@ object SparkEntry {
     "llm_frontier_schedule" -> ("llm-corpus", "Urls.frontierSchedule"),
     "llm_sitemap_seeds" -> ("llm-corpus", "Robots.sitemapSeeds"),
     "llm_sitemap_urls" -> ("llm-corpus", "Sitemap.sitemapUrls"),
+    "llm_anchor_terms" -> ("llm-corpus", "LinkGraph.anchorTerms"),
+    "llm_host_rank_warm" -> ("llm-corpus", "LinkGraph.hostRankWarm"),
     "llm_link_graph" -> ("llm-corpus", "LinkGraph.linkGraph"),
     "llm_host_rank" -> ("llm-corpus", "LinkGraph.hostRank"),
     "llm_link_bfs" -> ("llm-corpus", "LinkGraph.linkBfs"),
@@ -763,6 +776,99 @@ object SparkEntry {
          SELECT doc_id, sitemap_case, CAST(i + 1 AS BIGINT) AS entry_no,
                 entries[i + 1].kind AS kind, entries[i + 1].loc AS loc_url
          FROM e, LATERAL (SELECT unnest(range(0, len(entries))) AS i)""",
+    // warm-start authority oracle: era-A edges (doc_id % 3 != 0)
+    // rank cold for 5 iterations, the merged graph's nodes seed from
+    // them (new hosts at the merged base) and take 2 warm steps --
+    // every stage exact integer arithmetic, restated verbatim
+    "llm_host_rank_warm" ->
+      """WITH d AS (SELECT doc_id, doc_id % 101 AS src,
+                           (doc_id * 2 + 1) % 101 AS d1,
+                           (doc_id * 3 + 7) % 101 AS d2,
+                           (doc_id * 7 + 13) % 101 AS d3
+                    FROM documents WHERE text IS NOT NULL),
+              rawA AS (SELECT src, unnest([d1, d2, d3]) AS dst FROM d WHERE doc_id % 3 <> 0),
+              eA AS (SELECT DISTINCT src, dst FROM rawA WHERE dst <> src),
+              nA AS (SELECT src AS h FROM eA UNION SELECT dst FROM eA),
+              cA AS (SELECT (1000000000000 // count(*)) AS base,
+                            (15 * (1000000000000 // count(*))) // 100 AS tp FROM nA),
+              dgA AS (SELECT src, count(*) AS outdeg FROM eA GROUP BY 1),
+              a0 AS (SELECT h, base AS r FROM nA CROSS JOIN cA),
+              a1 AS (SELECT nA.h, tp + (85 * coalesce(s.inflow, 0)) // 100 AS r
+                     FROM nA CROSS JOIN cA
+                     LEFT JOIN (SELECT eA.dst AS h, sum(p.r // dgA.outdeg) AS inflow
+                                FROM eA JOIN a0 p ON p.h = eA.src
+                                       JOIN dgA ON dgA.src = eA.src
+                                GROUP BY 1) s ON s.h = nA.h),
+              a2 AS (SELECT nA.h, tp + (85 * coalesce(s.inflow, 0)) // 100 AS r
+                     FROM nA CROSS JOIN cA
+                     LEFT JOIN (SELECT eA.dst AS h, sum(p.r // dgA.outdeg) AS inflow
+                                FROM eA JOIN a1 p ON p.h = eA.src
+                                       JOIN dgA ON dgA.src = eA.src
+                                GROUP BY 1) s ON s.h = nA.h),
+              a3 AS (SELECT nA.h, tp + (85 * coalesce(s.inflow, 0)) // 100 AS r
+                     FROM nA CROSS JOIN cA
+                     LEFT JOIN (SELECT eA.dst AS h, sum(p.r // dgA.outdeg) AS inflow
+                                FROM eA JOIN a2 p ON p.h = eA.src
+                                       JOIN dgA ON dgA.src = eA.src
+                                GROUP BY 1) s ON s.h = nA.h),
+              a4 AS (SELECT nA.h, tp + (85 * coalesce(s.inflow, 0)) // 100 AS r
+                     FROM nA CROSS JOIN cA
+                     LEFT JOIN (SELECT eA.dst AS h, sum(p.r // dgA.outdeg) AS inflow
+                                FROM eA JOIN a3 p ON p.h = eA.src
+                                       JOIN dgA ON dgA.src = eA.src
+                                GROUP BY 1) s ON s.h = nA.h),
+              a5 AS (SELECT nA.h, tp + (85 * coalesce(s.inflow, 0)) // 100 AS r
+                     FROM nA CROSS JOIN cA
+                     LEFT JOIN (SELECT eA.dst AS h, sum(p.r // dgA.outdeg) AS inflow
+                                FROM eA JOIN a4 p ON p.h = eA.src
+                                       JOIN dgA ON dgA.src = eA.src
+                                GROUP BY 1) s ON s.h = nA.h),
+              rawF AS (SELECT src, unnest([d1, d2, d3]) AS dst FROM d),
+              eF AS (SELECT DISTINCT src, dst FROM rawF WHERE dst <> src),
+              nF AS (SELECT src AS h FROM eF UNION SELECT dst FROM eF),
+              cF AS (SELECT (1000000000000 // count(*)) AS base,
+                            (15 * (1000000000000 // count(*))) // 100 AS tp FROM nF),
+              dgF AS (SELECT src, count(*) AS outdeg FROM eF GROUP BY 1),
+              w0 AS (SELECT nF.h, coalesce(a5.r, cF.base) AS r
+                     FROM nF CROSS JOIN cF LEFT JOIN a5 ON a5.h = nF.h),
+              w1 AS (SELECT nF.h, tp + (85 * coalesce(s.inflow, 0)) // 100 AS r
+                     FROM nF CROSS JOIN cF
+                     LEFT JOIN (SELECT eF.dst AS h, sum(p.r // dgF.outdeg) AS inflow
+                                FROM eF JOIN w0 p ON p.h = eF.src
+                                       JOIN dgF ON dgF.src = eF.src
+                                GROUP BY 1) s ON s.h = nF.h),
+              w2 AS (SELECT nF.h, tp + (85 * coalesce(s.inflow, 0)) // 100 AS r
+                     FROM nF CROSS JOIN cF
+                     LEFT JOIN (SELECT eF.dst AS h, sum(p.r // dgF.outdeg) AS inflow
+                                FROM eF JOIN w1 p ON p.h = eF.src
+                                       JOIN dgF ON dgF.src = eF.src
+                                GROUP BY 1) s ON s.h = nF.h)
+         SELECT concat('h', CAST(h AS VARCHAR), '.example') AS host,
+                CAST(r AS BIGINT) AS rank_scaled
+         FROM w2""",
+    // anchor-term oracle: each doc's three anchors carry closed-form
+    // term multisets to closed-form destination hosts (self-loops
+    // dropped like the link graph); DuckDB re-aggregates and re-ranks
+    // with the same (count desc, term) total order
+    "llm_anchor_terms" ->
+      """WITH d AS (SELECT doc_id, doc_id % 101 AS s,
+                           (doc_id * 2 + 1) % 101 AS d1, (doc_id * 3 + 7) % 101 AS d2
+                    FROM documents WHERE text IS NOT NULL),
+              raw AS (
+                SELECT concat('h', d1, '.example') AS dst_host, t.term
+                FROM d, (SELECT unnest(['fast','data','&','spark']) AS term) t WHERE d1 <> s
+                UNION ALL
+                SELECT concat('h', d2, '.example') AS dst_host, t.term
+                FROM d, (SELECT unnest(['query','engine','scale']) AS term) t WHERE d2 <> s
+                UNION ALL
+                SELECT concat('h', d1, '.example') AS dst_host, t.term
+                FROM d, (SELECT unnest(['data','engine']) AS term) t WHERE d1 <> s),
+              agg AS (SELECT dst_host, term, count(*) AS n FROM raw GROUP BY 1, 2),
+              rk AS (SELECT dst_host, term, n,
+                       row_number() OVER (PARTITION BY dst_host ORDER BY n DESC, term) AS r
+                     FROM agg)
+         SELECT dst_host, CAST(r AS BIGINT) AS term_rank, term, CAST(n AS BIGINT) AS n
+         FROM rk WHERE r <= 3""",
     // outlink-discovery oracle: the synthesized page embeds eight
     // extractable links (and three decoys in comment/script/style
     // that must NOT appear); each resolved+canonicalized target is a

@@ -26,6 +26,18 @@ object HtmlTextKernel {
     while (i < ls.length) { out(i) = UTF8String.fromString(ls(i)); i += 1 }
     new GenericArrayData(out)
   }
+
+  /** `(href \t anchor_text)` rows of one page — the link-context
+    * walk (sources/Html.extractAnchors). */
+  def anchors(s: UTF8String): ArrayData = {
+    val as = graft.sources.Html.extractAnchors(s.toString)
+    val out = new Array[AnyRef](as.length)
+    var i = 0
+    while (i < as.length) {
+      out(i) = UTF8String.fromString(as(i)._1 + "\t" + as(i)._2); i += 1
+    }
+    new GenericArrayData(out)
+  }
 }
 
 /** Native Catalyst expression `graft_html_text(html)`: visible-text
@@ -84,6 +96,35 @@ case class HtmlLinks(child: Expression) extends UnaryExpression {
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, s =>
       s"${ev.value} = graft.plans.HtmlTextKernel.links($s);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Native Catalyst expression `graft_link_anchors(html)`: the page's
+  * `(href \t anchor_text)` pairs as `array<string>`, per
+  * sources/Html.scala's bounded anchor walk — link-context features
+  * (what the web CALLS a target) as one static call inside
+  * WholeStageCodegen, feeding `explode` + `graft_url_resolve` +
+  * `graft_url_canon` like the plain link kernel. */
+case class LinkAnchors(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_link_anchors"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string argument, got ${other.catalogString}")
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    HtmlTextKernel.anchors(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s =>
+      s"${ev.value} = graft.plans.HtmlTextKernel.anchors($s);")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)

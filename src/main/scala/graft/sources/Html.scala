@@ -265,7 +265,8 @@ object Html {
     * text and link extraction must agree about where a tag ends on
     * the same crawled page. */
   private def scanTagLinks(html: String, start: Int,
-      out: scala.collection.mutable.Builder[String, Vector[String]]): Int = {
+      out: scala.collection.mutable.Builder[String, Vector[String]],
+      hrefOut: Array[String] = null): Int = {
     val n = html.length
     var g = start + 1
     while (g < n && html.charAt(g) != '>' && !isAsciiWs(html.charAt(g))) g += 1
@@ -303,6 +304,13 @@ object Html {
         if (out != null && isLinkAttr && value != null) {
           val v = decodeRefsAll(value).trim
           if (v.nonEmpty) out += v
+        }
+        // the anchor extractor's capture: this tag's FIRST href only
+        // (HTML attribute semantics: later duplicates are ignored)
+        if (hrefOut != null && hrefOut(0) == null && value != null &&
+            nameEnd - ns == 4 && matchesAt(html, ns, "href")) {
+          val v = decodeRefsAll(value).trim
+          if (v.nonEmpty) hrefOut(0) = v
         }
       }
     }
@@ -354,6 +362,122 @@ object Html {
     if (graft.operators.Llm.kernelOn(spark, "graft_html_links"))
       call_function("graft_html_links", html)
     else udf((s: String) => if (s == null) null else extractLinks(s)).apply(html)
+
+  /** Per-anchor text cap — link-context features want a phrase, not
+    * a hostile page-sized anchor; the walk keeps scanning to the
+    * close tag but stops ACCUMULATING here. */
+  val MaxAnchorChars = 256
+
+  /** Extract `(href, anchor_text)` pairs — the `<a href=…>text</a>`
+    * elements specifically, in document order: what a corpus pipeline
+    * keeps for link-context / host-description features (the round-19
+    * verdict's item 4; the plain `extractLinks` walk returns URLs
+    * only). Same bounded single-pass discipline, same structural
+    * rules as `extractText` for the text BETWEEN the anchor tags:
+    * nested tag markup contributes a word boundary, comments and
+    * script/style bodies contribute nothing, CDATA content is
+    * literal, character references decode, ASCII whitespace
+    * collapses, and the accumulated text caps at `MaxAnchorChars`.
+    * Anchor-specific leniencies (the HTML5 tree-builder's own): a
+    * new `<a>` inside an open anchor closes the previous one, an
+    * anchor left open at EOF still emits, `<a>` without an href (a
+    * named target) emits nothing, and the href strips ASCII
+    * tab/LF/CR (the URL-spec munging browsers apply — which also
+    * keeps the `\t` column framing below injection-proof). Empty
+    * anchor text emits as "" — visible, not dropped (an image link's
+    * text IS empty). */
+  def extractAnchors(html: String): Seq[(String, String)] = {
+    if (html == null) return Nil
+    val n = html.length
+    val out = Vector.newBuilder[(String, String)]
+    var href: String = null
+    val text = new java.lang.StringBuilder(64)
+    var pendingWs = false
+
+    def emit(): Unit = {
+      if (href != null) {
+        val h = href.filterNot(c => c == '\t' || c == '\n' || c == '\r')
+        if (h.nonEmpty) out += ((h, text.toString))
+      }
+      href = null; text.setLength(0); pendingWs = false
+    }
+    def appendChar(ch: Char): Unit =
+      if (href != null && text.length < MaxAnchorChars) {
+        if (isAsciiWs(ch)) pendingWs = true
+        else {
+          if (pendingWs && text.length > 0) text.append(' ')
+          pendingWs = false
+          text.append(ch)
+        }
+      }
+    def appendRun(s: String, from: Int, until: Int): Unit = {
+      var k = from
+      while (k < until) { appendChar(s.charAt(k)); k += 1 }
+    }
+
+    var i = 0
+    while (i < n) {
+      val c = html.charAt(i)
+      val opensTag = c == '<' && i + 1 < n && {
+        val d = html.charAt(i + 1)
+        (d >= 'a' && d <= 'z') || (d >= 'A' && d <= 'Z') ||
+          d == '!' || d == '/' || d == '?'
+      }
+      if (opensTag) {
+        if (matchesAt(html, i, "<!--")) {
+          val end = html.indexOf("-->", i + 4)
+          i = if (end < 0) n else end + 3
+        } else if (matchesAt(html, i, "<![cdata[")) {
+          val end = html.indexOf("]]>", i + 9)
+          val stop = if (end < 0) n else end
+          appendRun(html, i + 9, stop)
+          i = if (end < 0) n else end + 3
+        } else if ((matchesAt(html, i, "<script") && nameBoundary(html, i + 7)) ||
+                   (matchesAt(html, i, "<style") && nameBoundary(html, i + 6))) {
+          val name = if (matchesAt(html, i, "<script")) "script" else "style"
+          val end = closeTagEnd(html, i + 1, name)
+          i = if (end < 0) n else end
+          pendingWs = true
+        } else if (matchesAt(html, i, "<a") && nameBoundary(html, i + 2)) {
+          emit()
+          val cap = new Array[String](1)
+          i = scanTagLinks(html, i, null, cap)
+          href = cap(0)
+        } else if (matchesAt(html, i, "</a") && nameBoundary(html, i + 3)) {
+          emit()
+          var g = i + 3
+          while (g < n && html.charAt(g) != '>') g += 1
+          i = if (g < n) g + 1 else n
+        } else {
+          i = scanTagLinks(html, i, null)
+          pendingWs = true
+        }
+      } else if (c == '&') {
+        val semi = refSemi(html, i)
+        val decoded = if (semi < 0) null else decodeRef(html.substring(i + 1, semi))
+        if (decoded != null) { appendRun(decoded, 0, decoded.length); i = semi + 1 }
+        else { appendChar(c); i += 1 }
+      } else {
+        appendChar(c)
+        i += 1
+      }
+    }
+    emit() // a truncated page keeps its last open anchor, visibly
+    out.result()
+  }
+
+  /** The COLUMN-level anchor API — `array<string>` of
+    * `href \t anchor_text` rows (framing is injection-proof: hrefs
+    * strip raw tabs, anchor whitespace collapses to single spaces).
+    * Kernel path: the codegen'd `graft_link_anchors`
+    * (plans/HtmlText); fallback: a ScalaUDF over the SAME walk,
+    * bit-identical (KernelParitySpec). */
+  def anchorsCol(spark: SparkSession, html: Column): Column =
+    if (graft.operators.Llm.kernelOn(spark, "graft_link_anchors"))
+      call_function("graft_link_anchors", html)
+    else udf((s: String) =>
+      if (s == null) null else extractAnchors(s).map { case (h, a) => s"$h\t$a" }
+    ).apply(html)
 
   /** The ORACLED registry leg (`llm_html_extract`): every document
     * is wrapped in a synthesized page exercising each extraction

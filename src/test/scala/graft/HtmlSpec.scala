@@ -235,4 +235,41 @@ class HtmlSpec extends AnyFunSuite {
       "doc 1: 7 tokens tile into two 4-token windows sharing 1 token")
     assert(chunks.count(_._1 == 2L) == 1, "doc 2: 4 tokens fit one window")
   }
+
+  test("extractAnchors: text rules, nesting leniency, href munging, framing safety") {
+    import graft.sources.Html.extractAnchors
+    // structural rules inside the anchor: nested tag = word boundary,
+    // comment contributes nothing, entities decode, ws collapses
+    assert(extractAnchors(
+      "<a href=\"/x\">query <b>engine</b>\n  scale</a>") ==
+      Seq(("/x", "query engine scale")))
+    assert(extractAnchors("<a href='/y'><!-- decoy -->data &amp; more</a>") ==
+      Seq(("/y", "data & more")))
+    // CDATA literal — a '</a>' inside it must not close the anchor
+    assert(extractAnchors("<a href=/z><![CDATA[raw </a> text ]]>end</a>") ==
+      Seq(("/z", "raw </a> text end")))
+    // named target (no href) emits nothing; empty text emits as ""
+    assert(extractAnchors("<a name=\"t\">not a link</a>").isEmpty)
+    assert(extractAnchors("<a href=\"/img\"><img src=\"/i.png\"></a>") ==
+      Seq(("/img", "")))
+    // a new <a> closes the previous one; EOF closes the last one
+    assert(extractAnchors("<a href=/1>one<a href=/2>two") ==
+      Seq(("/1", "one"), ("/2", "two")))
+    // href munging: ASCII tab/LF/CR strip (framing stays 2-field);
+    // FIRST href wins on duplicate attributes
+    assert(extractAnchors("<a href=\"/a\tb\nc\">t</a>") == Seq(("/abc", "t")))
+    assert(extractAnchors("<a href=/first href=/second>t</a>") ==
+      Seq(("/first", "t")))
+    // script body inside an anchor contributes nothing
+    assert(extractAnchors("<a href=/s>pre<script>var x = '</a>';</script>post</a>") ==
+      Seq(("/s", "pre post")))
+    // accumulation cap: text stops at MaxAnchorChars, scan continues
+    val long = "<a href=/cap>" + "word " * 200 + "</a><a href=/after>ok</a>"
+    val got = extractAnchors(long)
+    assert(got.length == 2 && got(0)._2.length <= graft.sources.Html.MaxAnchorChars
+      && got(1) == ("/after", "ok"))
+    // null / no anchors
+    assert(extractAnchors(null).isEmpty)
+    assert(extractAnchors("plain text <b>no links</b>").isEmpty)
+  }
 }

@@ -85,11 +85,11 @@ class KernelParitySpec extends AnyFunSuite {
     "llm_html_extract", "llm_crawl_extract", "llm_url_frontier",
     "llm_url_normalize", "llm_robots_filter", "llm_html_links",
     "llm_lang_id", "llm_frontier_schedule", "llm_sitemap_seeds",
-    "llm_sitemap_urls",
+    "llm_sitemap_urls", "llm_anchor_terms",
     // link-graph family: the edge build crosses the three discover
     // kernels; hostRank/linkBfs consume the same stream, and their
     // long arithmetic is kernel-free — the edge leg covers the gate
-    "llm_link_graph", "llm_host_rank", "llm_link_bfs",
+    "llm_link_graph", "llm_host_rank", "llm_host_rank_warm", "llm_link_bfs",
     // the cross-era leg's snapshot cache keys on the kernel gate, so
     // BOTH eras rebuild through the fallback path under the flip —
     // the parity pin covers the whole corpus, not just the delta

@@ -89,6 +89,60 @@ class LinkGraphSpec extends AnyFunSuite {
     assert(a.sameElements(b), "long arithmetic must be layout-independent")
   }
 
+  /** Cold reference with a parametric seed + iteration count — the
+    * warm-start pins compare against this. */
+  private def referenceRankFrom(seed: Map[Long, Long], iters: Int): Map[Long, Long] = {
+    val n = nodes.length
+    val base = LinkGraph.Scale / n
+    val tp = 15L * base / 100L
+    val outdeg = edges.groupBy(_._1).map { case (k, v) => k -> v.size.toLong }
+    var r = nodes.map(h => h -> seed.getOrElse(h, base)).toMap
+    for (_ <- 1 to iters) {
+      val inflow = scala.collection.mutable.Map[Long, Long]().withDefaultValue(0L)
+      for ((u, v) <- edges) inflow(v) += r(u) / outdeg(u)
+      r = nodes.map(h => h -> (tp + 85L * inflow(h) / 100L)).toMap
+    }
+    r
+  }
+
+  test("warm start continues the cold iteration exactly: warm(cold(k), j) == cold(k+j)") {
+    val s = spark
+    import s.implicits._
+    val edgeDf = edges.map { case (u, v) => (hostName(u), hostName(v)) }
+      .toDF("src_host", "dst_host")
+    val coldK = referenceRankFrom(Map.empty, 3)
+    val prevDf = coldK.toSeq.map { case (h, r) => (hostName(h), r) }
+      .toDF("host", "rank_scaled")
+    val warm = LinkGraph.hostRankFrom(edgeDf, prevDf, iters = 2).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val coldKj = referenceRankFrom(Map.empty, 5)
+      .map { case (h, r) => hostName(h) -> r }
+    assert(warm == coldKj,
+      "seeding from cold(3) and stepping 2 must equal cold(5) bit-for-bit")
+  }
+
+  test("llm_host_rank_warm: prev-era cold ranks + 2 warm steps on the merged graph, new hosts at base") {
+    // in-memory restatement of the leg's whole chain
+    val eraIds = ids.filter(_ % 3 != 0)
+    val eraEdges = eraIds.flatMap(id => targets(id))
+      .filter { case (a, b) => a != b }.distinct.toSeq
+    val eraNodes = eraEdges.flatMap(e => Seq(e._1, e._2)).distinct
+    val baseA = LinkGraph.Scale / eraNodes.length
+    val tpA = 15L * baseA / 100L
+    val outA = eraEdges.groupBy(_._1).map { case (k, v) => k -> v.size.toLong }
+    var rA = eraNodes.map(_ -> baseA).toMap
+    for (_ <- 1 to LinkGraph.Iters) {
+      val inflow = scala.collection.mutable.Map[Long, Long]().withDefaultValue(0L)
+      for ((u, v) <- eraEdges) inflow(v) += rA(u) / outA(u)
+      rA = eraNodes.map(h => h -> (tpA + 85L * inflow(h) / 100L)).toMap
+    }
+    val want = referenceRankFrom(rA, LinkGraph.WarmIters)
+      .map { case (h, r) => hostName(h) -> r }
+    val got = SparkEntry.queries("llm_host_rank_warm")(spark, TestSpark.sf)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == want, "warm leg must equal the in-memory chain restatement")
+  }
+
   test("incremental link index: eras match the closed form, merge equals a full rebuild") {
     val got = LinkGraph.linkIncr(spark, TestSpark.sf).collect()
       .map(r => (r.getString(0), r.getString(1)) ->
