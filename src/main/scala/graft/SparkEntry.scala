@@ -223,6 +223,11 @@ object SparkEntry {
     // new crawl's delta — old pages never re-extracted; both eras'
     // counts restated by DuckDB as conditional sums
     "llm_link_incr"      -> (graft.operators.LinkGraph.linkIncr _),
+    // the mixture step host authority exists FOR: per-document rank
+    // bucket via one broadcast join of the host-sized rank table,
+    // salted-hash keep rule weighted by the bucket; DuckDB restates
+    // rank, bucket and keep per row
+    "llm_mix_ranked"     -> (graft.operators.LinkGraph.mixRanked _),
     // host authority at crawl cadence: the previous era ranks cold
     // (5 iterations), the merged graph re-ranks with 2 WARM
     // iterations seeded from those ranks; DuckDB restates the whole
@@ -293,8 +298,8 @@ object SparkEntry {
     * first construction per input fingerprint). Every other view is
     * a pure logical plan — registration costs nothing. */
   val snapshotLegs: Set[String] =
-    Set("llm_host_rank", "llm_host_rank_warm", "llm_link_bfs",
-      "llm_link_incr", "llm_ann_probe")
+    Set("llm_host_rank", "llm_host_rank_warm", "llm_mix_ranked",
+      "llm_link_bfs", "llm_link_incr", "llm_ann_probe")
 
   /** Registry documentation: query name → (operator family, entry
     * point). Colocated with `queries` and pinned to its key set by
@@ -380,6 +385,7 @@ object SparkEntry {
     "llm_sitemap_urls" -> ("llm-corpus", "Sitemap.sitemapUrls"),
     "llm_anchor_terms" -> ("llm-corpus", "LinkGraph.anchorTerms"),
     "llm_host_rank_warm" -> ("llm-corpus", "LinkGraph.hostRankWarm"),
+    "llm_mix_ranked" -> ("llm-corpus", "LinkGraph.mixRanked"),
     "llm_link_graph" -> ("llm-corpus", "LinkGraph.linkGraph"),
     "llm_host_rank" -> ("llm-corpus", "LinkGraph.hostRank"),
     "llm_link_bfs" -> ("llm-corpus", "LinkGraph.linkBfs"),
@@ -776,6 +782,73 @@ object SparkEntry {
          SELECT doc_id, sitemap_case, CAST(i + 1 AS BIGINT) AS entry_no,
                 entries[i + 1].kind AS kind, entries[i + 1].loc AS loc_url
          FROM e, LATERAL (SELECT unnest(range(0, len(entries))) AS i)""",
+    // authority-weighted mixing oracle: host rank from the SAME
+    // unrolled 5-iteration CTE as llm_host_rank, bucketed around the
+    // uniform base, salted-hash keep rule per row
+    "llm_mix_ranked" ->
+      """WITH d AS (SELECT doc_id % 101 AS src,
+                  (doc_id * 2 + 1) % 101 AS d1,
+                  (doc_id * 3 + 7) % 101 AS d2,
+                  (doc_id * 7 + 13) % 101 AS d3
+           FROM documents WHERE text IS NOT NULL),
+         raw AS (SELECT src, unnest([d1, d2, d3]) AS dst FROM d),
+         e AS (SELECT DISTINCT src, dst FROM raw WHERE dst <> src),
+         nodes AS (SELECT src AS h FROM e UNION SELECT dst FROM e),
+         con AS (SELECT (1000000000000 // count(*)) AS base,
+                        (15 * (1000000000000 // count(*))) // 100 AS tp
+                 FROM nodes),
+         deg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY 1),
+         p0 AS (SELECT h, base AS r FROM nodes CROSS JOIN con),
+         p1 AS (SELECT nodes.h, tp + (85 * coalesce(s.inflow, 0)) // 100 AS r
+                FROM nodes CROSS JOIN con
+                LEFT JOIN (SELECT e.dst AS h, sum(p.r // deg.outdeg) AS inflow
+                           FROM e JOIN p0 p ON p.h = e.src
+                                  JOIN deg ON deg.src = e.src
+                           GROUP BY 1) s ON s.h = nodes.h),
+         p2 AS (SELECT nodes.h, tp + (85 * coalesce(s.inflow, 0)) // 100 AS r
+                FROM nodes CROSS JOIN con
+                LEFT JOIN (SELECT e.dst AS h, sum(p.r // deg.outdeg) AS inflow
+                           FROM e JOIN p1 p ON p.h = e.src
+                                  JOIN deg ON deg.src = e.src
+                           GROUP BY 1) s ON s.h = nodes.h),
+         p3 AS (SELECT nodes.h, tp + (85 * coalesce(s.inflow, 0)) // 100 AS r
+                FROM nodes CROSS JOIN con
+                LEFT JOIN (SELECT e.dst AS h, sum(p.r // deg.outdeg) AS inflow
+                           FROM e JOIN p2 p ON p.h = e.src
+                                  JOIN deg ON deg.src = e.src
+                           GROUP BY 1) s ON s.h = nodes.h),
+         p4 AS (SELECT nodes.h, tp + (85 * coalesce(s.inflow, 0)) // 100 AS r
+                FROM nodes CROSS JOIN con
+                LEFT JOIN (SELECT e.dst AS h, sum(p.r // deg.outdeg) AS inflow
+                           FROM e JOIN p3 p ON p.h = e.src
+                                  JOIN deg ON deg.src = e.src
+                           GROUP BY 1) s ON s.h = nodes.h),
+         p5 AS (SELECT nodes.h, tp + (85 * coalesce(s.inflow, 0)) // 100 AS r
+                FROM nodes CROSS JOIN con
+                LEFT JOIN (SELECT e.dst AS h, sum(p.r // deg.outdeg) AS inflow
+                           FROM e JOIN p4 p ON p.h = e.src
+                                  JOIN deg ON deg.src = e.src
+                           GROUP BY 1) s ON s.h = nodes.h)
+         SELECT doc_id,
+                concat('h', CAST(doc_id % 101 AS VARCHAR), '.example') AS host,
+                CAST(CASE WHEN r IS NULL THEN 1
+                          WHEN r >= (11 * base) // 10 THEN 5
+                          WHEN r >= base THEN 4
+                          WHEN r >= (8 * base) // 10 THEN 3
+                          ELSE 2 END AS BIGINT) AS rank_bucket,
+                u AS mix_rank
+         FROM (SELECT doc_id,
+                      ('0x' || substr(md5('mixrank:' || CAST(doc_id AS VARCHAR)), 1, 14))::BIGINT % 100000 AS u,
+                      p5.r, con.base
+               FROM documents
+               CROSS JOIN con
+               LEFT JOIN p5 ON p5.h = doc_id % 101
+               WHERE text IS NOT NULL) x
+         WHERE u < (CASE WHEN r IS NULL THEN 1
+                         WHEN r >= (11 * base) // 10 THEN 5
+                         WHEN r >= base THEN 4
+                         WHEN r >= (8 * base) // 10 THEN 3
+                         ELSE 2 END) * 15000""",
     // warm-start authority oracle: era-A edges (doc_id % 3 != 0)
     // rank cold for 5 iterations, the merged graph's nodes seed from
     // them (new hosts at the merged base) and take 2 warm steps --

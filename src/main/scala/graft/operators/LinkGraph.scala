@@ -410,6 +410,46 @@ object LinkGraph {
     hostRankFrom(linkStream(spark, dir), prev, WarmIters)
   }
 
+  /** Authority-weighted corpus mixing (`llm_mix_ranked`) — the
+    * reason a corpus pipeline computes host rank at all: the mixture
+    * step keeps more documents from authoritative hosts. Each
+    * document joins its host's PageRank (ONE broadcast join — the
+    * rank table is host-sized, millions of rows at web scale, tens
+    * of MB; never a doc-sized shuffle), the rank buckets into a
+    * 1–5 quality prior against integer thresholds around the uniform
+    * base (≥ 1.1·base → 5, ≥ base → 4, ≥ 0.8·base → 3, below → 2,
+    * host absent from the graph → 1), and the keep rule is
+    * `llm_mix_weighted`'s content-free salted-hash-vs-threshold
+    * compare with the bucket as the weight: u < bucket × 15000 of
+    * 100000 (15%..75%). Reproducible on any engine/layout/run — the
+    * property mixture resampling needs. DuckDB restates the rank
+    * from its unrolled CTE and the keep rule per row. */
+  def mixRanked(spark: SparkSession, dir: String): DataFrame = {
+    val ranks = hostRank(spark, dir)
+    val nHosts = ranks.count()
+    val base = Scale / math.max(nHosts, 1L)
+    val hi = 11L * base / 10L
+    val lo = 8L * base / 10L
+    Tables.widened(Tables.documents(spark, dir))
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        concat(lit("h"), pmod(col("doc_id"), lit(Hosts)).cast("string"),
+          lit(".example")).as("host"))
+      .join(broadcast(ranks), Seq("host"), "left_outer")
+      .withColumn("rank_bucket",
+        when(col("rank_scaled").isNull, lit(1L))
+          .when(col("rank_scaled") >= hi, lit(5L))
+          .when(col("rank_scaled") >= base, lit(4L))
+          .when(col("rank_scaled") >= lo, lit(3L))
+          .otherwise(lit(2L)))
+      .withColumn("u",
+        (conv(substring(md5(concat(lit("mixrank:"), col("doc_id").cast("string"))), 1, 14),
+          16, 10).cast("long") % 100000L))
+      .filter(col("u") < col("rank_bucket") * 15000L)
+      .select(col("doc_id"), col("host"), col("rank_bucket"),
+        col("u").as("mix_rank"))
+  }
+
   /** The ORACLED reachability leg (`llm_link_bfs`): minimum hop
     * distance from the seed hosts (numeric id % 10 == 0) within
     * MaxHops, over the distinct edge set. Classic frontier BFS: per

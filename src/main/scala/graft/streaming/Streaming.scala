@@ -349,6 +349,43 @@ object Streaming {
   def outlinkStream(pages: DataFrame): DataFrame =
     graft.operators.LinkGraph.edgesOf(pages)
 
+  /** ONLINE maintenance of the persisted link index (round-19
+    * verdict item 7): each fetched-page micro-batch aggregates to
+    * its own edge-count DELTA (`LinkGraph.buildLinkIndex` — the same
+    * per-generation job the batch path runs) and lands as a
+    * batchId-keyed parquet partition via idempotent OVERWRITE — the
+    * `idempotentParquetWriter` recipe, so a batch replayed after a
+    * crash converges to exactly-once content. The index is
+    * deliberately kept as per-batch deltas plus a READ-time fold
+    * (`linkIndexOf`): a read-modify-write of the whole index per
+    * micro-batch would be neither idempotent nor micro-batch-sized,
+    * while deltas keep per-batch cost proportional to the batch and
+    * leave compaction (fold deltas through `mergeLinkIndex` into one
+    * generation table) as the same batch job `llm_link_incr` already
+    * runs at crawl cadence. StreamingSpec pins the folded index
+    * equal to the batch `buildLinkIndex` over all pages, across a
+    * query restart. */
+  def linkIndexSink(pages: DataFrame, indexDir: String,
+      checkpointDir: String): StreamingQuery =
+    pages.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.operators.LinkGraph.buildLinkIndex(batch)
+          .write.mode("overwrite").parquet(s"$indexDir/batch_id=$batchId")
+      }
+      .start()
+
+  /** The stream-maintained link index as one (src_host, dst_host,
+    * n_links) frame: fold the batch deltas. Counts ADD across
+    * deltas, so the fold is one partial-agg'd groupBy over
+    * delta-sized data — the read-side half of `linkIndexSink`'s
+    * contract (and exactly `mergeLinkIndex`'s semantics extended
+    * from 2 eras to N). */
+  def linkIndexOf(spark: SparkSession, indexDir: String): DataFrame =
+    spark.read.parquet(indexDir)
+      .groupBy(col("src_host"), col("dst_host"))
+      .agg(sum(col("n_links")).as("n_links"))
+
   /** The dedup family's streaming leg: exact dedup of an incoming
     * document stream — the first document per normalized-text hash
     * passes, later copies are dropped — with state bounded by the

@@ -89,7 +89,8 @@ class KernelParitySpec extends AnyFunSuite {
     // link-graph family: the edge build crosses the three discover
     // kernels; hostRank/linkBfs consume the same stream, and their
     // long arithmetic is kernel-free — the edge leg covers the gate
-    "llm_link_graph", "llm_host_rank", "llm_host_rank_warm", "llm_link_bfs",
+    "llm_link_graph", "llm_host_rank", "llm_host_rank_warm",
+    "llm_mix_ranked", "llm_link_bfs",
     // the cross-era leg's snapshot cache keys on the kernel gate, so
     // BOTH eras rebuild through the fallback path under the flip —
     // the parity pin covers the whole corpus, not just the delta

@@ -406,6 +406,15 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("ScalaUDF"), "chunker must stay declarative/codegen")
   }
 
+  test("mix_ranked joins the host-sized rank table BROADCAST — never a doc-sized shuffle join") {
+    // the rank table is host-sized (tens of MB at web scale); the
+    // documents side is the 100 TB corpus — a sort-merge join here
+    // would shuffle the corpus on host
+    val p = plan("llm_mix_ranked")
+    assert(p.contains("BroadcastHashJoin"), s"rank join not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"corpus-side shuffle join appeared:\n$p")
+  }
+
   test("BPE tokenize + chunk run on the graft_bpe_tokens kernel — map-only, no ScalaUDF, no exchange") {
     // subword tokenization of a 100 TB corpus must be one codegen'd
     // scan: the merge table is a static class-load derivation, so

@@ -1072,6 +1072,59 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-maintained link index equals the batch build after N micro-batches, across a restart") {
+    implicit val sqlCtx = spark.sqlContext
+    val indexDir = java.nio.file.Files.createTempDirectory("graft_linkidx").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_linkidx_ckpt").toString
+    try {
+      // repeated cross-host links so the index carries real COUNTS,
+      // not just distinct edges
+      val pages = Seq(
+        (1L, "http://a.example/p/1",
+          "<a href=\"http://b.example/x\">1</a><a href=\"http://b.example/y\">2</a>"),
+        (2L, "http://a.example/p/2",
+          "<a href=\"http://b.example/z\">3</a><a href=\"http://c.example/w\">4</a>"),
+        (3L, "http://b.example/p/3",
+          "<a href=\"http://a.example/v\">5</a><a href=\"../self\">6</a>"),
+        (4L, "http://c.example/p/4",
+          "<a href=\"http://a.example/u\">7</a>"))
+      val ms = MemoryStream[(Long, String, String)]
+      def start() = Streaming.linkIndexSink(
+        ms.toDF().toDF("page_id", "page_url", "page"), indexDir, ckpt)
+      val q1 = start()
+      try {
+        ms.addData(pages.take(1)); q1.processAllAvailable()
+        ms.addData(pages.slice(1, 2)); q1.processAllAvailable()
+      } finally q1.stop()
+      // restart from the same checkpoint — the remaining pages land in
+      // new batch-id partitions, nothing double-counts
+      val q2 = start()
+      try {
+        ms.addData(pages.drop(2)); q2.processAllAvailable()
+      } finally q2.stop()
+      val got = Streaming.linkIndexOf(spark, indexDir)
+        .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+      val want = graft.operators.LinkGraph.buildLinkIndex(
+        pages.toDF("page_id", "page_url", "page"))
+        .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+      assert(want(("a.example", "b.example")) == 3L, "fixture sanity: multiplicity present")
+      assert(got == want,
+        s"stream-maintained index must equal the batch build over all pages: $got vs $want")
+      // idempotent replay: re-running a batch's write (same batchId
+      // partition) must not change the folded counts
+      graft.operators.LinkGraph.buildLinkIndex(
+        pages.take(1).toDF("page_id", "page_url", "page"))
+        .write.mode("overwrite").parquet(s"$indexDir/batch_id=0")
+      val replayed = Streaming.linkIndexOf(spark, indexDir)
+        .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+      assert(replayed == want, "a replayed batch write must converge, not double-count")
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(indexDir)).deleteRecursively()
+      new Directory(new java.io.File(ckpt)).deleteRecursively()
+    }
+  }
+
   test("streaming outlink extraction equals the batch edge build per micro-batch (map-only lift)") {
     implicit val sqlCtx = spark.sqlContext
     val pages = Seq(
