@@ -407,14 +407,31 @@ object Bpe {
     * the closed-form token sequence. */
   def chunkBpe(spark: SparkSession, dir: String, chunkTokens: Int = 4,
       overlap: Int = 1): DataFrame = {
-    require(overlap >= 0 && overlap < chunkTokens, "need 0 <= overlap < chunkTokens")
-    val stride = chunkTokens - overlap
     val k = (pmod(col("doc_id"), lit(5)) + 1).cast("int")
-    Tables.documents(spark, dir)
+    chunkByBpe(
+      Tables.documents(spark, dir)
+        .filter(col("text").isNotNull)
+        .select(col("doc_id"), sampleText(k).as("text")),
+      chunkTokens, overlap)
+  }
+
+  /** Frame-level BPE chunker over any (doc_id, text) frame — the
+    * general API a pipeline points at REAL corpus text (`chunkBpe`
+    * is the oracle gate over synthesized samples; the spec chunks
+    * the actual documents table through this). Same windowing
+    * arithmetic as `Llm.chunkFrame`, tokens swapped from whitespace
+    * to seed-model subwords; chunk text decodes by concatenation +
+    * ltrim (the leading-space spelling). Map-only, zero exchanges —
+    * lifts per micro-batch unchanged like `chunkFrame`. */
+  def chunkByBpe(docs: DataFrame, chunkTokens: Int, overlap: Int): DataFrame = {
+    require(overlap >= 0 && overlap < chunkTokens, "need 0 <= overlap < chunkTokens")
+    val spark = docs.sparkSession
+    val stride = chunkTokens - overlap
+    docs
       .filter(col("text").isNotNull)
-      .select(col("doc_id"), sampleText(k).as("sample"))
-      .withColumn("toks", seedTokensCol(spark, col("sample")))
+      .withColumn("toks", seedTokensCol(spark, col("text")))
       .withColumn("n", size(col("toks")))
+      .filter(col("n") > 0) // blank text: zero tokens, zero chunks
       .withColumn("n_chunks", when(col("n") <= chunkTokens, lit(1))
         .otherwise(ceil((col("n") - chunkTokens).cast("double") / stride).cast("int") + 1))
       .select(col("doc_id"), col("toks"), col("n"),

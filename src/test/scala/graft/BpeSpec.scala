@@ -129,6 +129,36 @@ class BpeSpec extends AnyFunSuite {
     }
   }
 
+  test("chunkByBpe over REAL corpus text: window arithmetic and slice decode per chunk") {
+    val s = spark
+    val docs = graft.sources.Tables.documents(s, TestSpark.sf)
+      .select("doc_id", "text").filter("text is not null and doc_id < 40")
+    val got = Bpe.chunkByBpe(docs, chunkTokens = 16, overlap = 4)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getString(3)))
+      .groupBy(_._1)
+    val texts = docs.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got.nonEmpty && got.keySet == texts.keySet)
+    for ((docId, chunks) <- got) {
+      val toks = Bpe.encodeSeed(texts(docId)).toSeq
+      val n = toks.length
+      val nChunks = if (n <= 16) 1 else math.ceil((n - 16) / 12.0).toInt + 1
+      assert(chunks.length == nChunks, s"doc $docId chunk count")
+      for ((_, idx, nTok, text) <- chunks) {
+        val slice = toks.slice(idx * 12, idx * 12 + 16)
+        assert(nTok == math.min(16, n - idx * 12))
+        assert(text == slice.mkString("").dropWhile(_ == ' '), s"doc $docId chunk $idx")
+      }
+      // coverage: concatenating the non-overlap strides reconstructs
+      // the whole normalized document
+      val strideDecode = chunks.sortBy(_._2).map { case (_, idx, _, _) =>
+        toks.slice(idx * 12, if (idx == chunks.length - 1) n else (idx + 1) * 12)
+      }.flatten.mkString("")
+      // the final chunk overlaps its predecessor; dropping the overlap
+      // via stride slices must reproduce decode(all tokens)
+      assert(strideDecode == toks.mkString(""), s"doc $docId stride coverage")
+    }
+  }
+
   test("llm_chunk_bpe: window arithmetic and slice decode hold per chunk") {
     val byDoc = graft.SparkEntry.queries("llm_chunk_bpe")(spark, TestSpark.sf)
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getString(3)))
