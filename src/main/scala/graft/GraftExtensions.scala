@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.plans.{AdcSum, BandHashes, BpeTokens, CharRunStats, CosineSimilarity, CrawlDelay, DequantDot, FingerprintStats, GramHashes, GramStats, HtmlLinks, HtmlText, LangIdExpr, LinkAnchors, MinHashSig, NearestCentroid, PostingsDigest, RobotsAllowed, Segments, SimHash60, SitemapEntries, Sitemaps, SrpBuckets, TermCounts, UrlCanon, UrlResolve}
+import graft.plans.{AdcSum, BandHashes, BpeTokens, CharRunStats, CosineSimilarity, CrawlDelay, DequantDot, FingerprintStats, GramHashes, GramStats, HtmlLinks, HtmlText, LangIdExpr, LinkAnchors, MinHashSig, NearestCentroid, PostingsDigest, RobotsAllowed, Segments, SimHash60, SitemapEntries, Sitemaps, SrpBuckets, TermCounts, UrlCanon, UrlResolve, WinnowSel}
 
 /** Engine extensions, installed with
   * `spark.sql.extensions=graft.GraftExtensions` (SparkSessionExtensions
@@ -106,6 +106,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
         require(children.length == 1, "graft_fingerprint takes exactly 1 argument")
         FingerprintStats(children.head)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_winnow"),
+      new ExpressionInfo(classOf[WinnowSel].getName, "graft_winnow"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.length == 1, "graft_winnow takes exactly 1 argument")
+        WinnowSel(children.head)
       }))
     ext.injectFunction((
       FunctionIdentifier("graft_simhash"),

@@ -63,6 +63,12 @@ object SparkEntry {
     // 128/16 default would never exercise the multi-window path)
     "llm_chunk"          -> ((s, d) => Llm.chunkDocs(s, d, chunkTokens = 32, overlap = 8)),
     "llm_fingerprint"    -> (Llm.fingerprint _),
+    // winnowing (SWA 2003): guaranteed detection of shared substrings
+    // >= 23 normalized chars; rollup + MOSS pair report + Lee-et-al
+    // style per-doc duplicate coverage
+    "llm_winnow"         -> (Llm.winnow _),
+    "llm_dup_spans"      -> (Llm.dupSpans _),
+    "llm_dup_coverage"   -> (Llm.dupCoverage _),
     "llm_ngram_jaccard"  -> (Llm.ngramJaccard _),
     "llm_dedup_embed"    -> ((s, d) => Llm.dedupEmbed(s, d)),
     "llm_knn_exact"      -> (Llm.knnExact _),
@@ -359,6 +365,9 @@ object SparkEntry {
     "llm_dedup_near_incr" -> ("llm-dedup", "Llm.dedupNearIncremental"),
     "llm_embed_quantize" -> ("llm-similarity", "Llm.embedQuantize"),
     "llm_fingerprint" -> ("llm-dedup", "Llm.fingerprint"),
+    "llm_winnow" -> ("llm-dedup", "Llm.winnow"),
+    "llm_dup_spans" -> ("llm-dedup", "Llm.dupSpans"),
+    "llm_dup_coverage" -> ("llm-dedup", "Llm.dupCoverage"),
     "llm_heavy_hitters" -> ("llm-text", "Llm.heavyHitters"),
     "llm_inverted_index" -> ("llm-text", "Llm.invertedIndex"),
     "llm_knn_exact" -> ("llm-similarity", "Llm.knnExact"),
@@ -1181,6 +1190,97 @@ object SparkEntry {
            coalesce(min(h) FILTER (WHERE h % 16 = 0), -1) AS min_fp,
            coalesce(bit_xor(h) FILTER (WHERE h % 16 = 0), -1) AS fp_xor
          FROM h GROUP BY doc_id""",
+    // Winnowing (k=8 chars, w=16 positions): selection key packs the
+    // 36-bit hash with the complemented 24-bit position so min(key)
+    // is (min hash, rightmost); a position is selected iff SOME
+    // window ending at or after it chose its key, i.e. the max of
+    // the following w mins equals the key (each wmin <= key of every
+    // position its window contains, so exists == max). Gram hash =
+    // the llm_fingerprint md5 trick.
+    "llm_winnow" ->
+      """WITH d AS (SELECT doc_id,
+             regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t
+           FROM documents),
+         g AS (SELECT doc_id, CAST(i AS BIGINT) AS pos,
+                 substr(t, CAST(i AS INTEGER), 8) AS gg
+               FROM d, LATERAL (SELECT unnest(range(1, len(t) - 6)) AS i)
+               WHERE len(t) >= 23),
+         h AS (SELECT doc_id, pos, ('0x' || substr(md5(gg), 1, 14))::BIGINT AS h FROM g),
+         k AS (SELECT doc_id, pos, h,
+                 (h % 68719476736) * 16777216 + (16777215 - pos) AS key FROM h),
+         w AS (SELECT doc_id, pos, h, key,
+                 CASE WHEN pos >= 16 THEN min(key) OVER (PARTITION BY doc_id
+                   ORDER BY pos ROWS BETWEEN 15 PRECEDING AND CURRENT ROW) END AS wmin
+               FROM k),
+         s AS (SELECT doc_id, h, key,
+                 max(wmin) OVER (PARTITION BY doc_id
+                   ORDER BY pos ROWS BETWEEN CURRENT ROW AND 15 FOLLOWING) AS m
+               FROM w),
+         sel AS (SELECT DISTINCT doc_id, h FROM s WHERE m = key)
+         SELECT doc_id, count(*) AS n_sel, min(h) AS min_sel,
+           bit_xor(h) AS sel_xor
+         FROM sel GROUP BY doc_id""",
+    // MOSS-style pair report over the winnowed sets; fingerprints in
+    // > 16 docs dropped as stop-grams (bounds the h-join fanout).
+    "llm_dup_spans" ->
+      """WITH d AS (SELECT doc_id,
+             regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t
+           FROM documents),
+         g AS (SELECT doc_id, CAST(i AS BIGINT) AS pos,
+                 substr(t, CAST(i AS INTEGER), 8) AS gg
+               FROM d, LATERAL (SELECT unnest(range(1, len(t) - 6)) AS i)
+               WHERE len(t) >= 23),
+         h AS (SELECT doc_id, pos, ('0x' || substr(md5(gg), 1, 14))::BIGINT AS h FROM g),
+         k AS (SELECT doc_id, pos, h,
+                 (h % 68719476736) * 16777216 + (16777215 - pos) AS key FROM h),
+         w AS (SELECT doc_id, pos, h, key,
+                 CASE WHEN pos >= 16 THEN min(key) OVER (PARTITION BY doc_id
+                   ORDER BY pos ROWS BETWEEN 15 PRECEDING AND CURRENT ROW) END AS wmin
+               FROM k),
+         s AS (SELECT doc_id, h, key,
+                 max(wmin) OVER (PARTITION BY doc_id
+                   ORDER BY pos ROWS BETWEEN CURRENT ROW AND 15 FOLLOWING) AS m
+               FROM w),
+         sel AS (SELECT DISTINCT doc_id, h FROM s WHERE m = key),
+         hd AS (SELECT h, count(*) AS nd FROM sel GROUP BY h),
+         ok AS (SELECT sel.doc_id, sel.h FROM sel JOIN hd USING (h) WHERE nd <= 16),
+         n AS (SELECT doc_id, count(*) AS ns FROM ok GROUP BY doc_id),
+         p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 count(*) AS shared
+               FROM ok a JOIN ok b ON a.h = b.h AND a.doc_id < b.doc_id
+               GROUP BY 1, 2)
+         SELECT doc_a, doc_b, shared,
+           round(CAST(shared AS DOUBLE) / (na.ns + nb.ns - shared), 6) AS jacc
+         FROM p JOIN n na ON na.doc_id = doc_a JOIN n nb ON nb.doc_id = doc_b
+         WHERE shared >= 2""",
+    // Per-doc duplicate coverage: fraction of the winnowed set shared
+    // with any other document.
+    "llm_dup_coverage" ->
+      """WITH d AS (SELECT doc_id,
+             regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t
+           FROM documents),
+         g AS (SELECT doc_id, CAST(i AS BIGINT) AS pos,
+                 substr(t, CAST(i AS INTEGER), 8) AS gg
+               FROM d, LATERAL (SELECT unnest(range(1, len(t) - 6)) AS i)
+               WHERE len(t) >= 23),
+         h AS (SELECT doc_id, pos, ('0x' || substr(md5(gg), 1, 14))::BIGINT AS h FROM g),
+         k AS (SELECT doc_id, pos, h,
+                 (h % 68719476736) * 16777216 + (16777215 - pos) AS key FROM h),
+         w AS (SELECT doc_id, pos, h, key,
+                 CASE WHEN pos >= 16 THEN min(key) OVER (PARTITION BY doc_id
+                   ORDER BY pos ROWS BETWEEN 15 PRECEDING AND CURRENT ROW) END AS wmin
+               FROM k),
+         s AS (SELECT doc_id, h, key,
+                 max(wmin) OVER (PARTITION BY doc_id
+                   ORDER BY pos ROWS BETWEEN CURRENT ROW AND 15 FOLLOWING) AS m
+               FROM w),
+         sel AS (SELECT DISTINCT doc_id, h FROM s WHERE m = key),
+         hd AS (SELECT h, count(*) AS nd FROM sel GROUP BY h)
+         SELECT sel.doc_id, count(*) AS n_sel,
+           CAST(sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+           round(CAST(sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6)
+             AS coverage
+         FROM sel JOIN hd USING (h) GROUP BY sel.doc_id""",
     // Probes are vec_id < 10; cosine computed in double on both
     // sides, rounded to 6 before ranking so ordering ties break on
     // vec_id identically in both engines.

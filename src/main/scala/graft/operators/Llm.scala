@@ -1547,6 +1547,144 @@ object Llm {
         coalesce(min(when(col("h") % 16 === 0, col("h"))), lit(-1L)).as("min_fp"),
         expr("coalesce(bit_xor(CASE WHEN h % 16 = 0 THEN h END), -1)").as("fp_xor"))
 
+  // ---- winnowing fingerprints + duplicate spans --------------------------
+
+  /** Winnow geometry shared with the kernel (plans/RunStats.scala):
+    * k = 8 chars, w = 16 gram positions — any exact shared substring
+    * of >= w + k - 1 = 23 normalized chars is guaranteed detected
+    * (Schleimer-Wilkerson-Aiken, SIGMOD 2003). A gram's selection key
+    * packs a 36-bit selection hash with the bit-complemented 24-bit
+    * 1-based position, so min(key) = (min hash, rightmost) in one
+    * BIGINT order both engines share. */
+  private val WinnowW = graft.plans.RunStatsKernel.WinnowW
+  private val WinnowSelMod = graft.plans.RunStatsKernel.WinnowSelMod
+  private val WinnowPosMod = graft.plans.RunStatsKernel.WinnowPosMod
+
+  /** The distinct winnowed fingerprint set per document:
+    * (doc_id, h) with h the full 56-bit md5-derived gram hash of each
+    * selected position. Kernel path: one fused `graft_winnow` pass
+    * per row (sel comes back distinct + sorted, so explode IS the
+    * set). Fallback: the gram explode + two window passes — the
+    * min-of-trailing-window selection, then selected-position
+    * recovery via "a position is selected iff some window ending at
+    * or after it chose its key", i.e. max of the following window's
+    * mins equals the key (wmin(e) <= key(p) whenever e's window
+    * contains p, so exists == max). Both formulations are the same
+    * arithmetic the DuckDB oracle restates. */
+  private[graft] def winnowSelectedOn(docs: DataFrame): DataFrame = {
+    val normed = docs
+      .select(col("doc_id"),
+        regexp_replace(lower(trim(col("text"))), "\\s+", " ").as("t"))
+      .filter(length(col("t")) >= WinnowW + 7) // < w+k-1 chars => no full window
+    if (kernelOn(docs.sparkSession, "graft_winnow"))
+      Tables.widened(normed)
+        .select(col("doc_id"), explode(expr("graft_winnow(t).sel")).as("h"))
+    else winnowSelectedHof(normed)
+  }
+
+  /** The gram-explode + two-window-pass formulation — the
+    * no-extension fallback and the drift-pin twin of `graft_winnow`.
+    * Takes the normalized (`doc_id`, `t`) frame (length >= 23). */
+  private[graft] def winnowSelectedHof(normed: DataFrame): DataFrame = {
+    val selWin = Window.partitionBy("doc_id").orderBy("pos")
+      .rowsBetween(-(WinnowW - 1), 0)
+    val recWin = Window.partitionBy("doc_id").orderBy("pos")
+      .rowsBetween(0, WinnowW - 1)
+    normed
+      .repartition(col("doc_id"))
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, length(t) - 7), i -> struct(i AS pos, substring(t, i, 8) AS g))"))
+        .as("pg"))
+      .select(col("doc_id"), col("pg.pos").cast("long").as("pos"),
+        conv(substring(md5(col("pg.g")), 1, 14), 16, 10).cast("long").as("h"))
+      .withColumn("key",
+        (col("h") % WinnowSelMod) * WinnowPosMod + (lit(WinnowPosMod - 1L) - col("pos")))
+      .withColumn("wmin", when(col("pos") >= WinnowW, min(col("key")).over(selWin)))
+      .withColumn("m", max(col("wmin")).over(recWin))
+      .filter(col("m") === col("key"))
+      .select(col("doc_id"), col("h"))
+      .distinct()
+  }
+
+  /** Per-document winnowed fingerprint rollup: distinct selected
+    * count, min fingerprint, xor-fold (order-free set digest — the
+    * `llm_fingerprint` convention). The guaranteed-detection upgrade
+    * of `fingerprint`'s 0-mod-p selection: winnowing's window
+    * invariant bounds the gap between selections, so matches >= 23
+    * chars CANNOT be missed, where 0-mod-p detection is only
+    * probabilistic per gram. */
+  def winnow(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    if (kernelOn(spark, "graft_winnow")) {
+      // the kernel's array IS the per-doc set (distinct, sorted
+      // ascending), and doc_id is the table key — the rollup is a
+      // per-row fold: zero exchange, zero explode (PlanSpec pin)
+      val normed = docs
+        .select(col("doc_id"),
+          regexp_replace(lower(trim(col("text"))), "\\s+", " ").as("t"))
+        .filter(length(col("t")) >= WinnowW + 7)
+      Tables.widened(normed)
+        .select(col("doc_id"), expr("graft_winnow(t).sel").as("sel"))
+        .filter(size(col("sel")) > 0)
+        .select(col("doc_id"), size(col("sel")).cast("long").as("n_sel"),
+          expr("sel[0]").as("min_sel"),
+          expr("aggregate(sel, CAST(0 AS BIGINT), (a, x) -> a ^ x)").as("sel_xor"))
+    } else
+      winnowSelectedOn(docs)
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_sel"), min(col("h")).as("min_sel"),
+          expr("bit_xor(h)").as("sel_xor"))
+  }
+
+  /** Document pairs sharing >= 2 winnowed fingerprints — the
+    * MOSS-style duplicate-span report. Fingerprints appearing in more
+    * than 16 distinct documents are dropped as stop-grams (boilerplate
+    * — standard MOSS practice), which is also what bounds the h-join
+    * fanout at corpus scale: the pair explosion is capped at 16^2/2
+    * per fingerprint, the same discipline as the LSH band join. The
+    * score is Jaccard over each pair's non-stop fingerprint sets. */
+  def dupSpans(spark: SparkSession, dir: String): DataFrame =
+    dupSpansOn(Tables.documents(spark, dir))
+
+  private[graft] def dupSpansOn(docs: DataFrame): DataFrame = {
+    val sel = winnowSelectedOn(docs)
+    val hDocs = sel.groupBy(col("h"))
+      .agg(count(lit(1)).as("nd")) // (doc_id, h) is distinct => count == distinct docs
+    val ok = sel.join(hDocs.filter(col("nd") <= 16).select("h"), "h")
+    val n = ok.groupBy(col("doc_id")).agg(count(lit(1)).as("ns"))
+    val pairs = ok.as("a").join(ok.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= 2)
+    pairs
+      .join(n.select(col("doc_id").as("doc_a"), col("ns").as("na")), "doc_a")
+      .join(n.select(col("doc_id").as("doc_b"), col("ns").as("nb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"), col("shared"),
+        round(col("shared").cast("double") / (col("na") + col("nb") - col("shared")), 6)
+          .as("jacc"))
+  }
+
+  /** Per-document duplicate coverage: the fraction of a document's
+    * winnowed fingerprints that also appear in at least one OTHER
+    * document — the doc-level "how much of this text exists elsewhere
+    * in the corpus" filter signal (the winnowed analogue of the
+    * exact-substring dedup measure of Lee et al. 2022, "Deduplicating
+    * Training Data Makes Language Models Better"). */
+  def dupCoverage(spark: SparkSession, dir: String): DataFrame =
+    dupCoverageOn(Tables.documents(spark, dir))
+
+  private[graft] def dupCoverageOn(docs: DataFrame): DataFrame = {
+    val sel = winnowSelectedOn(docs)
+    val hDocs = sel.groupBy(col("h")).agg(count(lit(1)).as("nd"))
+    sel.join(hDocs, "h")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_sel"),
+        sum(when(col("nd") >= 2, 1L).otherwise(0L)).as("n_shared"))
+      .select(col("doc_id"), col("n_sel"), col("n_shared"),
+        round(col("n_shared").cast("double") / col("n_sel"), 6).as("coverage"))
+  }
+
   // ---- similarity search -------------------------------------------------
 
   private def vecs(spark: SparkSession, dir: String): DataFrame =

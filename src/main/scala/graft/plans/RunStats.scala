@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
-import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -295,6 +295,96 @@ object RunStatsKernel {
       if (nSel == 0L) -1L else minFp, if (nSel == 0L) -1L else xorFp))
   }
 
+  val winnowType: StructType = StructType(Seq(
+    StructField("n_grams", LongType, nullable = false),
+    StructField("sel", ArrayType(LongType, containsNull = false), nullable = false)))
+
+  // winnow geometry (Schleimer-Wilkerson-Aiken 2003, "Winnowing:
+  // Local Algorithms for Document Fingerprinting", SIGMOD):
+  // k = 8 chars (the existing gram hash), window w = 16 gram
+  // positions => any exact shared substring of >= w + k - 1 = 23
+  // normalized chars is GUARANTEED to contribute a shared selected
+  // fingerprint. Selection key packs a 36-bit selection hash with
+  // the bit-complemented 24-bit position so that min(key) picks the
+  // minimal hash with the RIGHTMOST position as tie-break — one
+  // BIGINT total order both engines (and the SQL fallback) share.
+  val WinnowW = 16
+  val WinnowSelMod = 1L << 36
+  val WinnowPosMod = 1L << 24
+
+  /** Winnowed fingerprint set of a normalized string in one pass:
+    * every 8-code-point gram is md5-hashed exactly like
+    * `fingerprintStats` (first 7 digest bytes = the 56-bit gram
+    * hash), each gram gets the packed selection key above, each
+    * window of 16 consecutive gram positions selects its min-key
+    * gram, and the distinct FULL 56-bit hashes of the selected
+    * positions come back sorted ascending. Docs shorter than
+    * w + k - 1 = 23 normalized code points have no full window and
+    * return an empty selection. Positions are capped at 2^24 - 1
+    * grams (~16.7 M chars) — the packing's domain; training-corpus
+    * documents sit orders of magnitude below it. */
+  def winnow(t: UTF8String): InternalRow = {
+    val bytes = t.getBytes
+    var cp = 0
+    var i = 0
+    while (i < bytes.length) {
+      if ((bytes(i) & 0xC0) != 0x80) cp += 1
+      i += 1
+    }
+    val offs = new Array[Int](cp + 1)
+    var j = 0
+    i = 0
+    while (i < bytes.length) {
+      if ((bytes(i) & 0xC0) != 0x80) { offs(j) = i; j += 1 }
+      i += 1
+    }
+    offs(cp) = bytes.length
+    val nGrams = math.min(math.max(cp - 7, 0).toLong, WinnowPosMod - 1L).toInt
+    if (nGrams < WinnowW)
+      return new GenericInternalRow(Array[Any](nGrams.toLong,
+        new GenericArrayData(Array.emptyLongArray)))
+    val md = fpMd5.get()
+    val hArr = new Array[Long](nGrams)
+    val keys = new Array[Long](nGrams)
+    var g = 0
+    while (g < nGrams) {
+      md.reset()
+      md.update(bytes, offs(g), offs(g + 8) - offs(g))
+      val d = md.digest()
+      var h = 0L
+      var b = 0
+      while (b < 7) { h = (h << 8) | (d(b) & 0xFFL); b += 1 }
+      hArr(g) = h
+      // pos is 1-based (matches the SQL sequence(1, n) formulation)
+      keys(g) = (h % WinnowSelMod) * WinnowPosMod + (WinnowPosMod - 1L - (g + 1L))
+      g += 1
+    }
+    val selKeys = new java.util.HashSet[java.lang.Long]()
+    var e = WinnowW - 1 // 0-based window end
+    while (e < nGrams) {
+      var wmin = keys(e)
+      var p = e - WinnowW + 1
+      while (p < e) {
+        if (keys(p) < wmin) wmin = keys(p)
+        p += 1
+      }
+      selKeys.add(wmin)
+      e += 1
+    }
+    val distinctH = new java.util.TreeSet[java.lang.Long]()
+    val kit = selKeys.iterator()
+    while (kit.hasNext) {
+      val key = kit.next().longValue()
+      val pos = (WinnowPosMod - 1L - (key % WinnowPosMod)).toInt // 1-based
+      distinctH.add(hArr(pos - 1))
+    }
+    val out = new Array[Long](distinctH.size)
+    var o = 0
+    val hit = distinctH.iterator()
+    while (hit.hasNext) { out(o) = hit.next().longValue(); o += 1 }
+    new GenericInternalRow(Array[Any](nGrams.toLong, new GenericArrayData(out)))
+  }
+
   private def finish(n: Long, it: java.util.Iterator[Array[Long]]): InternalRow = {
     var runs = 0L
     var maxRun = 0L
@@ -390,6 +480,34 @@ case class FingerprintStats(child: Expression) extends UnaryExpression {
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, s =>
       s"${ev.value} = graft.plans.RunStatsKernel.fingerprintStats($s);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Native Catalyst expression `graft_winnow(t)`: the winnowed
+  * fingerprint set of a normalized string (see RunStatsKernel.winnow)
+  * — one fused pass that replaces the gram explode plus TWO window
+  * functions (the min-of-window selection and the selected-position
+  * recovery) of the SQL formulation; the ~300x gram table and both
+  * per-doc window sorts never materialize. */
+case class WinnowSel(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = RunStatsKernel.winnowType
+  override def prettyName: String = "graft_winnow"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string argument, got ${other.catalogString}")
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    RunStatsKernel.winnow(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s =>
+      s"${ev.value} = graft.plans.RunStatsKernel.winnow($s);")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)

@@ -97,7 +97,11 @@ class KernelParitySpec extends AnyFunSuite {
     "llm_link_incr",
     // BPE family: graft_bpe_tokens vs the ScalaUDF over the same
     // encodeSeed — bit-identical by construction, pinned end-to-end
-    "llm_bpe_tokenize", "llm_chunk_bpe")
+    "llm_bpe_tokenize", "llm_chunk_bpe",
+    // winnowing family: graft_winnow vs the gram-explode + two-window
+    // SQL formulation (LlmSpec pins the selected sets; these pin the
+    // three registry queries end-to-end)
+    "llm_winnow", "llm_dup_spans", "llm_dup_coverage")
 
   for (q <- covering)
     test(s"$q is identical with kernels disabled") {

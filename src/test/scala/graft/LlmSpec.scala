@@ -1016,6 +1016,81 @@ class LlmSpec extends AnyFunSuite {
     }
   }
 
+  test("winnow kernel is bit-equal to the gram-explode + window formulation (incl. multi-byte)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val edge = Seq(
+      (1L, "abcdefghijklmnopqrstuvw"), // exactly 23 chars: one window
+      (2L, "éèêëàâîïôù çñüöäß 中文字符串测试 😀😁😂🤣😃 mixed ascii too"),
+      (3L, "below the one-window bar"), // 24 chars, two windows
+      (4L, "too short"),
+      (5L, "aaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaa"), // all grams equal: min ties
+      (6L, (1 to 400).map(i => s"w$i").mkString(" "))).toDF("doc_id", "text")
+    val corpus = graft.sources.Tables.documents(spark, TestSpark.sf)
+      .select($"doc_id", $"text").limit(150)
+    for (docs <- Seq(edge, corpus)) {
+      val normed = docs.select($"doc_id",
+        regexp_replace(lower(trim($"text")), "\\s+", " ").as("t"))
+        .filter(length($"t") >= 23)
+      val kernel = Llm.winnowSelectedOn(docs).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val hof = Llm.winnowSelectedHof(normed).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(kernel == hof, "winnow kernel drifted from the gram-explode + window form")
+    }
+  }
+
+  test("winnowing guarantee: shared substrings >= w+k-1 chars are ALWAYS detected") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    def noise(n: Int) = (1 to n).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+    // 20 planted pairs: the same >= 23-char span embedded at different
+    // offsets inside unrelated noise — the SWA guarantee says every
+    // pair must share at least one winnowed fingerprint
+    val docs = (0 until 20).flatMap { i =>
+      val span = noise(23 + rnd.nextInt(40))
+      Seq((i * 2L, s"${noise(rnd.nextInt(60))} $span ${noise(rnd.nextInt(60))}"),
+          (i * 2L + 1, s"${noise(rnd.nextInt(80))} $span"))
+    }.toDF("doc_id", "text")
+    val sel = Llm.winnowSelectedOn(docs).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    for (i <- 0 until 20) {
+      val shared = sel(i * 2L) intersect sel(i * 2L + 1)
+      assert(shared.nonEmpty, s"pair $i: guaranteed >= 23-char match missed by winnowing")
+    }
+    // coverage report: bounded, and rows exist for every planted doc
+    val cov = Llm.dupCoverageOn(docs).collect()
+    assert(cov.length == 40)
+    cov.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1), "n_shared must be <= n_sel")
+      val c = r.getDouble(3)
+      assert(c >= 0.0 && c <= 1.0, s"coverage $c out of [0,1]")
+    }
+    // pair report: long planted spans (>= 2 shared fingerprints) show up
+    val longSpan = noise(300)
+    val longPair = Seq(
+      (100L, "prefix " + longSpan + " suffix"),
+      (101L, noise(40) + " " + longSpan))
+    val withLong = docs.union(longPair.toDF("doc_id", "text"))
+    val pairs = Llm.dupSpansOn(withLong).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((100L, 101L)), "300-char planted span missing from llm_dup_spans")
+  }
+
+  test("winnow selection density sits near the 2/(w+1) winnowing expectation") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.sources.Tables.documents(spark, TestSpark.sf)
+    val nGrams = docs
+      .select(regexp_replace(lower(trim(col("text"))), "\\s+", " ").as("t"))
+      .filter(length(col("t")) >= 23)
+      .agg(sum(length(col("t")) - 7)).head().getLong(0)
+    val nSel = Llm.winnow(spark, TestSpark.sf)
+      .agg(sum(col("n_sel"))).head().getLong(0)
+    val density = nSel.toDouble / nGrams
+    // 2/(w+1) = 0.1176 for w=16; distinct-h dedup pulls it below
+    assert(density > 0.05 && density < 0.2, s"selection density $density far from 2/17")
+  }
+
   test("simhash kernel is bit-equal to the explode + 60-vote aggregation on the corpus") {
     import spark.implicits._
     import org.apache.spark.sql.functions._

@@ -88,6 +88,17 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), "all-pairs join in the LSH path")
   }
 
+  test("winnow rollup is a zero-exchange kernel scan; dup-spans joins stay equi-keyed") {
+    val p = plan("llm_winnow")
+    assert(p.contains("graft_winnow"), s"winnow off the kernel:\n$p")
+    assert(!p.contains("Window"), "window-function selection resurfaced (kernel fuses it)")
+    assert(!p.contains("Generate"), "gram explode resurfaced before the rollup")
+    assert(!p.contains("ENSURE_REQUIREMENTS"), "per-row rollup must not shuffle")
+    val pairs = plan("llm_dup_spans")
+    assert(!pairs.contains("CartesianProduct"), "all-pairs join in the dup-spans path")
+    assert(!pairs.contains("BroadcastNestedLoopJoin"), "nested-loop join in the dup-spans path")
+  }
+
   test("per-row windows are partitioned (transitions, q9, sessions)") {
     for (q <- Seq("eco_transitions", "q9_top_per_customer", "eco_sessions")) {
       val p = plan(q)
