@@ -1665,6 +1665,33 @@ object Llm {
           .as("jacc"))
   }
 
+  /** Pure-expression per-row winnow (the streaming fallback — window
+    * functions don't exist on streams, and the kernel may be absent
+    * in a session built without `spark.sql.extensions`): the same
+    * gram hashes, packed keys, min-of-each-window selection and
+    * position recovery as `graft_winnow`, entirely in higher-order
+    * functions over one row. Requires columns `t` (normalized text,
+    * length >= 23). Yields the sorted distinct selected hash array —
+    * bit-equal to `graft_winnow(t).sel` (LlmSpec pins it). */
+  private[graft] val rowWinnowSql: String = {
+    val hs = "transform(sequence(1, length(t) - 7), " +
+      "i -> cast(conv(substring(md5(substring(t, i, 8)), 1, 14), 16, 10) AS bigint))"
+    val ks = s"transform($hs, (x, i) -> " +
+      s"(x % ${WinnowSelMod}L) * ${WinnowPosMod}L + (${WinnowPosMod - 1L}L - (i + 1)))"
+    s"""array_sort(array_distinct(transform(
+       |  array_distinct(transform(sequence($WinnowW, length(t) - 7),
+       |    e -> array_min(slice($ks, e - ${WinnowW - 1}, $WinnowW)))),
+       |  k -> element_at($hs,
+       |    cast(${WinnowPosMod - 1L}L - (k % ${WinnowPosMod}L) AS int)))))""".stripMargin
+  }
+
+  /** The winnowed-fingerprint corpus index for the streaming
+    * duplicate-span filter: (h, suspect_of) over the existing corpus,
+    * built batch-side and typically persisted to parquet (bucket by
+    * `h` for an exchange-free stream-static probe at scale). */
+  def buildWinnowIndex(docs: DataFrame): DataFrame =
+    winnowSelectedOn(docs).select(col("h"), col("doc_id").as("suspect_of"))
+
   /** Per-document duplicate coverage: the fraction of a document's
     * winnowed fingerprints that also appear in at least one OTHER
     * document — the doc-level "how much of this text exists elsewhere

@@ -550,6 +550,49 @@ object Streaming {
       .dropDuplicatesWithinWatermark("doc_id", "suspect_of")
   }
 
+  /** The winnowing family's streaming leg: online duplicate-SPAN
+    * suspect filtering of a document stream against a STATIC corpus
+    * fingerprint index (`Llm.buildWinnowIndex` — (h, suspect_of),
+    * built batch-side, typically reloaded from parquet bucketed on
+    * `h`). Each arriving doc's winnowed fingerprint set is computed
+    * per row (the `graft_winnow` kernel, or the bit-equal
+    * pure-expression `Llm.rowWinnowSql` — window functions don't
+    * exist on streams), exploded, and stream-static equi-joined on
+    * the 56-bit gram hash; each distinct (doc, indexed-doc) collision
+    * emits once (`dropDuplicatesWithinWatermark` — state is the
+    * collision set within `lateness`, never the corpus).
+    *
+    * The SWA guarantee carries over unchanged: a new document sharing
+    * >= 23 normalized chars with an indexed document ALWAYS collides
+    * — this filter has NO false negatives above the guarantee length,
+    * unlike the probabilistic banding of `nearDupSuspects`; false
+    * positives are 56-bit hash collisions (negligible) plus genuine
+    * short shared spans, and the batch `dupSpansOn` owns scoring.
+    * Index refresh follows the `nearDupSuspects` runbook: stop,
+    * rebuild or reload, restart from the same checkpoint. */
+  def dupSpanSuspects(docs: DataFrame, index: DataFrame,
+      lateness: String = "1 hour"): DataFrame = {
+    import graft.operators.Llm
+    val spark = docs.sparkSession
+    val normed = docs
+      .withWatermark("ts", lateness)
+      .select(col("doc_id"), col("ts"),
+        regexp_replace(lower(trim(col("text"))), "\\s+", " ").as("t"))
+      .filter(length(col("t")) >= 23)
+    val sel =
+      if (Llm.kernelOn(spark, "graft_winnow"))
+        normed.select(col("doc_id"), col("ts"),
+          explode(expr("graft_winnow(t).sel")).as("h"))
+      else
+        normed.select(col("doc_id"), col("ts"),
+          explode(expr(Llm.rowWinnowSql)).as("h"))
+    sel
+      .join(index, Seq("h"))
+      .filter(col("doc_id") =!= col("suspect_of"))
+      .select(col("doc_id"), col("ts"), col("suspect_of"))
+      .dropDuplicatesWithinWatermark("doc_id", "suspect_of")
+  }
+
   /** Streaming ANN candidate filter against a prebuilt `AnnIndex` —
     * the vector-space sibling of `nearDupSuspects`: each arriving
     * query vector computes its `nprobe` closest cells and its

@@ -1077,6 +1077,29 @@ class LlmSpec extends AnyFunSuite {
     assert(pairs.contains((100L, 101L)), "300-char planted span missing from llm_dup_spans")
   }
 
+  test("rowWinnowSql (streaming fallback) is bit-equal to graft_winnow on the corpus") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val edge = Seq(
+      (1L, "abcdefghijklmnopqrstuvw"),
+      (2L, "éèêëàâîïôù çñüöäß 中文字符串测试 😀😁😂🤣😃 mixed ascii too"),
+      (3L, "aaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaa"),
+      (4L, (1 to 200).map(i => s"w$i").mkString(" "))).toDF("doc_id", "text")
+    val corpus = graft.sources.Tables.documents(spark, TestSpark.sf)
+      .select($"doc_id", $"text").limit(100)
+    for (docs <- Seq(edge, corpus)) {
+      val normed = docs.select($"doc_id",
+        regexp_replace(lower(trim($"text")), "\\s+", " ").as("t"))
+        .filter(length($"t") >= 23)
+      val both = normed
+        .select($"doc_id", expr("graft_winnow(t).sel").as("k"),
+          expr(Llm.rowWinnowSql).as("f"))
+        .collect()
+      both.foreach(r => assert(r.getSeq[Long](1) == r.getSeq[Long](2),
+        s"rowWinnowSql drifted from the kernel for doc ${r.getLong(0)}"))
+    }
+  }
+
   test("winnow selection density sits near the 2/(w+1) winnowing expectation") {
     import org.apache.spark.sql.functions._
     val docs = graft.sources.Tables.documents(spark, TestSpark.sf)

@@ -910,6 +910,57 @@ class StreamingSpec extends AnyFunSuite {
     finally spark.conf.unset("spark.graft.kernels.enabled")
   }
 
+  test("streaming dup-span suspects equal the batch fingerprint join — kernels on AND off") {
+    // winnowing's online leg: arriving docs probed against a static
+    // corpus fingerprint index. The suspect set must EQUAL the batch
+    // h-join over the same docs — including under the no-kernel
+    // per-row HOF fallback (window functions don't exist on streams),
+    // which pins rowWinnowSql bit-equal to the kernel.
+    import graft.operators.Llm
+    import org.apache.spark.sql.functions.col
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    def noise(n: Int) = (1 to n).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+    val span = noise(60)
+    val corpus = Seq(
+      (1L, s"${noise(30)} $span ${noise(20)}"),
+      (2L, noise(80)),
+      (3L, noise(50))).toDF("doc_id", "text")
+    val idx = Llm.buildWinnowIndex(corpus)
+    val streamDocs = Seq(
+      Streaming.Doc(10L, ts("2024-01-01 10:00:00"), s"$span ${noise(25)}"), // shares the span
+      Streaming.Doc(11L, ts("2024-01-01 10:01:00"), noise(70)),             // unrelated
+      Streaming.Doc(12L, ts("2024-01-01 10:02:00"), "short"))               // below 23 chars
+    val expected = Llm.winnowSelectedOn(
+        streamDocs.map(d => (d.doc_id, d.text)).toDF("doc_id", "text"))
+      .join(idx, Seq("h"))
+      .filter(col("doc_id") =!= col("suspect_of"))
+      .select(col("doc_id"), col("suspect_of")).distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // SWA guarantee: the 60-char planted span MUST collide; noise docs
+    // share nothing
+    assert(expected.contains((10L, 1L)) && expected.forall(_._1 == 10L),
+      s"fixture degenerated: $expected")
+    def runStream(name: String): Set[(Long, Long)] = {
+      val ms = MemoryStream[Streaming.Doc]
+      val q = Streaming.dupSpanSuspects(ms.toDF(), idx, lateness = "0 seconds")
+        .writeStream.format("memory").queryName(name).outputMode("append").start()
+      try {
+        ms.addData(streamDocs: _*)
+        q.processAllAvailable()
+        spark.sql(s"SELECT doc_id, suspect_of FROM $name").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+      } finally q.stop()
+    }
+    assert(runStream("winnow_suspects_on") == expected,
+      "kernel-path streaming dup-span suspects diverged from the batch join")
+    spark.conf.set("spark.graft.kernels.enabled", "false")
+    try assert(runStream("winnow_suspects_off") == expected,
+      "fallback rowWinnowSql suspects diverged — per-row winnow not bit-equal")
+    finally spark.conf.unset("spark.graft.kernels.enabled")
+  }
+
   test("near-dup suspects index refresh: stop, rebuild, restart swaps the static side; dedup state carries over") {
     // The operational leg of nearDupSuspects a real crawl cadence
     // needs: the corpus index is a STATIC snapshot, so a refresh is
