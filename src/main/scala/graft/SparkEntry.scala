@@ -69,6 +69,7 @@ object SparkEntry {
     "llm_winnow"         -> (Llm.winnow _),
     "llm_dup_spans"      -> (Llm.dupSpans _),
     "llm_dup_coverage"   -> (Llm.dupCoverage _),
+    "llm_dup_sources"    -> (Llm.dupSources _),
     "llm_ngram_jaccard"  -> (Llm.ngramJaccard _),
     "llm_dedup_embed"    -> ((s, d) => Llm.dedupEmbed(s, d)),
     "llm_knn_exact"      -> (Llm.knnExact _),
@@ -368,6 +369,7 @@ object SparkEntry {
     "llm_winnow" -> ("llm-dedup", "Llm.winnow"),
     "llm_dup_spans" -> ("llm-dedup", "Llm.dupSpans"),
     "llm_dup_coverage" -> ("llm-dedup", "Llm.dupCoverage"),
+    "llm_dup_sources" -> ("llm-dedup", "Llm.dupSources"),
     "llm_heavy_hitters" -> ("llm-text", "Llm.heavyHitters"),
     "llm_inverted_index" -> ("llm-text", "Llm.invertedIndex"),
     "llm_knn_exact" -> ("llm-similarity", "Llm.knnExact"),
@@ -1281,6 +1283,39 @@ object SparkEntry {
            round(CAST(sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6)
              AS coverage
          FROM sel JOIN hd USING (h) GROUP BY sel.doc_id""",
+    // Per-source duplication report over the winnowed coverage; the
+    // high-dup predicate is integer (2*shared >= sel), sums recast to
+    // BIGINT (DuckDB sum widens to HUGEINT and would flip the schema).
+    "llm_dup_sources" ->
+      """WITH d AS (SELECT doc_id,
+             regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t
+           FROM documents),
+         g AS (SELECT doc_id, CAST(i AS BIGINT) AS pos,
+                 substr(t, CAST(i AS INTEGER), 8) AS gg
+               FROM d, LATERAL (SELECT unnest(range(1, len(t) - 6)) AS i)
+               WHERE len(t) >= 23),
+         h AS (SELECT doc_id, pos, ('0x' || substr(md5(gg), 1, 14))::BIGINT AS h FROM g),
+         k AS (SELECT doc_id, pos, h,
+                 (h % 68719476736) * 16777216 + (16777215 - pos) AS key FROM h),
+         w AS (SELECT doc_id, pos, h, key,
+                 CASE WHEN pos >= 16 THEN min(key) OVER (PARTITION BY doc_id
+                   ORDER BY pos ROWS BETWEEN 15 PRECEDING AND CURRENT ROW) END AS wmin
+               FROM k),
+         s AS (SELECT doc_id, h, key,
+                 max(wmin) OVER (PARTITION BY doc_id
+                   ORDER BY pos ROWS BETWEEN CURRENT ROW AND 15 FOLLOWING) AS m
+               FROM w),
+         sel AS (SELECT DISTINCT doc_id, h FROM s WHERE m = key),
+         hd AS (SELECT h, count(*) AS nd FROM sel GROUP BY h),
+         cov AS (SELECT sel.doc_id, count(*) AS n_sel,
+                   CAST(sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared
+                 FROM sel JOIN hd USING (h) GROUP BY sel.doc_id)
+         SELECT d2.source, count(*) AS n_docs,
+           CAST(sum(n_sel) AS BIGINT) AS n_sel_sum,
+           CAST(sum(n_shared) AS BIGINT) AS n_shared_sum,
+           round(CAST(sum(n_shared) AS DOUBLE) / sum(n_sel), 6) AS dup_rate,
+           CAST(sum(CASE WHEN n_shared * 2 >= n_sel THEN 1 ELSE 0 END) AS BIGINT) AS n_high_dup
+         FROM cov JOIN documents d2 USING (doc_id) GROUP BY d2.source""",
     // Probes are vec_id < 10; cosine computed in double on both
     // sides, rounded to 6 before ranking so ordering ties break on
     // vec_id identically in both engines.

@@ -1712,6 +1712,32 @@ object Llm {
         round(col("n_shared").cast("double") / col("n_sel"), 6).as("coverage"))
   }
 
+  /** Per-SOURCE duplication report: the winnowed coverage rolled up
+    * to the `source` column — docs, total/shared fingerprint sums,
+    * duplicate rate, and the count of high-dup docs (more than half
+    * their fingerprints shared — an integer predicate, `2·shared >=
+    * sel`, so the oracle needs no float comparison). The curator's
+    * "which sources are boilerplate farms" signal: rates feed the
+    * same mixing-weight machinery as host authority (`mixRanked`).
+    * Everything except the final rate division is exact long
+    * arithmetic, so the aggregation is order-free on any layout. */
+  def dupSources(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    dupCoverageOn(docs)
+      .join(docs.select(col("doc_id"), col("source")), "doc_id")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_sel")).as("n_sel_sum"),
+        sum(col("n_shared")).as("n_shared_sum"),
+        sum(when(col("n_shared") * 2 >= col("n_sel"), 1L).otherwise(0L))
+          .as("n_high_dup"))
+      .select(col("source"), col("n_docs"), col("n_sel_sum"),
+        col("n_shared_sum"),
+        round(col("n_shared_sum").cast("double") / col("n_sel_sum"), 6)
+          .as("dup_rate"),
+        col("n_high_dup"))
+  }
+
   // ---- similarity search -------------------------------------------------
 
   private def vecs(spark: SparkSession, dir: String): DataFrame =

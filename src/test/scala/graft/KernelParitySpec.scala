@@ -101,7 +101,7 @@ class KernelParitySpec extends AnyFunSuite {
     // winnowing family: graft_winnow vs the gram-explode + two-window
     // SQL formulation (LlmSpec pins the selected sets; these pin the
     // three registry queries end-to-end)
-    "llm_winnow", "llm_dup_spans", "llm_dup_coverage")
+    "llm_winnow", "llm_dup_spans", "llm_dup_coverage", "llm_dup_sources")
 
   for (q <- covering)
     test(s"$q is identical with kernels disabled") {
