@@ -1647,10 +1647,17 @@ object Llm {
     dupSpansOn(Tables.documents(spark, dir))
 
   private[graft] def dupSpansOn(docs: DataFrame): DataFrame = {
-    val sel = winnowSelectedOn(docs)
+    // §8 doctrine: frames consumed by 2+ branches materialize once.
+    // `sel` feeds the stop-gram count and the keep-join (2 consumers);
+    // `ok` feeds the per-doc sizes and BOTH sides of the pair join
+    // (3 consumers) — without the checkpoints the winnow scan of the
+    // corpus re-executes four times, which is the difference between
+    // one pass and four at 100 TB. Both frames are selected-sized
+    // (~12% of grams as 16-byte rows), not corpus-sized.
+    val sel = winnowSelectedOn(docs).ckptLocal()
     val hDocs = sel.groupBy(col("h"))
       .agg(count(lit(1)).as("nd")) // (doc_id, h) is distinct => count == distinct docs
-    val ok = sel.join(hDocs.filter(col("nd") <= 16).select("h"), "h")
+    val ok = sel.join(hDocs.filter(col("nd") <= 16).select("h"), "h").ckptLocal()
     val n = ok.groupBy(col("doc_id")).agg(count(lit(1)).as("ns"))
     val pairs = ok.as("a").join(ok.as("b"),
         col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
@@ -1702,7 +1709,9 @@ object Llm {
     dupCoverageOn(Tables.documents(spark, dir))
 
   private[graft] def dupCoverageOn(docs: DataFrame): DataFrame = {
-    val sel = winnowSelectedOn(docs)
+    // `sel` feeds the share-count and the join (2 consumers) — one
+    // winnow scan instead of two (§8 doctrine, as in dupSpansOn)
+    val sel = winnowSelectedOn(docs).ckptLocal()
     val hDocs = sel.groupBy(col("h")).agg(count(lit(1)).as("nd"))
     sel.join(hDocs, "h")
       .groupBy(col("doc_id"))
