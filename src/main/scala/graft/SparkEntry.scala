@@ -1205,7 +1205,7 @@ object SparkEntry {
            FROM documents),
          g AS (SELECT doc_id, CAST(i AS BIGINT) AS pos,
                  substr(t, CAST(i AS INTEGER), 8) AS gg
-               FROM d, LATERAL (SELECT unnest(range(1, len(t) - 6)) AS i)
+               FROM d, LATERAL (SELECT unnest(range(1, least(len(t) - 6, 16777216))) AS i)
                WHERE len(t) >= 23),
          h AS (SELECT doc_id, pos, ('0x' || substr(md5(gg), 1, 14))::BIGINT AS h FROM g),
          k AS (SELECT doc_id, pos, h,
@@ -1230,7 +1230,7 @@ object SparkEntry {
            FROM documents),
          g AS (SELECT doc_id, CAST(i AS BIGINT) AS pos,
                  substr(t, CAST(i AS INTEGER), 8) AS gg
-               FROM d, LATERAL (SELECT unnest(range(1, len(t) - 6)) AS i)
+               FROM d, LATERAL (SELECT unnest(range(1, least(len(t) - 6, 16777216))) AS i)
                WHERE len(t) >= 23),
          h AS (SELECT doc_id, pos, ('0x' || substr(md5(gg), 1, 14))::BIGINT AS h FROM g),
          k AS (SELECT doc_id, pos, h,
@@ -1263,7 +1263,7 @@ object SparkEntry {
            FROM documents),
          g AS (SELECT doc_id, CAST(i AS BIGINT) AS pos,
                  substr(t, CAST(i AS INTEGER), 8) AS gg
-               FROM d, LATERAL (SELECT unnest(range(1, len(t) - 6)) AS i)
+               FROM d, LATERAL (SELECT unnest(range(1, least(len(t) - 6, 16777216))) AS i)
                WHERE len(t) >= 23),
          h AS (SELECT doc_id, pos, ('0x' || substr(md5(gg), 1, 14))::BIGINT AS h FROM g),
          k AS (SELECT doc_id, pos, h,
@@ -1292,7 +1292,7 @@ object SparkEntry {
            FROM documents),
          g AS (SELECT doc_id, CAST(i AS BIGINT) AS pos,
                  substr(t, CAST(i AS INTEGER), 8) AS gg
-               FROM d, LATERAL (SELECT unnest(range(1, len(t) - 6)) AS i)
+               FROM d, LATERAL (SELECT unnest(range(1, least(len(t) - 6, 16777216))) AS i)
                WHERE len(t) >= 23),
          h AS (SELECT doc_id, pos, ('0x' || substr(md5(gg), 1, 14))::BIGINT AS h FROM g),
          k AS (SELECT doc_id, pos, h,

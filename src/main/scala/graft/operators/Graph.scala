@@ -49,8 +49,14 @@ object Graph {
     * cross-join is trivial; at millions of nodes the same operator
     * becomes a grid-cell band join (bucket by geohash prefix, join
     * neighboring cells) — the theta predicate stays identical. */
-  def graphEdges(spark: SparkSession, dir: String): DataFrame = {
-    val n = graphNodes(spark, dir)
+  def graphEdges(spark: SparkSession, dir: String): DataFrame =
+    edgesOfNodes(graphNodes(spark, dir))
+
+  /** The spatial theta-join over an explicit node frame — factored
+    * out (r21) so callers that need BOTH nodes and edges (walkFreq,
+    * graphComponents) can materialize the first-seen-per-type window
+    * once instead of re-running the events scan per consumer. */
+  private def edgesOfNodes(n: DataFrame): DataFrame = {
     val a = n.select(col("habitat").as("h1"), col("lat").as("lat1"), col("lon").as("lon1"))
     val b = n.select(col("habitat").as("h2"), col("lat").as("lat2"), col("lon").as("lon2"))
     a.join(b, col("h1") < col("h2"))
@@ -67,10 +73,13 @@ object Graph {
     * random.choice). Rows-only in the driver gate; GraphSpec pins
     * the exact frequencies. */
   def walkFreq(spark: SparkSession, dir: String): DataFrame = {
-    val edges = graphEdges(spark, dir)
+    // the node frame feeds the edge theta-join (both sides) AND the
+    // node collect — materialize the events-scan window once (r21)
+    val n0 = graphNodes(spark, dir).ckptLocal()
+    val edges = edgesOfNodes(n0)
       .select(col("h1"), col("h2")).collect()
       .map(r => (r.getString(0), r.getString(1)))
-    val nodes = graphNodes(spark, dir).select(col("habitat")).collect()
+    val nodes = n0.select(col("habitat")).collect()
       .map(_.getString(0)).sorted
     val adj: Map[String, IndexedSeq[String]] = {
       val m = undirectedAdj(edges)
@@ -293,8 +302,14 @@ object Graph {
     * classes, but on the undirected habitat graph rather than the
     * DTMC). Oracle-checked against a recursive-CTE closure. */
   def graphComponents(spark: SparkSession, dir: String): DataFrame = {
-    val e = graphEdges(spark, dir).select(col("h1").as("src"), col("h2").as("dst"))
-    val n = graphNodes(spark, dir).select(col("habitat").as("id"))
+    // one events-scan window for everything (r21): the node frame
+    // feeds the edge theta-join (both sides) and connectedComponents'
+    // two node reads (bound-check + fast-path collect) — each
+    // un-checkpointed consumer re-ran the scan + first-row-per-type
+    // window as its own job (§8 doctrine)
+    val n0 = graphNodes(spark, dir).ckptLocal()
+    val e = edgesOfNodes(n0).select(col("h1").as("src"), col("h2").as("dst"))
+    val n = n0.select(col("habitat").as("id"))
     connectedComponents(n, e)
       .select(col("id").as("habitat"), col("comp").as("component"))
   }

@@ -305,11 +305,21 @@ object LinkGraph {
     * host-sized rank vector moves per step. */
   private[graft] def rankStep(nodes: DataFrame, edeg: DataFrame,
       ranks: DataFrame, teleport: Long): DataFrame = {
-    val inflow = edeg.join(ranks, edeg("src_host") === ranks("host"))
-      .select(col("dst_host"), expr("rank div outdeg").as("contrib"))
+    // the rank/node vectors are re-ALIASED (fresh exprIds) before each
+    // join so consecutive steps can CHAIN LAZILY: iteration i+1's plan
+    // embeds iteration i's, and without the re-alias the repeated
+    // edeg/nodes subtrees would make the dataframe-qualified column
+    // references ambiguous. Name-based joins + aliased sides keep the
+    // resolution local to each side's output (r21: the per-iteration
+    // eager checkpoint this replaced cost one driver job barrier per
+    // iteration — guide §1.2, remove passes before tuning them)
+    val r = ranks.select(col("host").as("r_host"), col("rank").as("r_rank"))
+    val inflow = edeg.join(r, col("src_host") === col("r_host"))
+      .select(col("dst_host"), expr("r_rank div outdeg").as("contrib"))
       .groupBy("dst_host").agg(sum(col("contrib")).as("inflow"))
-    nodes
-      .join(inflow, nodes("host") === inflow("dst_host"), "left_outer")
+    nodes.select(col("host"))
+      .join(inflow.select(col("dst_host").as("i_host"), col("inflow")),
+        col("host") === col("i_host"), "left_outer")
       .select(col("host"),
         (lit(teleport) +
           expr("(85 * coalesce(inflow, CAST(0 AS BIGINT))) div 100"))
@@ -331,20 +341,49 @@ object LinkGraph {
     * ~10⁵ on longs.
     *
     * Per iteration: `rankStep` above — the corpus-sized edge table
-    * never re-shuffles; each iteration's rank vector is checkpointed
-    * so the plan stays flat (5 bounded jobs, the GraphX cadence), and
-    * only the node COUNT ever reaches the driver. */
-  def hostRank(spark: SparkSession, dir: String): DataFrame = {
+    * never re-shuffles; iterations chain LAZILY with a checkpoint
+    * every `RankCkptEvery` steps bounding the plan (r21 — the former
+    * per-iteration eager checkpoint cost one driver job barrier per
+    * step for a host-sized vector), and only the node COUNT ever
+    * reaches the driver. */
+  /** Lineage bound for the lazily-chained power iterations: a
+    * checkpoint cuts the plan every this-many steps (and never on the
+    * final step — the caller's one materialization executes the tail).
+    * Short chains (the 5-cold/2-warm oracled cadences) therefore run
+    * as ONE or TWO driver jobs instead of one per iteration; an
+    * arbitrarily long chain still can't grow an unbounded plan. */
+  private[graft] val RankCkptEvery = 4
+
+  /** The chained iteration loop shared by `hostRank`/`hostRankFrom`:
+    * `iters` rankSteps composed LAZILY (exact long arithmetic — the
+    * result is identical however the chain is cut), checkpointed only
+    * at the `RankCkptEvery` cadence. */
+  private def rankLoop(nodes: DataFrame, edeg: DataFrame,
+      ranks0: DataFrame, teleport: Long, iters: Int): DataFrame = {
+    var ranks = ranks0
+    for (i <- 1 to iters) {
+      ranks = rankStep(nodes, edeg, ranks, teleport)
+      if (i % RankCkptEvery == 0 && i < iters) ranks = ranks.ckptLocal()
+    }
+    ranks.select(col("host"), col("rank").as("rank_scaled"))
+  }
+
+  def hostRank(spark: SparkSession, dir: String): DataFrame =
+    hostRankWithN(spark, dir)._1
+
+  /** `hostRank` plus the node count its own base derives from —
+    * exposed so `mixRanked` reuses the count instead of re-counting
+    * the rank table with an extra job. */
+  private[graft] def hostRankWithN(spark: SparkSession,
+      dir: String): (DataFrame, Long) = {
     val edges = edgeSet(spark, dir)
     val nodes = nodesOf(edges).ckptLocal()
     val n = nodes.count()
     val base = Scale / math.max(n, 1L)
     val teleport = 15L * base / 100L
     val edeg = edgeDeg(edges)
-    var ranks = nodes.select(col("host"), lit(base).as("rank"))
-    for (_ <- 1 to Iters)
-      ranks = rankStep(nodes, edeg, ranks, teleport).ckptLocal()
-    ranks.select(col("host"), col("rank").as("rank_scaled"))
+    val ranks0 = nodes.select(col("host"), lit(base).as("rank"))
+    (rankLoop(nodes, edeg, ranks0, teleport, Iters), n)
   }
 
   /** WARM-START power iteration over an explicit edge table — the
@@ -363,21 +402,29 @@ object LinkGraph {
     * `hostRank`: edges materialize once pre-partitioned on src, only
     * the host-sized rank vector moves per step. */
   def hostRankFrom(edges: DataFrame, prevRanks: DataFrame,
+      iters: Int): DataFrame =
+    hostRankFromPrepared(
+      edges.select(col("src_host"), col("dst_host")).distinct()
+        .repartition(col("src_host")).ckptLocal(),
+      prevRanks, iters)
+
+  /** `hostRankFrom` over an ALREADY-distinct, src_host-partitioned,
+    * materialized edge frame — the warm leg builds both eras' edge
+    * sets from one tagged scan and must not pay a second
+    * distinct+repartition+checkpoint per era. */
+  private def hostRankFromPrepared(dedges: DataFrame, prevRanks: DataFrame,
       iters: Int): DataFrame = {
-    val dedges = edges.select(col("src_host"), col("dst_host")).distinct()
-      .repartition(col("src_host")).ckptLocal()
     val nodes = nodesOf(dedges).ckptLocal()
     val n = nodes.count()
     val base = Scale / math.max(n, 1L)
     val teleport = 15L * base / 100L
     val edeg = edgeDeg(dedges)
-    var ranks = nodes
+    // the seed join chains lazily into iteration 1 (one consumer —
+    // its former eager checkpoint bought nothing but a job barrier)
+    val ranks0 = nodes
       .join(prevRanks.select(col("host"), col("rank_scaled")), Seq("host"), "left_outer")
       .select(col("host"), coalesce(col("rank_scaled"), lit(base)).as("rank"))
-      .ckptLocal()
-    for (_ <- 1 to iters)
-      ranks = rankStep(nodes, edeg, ranks, teleport).ckptLocal()
-    ranks.select(col("host"), col("rank").as("rank_scaled"))
+    rankLoop(nodes, edeg, ranks0, teleport, iters)
   }
 
   /** Warm-start iteration count for the oracled leg: the merged
@@ -396,9 +443,19 @@ object LinkGraph {
     * restates the entire chain — era edges, 5 cold iterations, seed
     * coalesce, 2 warm iterations — in exact integer arithmetic. */
   def hostRankWarm(spark: SparkSession, dir: String): DataFrame = {
-    val prevEdges = edgesOf(
-      pagesOf(spark, dir).filter(pmod(col("doc_id"), lit(3)) =!= 0))
-      .select(col("src_host"), col("dst_host"))
+    // ONE corpus scan for both eras (r21; guide §1.2 — the previous
+    // shape extracted the page markup twice, once per era): every
+    // distinct edge is tagged with whether any PREVIOUS-era page
+    // carries it, materialized edge-sized and src_host-partitioned
+    // (the edgeSet shape), and both chains consume filtered views —
+    // prev-era = in_prev edges, merged = all. Filter/project preserve
+    // the checkpointed partitioning, so the per-iteration
+    // exchange-free static side is unchanged.
+    val tagged = edgesOf(pagesOf(spark, dir))
+      .groupBy(col("src_host"), col("dst_host"))
+      .agg(max(when(pmod(col("doc_id"), lit(3)) =!= 0, 1).otherwise(0))
+        .as("in_prev"))
+      .repartition(col("src_host")).ckptLocal()
     val noPrev = spark.createDataFrame(
       new java.util.ArrayList[org.apache.spark.sql.Row](),
       org.apache.spark.sql.types.StructType(Seq(
@@ -406,8 +463,11 @@ object LinkGraph {
           org.apache.spark.sql.types.StringType),
         org.apache.spark.sql.types.StructField("rank_scaled",
           org.apache.spark.sql.types.LongType))))
-    val prev = hostRankFrom(prevEdges, noPrev, Iters)
-    hostRankFrom(linkStream(spark, dir), prev, WarmIters)
+    val prev = hostRankFromPrepared(
+      tagged.filter(col("in_prev") === 1)
+        .select(col("src_host"), col("dst_host")), noPrev, Iters)
+    hostRankFromPrepared(
+      tagged.select(col("src_host"), col("dst_host")), prev, WarmIters)
   }
 
   /** Authority-weighted corpus mixing (`llm_mix_ranked`) — the
@@ -425,8 +485,15 @@ object LinkGraph {
     * property mixture resampling needs. DuckDB restates the rank
     * from its unrolled CTE and the keep rule per row. */
   def mixRanked(spark: SparkSession, dir: String): DataFrame = {
-    val ranks = hostRank(spark, dir)
-    val nHosts = ranks.count()
+    // the node count rides out of hostRank itself (one row per node
+    // by construction) — counting the rank table again cost a job and,
+    // with the now-lazy rank chain, would have re-run it (r21). The
+    // chain materializes HERE (host-sized) so the broadcast below
+    // ships a plain in-memory table and the leg's final plan stays
+    // the pinned shape: one BroadcastHashJoin, no shuffle join
+    // anywhere near the corpus scan.
+    val (ranksLazy, nHosts) = hostRankWithN(spark, dir)
+    val ranks = ranksLazy.ckptLocal()
     val base = Scale / math.max(nHosts, 1L)
     val hi = 11L * base / 10L
     val lo = 8L * base / 10L
@@ -476,9 +543,12 @@ object LinkGraph {
         .ckptLocal()
       if (next.isEmpty) done = true
       else {
+        // every hop's `next` is already checkpointed, so the running
+        // visited set stays a LAZY union of materialized frames —
+        // checkpointing the union too cost one extra driver job per
+        // hop for data that never recomputes (r21)
         visited = visited
           .union(next.select(col("host"), lit(hop.toLong).as("dist")))
-          .ckptLocal()
         frontier = next.select("host")
       }
       hop += 1

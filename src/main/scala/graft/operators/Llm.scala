@@ -459,9 +459,16 @@ object Llm {
 
   private[graft] def dedupBloomOn(docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.{functions => F, Encoders}
+    // materialized once: the scan→md5 working set feeds FIVE consumers
+    // (the distinct-count pre-pass, the bloom build, both branches of
+    // the maybe-dup union, and the confirm join's build side) — each
+    // would otherwise re-run the scan + per-row md5 as its own job
+    // (§8 doctrine, the nearDupCore pattern). The frame is (id, int,
+    // 128-bit hash) — never the text column.
     val d = widened(docs).select(col("doc_id"),
       expr("cast(substring(source, 4, 10) as int)").as("src_n"),
       md5(lower(trim(regexp_replace(col("text"), "\\s+", " ")))).as("text_hash"))
+      .ckptLocal()
     val existing = d.filter(col("src_n") < 10).select(col("text_hash")).distinct()
     // size from a sketch pre-pass (undersizing only raises the fpp,
     // which only costs extra confirm-join rows, never correctness)
@@ -573,8 +580,11 @@ object Llm {
     * Jaccard verification over candidate keys only, plus the
     * exact-hash short-circuit for same-text cross-era pairs. Output:
     * (new_doc_id, old_doc_id, jaccard) at >= 0.8. */
-  def probeNearDupIndex(index: NearDupIndex, newDocs: DataFrame): DataFrame = {
-    val probe = buildNearDupIndex(newDocs)
+  def probeNearDupIndex(index: NearDupIndex, newDocs: DataFrame): DataFrame =
+    probeNearDupIndexBuilt(index, buildNearDupIndex(newDocs))
+
+  private def probeNearDupIndexBuilt(index: NearDupIndex,
+      probe: NearDupIndex): DataFrame = {
     val cand = bandJoinCross(index.groups, probe.groups).ckptLocal()
     val candKeys = cand.select(col("hash_a").as("key"))
       .unionByName(cand.select(col("hash_b").as("key"))).distinct()
@@ -610,9 +620,15 @@ object Llm {
     // is the point: build and probe are independent pipelines.
     val d = docs.select(col("doc_id"), col("text"),
       (expr("cast(substring(source, 4, 10) as int)") < 10).as("is_old"))
-    probeNearDupIndex(
+    // the two era indexes are INDEPENDENT pipelines until the band
+    // probe, so their checkpoint chains materialize CONCURRENTLY
+    // (Ckpt.par2 — the curate pattern, r21): the batch index's scan
+    // overlaps the corpus index's shuffles instead of following its
+    // barriers back to back
+    val (index, probe) = Ckpt.par2(docs.sparkSession)(
       buildNearDupIndex(d.filter(col("is_old")).drop("is_old")),
-      d.filter(!col("is_old")).drop("is_old"))
+      buildNearDupIndex(d.filter(!col("is_old")).drop("is_old")))
+    probeNearDupIndexBuilt(index, probe)
   }
 
   /** 60-bit SimHash signatures per exact-duplicate GROUP over word
@@ -1560,6 +1576,18 @@ object Llm {
   private val WinnowSelMod = graft.plans.RunStatsKernel.WinnowSelMod
   private val WinnowPosMod = graft.plans.RunStatsKernel.WinnowPosMod
 
+  /** Minimum normalized length of the winnow domain (w + k − 1 = 23):
+    * shorter docs have no full window and select nothing. Shared with
+    * the streaming leg so a geometry change cannot desynchronize the
+    * filters (r21 advice). */
+  private[graft] val MinWinnowLen = WinnowW + 7
+
+  /** The kernel caps grams at the packing's 2^24 − 1 position domain
+    * (RunStats.winnow); every fallback formulation applies the SAME
+    * truncation so a >16.7M-char document cannot silently diverge
+    * between kernel, HOF, per-row and oracle forms (r21 advice). */
+  private[graft] val MaxWinnowGrams = WinnowPosMod - 1L
+
   /** The distinct winnowed fingerprint set per document:
     * (doc_id, h) with h the full 56-bit md5-derived gram hash of each
     * selected position. Kernel path: one fused `graft_winnow` pass
@@ -1575,7 +1603,7 @@ object Llm {
     val normed = docs
       .select(col("doc_id"),
         regexp_replace(lower(trim(col("text"))), "\\s+", " ").as("t"))
-      .filter(length(col("t")) >= WinnowW + 7) // < w+k-1 chars => no full window
+      .filter(length(col("t")) >= MinWinnowLen) // < w+k-1 chars => no full window
     if (kernelOn(docs.sparkSession, "graft_winnow"))
       Tables.widened(normed)
         .select(col("doc_id"), explode(expr("graft_winnow(t).sel")).as("h"))
@@ -1593,7 +1621,8 @@ object Llm {
     normed
       .repartition(col("doc_id"))
       .select(col("doc_id"), explode(expr(
-        "transform(sequence(1, length(t) - 7), i -> struct(i AS pos, substring(t, i, 8) AS g))"))
+        s"transform(sequence(1, least(length(t) - 7, ${MaxWinnowGrams}L)), " +
+          "i -> struct(i AS pos, substring(t, i, 8) AS g))"))
         .as("pg"))
       .select(col("doc_id"), col("pg.pos").cast("long").as("pos"),
         conv(substring(md5(col("pg.g")), 1, 14), 16, 10).cast("long").as("h"))
@@ -1622,7 +1651,7 @@ object Llm {
       val normed = docs
         .select(col("doc_id"),
           regexp_replace(lower(trim(col("text"))), "\\s+", " ").as("t"))
-        .filter(length(col("t")) >= WinnowW + 7)
+        .filter(length(col("t")) >= MinWinnowLen)
       Tables.widened(normed)
         .select(col("doc_id"), expr("graft_winnow(t).sel").as("sel"))
         .filter(size(col("sel")) > 0)
@@ -1680,17 +1709,50 @@ object Llm {
     * functions over one row. Requires columns `t` (normalized text,
     * length >= 23). Yields the sorted distinct selected hash array —
     * bit-equal to `graft_winnow(t).sel` (LlmSpec pins it). */
-  private[graft] val rowWinnowSql: String = {
-    val hs = "transform(sequence(1, length(t) - 7), " +
+  private[graft] val rowWinnowHsSql: String =
+    s"transform(sequence(1, least(length(t) - 7, ${MaxWinnowGrams}L)), " +
       "i -> cast(conv(substring(md5(substring(t, i, 8)), 1, 14), 16, 10) AS bigint))"
-    val ks = s"transform($hs, (x, i) -> " +
+
+  private[graft] val rowWinnowKsSql: String =
+    s"transform(__wn_hs, (x, i) -> " +
       s"(x % ${WinnowSelMod}L) * ${WinnowPosMod}L + (${WinnowPosMod - 1L}L - (i + 1)))"
+
+  private[graft] val rowWinnowSelSql: String =
     s"""array_sort(array_distinct(transform(
-       |  array_distinct(transform(sequence($WinnowW, length(t) - 7),
-       |    e -> array_min(slice($ks, e - ${WinnowW - 1}, $WinnowW)))),
-       |  k -> element_at($hs,
+       |  array_distinct(transform(sequence($WinnowW, size(__wn_hs)),
+       |    e -> array_min(slice(__wn_ks, e - ${WinnowW - 1}, $WinnowW)))),
+       |  k -> element_at(__wn_hs,
        |    cast(${WinnowPosMod - 1L}L - (k % ${WinnowPosMod}L) AS int)))))""".stripMargin
-  }
+
+  /** Bind the per-row winnow working arrays as real columns over a
+    * frame carrying normalized text `t` (length >= 23, the callers'
+    * filter): `__wn_hs` = the gram-hash array (one md5 per gram),
+    * `__wn_ks` = the packed selection keys. Spark higher-order
+    * functions evaluate interpretively with no subexpression caching,
+    * and the previous single-expression form re-evaluated the whole
+    * md5 transform inside every one of the ~n window lambdas —
+    * O(n²) md5 per document; a 100 KB doc in the no-kernel streaming
+    * path could stall a micro-batch (r21 advice). With the arrays
+    * bound below, `rowWinnowSelSql` is O(n·w) per row. Callers
+    * consuming the selection should evaluate `rowWinnowSelSql`
+    * DIRECTLY (e.g. explode it) rather than aliasing it first: an
+    * aliased array column feeding explode gets an inferred
+    * `size(col) > 0` filter pushed back through the projection,
+    * re-evaluating the chain per row (the curate stats-barrier trap,
+    * SURVEY §8). Same arithmetic in the same order as the kernel, so
+    * the selection stays bit-equal to `graft_winnow(t).sel` (LlmSpec
+    * pins it); grams cap at the kernel's 2^24−1 packing domain. */
+  private[graft] def withRowWinnowCols(df: DataFrame): DataFrame =
+    df.withColumn("__wn_hs", expr(rowWinnowHsSql))
+      .withColumn("__wn_ks", expr(rowWinnowKsSql))
+
+  /** The bound-column selection as a named array column (test /
+    * array-consumer convenience; see `withRowWinnowCols`'s note on
+    * why explode-consumers use the expression form instead). */
+  private[graft] def withRowWinnowSel(df: DataFrame, out: String): DataFrame =
+    withRowWinnowCols(df)
+      .withColumn(out, expr(rowWinnowSelSql))
+      .drop("__wn_hs", "__wn_ks")
 
   /** The winnowed-fingerprint corpus index for the streaming
     * duplicate-span filter: (h, suspect_of) over the existing corpus,
@@ -1898,11 +1960,15 @@ object Llm {
     // training pass, and the sort is per-partition over training
     // rows only (at 100 TB the codebook trains on a sample, not
     // the corpus; only the final assignment scan is corpus-sized).
-    val typed = Tables.pinnedLayout(all.select(col("vec_id"), col("v")), 64, "vec_id")
-      .as[(Long, Seq[Double])]
-    val trainTyped = trainView(spark, all, all.count(), trainCap)
+    // pinned layout materialized ONCE (r21, the annPq note): both
+    // Lloyd rounds, the seed collect and the count read these blocks
+    // instead of re-running the pin shuffle per job
+    val typedDf = Tables.pinnedLayout(all.select(col("vec_id"), col("v")), 64, "vec_id")
+      .ckptLocal()
+    val typed = typedDf.as[(Long, Seq[Double])]
+    val trainTyped = trainView(spark, typedDf, typedDf.count(), trainCap)
     // deterministic centroid seeds
-    var centroids: Array[Array[Double]] = all
+    var centroids: Array[Array[Double]] = typedDf
       .select(col("vec_id"), col("v"), xxhash64(col("vec_id")).as("hk"))
       .orderBy(col("hk")).limit(k)
       .select(col("v")).as[Seq[Double]].collect().map(_.toArray)
@@ -2316,15 +2382,25 @@ object Llm {
       iters: Int = 3, trainCap: Int = 100000): DataFrame = {
     import spark.implicits._
     val all = vecs(spark, dir)
-    val typed = Tables.pinnedLayout(all.select(col("vec_id"), col("v")), 64, "vec_id")
-      .as[(Long, Seq[Double])]
-    val trainTyped = trainView(spark, all, all.count(), trainCap)
-    val dim = all.select(size(col("v"))).head().getInt(0)
+    // the pinned training layout materializes ONCE (r21; guide §1.2):
+    // every Lloyd round's collect previously re-ran the hash-exchange
+    // + in-partition sort as its own job — iters+1 executions of the
+    // same shuffle. The checkpoint preserves both the partitioning
+    // and the within-partition order, so the partial-sum fold order
+    // (and therefore the codebook bits) is unchanged. Count, dim and
+    // seeds read the materialized blocks instead of re-scanning
+    // parquet (same rows, same values).
+    val typedDf = Tables.pinnedLayout(all.select(col("vec_id"), col("v")), 64, "vec_id")
+      .ckptLocal()
+    val typed = typedDf.as[(Long, Seq[Double])]
+    val nAll = typedDf.count()
+    val trainTyped = trainView(spark, typedDf, nAll, trainCap)
+    val dim = typedDf.select(size(col("v"))).head().getInt(0)
     require(dim % m == 0, s"PQ needs dim % m == 0, got $dim % $m")
     val sub = dim / m
 
     // deterministic seeds: the ks hash-ordered vectors' subvectors
-    val seedVecs = all
+    val seedVecs = typedDf
       .select(col("vec_id"), col("v"), xxhash64(col("vec_id")).as("hk"))
       .orderBy(col("hk")).limit(ks)
       .select(col("v")).as[Seq[Double]].collect()
@@ -2406,7 +2482,8 @@ object Llm {
 
     // probes (vec_id < 10) + their ADC tables: table[j*ks + c] =
     // dot(probe subvector j, codebook(j)(c)) — 10 rows, driver-built
-    val probeRows = all.filter(col("vec_id") < 10)
+    // (read from the materialized layout, not another parquet scan)
+    val probeRows = typedDf.filter(col("vec_id") < 10)
       .select(col("vec_id"), col("v")).as[(Long, Seq[Double])].collect()
     val ptabs = probeRows.toSeq.map { case (pid, pv) =>
       val t = new Array[Double](m * ks)
@@ -2522,15 +2599,22 @@ object Llm {
     * (each Lloyd round costs `cap` rows, not the corpus; the
     * assignment and encode passes still cover every row — the
     * standard FAISS `train(sample)` / `add(corpus)` split). */
-  private def trainView(spark: SparkSession, vecsDf: DataFrame, n: Long,
+  private def trainView(spark: SparkSession, pinnedAll: DataFrame, n: Long,
       cap: Int): Dataset[(Long, Seq[Double])] = {
     import spark.implicits._
-    val base =
-      if (n <= cap) vecsDf.select(col("vec_id"), col("v"))
-      else vecsDf.select(col("vec_id"), col("v"), xxhash64(col("vec_id")).as("hk"))
+    // `pinnedAll` is the ALREADY pinned-and-materialized (vec_id, v)
+    // frame (r21 — callers checkpoint it once so the Lloyd rounds stop
+    // re-running the pin shuffle per collect): under the cap it IS the
+    // training view; above it, the cap hash-lowest rows re-pin to the
+    // same layout and materialize once themselves (sample-sized) — the
+    // row set, layout and therefore the codebook bits are unchanged
+    // from the pre-r21 form.
+    if (n <= cap) pinnedAll.as[(Long, Seq[Double])]
+    else Tables.pinnedLayout(
+      pinnedAll.select(col("vec_id"), col("v"), xxhash64(col("vec_id")).as("hk"))
         .orderBy(col("hk"), col("vec_id")).limit(cap)
-        .select(col("vec_id"), col("v"))
-    Tables.pinnedLayout(base, 64, "vec_id").as[(Long, Seq[Double])]
+        .select(col("vec_id"), col("v")), 64, "vec_id")
+      .ckptLocal().as[(Long, Seq[Double])]
   }
 
   private[graft] def annCentroidNorms(cs: Array[Array[Double]]): Array[Double] =
@@ -2582,17 +2666,22 @@ object Llm {
       m: Int = 16, ks: Int = 16, coarseIters: Int = 2,
       pqIters: Int = 3, trainCap: Int = 100000): AnnIndex = {
     import spark.implicits._
-    val typed = Tables.pinnedLayout(vecsDf.select(col("vec_id"), col("v")), 64, "vec_id")
-      .as[(Long, Seq[Double])]
-    val nAll = vecsDf.count()
-    val trainTyped = trainView(spark, vecsDf, nAll, trainCap)
-    val dim = vecsDf.select(size(col("v"))).head().getInt(0)
+    // pinned layout materialized ONCE (r21, the annPq note): the
+    // coarse Lloyd rounds, the residual pass and the seed/count/dim
+    // reads all consume these blocks instead of re-running the pin
+    // shuffle (and the parquet scan behind it) per job
+    val typedDf = Tables.pinnedLayout(vecsDf.select(col("vec_id"), col("v")), 64, "vec_id")
+      .ckptLocal()
+    val typed = typedDf.as[(Long, Seq[Double])]
+    val nAll = typedDf.count()
+    val trainTyped = trainView(spark, typedDf, nAll, trainCap)
+    val dim = typedDf.select(size(col("v"))).head().getInt(0)
     require(dim % m == 0, s"PQ needs dim % m == 0, got $dim % $m")
     val sub = dim / m
 
     // 1. coarse centroids: deterministic seeds + Lloyd, exactly the
     //    annIvf recipe (same arithmetic order -> same codebook)
-    var centroids: Array[Array[Double]] = vecsDf
+    var centroids: Array[Array[Double]] = typedDf
       .select(col("vec_id"), col("v"), xxhash64(col("vec_id")).as("hk"))
       .orderBy(col("hk")).limit(k)
       .select(col("v")).as[Seq[Double]].collect().map(_.toArray)
@@ -2647,7 +2736,7 @@ object Llm {
     // 2. residual PQ codebooks: seeds are the ks hash-ordered
     //    vectors' RESIDUALS (driver-computed — ks rows), refined by
     //    the same per-subspace Lloyd as annPq over pooled residuals
-    val seedVecs = vecsDf
+    val seedVecs = typedDf
       .select(col("vec_id"), col("v"), xxhash64(col("vec_id")).as("hk"))
       .orderBy(col("hk")).limit(ks)
       .select(col("v")).as[Seq[Double]].collect()

@@ -575,9 +575,12 @@ object Html {
     * SEAM. Map-only end to end — no exchange anywhere. */
   def crawlExtract(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val recovered = Tables.documents(spark, dir)
+    // widened: the single-split documents scan would otherwise run the
+    // whole wrap (gzip ×2) + decode (gunzip ×2, unchunk) chain as ONE
+    // task — the most expensive per-row byte walk in the WARC family
+    val recovered = Tables.widened(Tables.documents(spark, dir)
       .filter(col("text").isNotNull)
-      .select(col("doc_id"), col("source"), col("text"))
+      .select(col("doc_id"), col("source"), col("text")))
       .as[(Long, String, String)]
       .mapPartitions { it =>
         it.map { case (docId, source, text) =>

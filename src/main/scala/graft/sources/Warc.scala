@@ -630,6 +630,12 @@ object Warc {
     * `llm_warc_extract` covers the uncompressed walk alone). */
   def warcHttp(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    // NOT widened (r21 A/B): per-row cost here is one identity-encoded
+    // member (~0.3 CPU-s at sf0.1) — the round-robin shuffle of the
+    // text column costs as much wall as the single-task stage it
+    // removes (0.47 s widened vs 0.47-0.55 s serialized, DevTime warm).
+    // warcEntity/crawlExtract, whose per-row chain is ~2-4x heavier,
+    // DO widen — the doctrine's break-even made concrete.
     Tables.documents(spark, dir)
       .filter(col("text").isNotNull)
       .select(col("doc_id"), col("source"), col("text"))
@@ -727,9 +733,15 @@ object Warc {
 
   def warcEntity(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    Tables.documents(spark, dir)
+    // widened (r21): the documents table arrives as one parquet split,
+    // which serialized the whole wrap + chunked-framing + entity-gunzip
+    // chain into a single task (0.76-0.90 s wall ≈ CPU at sf0.1); the
+    // round-robin shuffle of the narrow projection is far cheaper than
+    // the serialized stage it removes (0.29 s widened, DevTime warm;
+    // Tables.widened is the identity at real scale)
+    Tables.widened(Tables.documents(spark, dir)
       .filter(col("text").isNotNull)
-      .select(col("doc_id"), col("source"), col("text"))
+      .select(col("doc_id"), col("source"), col("text")))
       .as[(Long, String, String)]
       .mapPartitions { it =>
         it.map { case (docId, source, text) =>
@@ -763,6 +775,9 @@ object Warc {
 
   def warcExtract(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    // NOT widened (r21 A/B): the uncompressed record walk is 0.04
+    // CPU-s at sf0.1 — far below the widening break-even (see
+    // warcHttp's note)
     Tables.documents(spark, dir)
       .filter(col("text").isNotNull)
       .select(col("doc_id"), col("source"), col("text"))

@@ -556,7 +556,7 @@ object Streaming {
     * built batch-side, typically reloaded from parquet bucketed on
     * `h`). Each arriving doc's winnowed fingerprint set is computed
     * per row (the `graft_winnow` kernel, or the bit-equal
-    * pure-expression `Llm.rowWinnowSql` — window functions don't
+    * pure-expression `Llm.withRowWinnowSel` — window functions don’t
     * exist on streams), exploded, and stream-static equi-joined on
     * the 56-bit gram hash; each distinct (doc, indexed-doc) collision
     * emits once (`dropDuplicatesWithinWatermark` — state is the
@@ -578,14 +578,15 @@ object Streaming {
       .withWatermark("ts", lateness)
       .select(col("doc_id"), col("ts"),
         regexp_replace(lower(trim(col("text"))), "\\s+", " ").as("t"))
-      .filter(length(col("t")) >= 23)
+      .filter(length(col("t")) >= Llm.MinWinnowLen)
     val sel =
       if (Llm.kernelOn(spark, "graft_winnow"))
         normed.select(col("doc_id"), col("ts"),
           explode(expr("graft_winnow(t).sel")).as("h"))
       else
-        normed.select(col("doc_id"), col("ts"),
-          explode(expr(Llm.rowWinnowSql)).as("h"))
+        Llm.withRowWinnowCols(normed)
+          .select(col("doc_id"), col("ts"),
+            explode(expr(Llm.rowWinnowSelSql)).as("h"))
     sel
       .join(index, Seq("h"))
       .filter(col("doc_id") =!= col("suspect_of"))

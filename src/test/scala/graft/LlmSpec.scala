@@ -1091,12 +1091,12 @@ class LlmSpec extends AnyFunSuite {
       val normed = docs.select($"doc_id",
         regexp_replace(lower(trim($"text")), "\\s+", " ").as("t"))
         .filter(length($"t") >= 23)
-      val both = normed
-        .select($"doc_id", expr("graft_winnow(t).sel").as("k"),
-          expr(Llm.rowWinnowSql).as("f"))
+      val both = Llm.withRowWinnowSel(
+          normed.withColumn("k", expr("graft_winnow(t).sel")), "f")
+        .select($"doc_id", $"k", $"f")
         .collect()
       both.foreach(r => assert(r.getSeq[Long](1) == r.getSeq[Long](2),
-        s"rowWinnowSql drifted from the kernel for doc ${r.getLong(0)}"))
+        s"withRowWinnowSel drifted from the kernel for doc ${r.getLong(0)}"))
     }
   }
 

@@ -470,7 +470,14 @@ class PlanSpec extends AnyFunSuite {
     val p = plan("llm_crawl_extract")
     assert(p.contains("graft_html_text"), s"seam lost the html kernel:\n$p")
     assert(!p.contains("ScalaUDF"), "seam must carry no Scala UDF")
-    assert(!p.contains("Exchange"), s"seam acquired a shuffle:\n$p")
+    // r21: the narrow input widens through ONE round-robin exchange
+    // (Tables.widened — the single-split scan serialized the whole
+    // byte-walk chain into one task); the chain itself must stay
+    // shuffle-free — no hash/range exchange anywhere
+    assert("Exchange (?!RoundRobinPartitioning)".r.findAllMatchIn(p).isEmpty,
+      s"seam acquired a non-widening shuffle:\n$p")
+    assert("Exchange RoundRobinPartitioning".r.findAllMatchIn(p).size <= 1,
+      s"seam widened more than once:\n$p")
   }
 
   test("frontier leg broadcasts the per-host robots dim — no cartesian, no sort-merge join") {
