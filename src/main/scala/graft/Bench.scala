@@ -297,9 +297,15 @@ object Bench {
       (cur, cur != prev)
     }
 
-    def materialize(name: String): Unit =
-      SparkEntry.queries(name)(spark, sfDir)
+    def materialize(name: String): Unit = {
+      // label the jobs (guide §1.5) so UI/event-log reads attribute
+      // stages to queries; cleared after so settle-window jobs (block
+      // cleanup etc.) don't inherit the last query's label
+      spark.sparkContext.setJobDescription(s"bench: $name")
+      try SparkEntry.queries(name)(spark, sfDir)
         .write.mode("overwrite").format("noop").save()
+      finally spark.sparkContext.setJobDescription(null)
+    }
 
     // Host-speed probe: a fixed 200M-iteration xorshift loop, single
     // thread, no allocation. ~0.3 s on this VM healthy; linearly

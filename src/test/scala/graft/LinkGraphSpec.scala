@@ -105,6 +105,26 @@ class LinkGraphSpec extends AnyFunSuite {
     r
   }
 
+  test("lazy-chained rank loop is identical wherever RankCkptEvery cuts it") {
+    // r21: iterations chain lazily with a checkpoint every
+    // RankCkptEvery steps — the result must be bit-identical for
+    // counts below, at, just past, and multiple times the cadence
+    val s = spark
+    import s.implicits._
+    val edgeDf = edges.map { case (u, v) => (hostName(u), hostName(v)) }
+      .toDF("src_host", "dst_host")
+    val noPrev = Seq.empty[(String, Long)].toDF("host", "rank_scaled")
+    for (iters <- Seq(3, LinkGraph.RankCkptEvery, LinkGraph.RankCkptEvery + 1,
+        2 * LinkGraph.RankCkptEvery + 1)) {
+      val got = LinkGraph.hostRankFrom(edgeDf, noPrev, iters).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val want = referenceRankFrom(Map.empty, iters)
+        .map { case (h, r) => hostName(h) -> r }
+      assert(got == want,
+        s"lazy-chained rank at iters=$iters diverged from the reference")
+    }
+  }
+
   test("warm start continues the cold iteration exactly: warm(cold(k), j) == cold(k+j)") {
     val s = spark
     import s.implicits._
