@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
+import graft.operators.Ckpt.CkptOps
 import graft.sources.Tables
 
 /** Temporal / interval join operators the build brief names as
@@ -393,8 +394,15 @@ object Joins {
     * broadcast carry table. Ordering inside chunks matches
     * `windowCarry` exactly (__ts, __side, __tie), so the two cores
     * agree bit-for-bit. */
-  private def stitchedCarry(tagged: DataFrame, keys: Seq[String],
+  private def stitchedCarry(tagged0: DataFrame, keys: Seq[String],
       maxRowsPerKey: Long): DataFrame = {
+    // materialized once (r21, §8 doctrine): the tagged union feeds
+    // THREE consumers — the skew census, the local-carry window path
+    // and the boundary-bounds path — and each un-checkpointed
+    // consumer re-ran the input scan + tagging as its own subtree
+    // (3 corpus scans at 100 TB; the census note below about table
+    // stats applies to the census only, not the two data paths)
+    val tagged = tagged0.ckptLocal()
     val skKeys = keys.map("__sk_" + _)
     // 1. skew census: only keys ABOVE the cap survive (bounded set)
     val skew = tagged.groupBy(keys.map(col): _*)
