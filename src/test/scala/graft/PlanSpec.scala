@@ -313,8 +313,10 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), s"stitch joins must broadcast:\n$p")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct") &&
       !p.contains("SortMergeJoin"), s"stitch-side join degenerated:\n$p")
-    assert(p.contains("PushedFilters: [In(event_type"),
-      s"type filter must reach the parquet scan:\n$p")
+    // the scan itself sits below stitchedCarry's r21 checkpoint of the
+    // tagged union (the final plan reads LogicalRDD), so the
+    // In(event_type) pushdown is pinned on the SHARED taggedEvents
+    // trunk via the un-checkpointed q13/q17/q18 plans above
   }
 
   test("range join plans as a hash equi-join on the bin, never a nested loop") {
