@@ -123,11 +123,21 @@ object LinkGraph {
       .drop("page", "ref")
   }
 
-  /** The synthesized crawl-page frame (doc_id, page_url, page). */
+  /** The synthesized crawl-page frame (doc_id, page_url, page).
+    * Widened BEFORE the page markup is synthesized (r21, guide
+    * §2.6/§2.3): the documents table arrives as one parquet split, so
+    * the whole extract→resolve→canon kernel chain above this frame
+    * ran as ONE task; the round-robin exchange moves only the 8-byte
+    * doc_id column (the markup is derived from it AFTER the widen)
+    * and is the identity at real scale, where the scan is already
+    * wider than the session. Every consumer aggregates (groupBy /
+    * distinct) right above, so results are layout-independent. */
   private def pagesOf(spark: SparkSession, dir: String): DataFrame = {
     val (page, pageUrl) = pageCol
-    Tables.documents(spark, dir)
-      .filter(col("text").isNotNull)
+    Tables.widened(
+        Tables.documents(spark, dir)
+          .filter(col("text").isNotNull)
+          .select(col("doc_id")))
       .select(col("doc_id"), pageUrl.as("page_url"), page.as("page"))
   }
 
@@ -237,6 +247,10 @@ object LinkGraph {
   def anchorTerms(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val (page, pageUrl) = anchorPageCol
+    // NOT widened (r21 A/B): the serial synth+anchor chain costs
+    // ~0.29 CPU-s at sf0.1 — under the ~0.3 CPU-s break-even the
+    // warc_http A/B established; the widen's exchange + extra task
+    // inits measured net-negative (0.70 s → 0.79 s warm)
     val anchors = Tables.documents(spark, dir)
       .filter(col("text").isNotNull)
       .select(col("doc_id"), pageUrl.as("page_url"), page.as("page"))

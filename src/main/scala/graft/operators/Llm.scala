@@ -770,8 +770,17 @@ object Llm {
     }.foldLeft(lit(null).cast("string")) { case (acc, (l, v, s)) =>
       when(effLang === l && variant === v, lit(s)).otherwise(acc)
     }
-    Tables.documents(spark, dir)
-      .filter(col("text").isNotNull)
+    // widened BEFORE the kernel evaluates (r21, guide §2.6/§2.3): the
+    // single-split scan ran the whole per-row profile scorer as ONE
+    // task (wall ≈ CPU ≈ 0.7 s at sf0.1); the scored text derives
+    // from (doc_id, lang) only, so the round-robin exchange carries
+    // two narrow columns — text is consumed by the pushed-down
+    // isnotnull filter below the widen. Counting aggregate above:
+    // layout-independent.
+    Tables.widened(
+        Tables.documents(spark, dir)
+          .filter(col("text").isNotNull)
+          .select(col("doc_id"), col("lang")))
       .withColumn("pred_lang", LangId.langCol(spark,
         concat(snippet, lit(" "), col("doc_id").cast("string"))))
       .groupBy(col("lang"), col("pred_lang"))

@@ -200,9 +200,15 @@ class UrlsSpec extends AnyFunSuite {
     val upBomb = "/.." * 250000 + "/x"    // 1 MB of pops on an empty stack
     assert(timeMs(upBomb) < 150.0, "up-dir bomb must stay linear")
     assert(removeDotSegments(upBomb) == "/x")
-    // 4x growth check on the worst shape
-    val ts4 = math.max(timeMs("/a" * 100000), 0.01)
-    val tb4 = timeMs("/a" * 400000)
+    // 4x growth check on the worst shape. Both sides take the MIN of
+    // 3 measurements: suites run in parallel on a throttling host, so
+    // a single descheduled measurement can inflate either side ~50x
+    // (observed: a one-shot ratio of 76x that re-measured at ~4x on a
+    // settled host) — min-of-N is robust to that, while a genuinely
+    // superlinear walk cannot get under the bound by scheduling luck.
+    def bestMs(s: String): Double = (1 to 3).map(_ => timeMs(s)).min
+    val ts4 = math.max(bestMs("/a" * 100000), 0.01)
+    val tb4 = bestMs("/a" * 400000)
     assert(tb4 / ts4 < 10.0, s"4x input grew ${tb4 / ts4}x — superlinear dot-segment walk")
   }
 
